@@ -1,0 +1,102 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's ad-event record (README.md:8-12 of the reference;
+  * case class at `Kafka2S3Parquet.scala:22`):
+  * `{"uuid":..., "date": ISO-8601 string, "timestamp": epoch millis,
+  *   "ad_type": int, "ad_type_name": string}`
+  */
+case class AdEvent(
+    uuid: String,
+    date: String,
+    timestamp: Long,
+    ad_type: Int,
+    ad_type_name: String)
+
+/** Sources + JSON decode (SURVEY.md §2.1 S1/S2, §2.2 P1).
+  *
+  * The reference reads a Kafka topic of JSON strings and either keeps
+  * them opaque (`Kafka2S3Text`), fastjson-parses them strictly
+  * (`Kafka2S3Parquet`), or decodes them leniently via Flink SQL's JSON
+  * format (`Kafka2S3Hive`, `'json.ignore-parse-errors'='true'`). Here
+  * all three decode modes are `from_json` with the matching parse mode,
+  * which keeps the decode inside whole-stage codegen and lets Catalyst
+  * prune unreferenced JSON fields into the parser.
+  */
+object Ingest {
+
+  val adEventSchema: StructType = Encoders.product[AdEvent].schema
+
+  /** S1 — Kafka raw-string source (streaming). Spark tracks offsets in
+    * its own checkpoint WAL (not the Kafka consumer group), which is
+    * what gives end-to-end exactly-once with file sinks.
+    */
+  def kafkaRaw(spark: SparkSession, brokers: String, topic: String,
+      groupId: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("kafka.group.id", groupId)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** File-based streaming stand-in for the Kafka topic: a directory of
+    * JSON-lines files read incrementally. Used by the test suite (no
+    * Kafka broker in this environment); identical downstream plan.
+    */
+  def fileRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .format("text")
+      .load(dir)
+      .toDF("value")
+
+  /** P1 / F7 — lenient decode (`Kafka2S3Hive.scala:77-78`): missing
+    * fields → null, corrupt records → all-null struct. PERMISSIVE is
+    * Spark's default; malformed rows survive as nulls and can be routed
+    * to an error bucket (K4) instead of killing the job.
+    */
+  def parseLenient(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw.select(from_json(col(jsonCol), adEventSchema).as("d"))
+      .select(col("d.*"))
+
+  /** F7 strict variant — fastjson-style throw-on-malformed
+    * (`Kafka2S3Parquet.scala:70-73`). */
+  def parseStrict(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw.select(
+      from_json(col(jsonCol), adEventSchema, Map("mode" -> "FAILFAST")).as("d"))
+      .select(col("d.*"))
+
+  /** The reference's full Hive-insert projection
+    * (`Kafka2S3Hive.scala:114-127`): 5 physical columns + 3 partition
+    * columns derived from event time.
+    */
+  def withPartitionColumns(parsed: DataFrame): DataFrame = {
+    val et = TimeOps.eventTimeFromMillis(col("timestamp"))
+    parsed.select(
+      col("uuid"), col("date"), col("ad_type"), col("ad_type_name"),
+      col("timestamp"),
+      TimeOps.logday(et).as("logday"),
+      TimeOps.hourOf(et).as("h"),
+      TimeOps.minuteOf(et).as("m"))
+  }
+
+  /** Batch twin of the streaming pipeline over the `events` test table:
+    * treat `props` as the Kafka JSON payload, decode leniently, derive
+    * the (logday, h, m) partition columns from event time. This is the
+    * DuckDB-checkable slice (SURVEY.md §7.2).
+    */
+  def eventsPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    ev.select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        TimeOps.logday(col("ts")).as("logday"),
+        TimeOps.hourOf(col("ts")).as("h"),
+        TimeOps.minuteOf(col("ts")).as("m"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,326 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch relational inventory over the TPC-H-ish test tables
+  * (SURVEY.md §2.3–§2.7): joins (inner / semi / anti / outer /
+  * broadcast), aggregations (incl. distinct, rollup, cube, having),
+  * window functions (ranking, frames, lag/lead), sorts / top-k, and
+  * set operations. The reference has none of these (SURVEY.md §0) —
+  * this is the gap-filling batch surface the north star mandates.
+  *
+  * Determinism rules (oracle parity with DuckDB):
+  *  - every query ends with a total ORDER BY on a unique key set;
+  *  - every floating-point aggregate goes through DECIMAL(18,2) so
+  *    the sum is exact (addition order cannot change the result),
+  *    then back to DOUBLE for a type both engines print identically;
+  *  - every computed column is aliased identically here and in the
+  *    oracle SQL (the driver compares columns by sorted name).
+  *
+  * Scale notes: all fact-side plans keep filters/projections adjacent
+  * to the scan (parquet pushdown), dimension joins broadcast (see
+  * Tables.tune), and aggregations are partial-final hash aggs — the
+  * shapes that survive a 1000-executor 100 TB run.
+  */
+object Relational {
+
+  /** Exact decimal sum of a double expression, returned as double.
+    * Scale 4: raw money columns are exact 2-decimal values and
+    * price×(1−discount) products are exact 4-decimal values, so
+    * casting to scale 4 never rounds — the sum is order-independent
+    * and bit-identical across engines. (Scale 2 would round products
+    * at .xx5 boundaries where Spark's HALF_UP-on-shortest-repr and
+    * DuckDB's binary-value rounding can disagree.) */
+  private[engine] def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Exact decimal mean: decimal sum / count, computed in double. */
+  private[engine] def davg(c: Column): Column =
+    (sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1)))
+
+  // ---------------------------------------------------------------- aggs
+
+  /** TPC-H Q1-style pricing summary: filter + 2-key hash agg.
+    * Partial aggregation (map-side combine) makes the shuffle carry
+    * only |groups| rows per task regardless of input size. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Filter + narrow projection — exists to prove scan-level predicate
+    * pushdown and column pruning (PushedFilters + 4-col ReadSchema). */
+  def q2FilterPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.filter(
+        col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp"))
+          && col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** GROUP BY ... HAVING via post-agg filter. */
+  def qHaving(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupBy(col("l_partkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("total_qty") > 7000)
+      .orderBy(col("l_partkey"))
+  }
+
+  /** Exact multi-column COUNT(DISTINCT) per group (expand + 2-phase). */
+  def qCountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** approx_count_distinct (HLL++) — the sketch path for 100 TB where
+    * exact distinct would shuffle every key. No SQL oracle (sketch
+    * estimates are implementation-defined); driver records rows-only. */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus); null grouping keys coalesced
+    * to 'ALL' so the oracle hash is null-representation-proof. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** CUBE over (mktsegment, orderstatus) on the customer⋈orders join. */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        col("n"), col("sum_price"))
+      .orderBy(col("seg"), col("st"))
+  }
+
+  // --------------------------------------------------------------- joins
+
+  /** TPC-H Q3-style 3-way join + agg + top-k. customer is broadcast
+    * (small dim); orders⋈lineitem shuffles on the order key. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    val li = Tables(spark, sfDir, "lineitem")
+    val cut = lit("1998-01-01").cast("timestamp")
+    li.filter(col("l_shipdate") > cut)
+      .join(o.filter(col("o_orderdate") < cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** 5-way dim-chain join (TPC-H Q5 shape): revenue per nation within
+    * one region. nation/region/customer/supplier all broadcast. */
+  def q5LocalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    val li = Tables(spark, sfDir, "lineitem")
+    val n = Tables(spark, sfDir, "nation")
+    val r = Tables(spark, sfDir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): order priorities of orders that have at
+    * least one heavy line. Semi join ships only the key column and
+    * short-circuits on first match. */
+  def qSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val li = Tables(spark, sfDir, "lineitem")
+    o.join(li.filter(col("l_quantity") >= 48).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no 'P'-status order. */
+  def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    c.join(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-outer join preserving customers with zero orders; COUNT of a
+    * nullable column counts only matches — the classic outer-join agg. */
+  def qOuterCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Explicit broadcast-hash join fact⋈dim + agg by brand. */
+  def qBroadcastDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val p = Tables(spark, sfDir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Scalar subquery: parts priced above 1.05 × the exact global mean.
+    * The mean is decimal-exact so the comparison boundary is identical
+    * in both engines. */
+  def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables(spark, sfDir, "part")
+    val bar = p.agg(davg(col("p_retailprice")).as("m"))
+    p.join(broadcast(bar), col("p_retailprice") > col("m") * 1.05)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // ------------------------------------------------------------- windows
+
+  /** Ranking window: top-3 orders per customer by price. */
+  def qWindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Frame window: per-customer running order total (ROWS UNBOUNDED
+    * PRECEDING → CURRENT ROW), decimal-exact. */
+  def qWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
+  }
+
+  /** Analytic functions: lag / lead / ntile over per-customer order
+    * history. */
+  def qWindowLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // ------------------------------------------------- sort / limit / sets
+
+  /** Global top-k by sort: ORDER BY ... LIMIT (Spark plans TakeOrdered
+    * — no full sort materialization). */
+  def qTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** DISTINCT projection. */
+  def qDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Set ops: (O ∩ F) ∖ P over per-status customer-key sets. */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    def keys(st: String) =
+      o.filter(col("o_orderstatus") === st).select(col("o_custkey"))
+    keys("O").intersect(keys("F")).except(keys("P"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** UNION (distinct) of two branch projections over different tables. */
+  def qUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val s = Tables(spark, sfDir, "supplier")
+    c.select(col("c_nationkey").cast("int").as("nationkey"),
+        lit("customer").as("side"))
+      .union(s.select(col("s_nationkey").cast("int").as("nationkey"),
+        lit("supplier").as("side")))
+      .distinct()
+      .orderBy(col("nationkey"), col("side"))
+  }
+
+  /** CASE WHEN bucketing + conditional aggregation. */
+  def qCaseBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val bucket = when(col("o_totalprice") < 50000, "small")
+      .when(col("o_totalprice") < 200000, "medium")
+      .otherwise("large")
+    o.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"))
+      .orderBy(col("bucket"))
+  }
+}

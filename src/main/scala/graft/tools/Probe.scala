@@ -1,0 +1,24 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch probe main for local schema/plan inspection. Not part of
+  * the driver contract. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.printSchema()
+    ev.show(3, truncate = false)
+    import org.apache.spark.sql.functions._
+    ev.select(unix_timestamp(col("ts")).as("sec"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("s")).show(3)
+    spark.stop()
+  }
+}
