@@ -55,20 +55,33 @@ object Ingest {
       .toDF("value")
 
   /** P1 / F7 — lenient decode (`Kafka2S3Hive.scala:77-78`): missing
-    * fields → null, corrupt records → all-null struct. PERMISSIVE is
-    * Spark's default; malformed rows survive as nulls and can be routed
-    * to an error bucket (K4) instead of killing the job.
+    * fields → null ('json.fail-on-missing-field'='false'), corrupt
+    * records dropped entirely ('json.ignore-parse-errors'='true' —
+    * Flink's JSON deserializer *skips* rows it cannot parse, it does
+    * not emit null rows). PERMISSIVE from_json yields an all-null
+    * struct for a corrupt record, so we filter those out to match the
+    * reference's drop-on-parse-error row counts exactly.
     */
   def parseLenient(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     raw.select(from_json(col(jsonCol), adEventSchema).as("d"))
+      .filter(col("d").isNotNull)
       .select(col("d.*"))
 
-  /** F7 strict variant — fastjson-style throw-on-malformed
-    * (`Kafka2S3Parquet.scala:70-73`). */
+  /** F7 strict variant — fastjson semantics
+    * (`Kafka2S3Parquet.scala:70-73`): malformed JSON throws (FAILFAST),
+    * but a *missing* field does not — fastjson materializes JVM
+    * primitive defaults into the case class (`ad_type` → 0,
+    * `timestamp` → 0L; object fields stay null). Coalesce the
+    * primitives so partial records match Kafka2S3Parquet's output. */
   def parseStrict(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     raw.select(
       from_json(col(jsonCol), adEventSchema, Map("mode" -> "FAILFAST")).as("d"))
-      .select(col("d.*"))
+      .select(
+        col("d.uuid").as("uuid"),
+        col("d.date").as("date"),
+        coalesce(col("d.timestamp"), lit(0L)).as("timestamp"),
+        coalesce(col("d.ad_type"), lit(0)).as("ad_type"),
+        col("d.ad_type_name").as("ad_type_name"))
 
   /** The reference's full Hive-insert projection
     * (`Kafka2S3Hive.scala:114-127`): 5 physical columns + 3 partition

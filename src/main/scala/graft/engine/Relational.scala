@@ -79,7 +79,7 @@ object Relational {
     li.groupBy(col("l_partkey"))
       .agg(dsum(col("l_quantity")).as("total_qty"),
         count(lit(1)).as("n_lines"))
-      .filter(col("total_qty") > 7000)
+      .filter(col("total_qty") > 1000)
       .orderBy(col("l_partkey"))
   }
 
@@ -156,7 +156,11 @@ object Relational {
   }
 
   /** 5-way dim-chain join (TPC-H Q5 shape): revenue per nation within
-    * one region. nation/region/customer/supplier all broadcast. */
+    * one region. Only the genuinely bounded dims (nation: ≤25 rows,
+    * region: 5 rows) carry an explicit broadcast hint; customer is
+    * left to the 64 MB autoBroadcastJoinThreshold / AQE so the plan
+    * degrades gracefully to shuffle join when customer is huge at
+    * 100 TB instead of OOMing the driver on a forced broadcast. */
   def q5LocalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables(spark, sfDir, "customer")
     val o = Tables(spark, sfDir, "orders")
@@ -164,7 +168,7 @@ object Relational {
     val n = Tables(spark, sfDir, "nation")
     val r = Tables(spark, sfDir, "region")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
@@ -210,11 +214,15 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** Explicit broadcast-hash join fact⋈dim + agg by brand. */
+  /** Broadcast-hash join fact⋈dim + agg by brand. No explicit hint:
+    * part fits the 64 MB autoBroadcastJoinThreshold at bench scale
+    * (so the plan IS a broadcast join there), but at 100 TB part is
+    * multi-GB and a forced broadcast() would OOM — size-based
+    * selection picks the right physical join at each scale. */
   def qBroadcastDim(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir, "lineitem")
     val p = Tables(spark, sfDir, "part")
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(dsum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_lines"))

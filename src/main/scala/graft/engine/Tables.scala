@@ -34,14 +34,20 @@ object Tables {
     }
   }
 
-  @volatile private var tuned = false
+  // Keyed per SparkSession (identity), not JVM-global: if the harness
+  // stops a session and builds a new one in the same JVM, the new
+  // session must be re-tuned (it would otherwise miss nanosAsLong and
+  // fail reading events.parquet with PARQUET_TYPE_ILLEGAL).
+  private val tunedSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Idempotent runtime tuning. These are all runtime-settable SQL
     * confs, so they work regardless of how the harness built the
     * session (Verify/Bench/tests all funnel through Tables).
     */
-  def tune(spark: SparkSession): Unit = if (!tuned) synchronized {
-    if (!tuned) {
+  def tune(spark: SparkSession): Unit = synchronized {
+    if (!tunedSessions.contains(spark)) {
       val c = spark.conf
       // AQE: runtime partition coalescing + skew-join splitting; at
       // 100 TB this is what keeps post-shuffle partitions sized right.
@@ -54,7 +60,7 @@ object Tables {
       // events.parquet stores TIMESTAMP(NANOS,false) which the vectorized
       // reader rejects ([PARQUET_TYPE_ILLEGAL]); read as Long and convert.
       c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tuned = true
+      tunedSessions.add(spark)
     }
   }
 }

@@ -38,12 +38,18 @@ object TimeOps {
   def hourOf(ts: Column): Column = date_format(ts, "HH")
   def minuteOf(ts: Column): Column = date_format(ts, "mm")
 
-  /** F5 — event-date bucket: ISO-8601 string → `yyyyMMdd`; any
-    * null/empty value falls back to the literal "error" bucket,
-    * matching the reference's catch-all.
+  /** F5 — event-date bucket: ISO-8601 string → `yyyyMMdd`, mirroring
+    * the reference assigner (`Kafka2S3Parquet.scala:27-34`) exactly:
+    * `date.split("T")` is empty — which in Java happens only for a
+    * non-empty string made entirely of 'T's ("T", "TT", …; trailing
+    * empty segments are removed) — → "error"; everything else takes
+    * the pre-T prefix with '-' stripped, so "" → "" and garbage
+    * prefixes pass through verbatim. One documented improvement: a
+    * null `date` (reference would NPE and kill the job) also lands in
+    * the "error" bucket.
     */
   def isoDateBucket(isoDate: Column): Column =
-    when(isoDate.isNull || isoDate === "", lit("error"))
+    when(isoDate.isNull || isoDate.rlike("^T+$"), lit("error"))
       .otherwise(regexp_replace(substring_index(isoDate, "T", 1), "-", ""))
 
   /** F6 — processing-time day in UTC+8, `yyyyMMdd`. In streaming,
