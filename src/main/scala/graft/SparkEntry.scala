@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{Ingest, Relational}
+import graft.engine.{Dedup, Ingest, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,7 +48,44 @@ object SparkEntry {
     "q_set_ops" -> Relational.qSetOps _,
     "q_union" -> Relational.qUnion _,
     "q_case_buckets" -> Relational.qCaseBuckets _,
+    // §2.9 north-star: text analysis
+    "q_text_stats" -> TextOps.qTextStats _,
+    "q_lang_id" -> TextOps.qLangId _,
+    "q_fingerprint" -> TextOps.qFingerprint _,
+    "q_term_freq" -> TextOps.qTermFreq _,
+    // §2.9 north-star: deduplication
+    "q_dedup_exact" -> Dedup.qDedupExact _,
+    "q_jaccard_pairs" -> Dedup.qJaccardPairs _,
+    "q_dedup_minhash" -> Dedup.qDedupMinhash _,
+    "q_simhash_pairs" -> Dedup.qSimhashPairs _,
+    // §2.9 north-star: embedding similarity
+    "q_cosine_topk" -> Similarity.qCosineTopK _,
+    "q_embed_neardup" -> Similarity.qEmbedNearDup _,
+    "q_ann_lsh" -> Similarity.qAnnLsh _,
   )
+
+  /** Shared oracle fragments (DuckDB dialect). */
+  private val duckTokens =
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
+  private val duckNorm =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val duckShingleCte =
+    s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(
+       |        range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+       |      FROM t WHERE len(tk) >= 3),
+       |idx AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+       |           FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT ida, idb,
+       |  CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+       |FROM common
+       |JOIN sizes na ON na.doc_id = ida
+       |JOIN sizes nb ON nb.doc_id = idb
+       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
+       |ORDER BY ida, idb""".stripMargin
 
   /** DuckDB oracle SQL per query key (same parquet tables, registered
     * by table name). Omitted for q_approx_distinct (sketch estimates
@@ -229,5 +266,94 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckTokens AS tk FROM documents)
+        |SELECT doc_id,
+        |  len(tk) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+        |  length(text) AS len_chars,
+        |  CASE WHEN len(tk) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+        |  END AS mean_tok_len,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)
+        |  END AS punct_ratio,
+        |  CASE WHEN len(tk) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(tk, x -> list_contains(['the','a','an','and','or','of','to','in','is','that'], x))) AS DOUBLE) / len(tk)
+        |  END AS stopword_ratio,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |    + least((CASE WHEN len(tk) = 0 THEN 0.0
+        |             ELSE CAST(len(list_filter(tk, x -> list_contains(['the','a','an','and','or','of','to','in','is','that'], x))) AS DOUBLE) / len(tk) END) * 5.0, 1.0) * 0.4
+        |    + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |                    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) END) * 10.0, 1.0)) * 0.2
+        |    AS quality
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT lang, $duckTokens AS tk FROM documents),
+        |c AS (SELECT lang,
+        |  len(list_filter(tk, x -> list_contains(['the','and','of','to','is','that','with'], x))) AS c_en,
+        |  len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','mit'], x))) AS c_de,
+        |  len(list_filter(tk, x -> list_contains(['el','la','los','las','es','que','para'], x))) AS c_es,
+        |  len(list_filter(tk, x -> list_contains(['le','la','les','et','est','que','pour'], x))) AS c_fr,
+        |  len(list_filter(tk, x -> list_contains(['的','了','是','在','我','有','他'], x))) AS c_zh
+        |FROM t)
+        |SELECT lang,
+        |  CASE
+        |    WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |    WHEN c_de > 0 AND c_de > c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |    WHEN c_es > 0 AND c_es > c_en AND c_es > c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |    WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de AND c_fr > c_es AND c_fr >= c_zh THEN 'fr'
+        |    WHEN c_zh > 0 AND c_zh > c_en AND c_zh > c_de AND c_zh > c_es AND c_zh > c_fr THEN 'zh'
+        |    ELSE 'und' END AS pred,
+        |  count(*) AS n
+        |FROM c
+        |GROUP BY lang, pred
+        |ORDER BY lang, pred""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5($duckNorm) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_term_freq" ->
+      s"""WITH t AS (SELECT $duckTokens AS tk FROM documents)
+        |SELECT term, count(*) AS n
+        |FROM (SELECT unnest(tk) AS term FROM t)
+        |GROUP BY term
+        |ORDER BY n DESC, term
+        |LIMIT 100""".stripMargin,
+    "q_dedup_exact" ->
+      s"""SELECT md5($duckNorm) AS fp, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY fp
+        |ORDER BY keep_id""".stripMargin,
+    "q_jaccard_pairs" -> duckShingleCte,
+    // MinHash+LSH candidates are exact-verified, and at the J>=0.8
+    // output threshold the 32x2 banding misses a pair with
+    // P <= (1-0.64)^32 ~= 5e-15 — so the oracle is the same exact
+    // inverted-index Jaccard SQL.
+    "q_dedup_minhash" -> duckShingleCte,
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |        list_inner_product(qv, v)
+        |          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) AS score
+        |      FROM e, q WHERE e.vec_id <> qid),
+        |r AS (SELECT qid, nid, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+        |      FROM s)
+        |SELECT qid, nid, rank, score FROM r
+        |WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4
+        |ORDER BY ida, idb""".stripMargin,
   )
 }

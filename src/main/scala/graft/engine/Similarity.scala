@@ -1,0 +1,132 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over the `embeddings` table
+  * (vec_id: long, embedding: array<float> dim-64, label: int).
+  *
+  * Numeric contract: every dot product is computed over the
+  * float→double-cast elements with strict left-to-right summation
+  * (`aggregate` over `zip_with`), which is bit-identical to DuckDB's
+  * `list_inner_product(a::DOUBLE[], b::DOUBLE[])` — so cosine scores
+  * hash-match the oracle exactly, no rounding tricks needed.
+  *
+  * Scale design: brute-force top-k broadcasts the (tiny) query set
+  * against the full corpus — linear scan, no shuffle of the corpus,
+  * the right baseline even at 100 TB when |queries| is small. The
+  * LSH variant buckets the corpus by 16-bit random-hyperplane
+  * signatures so each query only probes its bucket — the sublinear
+  * path when |queries| ~ |corpus|.
+  */
+object Similarity {
+
+  /** array<float> → array<double>, elementwise (exact). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-sum dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  // ------------------------------------------------------------ queries
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 10),
+    * the 5 nearest corpus vectors (self excluded), ranked by score
+    * desc then vec_id. The query side is broadcast; the corpus is
+    * scanned once with no shuffle before the per-query top-k. */
+  def qCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qv"), col("v")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Exact all-pairs cosine ≥ 0.4 (embedding near-dup detection).
+    * The corpus self-join is O(n²) by nature; Spark executes it as a
+    * broadcast-nested-loop over the block-split corpus. At 100 TB
+    * this exact variant is the verification tool for sampled shards;
+    * the production path is qAnnLsh's bucketed candidates. */
+  def qEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim d): xxhash64 folded into [−1, 1]. Pure column expression —
+    * reproducible across runs and cluster sizes. */
+  private def planeComponent(j: Int, d: Column): Column =
+    (pmod(xxhash64(lit(j), d), lit(2001L)) - 1000L).cast("double") / 1000.0
+
+  /** Signed random-projection signature of `bits` hyperplanes. */
+  def lshSignature(v: Column, bits: Int): Column = {
+    val dims = sequence(lit(0), size(v) - 1)
+    (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(v, dims, (x, dIdx) => x * planeComponent(j, dIdx)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k via random-hyperplane LSH, 4 hash tables × 8 bits:
+    * the corpus is bucketed by (table, signature); each query probes
+    * its bucket in every table, candidates are unioned (distinct) and
+    * exact cosine ranks them (top-3 per query, queries = vec_id < 50).
+    * Multiple small tables trade signature selectivity for recall —
+    * the standard knob. Approximate by construction → rows-only check
+    * + unit test; the point is the plan shape: a shuffle keyed by
+    * signature instead of an O(n²) scan per query. */
+  def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val bits = 8
+    val tables = 4
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // per-table signatures; table t uses hyperplanes [t*bits, (t+1)*bits)
+    val sigArr = array((0 until tables).map { t =>
+      (0 until bits).map { j =>
+        val dims = sequence(lit(0), size(col("v")) - 1)
+        val proj = aggregate(
+          zip_with(col("v"), dims, (x, d) => x * planeComponent(t * bits + j, d)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+    val bucketed = e.select(col("vec_id"), col("v"),
+        posexplode(sigArr).as(Seq("tbl", "sig")))
+    val q = bucketed.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("tbl"), col("sig"))
+    val cand = bucketed.join(q, Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("v"))
+      .dropDuplicates("qid", "nid")
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("v")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

@@ -1,0 +1,177 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (BASELINE.json north star): token
+  * counting, quality scoring, language-ID, document fingerprinting.
+  *
+  * Every derivation is a built-in codegen'd Catalyst expression (no
+  * UDFs), so the whole per-document feature pass is one narrow
+  * projection stage: no shuffle, scales linearly with input splits at
+  * 100 TB. Regex patterns are restricted to constructs with identical
+  * semantics in Java regex (Spark) and RE2 (DuckDB oracle): literal
+  * alternation, character classes, `\s`, `\b`.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased, trimmed text; empty tokens
+    * filtered so "" and all-blank text yield zero tokens in both
+    * engines (Spark `split` keeps trailing empties; DuckDB's splitter
+    * emits [""] for "").
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count (the `wc -w` definition). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of maximal runs of word chars,
+    * digits, or single punctuation — the regex tokenizer most BPE
+    * pre-tokenizers (GPT-2 style) approximate. */
+  def roughBpeCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of non-overlapping matches of a pattern. */
+  private def nMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  // --- quality-score components (all ∈ [0,1] or simple counts) ---
+
+  /** Punctuation chars / total chars (0 for empty text). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise(nMatches(text, "[^A-Za-z0-9\\s]").cast("double") / n)
+  }
+
+  /** Mean token length in chars (0 if no tokens). */
+  def meanTokenLen(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) === 0, lit(0.0))
+      .otherwise(
+        aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(tk))
+  }
+
+  /** English stopword hits / token count (0 if no tokens) — the
+    * classic Gopher/C4-style quality signal. */
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "that")
+
+  def stopwordRatio(text: Column): Column = {
+    val tk = tokens(text)
+    val hits = size(filter(tk, t => t.isin(stopwordsEn: _*)))
+    when(size(tk) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(tk))
+  }
+
+  /** Composite quality score — fixed linear blend of length (capped),
+    * stopword presence, and punctuation sanity. The exact formula is
+    * the contract; the oracle re-states it verbatim. All terms are
+    * exact rational arithmetic on counts, so the double result is
+    * bit-identical across engines. */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(length(text).cast("double") / 500.0, lit(1.0))
+    val swTerm = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctTerm = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
+    lenTerm * 0.4 + swTerm * 0.4 + punctTerm * 0.2
+  }
+
+  // --- language ID ---
+
+  /** Tiny per-language stopword dictionaries for the n-gram/stopword
+    * voting heuristic. Tie-break: fixed language order (first wins),
+    * then "und" (undetermined) when no dictionary hits at all. */
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "es" -> Seq("el", "la", "los", "las", "es", "que", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "他"))
+
+  /** Predicted language: argmax of per-language stopword hit counts
+    * over the token list, ties to the earlier language in `langDicts`,
+    * "und" when every count is zero. */
+  def langId(text: Column): Column = {
+    val tk = tokens(text)
+    val counts: Seq[Column] = langDicts.map { case (_, words) =>
+      size(filter(tk, t => t.isin(words: _*)))
+    }
+    // lang_i wins iff cnt_i > 0, cnt_i strictly beats every EARLIER lang's
+    // count is NOT required — earlier-wins-ties means: cnt_i >= cnt_j for
+    // all j>i and cnt_i > cnt_j for no earlier j attaining it, i.e.
+    // cnt_i >= later counts and cnt_i > earlier counts.
+    def isWinner(i: Int): Column = {
+      val ci = counts(i)
+      val cmp = counts.zipWithIndex.collect {
+        case (cj, j) if j < i => ci > cj
+        case (cj, j) if j > i => ci >= cj
+      }
+      cmp.foldLeft(ci > 0)(_ && _)
+    }
+    langDicts.zipWithIndex.reverse.foldLeft(lit("und")) {
+      case (acc, ((lang, _), i)) => when(isWinner(i), lit(lang)).otherwise(acc)
+    }
+  }
+
+  // --- fingerprinting ---
+
+  /** Canonical form for exact-dup detection: lowercase, collapse all
+    * whitespace runs to single spaces, trim. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Document fingerprint = md5 of the canonical form (md5 exists in
+    * both Spark and DuckDB with identical output). */
+  def fingerprint(text: Column): Column = md5(normalizedText(text))
+
+  // ------------------------------------------------------------ queries
+
+  /** Per-document text statistics: token counts + quality components.
+    * One narrow codegen'd projection over the scan. */
+  def qTextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    d.select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        roughBpeCount(col("text")).cast("long").as("n_bpeish"),
+        length(col("text")).cast("long").as("len_chars"),
+        meanTokenLen(col("text")).as("mean_tok_len"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID prediction per document plus the labeled lang for
+    * downstream eval; aggregated confusion counts. */
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    d.select(col("lang"), langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** Fingerprint per document (md5 of canonical text). */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    d.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus term frequencies: explode tokens → count — the generator
+    * (flatMap) + agg path. Top-100 by count desc, term asc. At scale
+    * this is the canonical map-side-combine shuffle: |distinct terms|
+    * per task, not |tokens|. */
+  def qTermFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    d.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(100)
+  }
+}
