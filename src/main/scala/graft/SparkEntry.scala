@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{Dedup, Ingest, Relational, Similarity, TextOps}
+import graft.engine.{Dedup, Ingest, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,10 @@ object SparkEntry {
     "q_cosine_topk" -> Similarity.qCosineTopK _,
     "q_embed_neardup" -> Similarity.qEmbedNearDup _,
     "q_ann_lsh" -> Similarity.qAnnLsh _,
+    // §2.9 north-star: multimodal binary columns
+    "q_media_meta" -> Multimodal.qMediaMeta _,
+    "q_media_frames" -> Multimodal.qMediaFrames _,
+    "q_media_features" -> Multimodal.qMediaFeatures _,
   )
 
   /** Shared oracle fragments (DuckDB dialect). */
@@ -355,5 +359,26 @@ object SparkEntry {
         |WHERE list_inner_product(a.v, b.v)
         |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4
         |ORDER BY ida, idb""".stripMargin,
+    // documents text is pure ASCII, so DuckDB's VARCHAR sha256/substring
+    // equal Spark's byte-level ops on the UTF-8 payload.
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |       ELSE 'mp4' END AS fmt,
+        |  CAST((doc_id % 8) * 160 + 320 AS INTEGER) AS width,
+        |  CAST((doc_id % 8) * 90 + 180 AS INTEGER) AS height,
+        |  CAST(n_chars * 100 AS BIGINT) AS duration_ms
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      """SELECT doc_id,
+        |  hex(substring(text, 1, 8)) AS f_first,
+        |  hex(substring(text, greatest(length(text) // 2, 1), 8)) AS f_mid,
+        |  hex(substring(text, greatest(length(text) - 7, 1), 8)) AS f_last
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }

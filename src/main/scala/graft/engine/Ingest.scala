@@ -58,14 +58,21 @@ object Ingest {
     * fields → null ('json.fail-on-missing-field'='false'), corrupt
     * records dropped entirely ('json.ignore-parse-errors'='true' —
     * Flink's JSON deserializer *skips* rows it cannot parse, it does
-    * not emit null rows). PERMISSIVE from_json yields an all-null
-    * struct for a corrupt record, so we filter those out to match the
-    * reference's drop-on-parse-error row counts exactly.
+    * not emit null rows). PERMISSIVE from_json emits an all-null
+    * struct (NOT a null struct) for corrupt input, so a bare
+    * `isNotNull` filter would keep ghost rows: we add the
+    * `_corrupt_record` field to the parse schema and drop rows where
+    * it is set — the exact drop-on-parse-error row counts of the
+    * reference.
     */
-  def parseLenient(raw: DataFrame, jsonCol: String = "value"): DataFrame =
-    raw.select(from_json(col(jsonCol), adEventSchema).as("d"))
-      .filter(col("d").isNotNull)
-      .select(col("d.*"))
+  def parseLenient(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
+    val lenientSchema = adEventSchema.add("_corrupt_record", StringType)
+    raw.select(from_json(col(jsonCol), lenientSchema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("d"))
+      .filter(col("d").isNotNull && col("d._corrupt_record").isNull)
+      .select(col("d.uuid"), col("d.date"), col("d.timestamp"),
+        col("d.ad_type"), col("d.ad_type_name"))
+  }
 
   /** F7 strict variant — fastjson semantics
     * (`Kafka2S3Parquet.scala:70-73`): malformed JSON throws (FAILFAST),

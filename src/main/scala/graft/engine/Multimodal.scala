@@ -1,0 +1,138 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata carried alongside an opaque media payload. */
+case class MediaMeta(
+    format: String,
+    width: Int,
+    height: Int,
+    durationMs: Long)
+
+/** One media row: opaque bytes + typed metadata (the pattern for
+  * image/audio/video columns in a training-data lake). */
+case class MediaRecord(
+    doc_id: Long,
+    media_type: String,
+    payload: Array[Byte],
+    meta: MediaMeta)
+
+/** Feature row produced by the (stubbed) decoder. */
+case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    byte_mean: Double,
+    histogram: Array[Long])
+
+/** Multimodal-column plumbing — media as opaque `binary` columns with
+  * typed metadata structs, plus decode / feature-extract / resize /
+  * frame-sample operators (north-star surface; the reference itself
+  * has no media path).
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[decodeStub]]); everything
+  * around it — schema, `Dataset[MediaRecord]` encoders, partition-wise
+  * batch iteration via `mapPartitions`, binary slicing via built-in
+  * expressions — is the real Spark plumbing a production decoder
+  * (ImageIO/ffmpeg behind JNI) would drop into.
+  *
+  * Scale notes: payload bytes never leave their input split until the
+  * final projection — decode/featurize are narrow `mapPartitions`
+  * (one JVM-side pass, no shuffle); frame-sample and resize are
+  * codegen'd `substring`/`concat` on BinaryType. Keep payloads under
+  * the parquet page size by storing media >1 MB out-of-line (a path
+  * column) — here the synthetic payloads are tiny.
+  */
+object Multimodal {
+
+  /** Synthesize the media table from `documents`: payload = UTF-8
+    * bytes of the text (a deterministic fake "media file"), media_type
+    * and metadata derived from (doc_id, source). This is the binary
+    * ingestion boundary — a real pipeline would `spark.read.format
+    * ("binaryFile")` instead. */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val mt = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    d.select(
+      col("doc_id"),
+      mt.as("media_type"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        when(mt === "image", "png").when(mt === "audio", "wav")
+          .otherwise("mp4").as("format"),
+        (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(8)) * 90 + 180).cast("int").as("height"),
+        (col("n_chars") * 100).cast("long").as("durationMs")).as("meta"))
+  }
+
+  /** DECODE STUB — stands in for the codec call. Deterministic: a
+    * 16-bin byte histogram + byte mean per payload, computed
+    * partition-wise over the typed Dataset (the exact seam where a
+    * real decoder would batch-process payloads). */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var i = 0
+        val p = if (r.payload == null) Array.empty[Byte] else r.payload
+        while (i < p.length) {
+          val b = p(i) & 0xFF
+          hist(b >> 4) += 1
+          sum += b
+          i += 1
+        }
+        MediaFeatures(r.doc_id, r.media_type, p.length.toLong,
+          if (p.length == 0) 0.0 else sum.toDouble / p.length, hist)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** Metadata extraction over the binary column: byte length + sha256
+    * checksum + typed meta fields. Pure codegen'd projection. */
+  def qMediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    mediaFromDocuments(spark, sfDir).select(
+        col("doc_id"), col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha"),
+        col("meta.format").as("fmt"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.durationMs").as("duration_ms"))
+      .orderBy(col("doc_id"))
+
+  /** Frame-sampling query: first/middle/last 8-byte windows of each
+    * payload, hex-encoded. Exercises binary slicing end-to-end. */
+  def qMediaFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = mediaFromDocuments(spark, sfDir)
+    val n = length(col("payload"))
+    def win(pos: org.apache.spark.sql.Column) =
+      hex(substring(col("payload"), pos, lit(8)))
+    m.select(col("doc_id"),
+        win(lit(1)).as("f_first"),
+        win(greatest((n / 2).cast("int"), lit(1))).as("f_mid"),
+        win(greatest(n - 7, lit(1))).as("f_last"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Feature extraction through the decode stub: typed Dataset →
+    * mapPartitions → features, then a relational tail (per-media-type
+    * aggregate) to prove the seam composes with Catalyst. */
+  def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, sfDir).as[MediaRecord]
+    decodeStub(media).toDF()
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        Relational.dsum(col("byte_mean")).as("sum_byte_mean"))
+      .orderBy(col("media_type"))
+  }
+}

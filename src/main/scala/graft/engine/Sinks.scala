@@ -1,0 +1,175 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming sinks — the reference's three pipeline shapes re-expressed
+  * on Structured Streaming (SURVEY.md §2.8 K1–K5, C1–C2, T1–T2).
+  *
+  * | Reference | Here |
+  * |---|---|
+  * | `Kafka2S3Text` row-format sink, processing-day buckets, rolled by time/size (`Kafka2S3Text.scala:35-59`) | `textPipeline` — text sink `partitionBy(logday)`, files roll per micro-batch; `maxRecordsPerFile` bounds part size |
+  * | `Kafka2S3Parquet` bulk sink, event-`date` buckets, roll-on-checkpoint (`Kafka2S3Parquet.scala:26-55`) | `parquetPipeline` — parquet sink `partitionBy(logday)` where logday = F5 bucket incl. the `error` bucket; one file set per micro-batch ≡ roll per checkpoint |
+  * | `Kafka2S3Hive` SQL insert into 3-level-partitioned Hive table, partition committed to the metastore only after the watermark passes partition-time + delay (`Kafka2S3Hive.scala:89-129`) | `createPartitionedTable` + `tablePipeline` + `PartitionCommitter` — exactly-once file-sink manifest for the data; catalog registration deferred until watermark ≥ partition-time + delay |
+  *
+  * Exactly-once: all three use the file-sink `_spark_metadata` manifest
+  * + checkpoint WAL — a restarted query never re-emits a committed
+  * batch (the reference gets the same from Flink checkpoints +
+  * two-phase file commit, `Kafka2S3Parquet.scala:47`).
+  *
+  * Scale notes: these pipelines are narrow (no shuffle) — source
+  * partitions map 1:1 to sink tasks, so throughput scales with Kafka
+  * partitions. Partition commit is driver-side catalog work bounded by
+  * |distinct (logday,h,m)| per batch, never by row count.
+  */
+object Sinks {
+
+  /** K1/K2 — row-format text sink bucketed by processing-time day in
+    * UTC+8 (`Kafka2S3Text.scala:53-59`). `maxRecordsPerFile` stands in
+    * for the reference's 1 GiB max-part-size roll; time-based rolls
+    * happen naturally per micro-batch. */
+  def textPipeline(raw: DataFrame, outDir: String, checkpointDir: String,
+      maxRecordsPerFile: Long = 1000000L): DataStreamWriter[Row] =
+    raw.withColumn("logday", TimeOps.processingDayUtc8())
+      .writeStream
+      .format("text")
+      .partitionBy("logday")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+
+  /** K3/K4 — parquet sink bucketed by the event's `date` field via the
+    * F5 derivation, malformed dates landing in `logday=error`
+    * (`Kafka2S3Parquet.scala:26-35`). Bulk format ⇒ files close at
+    * every micro-batch, the reference's roll-on-checkpoint. */
+  def parquetPipeline(parsed: DataFrame, outDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    parsed.withColumn("logday", TimeOps.isoDateBucket(col("date")))
+      .writeStream
+      .format("parquet")
+      .partitionBy("logday")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+
+  /** C1/C2 — idempotent re-create of the reference's partitioned sink
+    * table (`Kafka2S3Hive.scala:89-111`) in the session catalog as a
+    * native parquet table (Spark SQL parses the Hive-style DDL
+    * natively — no dialect switch needed, SURVEY.md §2.8 C3).
+    *
+    * Deferred partition *visibility* (the K5 commit policy) requires a
+    * Hive-backed catalog (`enableHiveSupport`): there, partitions of a
+    * datasource table are metastore-managed, so data files on disk
+    * stay invisible until `ALTER TABLE ADD PARTITION`. With the
+    * in-memory catalog Spark discovers partitions from the file
+    * system and everything is visible immediately. */
+  def createPartitionedTable(spark: SparkSession, table: String,
+      location: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table (
+         |  uuid STRING, date STRING, ad_type INT, ad_type_name STRING,
+         |  timestamp BIGINT, logday STRING, h STRING, m STRING)
+         |USING PARQUET
+         |PARTITIONED BY (logday, h, m)
+         |LOCATION '$location'""".stripMargin)
+  }
+
+  /** K5 data path — the reference's INSERT projection
+    * (`Kafka2S3Hive.scala:114-127`): 5 physical columns + (logday,h,m)
+    * from event time, watermarked 5 s, streamed exactly-once into a
+    * STAGING directory with 3-level Hive-style partition dirs.
+    *
+    * Staging must not be the table's location: the streaming sink
+    * leaves a `_spark_metadata` manifest, and any read of a path
+    * containing one goes through `MetadataLogFileIndex` — bypassing
+    * catalog partitions entirely (everything would be visible at
+    * once). Instead [[PartitionCommitter]] registers each ready
+    * partition with `ADD PARTITION ... LOCATION '<staging dir>'`:
+    * files never move, exactly-once is preserved by the manifest, and
+    * visibility is purely metastore-gated — exactly the reference's
+    * commit model. */
+  def tablePipeline(parsed: DataFrame, location: String,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    val withEt = parsed
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("timestamp")))
+      .withWatermark("event_time", "5 seconds")
+    // withPartitionColumns re-derives (logday,h,m) and projects the
+    // insert shape; the EventTimeWatermark node stays on the plan so
+    // progress keeps reporting the watermark for the committer.
+    Ingest.withPartitionColumns(withEt)
+      .writeStream
+      .format("parquet")
+      .partitionBy("logday", "h", "m")
+      .option("path", location)
+      .option("checkpointLocation", checkpointDir)
+  }
+
+  /** Blocking convenience: run a streaming writer over everything
+    * currently available (Trigger.AvailableNow) and wait. */
+  def runAvailableNow(w: DataStreamWriter[Row]): Unit = {
+    val q: StreamingQuery = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}
+
+/** Emulates Flink's `sink.partition-commit` with trigger
+  * `partition-time` and policy `metastore`
+  * (`Kafka2S3Hive.scala:101-104`): a partition (logday,h,m) becomes
+  * visible in the catalog only once the event-time watermark passes
+  * partition-time + delay. Partition-time is extracted with the
+  * reference's pattern `$logday $h:$m:00` (UTC).
+  *
+  * Driver-side and idempotent: `commitReady` lists partition
+  * directories under the STAGING location (where [[Sinks.tablePipeline]]
+  * writes), and registers the ready ones with `ALTER TABLE ADD IF NOT
+  * EXISTS PARTITION ... LOCATION '<staging dir>'` — no data movement.
+  * Call it from a `StreamingQueryListener.onQueryProgress` (watermark
+  * from `progress.eventTime`) or any scheduler. Requires a
+  * Hive-backed catalog (see [[Sinks.createPartitionedTable]]).
+  */
+class PartitionCommitter(spark: SparkSession, table: String,
+    location: String, delayMillis: Long = 60000L) {
+
+  private val partRe = "logday=([^/]+)/h=([^/]+)/m=([^/]+)".r
+  private val fmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+
+  /** Partition-time per the reference's timestamp-pattern
+    * `'$logday $h:$m:00'` (`Kafka2S3Hive.scala:102`). Unparseable
+    * partition values (e.g. an `error` bucket) → None, never ready. */
+  def partitionTime(logday: String, h: String, m: String): Option[Long] =
+    try Some(java.time.Instant.from(
+      fmt.parse(s"$logday $h:$m:00")).toEpochMilli)
+    catch { case _: Exception => None }
+
+  /** Directory-listing of (logday,h,m) partitions present on disk. */
+  def partitionsOnDisk(): Seq[(String, String, String)] = {
+    val base = new java.io.File(location)
+    for {
+      d1 <- Option(base.listFiles()).getOrElse(Array.empty).toSeq
+      if d1.getName.startsWith("logday=")
+      d2 <- Option(d1.listFiles()).getOrElse(Array.empty).toSeq
+      if d2.getName.startsWith("h=")
+      d3 <- Option(d2.listFiles()).getOrElse(Array.empty).toSeq
+      if d3.getName.startsWith("m=")
+      m <- partRe.findFirstMatchIn(
+        s"${d1.getName}/${d2.getName}/${d3.getName}")
+    } yield (m.group(1), m.group(2), m.group(3))
+  }
+
+  /** Register every on-disk partition whose partition-time + delay ≤
+    * `watermarkMillis`; returns the partitions added this call. */
+  def commitReady(watermarkMillis: Long): Seq[(String, String, String)] = {
+    val ready = partitionsOnDisk().filter { case (d, h, m) =>
+      partitionTime(d, h, m).exists(_ + delayMillis <= watermarkMillis)
+    }
+    ready.foreach { case (d, h, m) =>
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " +
+        s"PARTITION (logday='$d', h='$h', m='$m') " +
+        s"LOCATION '$location/logday=$d/h=$h/m=$m'")
+    }
+    ready
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.engine.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: word 3-grams, distinct, empty when under 3 tokens") {
+    val r = Seq("a b c d", "a b", "  ", "x x x x")
+      .toDF("text").select(Dedup.shingles(col("text")).as("s"))
+      .as[Seq[String]].collect()
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq.empty)
+    assert(r(2) == Seq.empty)
+    assert(r(3) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("minhash+LSH output equals exact inverted-index Jaccard at sf0.001") {
+    val exact = Dedup.qJaccardPairs(spark, sf0001).collect().toSeq
+    val lsh = Dedup.qDedupMinhash(spark, sf0001).collect().toSeq
+    assert(exact.nonEmpty) // planted near-dup pairs exist in testdata
+    assert(lsh == exact)
+  }
+
+  test("simhash: near-identical docs collide, distance respects edits") {
+    val pairs = Dedup.qSimhashPairs(spark, sf0001)
+      .select("ida", "idb", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 <= 3))
+    // sanity: simhash pairs at hamming<=3 heavily overlap the exact
+    // Jaccard>=0.8 near-dup pairs (same planted duplicates)
+    val exact = Dedup.qJaccardPairs(spark, sf0001)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val hits = pairs.count(p => exact.contains((p._1, p._2)))
+    assert(hits > 0)
+  }
+
+  test("exact dedup groups by canonical fingerprint") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = d.select(graft.engine.TextOps.fingerprint(col("text")).as("fp"),
+        col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 2)
+    assert(out(0)._2 == 1L && out(0)._3 == 2L) // case/space-insensitive dup
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.engine.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0)))
+      .toDF("a", "b")
+    val r = df.select(Similarity.cosine(col("a"), col("b"))).as[Double]
+      .collect()
+    assert(math.abs(r(0)) < 1e-15)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+    assert(math.abs(r(2) + 1.0) < 1e-15)
+  }
+
+  test("brute-force top-k: ranked by score desc, ties by vec_id, no self") {
+    val out = Similarity.qCosineTopK(spark, sf0001)
+      .select("qid", "nid", "rank", "score")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 50) // 10 queries × 5
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to 5L))
+      // scores non-increasing with rank
+      assert(sorted.sliding(2).forall(w => w(0)._4 >= w(1)._4))
+      assert(rows.forall(_._2 != qid)) // self excluded
+    }
+  }
+
+  test("ANN/LSH: candidates are real corpus neighbors with exact scores") {
+    val ann = Similarity.qAnnLsh(spark, sf0001)
+      .select("qid", "nid", "score").as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    // every reported score must equal the exact brute-force cosine
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+    val pairs = ann.map(t => (t._1, t._2)).toSeq.toDF("qid", "nid")
+    val joined = pairs
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qv"), col("nv")).as("exact"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    ann.foreach { case (q, n, s) => assert(s == joined((q, n))) }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.engine.{Ingest, PartitionCommitter, Sinks}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Streaming sink behaviors (SURVEY.md §5.2): partitioned directory
+  * layout (K2/K4/K5), exactly-once across restart from checkpoint
+  * (T2), and watermark-delayed partition visibility (K5 commit
+  * policy). Uses the file source as the Kafka stand-in (no broker in
+  * this environment) — identical downstream plan. */
+class SinksSpec extends SparkSpec {
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
+  private def rec(uuid: String, date: String, ts: Long): String =
+    s"""{"uuid":"$uuid","date":"$date","timestamp":$ts,"ad_type":1,"ad_type_name":"x"}"""
+
+  test("K3/K4: parquet sink buckets by event date incl. the error bucket") {
+    val in = tmpDir("in"); val out = tmpDir("out"); val cp = tmpDir("cp")
+    writeLines(in, "b1.jsonl", Seq(
+      rec("a", "2021-04-13T06:23:10.593Z", 1617171790593L),
+      rec("b", "2021-04-14T01:00:00.000Z", 1617171790593L),
+      rec("c", "TT", 1617171790593L))) // malformed date → error bucket
+    Sinks.runAvailableNow(Sinks.parquetPipeline(
+      Ingest.parseLenient(Ingest.fileRaw(spark, in)), out, cp))
+    val days = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("logday=")).sorted
+    assert(days.toSeq == Seq("logday=20210413", "logday=20210414",
+      "logday=error"))
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("T2: restart from checkpoint is exactly-once (no re-emits)") {
+    val in = tmpDir("in"); val out = tmpDir("out"); val cp = tmpDir("cp")
+    writeLines(in, "b1.jsonl",
+      Seq(rec("a", "2021-04-13T06:00:00.000Z", 1617171790593L)))
+    def run(): Unit = Sinks.runAvailableNow(Sinks.parquetPipeline(
+      Ingest.parseLenient(Ingest.fileRaw(spark, in)), out, cp))
+    run()
+    assert(spark.read.parquet(out).count() == 1)
+    // restart with no new input: nothing re-emitted
+    run()
+    assert(spark.read.parquet(out).count() == 1)
+    // new file arrives; restart picks up exactly the delta
+    writeLines(in, "b2.jsonl",
+      Seq(rec("b", "2021-04-13T07:00:00.000Z", 1617171790593L)))
+    run()
+    val df = spark.read.parquet(out)
+    assert(df.count() == 2)
+    assert(df.select("uuid").distinct().count() == 2)
+  }
+
+  test("K5: partition visible only after watermark ≥ partition time + delay") {
+    val in = tmpDir("in"); val loc = tmpDir("tbl"); val cp = tmpDir("cp")
+    val staging = tmpDir("staging")
+    val table = "source_log_test"
+    // two events in different minutes: 06:23 and 06:25
+    writeLines(in, "b1.jsonl", Seq(
+      rec("a", "2021-03-31T06:23:10.000Z", 1617171790000L),  // 06:23:10
+      rec("b", "2021-03-31T06:25:40.000Z", 1617171940000L))) // 06:25:40
+    Sinks.createPartitionedTable(spark, table, loc)
+    Sinks.runAvailableNow(Sinks.tablePipeline(
+      Ingest.parseLenient(Ingest.fileRaw(spark, in)), staging, cp))
+    val pc = new PartitionCommitter(spark, table, staging,
+      delayMillis = 60000L)
+    // files exist on disk, but nothing registered yet → table is empty
+    assert(pc.partitionsOnDisk().toSet ==
+      Set(("2021-03-31", "06", "23"), ("2021-03-31", "06", "25")))
+    assert(spark.table(table).count() == 0)
+    // watermark just past 06:23 partition-time+60s → only 06:23 commits
+    val wm1 = pc.partitionTime("2021-03-31", "06", "24").get + 60000L
+    assert(pc.commitReady(wm1).toSet == Set(("2021-03-31", "06", "23")))
+    assert(spark.table(table).count() == 1)
+    // watermark far ahead → the rest commits; idempotent re-commit ok
+    val wm2 = pc.partitionTime("2021-04-01", "00", "00").get
+    pc.commitReady(wm2)
+    assert(spark.table(table).count() == 2)
+    pc.commitReady(wm2)
+    assert(spark.table(table).count() == 2)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("K1/K2: text sink writes raw lines under a processing-day bucket") {
+    val in = tmpDir("in"); val out = tmpDir("out"); val cp = tmpDir("cp")
+    val lines = Seq(rec("a", "2021-04-13T06:23:10.593Z", 1617171790593L),
+      "opaque non-json line survives verbatim")
+    writeLines(in, "b1.txt", lines)
+    Sinks.runAvailableNow(
+      Sinks.textPipeline(Ingest.fileRaw(spark, in), out, cp))
+    val days = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("logday="))
+    assert(days.length == 1 && days(0).matches("logday=\\d{8}"))
+    // round-trip: the sink never parses — bytes in, bytes out
+    val back = spark.read.text(out).collect().map(_.getString(0)).toSet
+    assert(back == lines.toSet)
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM, one SparkContext). */
+object SparkSpec {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    // Hive catalog (SURVEY §2.8 C1) backed by a local derby metastore
+    // under target/ — needed for metastore-managed partition
+    // visibility in SinksSpec (K5 commit-delay semantics).
+    .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+    .config("javax.jdo.option.ConnectionURL",
+      "jdbc:derby:;databaseName=target/metastore_db;create=true")
+    .enableHiveSupport()
+    .getOrCreate()
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+  def sf0001 = "/root/testdata/sf0.001"
+
+  /** Temp dir helper rooted under target/ (inside the repo). */
+  def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), prefix)
+    d.toAbsolutePath.toString
+  }
+}
