@@ -25,25 +25,86 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles (space-joined) of the canonical
-    * token list; empty array when fewer than n tokens. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tk = TextOps.tokens(text)
+  /** Distinct word n-gram shingles (space-joined) from a MATERIALIZED
+    * token-array column (see [[shingleHashSets]] for why tokens must
+    * not be inlined into lambda positions); empty array when fewer
+    * than n tokens. */
+  def shinglesFromTokens(tk: Column, n: Int = 3): Column =
     when(size(tk) < n, array().cast("array<string>"))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(tk) - n),
           i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+
+  /** Convenience for tests / small inputs: shingles straight from the
+    * text (pays the per-element re-tokenization — do not use in
+    * corpus-scale plans). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextOps.tokens(text), n)
+
+  /** doc_id → exploded distinct shingle hashes (the inverted-index
+    * input). */
+  private def shingleIndex(docs: DataFrame): DataFrame =
+    shingleHashSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  /** Redistribute a small-file scan across all cores before CPU-heavy
+    * narrow work. The driver testdata ships one single-row-group
+    * parquet file per table, so without this every per-document stage
+    * runs as ONE task; on a real multi-split lake the same repartition
+    * is a cheap rebalance of already-parallel input. */
+  private[engine] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** FNV-1a 64-bit over the UTF-8 bytes of the tokens joined with a
+    * NUL separator — the shingle identity used by the dedup pipeline.
+    * Any 64-bit mix works; FNV keeps it dependency-free and portable. */
+  private def fnv1a(tokens: Array[String], from: Int, n: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var t = from
+    while (t < from + n) {
+      val bytes = tokens(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xFFL); h *= 0x100000001B3L; i += 1
+      }
+      h ^= 0xFFL; h *= 0x100000001B3L // NUL-separator step
+      t += 1
+    }
+    h
   }
 
-  /** doc_id → exploded distinct shingles (the inverted-index input). */
-  private def shingleIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-
-  /** Exact Jaccard for candidate pairs given both docs' shingle
-    * arrays. Exact rational → double, bit-identical across engines. */
-  private def jaccard(sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    inter / (size(sa) + size(sb) - size(array_intersect(sa, sb)))
+  /** doc_id → distinct word-n-gram shingle hashes, computed in one
+    * imperative per-partition pass (`mapPartitions`).
+    *
+    * Why not Column expressions: tokenize+shingle is interpreted
+    * (higher-order functions have no codegen), and both
+    * CollapseProject and PushDownPredicates freely inline the
+    * tokenize expression into per-element lambda positions — observed
+    * as a 100× re-tokenization blowup at sf0.1. This is exactly the
+    * "genuine per-partition imperative logic" case (SURVEY §7.4): one
+    * tight loop per document, no shuffle, encoder-bounded.
+    *
+    * Set ops on the hashes reproduce string-shingle Jaccard exactly
+    * up to 64-bit collisions (P ≈ n²/2⁶⁴ — vanishing), which is why
+    * the DuckDB string-shingle oracle still hash-matches. */
+  def shingleHashSets(docs: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spread(docs).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tk =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase(java.util.Locale.ROOT).trim
+              .split("\\s+").filter(_.nonEmpty)
+          val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var i = 0
+          while (i + n <= tk.length) { out += fnv1a(tk, i, n); i += 1 }
+          (id, out.toArray)
+        }
+      }
+      .toDF("doc_id", "sh")
   }
 
   // ------------------------------------------------------------ queries
@@ -60,10 +121,10 @@ object Dedup {
   }
 
   /** Exact near-dup pairs by word-3-gram Jaccard ≥ 0.8 via the shingle
-    * inverted index: explode → self-join on shingle → per-pair common
-    * count → join per-doc sizes → filter. The join key is the shingle
-    * string; at 100 TB the common-shingle skew is AQE-split and the
-    * per-pair aggregation is map-side combined. */
+    * inverted index: explode → self-join on shingle hash → per-pair
+    * common count → join per-doc sizes → filter. At 100 TB the
+    * common-shingle skew is AQE-split and the per-pair aggregation is
+    * map-side combined. */
   def qJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
     val idx = shingleIndex(d)
@@ -86,23 +147,44 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
-  /** MinHash+LSH near-dup pairs, exact-verified: 64 per-shingle hashes
-    * (xxhash64 seeded by position), per-doc signature = columnwise
-    * min, 32 bands of 2 → candidate pairs from band-bucket groupBy →
-    * exact Jaccard verification against the full shingle arrays →
-    * J ≥ 0.8. Output equals qJaccardPairs (P(miss) ≈ 5e-15, see
-    * object doc) while scaling as O(docs × 32) join rows. */
+  /** MinHash+LSH near-dup pairs, exact-verified: 64 per-shingle
+    * re-hashes, per-doc signature = columnwise min, 32 bands of 2 →
+    * candidate pairs from band-bucket self-join → exact Jaccard
+    * verification against the full shingle-hash arrays → J ≥ 0.8.
+    * Output equals qJaccardPairs (banding misses a J≥0.8 pair with
+    * P ≈ 5e-15, see object doc; hash collisions P ≈ n²/2⁶⁴) while
+    * scaling as O(docs × 32) join rows instead of the inverted
+    * index's Σ df². */
   def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 64
     val bands = 32 // × 2 rows
     val d = Tables(spark, sfDir, "documents")
-    val withSh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // signature: for each i, min over shingles of xxhash64(i, shingle)
-    val sigCols = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val withSh = shingleHashSets(d)
+    // signature: for each i, min over shingles of the universal-family
+    // re-hash gᵢ(h) = ((h & 0x7FFFFFFF)·aᵢ + bᵢ) mod p, p = 2³¹−1,
+    // 1 ≤ aᵢ < p, 0 ≤ bᵢ < p seeded and deterministic. Three deliberate
+    // choices: (a) NOT xxhash64(i, h) — 64 inlined hash
+    // implementations in one whole-stage-codegen method send Janino
+    // into minutes of compilation; the affine-mod form is a handful
+    // of bytecodes per column. (b) the 31-bit mask keeps every
+    // product below 2⁶² so ANSI-mode (Spark 4 default) overflow
+    // checking never fires. (c) the mod-p reduction is what makes the
+    // k functions independent — an affine map WITHOUT the mod is
+    // monotone, so every column would select the same min element
+    // (observed: 3 of 25 pairs missed). Truncating the shingle space
+    // to 2³¹ adds ~|universe|²/2³² collisions — irrelevant, since
+    // candidates are exact-verified below. Map-side partial agg
+    // shrinks the shuffle to |docs|×k longs.
+    val p = 0x7FFFFFFFL // 2³¹−1, Mersenne prime
+    val rnd = new scala.util.Random(0x5EEDL)
+    val h31 = col("h").bitwiseAND(0x7FFFFFFFL)
+    val sigCols = (0 until k).map { i =>
+      val a = 1L + rnd.nextLong().abs % (p - 1)
+      val b = rnd.nextLong().abs % p
+      min(pmod(h31 * a + b, lit(p))).as(s"h$i")
+    }
     val sigs = withSh
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
     // bands: hash the 2-row slice into one bucket key per band
@@ -116,12 +198,17 @@ object Dedup {
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
-    // exact verification on the candidate set only
-    val sh = withSh
+    // exact verification on the candidate set only; two-step select so
+    // the array_intersect is evaluated once
     cands
-      .join(sh.select(col("doc_id").as("ida"), col("sh").as("sa")), "ida")
-      .join(sh.select(col("doc_id").as("idb"), col("sh").as("sb")), "idb")
-      .select(col("ida"), col("idb"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .join(withSh.select(col("doc_id").as("ida"), col("sh").as("sa")), "ida")
+      .join(withSh.select(col("doc_id").as("idb"), col("sh").as("sb")), "idb")
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("ida"), col("idb"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("ida"), col("idb"))
   }
@@ -134,7 +221,7 @@ object Dedup {
     * (rows-only check); unit-tested instead. */
   def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val tok = d.select(col("doc_id"),
+    val tok = spread(d).select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val bitSums = (0 until 64).map(i =>

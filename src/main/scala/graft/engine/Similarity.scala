@@ -25,6 +25,15 @@ object Similarity {
   /** array<float> → array<double>, elementwise (exact). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Corpus loader: embeddings as double vectors, redistributed across
+    * all cores (the testdata parquet is a single row group — without
+    * the repartition every interpreted dot-product stage runs as one
+    * task; on a multi-split lake this is a cheap rebalance). */
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
   /** Sequential-sum dot product of two double arrays. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -41,8 +50,7 @@ object Similarity {
     * desc then vec_id. The query side is broadcast; the corpus is
     * scanned once with no shuffle before the per-query top-k. */
   def qCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = corpus(spark, sfDir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -62,8 +70,7 @@ object Similarity {
     * this exact variant is the verification tool for sampled shards;
     * the production path is qAnnLsh's bucketed candidates. */
   def qEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = corpus(spark, sfDir)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
         cosine(col("a.v"), col("b.v")).as("cos"))
@@ -99,8 +106,7 @@ object Similarity {
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val bits = 8
     val tables = 4
-    val e = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = corpus(spark, sfDir)
     // per-table signatures; table t uses hyperplanes [t*bits, (t+1)*bits)
     val sigArr = array((0 until tables).map { t =>
       (0 until bits).map { j =>
