@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A parsed ad-event with its derived event time (epoch millis →
+  * seconds precision, F1–F3). */
+case class TimedEvent(
+    uuid: String,
+    ad_type: Int,
+    event_time: java.sql.Timestamp)
+
+/** One closed session per uuid emitted by the stateful sessionizer. */
+case class SessionOut(
+    uuid: String,
+    n_events: Long,
+    span_ms: Long)
+
+/** Streaming transformations beyond the reference's pass-through
+  * pipelines (SURVEY.md §2.5/§2.8 note these as absent in the
+  * reference but part of the rebuild surface): event-time windowed
+  * aggregation, session windows, and arbitrary keyed state via
+  * `flatMapGroupsWithState`.
+  *
+  * Scale notes: all three shuffle once on the grouping key and keep
+  * per-key state in the state store (RocksDB-backed when configured,
+  * SURVEY §2.8 T3); the watermark bounds state size — windows/
+  * sessions older than the watermark are evicted, so state is
+  * O(active keys), not O(stream history).
+  */
+object StreamingOps {
+
+  /** Parsed stream → typed events with derived event time. */
+  def timedEvents(parsed: DataFrame): Dataset[TimedEvent] = {
+    import parsed.sparkSession.implicits._
+    parsed.select(
+        col("uuid"), col("ad_type"),
+        TimeOps.eventTimeFromMillis(col("timestamp")).as("event_time"))
+      .as[TimedEvent]
+  }
+
+  /** Tumbling-window counts per ad_type with a 5 s watermark — the
+    * canonical streaming aggregation. In append mode a window emits
+    * exactly once, when the watermark passes its end. */
+  def windowedCounts(parsed: DataFrame,
+      windowDur: String = "1 minute"): DataFrame =
+    parsed
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("timestamp")))
+      .withWatermark("event_time", "5 seconds")
+      .groupBy(window(col("event_time"), windowDur), col("ad_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("ad_type"), col("n"))
+
+  /** Session-window (gap-based) event counts per uuid. */
+  def sessionCounts(parsed: DataFrame, gap: String = "30 seconds"): DataFrame =
+    parsed
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("timestamp")))
+      .withWatermark("event_time", "5 seconds")
+      .groupBy(session_window(col("event_time"), gap), col("uuid"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("uuid"), col("n"))
+
+  /** Arbitrary keyed state: sessionization with an event-time timeout.
+    * Per uuid, accumulate (count, min ts, max ts); when the watermark
+    * passes last-seen + gap, the session closes and one summary row is
+    * emitted. State is a 3-long tuple per active key — the
+    * mapGroupsWithState pattern for logic windows can't express. */
+  def sessionize(events: Dataset[TimedEvent],
+      gapMillis: Long = 30000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "5 seconds")
+      .groupByKey(_.uuid)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uuid: String, it: Iterator[TimedEvent],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, lo, hi) = state.get
+            state.remove()
+            Iterator.single(SessionOut(uuid, n, hi - lo))
+          } else {
+            val ts = it.map(_.event_time.getTime).toSeq
+            val (n0, lo0, hi0) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+            val next = (n0 + ts.size, math.min(lo0, ts.min), math.max(hi0, ts.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next._3 + gapMillis)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.engine.{Ingest, StreamingOps}
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+
+/** Event-time windowed aggregation, session windows, and
+  * flatMapGroupsWithState sessionization over a file-backed stream
+  * (the Kafka stand-in). Timestamps are crafted so the watermark
+  * passes the interesting windows: in append mode only closed
+  * windows/sessions emit, so each fixture ends with a "flush" record
+  * far in the future. */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base: 2021-03-31 06:23:00 UTC = epoch 1617171780000
+  private val T0 = 1617171780000L
+  private def rec(uuid: String, ts: Long, adType: Int = 1): String =
+    s"""{"uuid":"$uuid","date":"x","timestamp":$ts,"ad_type":$adType,"ad_type_name":"x"}"""
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def writeInput(lines: Seq[String]): String = {
+    val dir = tmpDir("sin")
+    Files.write(Paths.get(dir, "in.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    dir
+  }
+
+  test("tumbling window counts emit once the watermark passes window end") {
+    val in = writeInput(Seq(
+      rec("a", T0 + 1000, 1), rec("b", T0 + 2000, 1), // window 06:23, type 1
+      rec("c", T0 + 3000, 2),                         // window 06:23, type 2
+      rec("d", T0 + 61000, 1),                        // window 06:24
+      rec("z", T0 + 10 * 60000, 9)))                  // flush: advances watermark
+    val out = runToMemory(
+      StreamingOps.windowedCounts(
+        Ingest.parseLenient(Ingest.fileRaw(spark, in))), "win_counts")
+      .select("w_start", "ad_type", "n")
+      .as[(java.sql.Timestamp, Int, Long)].collect().toSet
+    val w2323 = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(T0))
+    val w2324 = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(T0 + 60000))
+    // closed windows emitted exactly once; the flush window stays open
+    assert(out == Set((w2323, 1, 2L), (w2323, 2, 1L), (w2324, 1, 1L)))
+  }
+
+  test("session windows merge events within the gap") {
+    val in = writeInput(Seq(
+      rec("u1", T0), rec("u1", T0 + 10000), rec("u1", T0 + 20000), // one session
+      rec("u1", T0 + 120000),                   // > 30s gap → new session
+      rec("zz", T0 + 10 * 60000)))              // flush
+    val out = runToMemory(
+      StreamingOps.sessionCounts(
+        Ingest.parseLenient(Ingest.fileRaw(spark, in))), "sess_counts")
+      .filter($"uuid" === "u1")
+      .select("uuid", "n").as[(String, Long)].collect().toSeq.sortBy(-_._2)
+    assert(out == Seq(("u1", 3L), ("u1", 1L)))
+  }
+
+  test("flatMapGroupsWithState closes sessions on event-time timeout") {
+    val in = writeInput(Seq(
+      rec("u1", T0), rec("u1", T0 + 10000),     // session span 10s
+      rec("u2", T0 + 5000),                     // singleton session
+      rec("zz", T0 + 10 * 60000)))              // flush
+    val events = StreamingOps.timedEvents(
+      Ingest.parseLenient(Ingest.fileRaw(spark, in)))
+    val q = StreamingOps.sessionize(events).writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("sessions")
+      .select("uuid", "n_events", "span_ms")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out.contains(("u1", 2L, 10000L)))
+    assert(out.contains(("u2", 1L, 0L)))
+  }
+}
