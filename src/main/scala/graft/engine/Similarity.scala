@@ -34,8 +34,19 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
-  /** Sequential-sum dot product of two double arrays. */
+  /** Sequential-sum dot product of two double arrays, via the native
+    * codegen'd [[graft.functions.DotProduct]] expression (bit-identical
+    * to the higher-order-function formulation, ~an order of magnitude
+    * faster on wide scans — HOFs are interpreted). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** The built-in higher-order-function formulation — kept as the
+    * semantic reference (specs assert bit-equality with [[dot]]). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
@@ -78,22 +89,30 @@ object Similarity {
       .orderBy(col("ida"), col("idb"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j,
-    * dim d): xxhash64 folded into [−1, 1]. Pure column expression —
-    * reproducible across runs and cluster sizes. */
-  private def planeComponent(j: Int, d: Column): Column =
-    (pmod(xxhash64(lit(j), d), lit(2001L)) - 1000L).cast("double") / 1000.0
-
-  /** Signed random-projection signature of `bits` hyperplanes. */
-  def lshSignature(v: Column, bits: Int): Column = {
-    val dims = sequence(lit(0), size(v) - 1)
-    (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(v, dims, (x, dIdx) => x * planeComponent(j, dIdx)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  /** Deterministic pseudo-random hyperplane for plane j over `dim`
+    * dimensions: xxhash64(j, d) folded into [−1, 1]. Evaluated
+    * driver-side ONCE and embedded as an array literal, so each
+    * projection is a single codegen'd native dot product instead of
+    * an interpreted per-element lambda — reproducible across runs and
+    * cluster sizes (pure function of (j, d)). */
+  private def plane(j: Int, dim: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val comps = (0 until dim).map { d =>
+      val h = XxHash64(Seq(Literal(j), Literal(d)), 42L).eval(null)
+        .asInstanceOf[Long]
+      (((h % 2001L) + 2001L) % 2001L - 1000L).toDouble / 1000.0
+    }
+    typedLit(comps)
   }
+
+  /** Signed random-projection signature of `bits` hyperplanes
+    * [firstPlane, firstPlane+bits) for `dim`-dimensional vectors. */
+  def lshSignature(v: Column, bits: Int, dim: Int,
+      firstPlane: Int = 0): Column =
+    (0 until bits).map { j =>
+      when(dot(v, plane(firstPlane + j, dim)) >= 0,
+        shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
 
   /** ANN top-k via random-hyperplane LSH, 4 hash tables × 8 bits:
     * the corpus is bucketed by (table, signature); each query probes
@@ -106,16 +125,11 @@ object Similarity {
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val bits = 8
     val tables = 4
+    val dim = 64 // embeddings table vector width (FIXTURES.md §B)
     val e = corpus(spark, sfDir)
     // per-table signatures; table t uses hyperplanes [t*bits, (t+1)*bits)
     val sigArr = array((0 until tables).map { t =>
-      (0 until bits).map { j =>
-        val dims = sequence(lit(0), size(col("v")) - 1)
-        val proj = aggregate(
-          zip_with(col("v"), dims, (x, d) => x * planeComponent(t * bits + j, d)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
+      lshSignature(col("v"), bits, dim, firstPlane = t * bits)
     }: _*)
     val bucketed = e.select(col("vec_id"), col("v"),
         posexplode(sigArr).as(Seq("tbl", "sig")))

@@ -60,6 +60,9 @@ object Tables {
       // events.parquet stores TIMESTAMP(NANOS,false) which the vectorized
       // reader rejects ([PARQUET_TYPE_ILLEGAL]); read as Long and convert.
       c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native functions (SQL name graft_dot); cluster deployments can
+      // instead set spark.sql.extensions=graft.functions.GraftExtensions
+      graft.functions.GraftFunctions.register(spark)
       tunedSessions.add(spark)
     }
   }
