@@ -1,0 +1,167 @@
+package graft.jobs
+
+import graft.engine.{Ingest, PartitionCommitter, Sinks, TimeOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+/** CLI configuration shared by the three jobs — mirrors the
+  * reference's scopt `Config` (`conf/Config.scala:3-20`): same option
+  * names and defaults, minus Flink-isms. `--source file --input-dir`
+  * replaces the Kafka options in broker-less environments (tests);
+  * with `--source kafka` the same pipeline reads the topic.
+  */
+case class JobConfig(
+    source: String = "kafka",              // kafka | file
+    brokerList: String = "",               // Config.scala:5
+    sourceTopic: String = "",              // Config.scala:6
+    consumerGroup: String = "graft",       // Config.scala:7
+    inputDir: String = "",                 // file-source stand-in
+    checkpointDir: String = "",            // Config.scala:8
+    checkpointInterval: Long = 60,         // seconds, Config.scala:9
+    sinkPath: String = "",                 // Config.scala:13
+    maxRecordsPerFile: Long = 1000000L,    // ~Config.scala:12 maxPartSize
+    tableName: String = "source_log",      // Kafka2S3Hive.scala:89
+    tableLocation: String = "",
+    stagingDir: String = "",
+    partitionCommitDelayMs: Long = 60000L, // Kafka2S3Hive.scala:103
+    availableNow: Boolean = false)         // bounded run (tests/backfill)
+
+object JobConfig {
+  /** `--key value` parser over the fields above; unknown keys fail. */
+  def parse(args: Array[String]): JobConfig =
+    args.grouped(2).foldLeft(JobConfig()) {
+      case (c, Array(k, v)) => k match {
+        case "--source" => c.copy(source = v)
+        case "--broker-list" => c.copy(brokerList = v)
+        case "--source-topic" => c.copy(sourceTopic = v)
+        case "--consumer-group" => c.copy(consumerGroup = v)
+        case "--input-dir" => c.copy(inputDir = v)
+        case "--checkpoint-dir" => c.copy(checkpointDir = v)
+        case "--checkpoint-interval" => c.copy(checkpointInterval = v.toLong)
+        case "--sink-path" => c.copy(sinkPath = v)
+        case "--max-records-per-file" => c.copy(maxRecordsPerFile = v.toLong)
+        case "--table-name" => c.copy(tableName = v)
+        case "--table-location" => c.copy(tableLocation = v)
+        case "--staging-dir" => c.copy(stagingDir = v)
+        case "--partition-commit-delay-ms" =>
+          c.copy(partitionCommitDelayMs = v.toLong)
+        case "--available-now" => c.copy(availableNow = v.toBoolean)
+        case other => throw new IllegalArgumentException(
+          s"unknown option: $other")
+      }
+      case (_, bad) => throw new IllegalArgumentException(
+        s"dangling option: ${bad.mkString(" ")}")
+    }
+}
+
+/** Shared job scaffolding: session, source, trigger. */
+object Jobs {
+  def session(appName: String, hive: Boolean = false): SparkSession = {
+    val b = SparkSession.builder().appName(appName)
+    (if (hive) b.enableHiveSupport() else b).getOrCreate()
+  }
+
+  def rawSource(spark: SparkSession, c: JobConfig): DataFrame =
+    c.source match {
+      case "kafka" =>
+        Ingest.kafkaRaw(spark, c.brokerList, c.sourceTopic, c.consumerGroup)
+      case "file" => Ingest.fileRaw(spark, c.inputDir)
+      case other => throw new IllegalArgumentException(
+        s"unknown source: $other")
+    }
+
+  /** The reference's checkpoint cadence (`Kafka2S3Text.scala:64`)
+    * maps to the micro-batch trigger; `availableNow` bounds the run. */
+  def trigger(c: JobConfig): Trigger =
+    if (c.availableNow) Trigger.AvailableNow()
+    else Trigger.ProcessingTime(c.checkpointInterval * 1000L)
+
+  def start(w: org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row], c: JobConfig): StreamingQuery =
+    w.trigger(trigger(c)).start()
+}
+
+/** `Kafka2S3Text` equivalent (`Kafka2S3Text.scala:61-76`): raw lines →
+  * row-format text files bucketed by processing-time day in UTC+8. */
+object TextJob {
+  def run(spark: SparkSession, c: JobConfig): StreamingQuery =
+    Jobs.start(Sinks.textPipeline(Jobs.rawSource(spark, c), c.sinkPath,
+      c.checkpointDir, c.maxRecordsPerFile), c)
+
+  def main(args: Array[String]): Unit = {
+    val c = JobConfig.parse(args)
+    val q = run(Jobs.session("text stream to s3"), c)
+    q.awaitTermination()
+  }
+}
+
+/** `Kafka2S3Parquet` equivalent (`Kafka2S3Parquet.scala:57-75`):
+  * strict-parsed events → parquet bucketed by the event `date` field,
+  * malformed dates in `logday=error`. */
+object ParquetJob {
+  def run(spark: SparkSession, c: JobConfig): StreamingQuery =
+    Jobs.start(Sinks.parquetPipeline(
+      Ingest.parseStrict(Jobs.rawSource(spark, c)),
+      c.sinkPath, c.checkpointDir), c)
+
+  def main(args: Array[String]): Unit = {
+    val c = JobConfig.parse(args)
+    val q = run(Jobs.session("parquet stream to s3"), c)
+    q.awaitTermination()
+  }
+}
+
+/** A running HiveJob: the streaming query plus its partition
+  * committer (exposed so bounded runs can drive a final commit). */
+case class HiveJobHandle(query: StreamingQuery,
+    committer: PartitionCommitter)
+
+/** `Kafka2S3Hive` equivalent (`Kafka2S3Hive.scala:20-130`):
+  * lenient-parsed events → 3-level-partitioned catalog table, with
+  * metastore partition commit deferred until the watermark passes
+  * partition-time + delay. In continuous operation a
+  * StreamingQueryListener drives the committer from each progress
+  * event's watermark (Spark's watermark lags one micro-batch, so a
+  * partition commits on the trigger after its data arrives — same
+  * order of delay as the reference's checkpoint-coupled commit). For
+  * bounded runs (`--available-now`) the listener may never observe an
+  * advanced watermark; drive `handle.committer.commitReady` after
+  * termination instead. */
+object HiveJob {
+  val queryName = "graft_hive_job"
+
+  def run(spark: SparkSession, c: JobConfig): HiveJobHandle = {
+    Sinks.createPartitionedTable(spark, c.tableName, c.tableLocation)
+    val committer = new PartitionCommitter(spark, c.tableName,
+      c.stagingDir, c.partitionCommitDelayMs)
+    val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == queryName) {
+          try Option(e.progress.eventTime.get("watermark")).foreach { wm =>
+            val ms = java.time.Instant.from(fmt.parse(wm)).toEpochMilli
+            if (ms > 0) committer.commitReady(ms)
+          } catch { case ex: Exception => // listener must never throw
+            System.err.println(s"[HiveJob] commit failed: ${ex.getMessage}")
+          }
+        }
+    })
+    val q = Sinks.tablePipeline(
+        Ingest.parseLenient(Jobs.rawSource(spark, c)),
+        c.stagingDir, c.checkpointDir)
+      .queryName(queryName)
+      .trigger(Jobs.trigger(c)).start()
+    HiveJobHandle(q, committer)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = JobConfig.parse(args)
+    val h = run(Jobs.session("kafka2hive", hive = true), c)
+    h.query.awaitTermination()
+  }
+}

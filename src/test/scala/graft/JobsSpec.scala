@@ -1,0 +1,72 @@
+package graft
+
+import graft.jobs.{HiveJob, JobConfig, ParquetJob, TextJob}
+import java.nio.file.{Files, Paths}
+
+/** End-to-end runs of the three reference-equivalent jobs over the
+  * file source (bounded via --available-now). */
+class JobsSpec extends SparkSpec {
+
+  private def writeInput(lines: Seq[String]): String = {
+    val dir = tmpDir("jin")
+    Files.write(Paths.get(dir, "in.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    dir
+  }
+
+  private val good =
+    """{"uuid":"a","date":"2021-04-13T06:23:10.593Z","timestamp":1617171790593,"ad_type":1,"ad_type_name":"x"}"""
+
+  test("config parser mirrors the reference options; unknown keys fail") {
+    val c = JobConfig.parse(Array(
+      "--source", "file", "--input-dir", "/in", "--checkpoint-dir", "/cp",
+      "--sink-path", "/out", "--checkpoint-interval", "10"))
+    assert(c.source == "file" && c.checkpointInterval == 10L)
+    assertThrows[IllegalArgumentException] {
+      JobConfig.parse(Array("--nope", "x"))
+    }
+  }
+
+  test("TextJob: raw lines land under a processing-day bucket") {
+    val in = writeInput(Seq(good, "opaque line"))
+    val out = tmpDir("jout")
+    val q = TextJob.run(spark, JobConfig(source = "file", inputDir = in,
+      checkpointDir = tmpDir("jcp"), sinkPath = out, availableNow = true))
+    q.awaitTermination()
+    assert(spark.read.text(out).count() == 2)
+  }
+
+  test("ParquetJob: strict parse + event-date buckets end-to-end") {
+    val in = writeInput(Seq(good))
+    val out = tmpDir("jout")
+    val q = ParquetJob.run(spark, JobConfig(source = "file", inputDir = in,
+      checkpointDir = tmpDir("jcp"), sinkPath = out, availableNow = true))
+    q.awaitTermination()
+    val days = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("logday="))
+    assert(days.toSeq == Seq("logday=20210413"))
+  }
+
+  test("HiveJob: partitions commit only once the watermark allows") {
+    // two events 10 minutes apart; final watermark = max - 5s passes
+    // the first partition's time + delay but not the second's
+    val t0 = 1617171790000L
+    val in = writeInput(Seq(
+      good.replace("1617171790593", t0.toString)
+        .replace("2021-04-13T06:23:10.593Z", "2021-03-31T06:23:10.000Z"),
+      good.replace("\"uuid\":\"a\"", "\"uuid\":\"b\"")
+        .replace("1617171790593", (t0 + 600000L).toString)))
+    val table = "source_log_job_test"
+    val h = HiveJob.run(spark, JobConfig(source = "file", inputDir = in,
+      checkpointDir = tmpDir("jcp"), tableName = table,
+      tableLocation = tmpDir("jtbl"), stagingDir = tmpDir("jstg"),
+      partitionCommitDelayMs = 60000L, availableNow = true))
+    h.query.awaitTermination()
+    assert(spark.table(table).count() == 0) // nothing committed yet
+    // bounded-run final commit at the data-derived watermark
+    h.committer.commitReady(t0 + 600000L - 5000L)
+    val visible = spark.table(table).collect().map(_.getAs[String]("uuid"))
+    assert(visible.toSeq == Seq("a")) // b's partition still pending
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}

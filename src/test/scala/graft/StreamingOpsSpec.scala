@@ -63,6 +63,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == Seq(("u1", 3L), ("u1", 1L)))
   }
 
+  test("T3: stateful agg runs on the RocksDB state store provider") {
+    // the reference's spillable state backend (Kafka2S3Text.scala:69-70)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = writeInput(Seq(
+        rec("a", T0 + 1000, 1), rec("b", T0 + 2000, 1),
+        rec("z", T0 + 10 * 60000, 9)))
+      val out = runToMemory(
+        StreamingOps.windowedCounts(
+          Ingest.parseLenient(Ingest.fileRaw(spark, in))), "rocks_counts")
+        .select("ad_type", "n").as[(Int, Long)].collect().toSet
+      assert(out == Set((1, 2L)))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     val in = writeInput(Seq(
       rec("u1", T0), rec("u1", T0 + 10000),     // session span 10s
