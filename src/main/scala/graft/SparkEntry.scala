@@ -65,7 +65,9 @@ object SparkEntry {
     // §2.9 north-star: multimodal binary columns
     "q_media_meta" -> Multimodal.qMediaMeta _,
     "q_media_frames" -> Multimodal.qMediaFrames _,
+    "q_media_resize" -> Multimodal.qMediaResize _,
     "q_media_features" -> Multimodal.qMediaFeatures _,
+    "q_quality_filter" -> TextOps.qQualityFilter _,
   )
 
   /** Shared oracle fragments (DuckDB dialect). */
@@ -73,6 +75,14 @@ object SparkEntry {
     "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
   private val duckNorm =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  /** The TextOps.qualityScore formula over (text, tk) — kept verbatim
+    * in both oracles that use it. */
+  private val duckQuality =
+    """least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |    + least((CASE WHEN len(tk) = 0 THEN 0.0
+      |             ELSE CAST(len(list_filter(tk, x -> list_contains(['the','a','an','and','or','of','to','in','is','that'], x))) AS DOUBLE) / len(tk) END) * 5.0, 1.0) * 0.4
+      |    + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+      |                    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) END) * 10.0, 1.0)) * 0.2""".stripMargin
   private val duckShingleCte =
     s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
        |s AS (SELECT doc_id, list_distinct(list_transform(
@@ -285,11 +295,7 @@ object SparkEntry {
         |  CASE WHEN len(tk) = 0 THEN 0.0
         |       ELSE CAST(len(list_filter(tk, x -> list_contains(['the','a','an','and','or','of','to','in','is','that'], x))) AS DOUBLE) / len(tk)
         |  END AS stopword_ratio,
-        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-        |    + least((CASE WHEN len(tk) = 0 THEN 0.0
-        |             ELSE CAST(len(list_filter(tk, x -> list_contains(['the','a','an','and','or','of','to','in','is','that'], x))) AS DOUBLE) / len(tk) END) * 5.0, 1.0) * 0.4
-        |    + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-        |                    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) END) * 10.0, 1.0)) * 0.2
+        |$duckQuality
         |    AS quality
         |FROM t
         |ORDER BY doc_id""".stripMargin,
@@ -379,6 +385,22 @@ object SparkEntry {
         |  hex(substring(text, greatest(length(text) // 2, 1), 8)) AS f_mid,
         |  hex(substring(text, greatest(length(text) - 7, 1), 8)) AS f_last
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_media_resize" ->
+      """SELECT doc_id,
+        |  CAST(32 AS BIGINT) AS n_bytes,
+        |  hex(rpad(substring(text, 1, 32), 32, '.')) AS resized_hex
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $duckTokens AS tk FROM documents)
+        |SELECT doc_id, lang,
+        |$duckQuality
+        |    AS quality
+        |FROM t
+        |WHERE
+        |$duckQuality
+        |  >= 0.5
         |ORDER BY doc_id""".stripMargin,
   )
 }

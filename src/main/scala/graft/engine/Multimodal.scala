@@ -93,6 +93,14 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: normalize every payload to exactly `n` bytes —
+    * truncate long payloads, pad short ones with 0x2E (binary rpad) —
+    * the binary analogue of resizing an image to a fixed input shape.
+    * Codegen'd substring/rpad, no UDF. */
+  def resizeStub(payload: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column =
+    rpad(substring(payload, 1, n), n, Array[Byte](0x2E))
+
   // ------------------------------------------------------------ queries
 
   /** Metadata extraction over the binary column: byte length + sha256
@@ -119,6 +127,16 @@ object Multimodal {
         win(lit(1)).as("f_first"),
         win(greatest((n / 2).cast("int"), lit(1))).as("f_mid"),
         win(greatest(n - 7, lit(1))).as("f_last"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Resize to a fixed 32-byte shape: every row's payload becomes
+    * exactly 32 bytes (truncate/zero-pad), checksummed. */
+  def qMediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = mediaFromDocuments(spark, sfDir)
+    m.select(col("doc_id"),
+        length(resizeStub(col("payload"), 32)).cast("long").as("n_bytes"),
+        hex(resizeStub(col("payload"), 32)).as("resized_hex"))
       .orderBy(col("doc_id"))
   }
 

@@ -162,6 +162,19 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The C4/Gopher-style pipeline step: keep only documents above a
+    * quality bar, returning id + the score that justified keeping
+    * them. Filter on a derived column — Catalyst pushes the cheap
+    * length precondition into the scan while the full score runs
+    * post-scan. */
+  def qQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    d.select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus term frequencies: explode tokens → count — the generator
     * (flatMap) + agg path. Top-100 by count desc, term asc. At scale
     * this is the canonical map-side-combine shuffle: |distinct terms|
