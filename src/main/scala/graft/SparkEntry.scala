@@ -43,6 +43,8 @@ object SparkEntry {
     "q_window_running" -> Relational.qWindowRunning _,
     "q_window_lag_lead" -> Relational.qWindowLagLead _,
     // §2.6 sort / limit / set ops
+    "q_percentiles" -> Relational.qPercentiles _,
+    "q_sessionize_batch" -> Relational.qSessionizeBatch _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -248,6 +250,33 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        |  percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // epoch_us // 1000000 truncates like Spark's timestamp→long cast
+    // (CAST(epoch(ts) AS BIGINT) would ROUND and shift gap boundaries)
+    "q_sessionize_batch" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s
+        |           FROM events),
+        |m AS (SELECT user_id, event_id, s,
+        |        CASE WHEN LAG(s) OVER w IS NULL OR s - LAG(s) OVER w > 1800
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        |x AS (SELECT user_id, s,
+        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM m)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events,
+        |  min(s) AS start_s, max(s) - min(s) AS dur_s
+        |FROM x
+        |GROUP BY user_id, sess
+        |ORDER BY user_id, sess""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

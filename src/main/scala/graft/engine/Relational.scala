@@ -320,6 +320,46 @@ object Relational {
       .orderBy(col("nationkey"), col("side"))
   }
 
+  /** Exact interpolated percentiles per group (percentile_cont) —
+    * both engines sort and linearly interpolate over doubles with the
+    * same arithmetic, so values are bit-identical. At scale this is a
+    * per-group sort; for sketch-sized answers use approx_percentile
+    * instead (same trade-off as q_approx_distinct). */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p50"),
+        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Batch sessionization over the events stream table: gap > 30 min
+    * starts a new session (lag + running-sum window composition —
+    * the standard SQL sessionization), then per-session aggregates.
+    * One shuffle on user_id serves both windows and the final agg. */
+  def qSessionizeBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val secs = ev.select(col("user_id"), col("event_id"),
+      col("ts").cast("long").as("s"))
+    val marked = secs.withColumn("ns",
+      when(lag(col("s"), 1).over(w).isNull
+        || col("s") - lag(col("s"), 1).over(w) > 1800, 1).otherwise(0))
+    val numbered = marked.withColumn("sess",
+      sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    numbered.groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("s")).as("start_s"),
+        (max(col("s")) - min(col("s"))).as("dur_s"))
+      .orderBy(col("user_id"), col("sess"))
+  }
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def qCaseBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables(spark, sfDir, "orders")
