@@ -1,0 +1,52 @@
+package graft
+
+import graft.engine.{Scale, Tables}
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed co-located join plans with no Exchange") {
+    Scale.writeBucketed(Tables(spark, sf0001, "lineitem"),
+      "li_bucketed", "l_orderkey", 8)
+    Scale.writeBucketed(Tables(spark, sf0001, "orders"),
+      "o_bucketed", "o_orderkey", 8)
+    // set AFTER the writes: Tables.tune (first call in this session)
+    // sets a 64MB threshold and would overwrite this
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      // same result as the plain (shuffling) join
+      val expected = Tables(spark, sf0001, "lineitem")
+        .join(Tables(spark, sf0001, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("salted join: identical rows, salt in the shuffle key") {
+    // skewed big side: one hot key with 10k rows + a long tail
+    val big = ((1 to 10000).map(i => (1L, i)) ++
+      (1 to 100).map(i => (i.toLong + 1, i))).toDF("k", "payload")
+    val small = (1 to 50).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val salted = Scale.saltedJoin(big, small, "k", buckets = 8)
+    val plain = big.join(small, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "name").except(
+      plain.select("k", "payload", "name")).isEmpty)
+    assert(plain.select("k", "payload", "name").except(
+      salted.select("k", "payload", "name")).isEmpty)
+    // the shuffle key actually includes the salt
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"))
+  }
+}
