@@ -58,10 +58,12 @@ object Bench {
     // warmup at the smallest SF (fixed cost, excluded from timings)
     qs.foreach { case (n, fn) => runOnce(n, fn, "/root/testdata/sf0.001") }
 
-    // min of two timed runs per query: the box runs other tenants, and
-    // a single sample regularly absorbs multi-second scheduling noise
+    // min over two FULL passes (not back-to-back per query): the box
+    // runs other tenants, and a contention burst lasting a few seconds
+    // would otherwise inflate both samples of the same query
+    val pass1 = qs.map { case (n, fn) => n -> runOnce(n, fn, sfDir) }.toMap
     val results = qs.map { case (n, fn) =>
-      n -> math.min(runOnce(n, fn, sfDir), runOnce(n, fn, sfDir))
+      n -> math.min(pass1(n), runOnce(n, fn, sfDir))
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -47,13 +47,17 @@ object Dedup {
     shingleHashSets(docs)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
-  /** Redistribute a small-file scan across all cores before CPU-heavy
-    * narrow work. The driver testdata ships one single-row-group
-    * parquet file per table, so without this every per-document stage
-    * runs as ONE task; on a real multi-split lake the same repartition
-    * is a cheap rebalance of already-parallel input. */
-  private[engine] def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Redistribute an under-parallel scan across all cores before
+    * CPU-heavy narrow work. The driver testdata ships one
+    * single-row-group parquet file per table, so without this every
+    * per-document stage runs as ONE task. Conditional on the actual
+    * scan parallelism: on a real multi-split lake the input already
+    * has ≥ cores splits and this is a no-op — never an unconditional
+    * full shuffle of 100 TB of text. */
+  private[engine] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 
   /** FNV-1a 64-bit over the UTF-8 bytes of the tokens joined with a
     * NUL separator — the shingle identity used by the dedup pipeline.

@@ -26,13 +26,16 @@ object Similarity {
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
   /** Corpus loader: embeddings as double vectors, redistributed across
-    * all cores (the testdata parquet is a single row group — without
-    * the repartition every interpreted dot-product stage runs as one
-    * task; on a multi-split lake this is a cheap rebalance). */
-  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    * all cores when the scan is under-parallel (the testdata parquet
+    * is a single row group — without this every dot-product stage
+    * runs as one task; on a multi-split lake the condition is false
+    * and no shuffle happens). */
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val p = spark.sparkContext.defaultParallelism
+    val spreadE = if (e.rdd.getNumPartitions >= p) e else e.repartition(p)
+    spreadE.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  }
 
   /** Sequential-sum dot product of two double arrays, via the native
     * codegen'd [[graft.functions.DotProduct]] expression (bit-identical
