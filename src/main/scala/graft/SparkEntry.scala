@@ -55,6 +55,7 @@ object SparkEntry {
     "q_lang_id" -> TextOps.qLangId _,
     "q_fingerprint" -> TextOps.qFingerprint _,
     "q_term_freq" -> TextOps.qTermFreq _,
+    "q_tfidf_topterms" -> TextOps.qTfidfTopTerms _,
     // §2.9 north-star: deduplication
     "q_dedup_exact" -> Dedup.qDedupExact _,
     "q_jaccard_pairs" -> Dedup.qJaccardPairs _,
@@ -360,6 +361,22 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY n DESC, term
         |LIMIT 100""".stripMargin,
+    "q_tfidf_topterms" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |dt AS (SELECT doc_id, unnest(tk) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        CAST(tf AS DOUBLE) * n_docs / df AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, term, tf, df, score, rank FROM r
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT md5($duckNorm) AS fp, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

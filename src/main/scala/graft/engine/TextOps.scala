@@ -175,6 +175,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF top terms: per (doc, term) frequency joined with per-term
+    * document frequency; score = tf · N/df (linear idf — exact
+    * rational arithmetic, so the double is bit-identical across
+    * engines, unlike ln whose last ulp is libm-dependent); top-3
+    * terms per doc by score desc, term asc. The df side is a tiny
+    * aggregate → broadcast; the tf side shuffles once on doc_id for
+    * the ranking window. */
+  def qTfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val docTerms = d
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+    val tf = docTerms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = d.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term")
+      .join(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Corpus term frequencies: explode tokens → count — the generator
     * (flatMap) + agg path. Top-100 by count desc, term asc. At scale
     * this is the canonical map-side-combine shuffle: |distinct terms|
