@@ -38,6 +38,7 @@ object SparkEntry {
     "q_outer_counts" -> Relational.qOuterCounts _,
     "q_broadcast_dim" -> Relational.qBroadcastDim _,
     "q_scalar_subquery" -> Relational.qScalarSubquery _,
+    "q_asof_join" -> Relational.qAsofJoin _,
     // §2.5 window functions
     "q_window_rank" -> Relational.qWindowRank _,
     "q_window_running" -> Relational.qWindowRunning _,
@@ -251,6 +252,17 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH o AS (SELECT o_custkey AS k,
+        |             epoch_us(o_orderdate) // 1000000 AS t,
+        |             max(o_orderkey) AS oid
+        |           FROM orders GROUP BY 1, 2),
+        |e AS (SELECT user_id AS k,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t, event_id
+        |      FROM events)
+        |SELECT e.event_id, e.k, o.oid
+        |FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.t >= o.t
+        |ORDER BY event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,

@@ -360,6 +360,41 @@ object Relational {
       .orderBy(col("user_id"), col("sess"))
   }
 
+  /** As-of join — for each event, the most recent order of the same
+    * customer at or before the event time. Spark has no ASOF JOIN
+    * operator; the scalable formulation is the union trick: tag both
+    * sides, sort per key by (time, side) and carry the last order id
+    * forward with an ignore-nulls window — ONE shuffle on the key and
+    * a single ordered pass, instead of the O(|events|·|orders per
+    * key|) range join. The right side is pre-aggregated to unique
+    * (key, time) so tie-breaking is deterministic (max order id),
+    * matching DuckDB's native ASOF JOIN oracle. */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("k"),
+        // NTZ → TZ (session is UTC) → epoch seconds; NTZ has no
+        // direct long cast
+        col("o_orderdate").cast("timestamp").cast("long").as("t"))
+      .agg(max(col("o_orderkey")).as("oid"))
+    val e = Tables(spark, sfDir, "events")
+      .select(col("user_id").as("k"), col("ts").cast("long").as("t"),
+        col("event_id"))
+    val tagged = o
+      .select(col("k"), col("t"), col("oid"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"))
+      .unionByName(e.select(col("k"), col("t"),
+        lit(null).cast("long").as("oid"), lit(1).as("side"),
+        col("event_id")))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_oid", last(col("oid"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k"), col("last_oid").as("oid"))
+      .orderBy(col("event_id"))
+  }
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def qCaseBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables(spark, sfDir, "orders")
