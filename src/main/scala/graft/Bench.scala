@@ -43,33 +43,45 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
 
+    // A failed query is a sentinel (-1 in the per-query map, name in
+    // "failed", total forced negative) — a crash must never read as a
+    // speedup.
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // warmup at the smallest SF (fixed cost, excluded from timings)
     qs.foreach { case (n, fn) => runOnce(n, fn, "/root/testdata/sf0.001") }
+    failed.clear()
 
     // min over two FULL passes (not back-to-back per query): the box
     // runs other tenants, and a contention burst lasting a few seconds
     // would otherwise inflate both samples of the same query
     val pass1 = qs.map { case (n, fn) => n -> runOnce(n, fn, sfDir) }.toMap
     val results = qs.map { case (n, fn) =>
-      n -> math.min(pass1(n), runOnce(n, fn, sfDir))
+      val t2 = runOnce(n, fn, sfDir)
+      val t1 = pass1(n)
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total =
+      if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -144,26 +144,44 @@ class PartitionCommitter(spark: SparkSession, table: String,
       fmt.parse(s"$logday $h:$m:00")).toEpochMilli)
     catch { case _: Exception => None }
 
-  /** Directory-listing of (logday,h,m) partitions present on disk. */
+  /** Directory-listing of (logday,h,m) partitions present in staging.
+    * Uses Hadoop's FileSystem API so the same committer works on any
+    * supported storage (local, HDFS, S3A) — `java.io.File` would be
+    * silently empty off the local filesystem. */
   def partitionsOnDisk(): Seq[(String, String, String)] = {
-    val base = new java.io.File(location)
+    import org.apache.hadoop.fs.Path
+    val base = new Path(location)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return Seq.empty
+    def subdirs(p: Path, prefix: String): Seq[Path] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map(_.getPath)
     for {
-      d1 <- Option(base.listFiles()).getOrElse(Array.empty).toSeq
-      if d1.getName.startsWith("logday=")
-      d2 <- Option(d1.listFiles()).getOrElse(Array.empty).toSeq
-      if d2.getName.startsWith("h=")
-      d3 <- Option(d2.listFiles()).getOrElse(Array.empty).toSeq
-      if d3.getName.startsWith("m=")
+      d1 <- subdirs(base, "logday=")
+      d2 <- subdirs(d1, "h=")
+      d3 <- subdirs(d2, "m=")
       m <- partRe.findFirstMatchIn(
         s"${d1.getName}/${d2.getName}/${d3.getName}")
     } yield (m.group(1), m.group(2), m.group(3))
   }
 
+  /** Partition values come from directory names — reject any shape
+    * other than the expected yyyy-MM-dd / HH / mm before interpolating
+    * them into DDL (quote/metacharacter injection guard). Values that
+    * fail (e.g. an `error` bucket) also fail [[partitionTime]], so
+    * they were never committable anyway. */
+  private val daySafe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$".r
+  private val twoDigitSafe = "^[0-9]{2}$".r
+  private def safe(d: String, h: String, m: String): Boolean =
+    daySafe.matches(d) && twoDigitSafe.matches(h) && twoDigitSafe.matches(m)
+
   /** Register every on-disk partition whose partition-time + delay ≤
     * `watermarkMillis`; returns the partitions added this call. */
   def commitReady(watermarkMillis: Long): Seq[(String, String, String)] = {
     val ready = partitionsOnDisk().filter { case (d, h, m) =>
-      partitionTime(d, h, m).exists(_ + delayMillis <= watermarkMillis)
+      safe(d, h, m) &&
+        partitionTime(d, h, m).exists(_ + delayMillis <= watermarkMillis)
     }
     ready.foreach { case (d, h, m) =>
       spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " +

@@ -135,14 +135,25 @@ object HiveJob {
     val committer = new PartitionCommitter(spark, c.tableName,
       c.stagingDir, c.partitionCommitDelayMs)
     val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+    val q = Sinks.tablePipeline(
+        Ingest.parseLenient(Jobs.rawSource(spark, c)),
+        c.stagingDir, c.checkpointDir)
+      .queryName(queryName)
+      .trigger(Jobs.trigger(c)).start()
+    // Keyed on THIS run's query id (not the shared queryName) and
+    // deregistered on termination, so a second run in the same session
+    // never has a stale listener committing against a dropped table.
+    // Registered after start(): the first progress event may be missed,
+    // but commitReady is cumulative so the next trigger catches up.
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) spark.streams.removeListener(this)
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.name == queryName) {
+        if (e.progress.id == q.id) {
           try Option(e.progress.eventTime.get("watermark")).foreach { wm =>
             val ms = java.time.Instant.from(fmt.parse(wm)).toEpochMilli
             if (ms > 0) committer.commitReady(ms)
@@ -151,11 +162,6 @@ object HiveJob {
           }
         }
     })
-    val q = Sinks.tablePipeline(
-        Ingest.parseLenient(Jobs.rawSource(spark, c)),
-        c.stagingDir, c.checkpointDir)
-      .queryName(queryName)
-      .trigger(Jobs.trigger(c)).start()
     HiveJobHandle(q, committer)
   }
 
