@@ -62,14 +62,22 @@ object Bench {
       }
     }
 
-    // warmup at the smallest SF (fixed cost, excluded from timings)
+    // warmup: once at the smallest SF (JIT + codegen), then one full
+    // pass at the target SF (plan compile + file listing for the
+    // measured dir) — timed passes then measure steady-state query
+    // latency, not one-time session costs
     qs.foreach { case (n, fn) => runOnce(n, fn, "/root/testdata/sf0.001") }
+    qs.foreach { case (n, fn) => runOnce(n, fn, sfDir) }
     failed.clear()
 
     // min over two FULL passes (not back-to-back per query): the box
     // runs other tenants, and a contention burst lasting a few seconds
-    // would otherwise inflate both samples of the same query
+    // would otherwise inflate both samples of the same query. Cached
+    // intermediates (e.g. the minhash working set) are dropped at pass
+    // boundaries so every timed sample pays its query's full cost.
+    spark.sqlContext.clearCache()
     val pass1 = qs.map { case (n, fn) => n -> runOnce(n, fn, sfDir) }.toMap
+    spark.sqlContext.clearCache()
     val results = qs.map { case (n, fn) =>
       val t2 = runOnce(n, fn, sfDir)
       val t1 = pass1(n)

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time one (or all headline) queries repeatedly and dump
+  * the formatted physical plan, for plan-shape iteration outside the
+  * full Bench run. Usage:
+  *   sbt "runMain graft.Profile <sfDir> [queryName] [reps]"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val which = if (args.length > 1) Some(args(1)) else None
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = which.map(Seq(_)).getOrElse(Bench.headline)
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n%-22s min=${times.min}%8.3f  all=${times.map(t => f"$t%.2f").mkString(",")}")
+      if (which.isDefined) fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -98,17 +98,76 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val tk =
-            if (text == null) Array.empty[String]
-            else text.toLowerCase(java.util.Locale.ROOT).trim
-              .split("\\s+").filter(_.nonEmpty)
-          val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-          var i = 0
-          while (i + n <= tk.length) { out += fnv1a(tk, i, n); i += 1 }
-          (id, out.toArray)
+          (id, shingleHashesOf(text, n))
         }
       }
       .toDF("doc_id", "sh")
+  }
+
+  private def shingleHashesOf(text: String, n: Int): Array[Long] = {
+    val tk =
+      if (text == null) Array.empty[String]
+      else text.toLowerCase(java.util.Locale.ROOT).trim
+        .split("\\s+").filter(_.nonEmpty)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i + n <= tk.length) { out += fnv1a(tk, i, n); i += 1 }
+    out.toArray
+  }
+
+  /** MinHash parameters: k affine re-hashes gᵢ(h) = ((h & 0x7FFFFFFF)·aᵢ
+    * + bᵢ) mod p over the Mersenne prime p = 2³¹−1, seeded and
+    * deterministic. Three deliberate choices: (a) NOT xxhash64(i, h) —
+    * 64 inlined hash implementations in one whole-stage-codegen method
+    * send Janino into minutes of compilation when done as Columns, and
+    * the affine-mod form is a handful of bytecodes either way; (b) the
+    * 31-bit mask keeps every product below 2⁶² so nothing overflows;
+    * (c) the mod-p reduction is what makes the k functions independent —
+    * an affine map WITHOUT the mod is monotone, so every row would
+    * select the same min element (observed: 3 of 25 pairs missed). */
+  private val minhashP = 0x7FFFFFFFL // 2³¹−1, Mersenne prime
+  private def minhashCoeffs(k: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5EEDL)
+    Array.fill(k)((1L + rnd.nextLong().abs % (minhashP - 1),
+      rnd.nextLong().abs % minhashP))
+  }
+
+  /** doc_id → (distinct shingle hashes, k-wide MinHash signature), one
+    * imperative per-partition pass. The signature is a PER-DOCUMENT
+    * value — computing it here means zero shuffle (the former
+    * explode-shingles → groupBy(doc_id).agg(64 × min) formulation
+    * shuffled |corpus-shingles| rows just to regroup what was already
+    * row-local). Documents with no shingles get an empty signature. */
+  def shingleSigSets(docs: DataFrame, n: Int = 3, k: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ab = minhashCoeffs(k)
+    spread(docs).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val sh = shingleHashesOf(text, n)
+          val sig =
+            if (sh.isEmpty) Array.empty[Long]
+            else {
+              val s = Array.fill(k)(Long.MaxValue)
+              var j = 0
+              while (j < sh.length) {
+                val h31 = sh(j) & 0x7FFFFFFFL
+                var i = 0
+                while (i < k) {
+                  val v = (h31 * ab(i)._1 + ab(i)._2) % minhashP
+                  if (v < s(i)) s(i) = v
+                  i += 1
+                }
+                j += 1
+              }
+              s
+            }
+          (id, sh, sig)
+        }
+      }
+      .toDF("doc_id", "sh", "sig")
   }
 
   // ------------------------------------------------------------ queries
@@ -163,40 +222,25 @@ object Dedup {
     val k = 64
     val bands = 32 // × 2 rows
     val d = Tables(spark, sfDir, "documents")
-    val withSh = shingleHashSets(d)
-    // signature: for each i, min over shingles of the universal-family
-    // re-hash gᵢ(h) = ((h & 0x7FFFFFFF)·aᵢ + bᵢ) mod p, p = 2³¹−1,
-    // 1 ≤ aᵢ < p, 0 ≤ bᵢ < p seeded and deterministic. Three deliberate
-    // choices: (a) NOT xxhash64(i, h) — 64 inlined hash
-    // implementations in one whole-stage-codegen method send Janino
-    // into minutes of compilation; the affine-mod form is a handful
-    // of bytecodes per column. (b) the 31-bit mask keeps every
-    // product below 2⁶² so ANSI-mode (Spark 4 default) overflow
-    // checking never fires. (c) the mod-p reduction is what makes the
-    // k functions independent — an affine map WITHOUT the mod is
-    // monotone, so every column would select the same min element
-    // (observed: 3 of 25 pairs missed). Truncating the shingle space
-    // to 2³¹ adds ~|universe|²/2³² collisions — irrelevant, since
-    // candidates are exact-verified below. Map-side partial agg
-    // shrinks the shuffle to |docs|×k longs.
-    val p = 0x7FFFFFFFL // 2³¹−1, Mersenne prime
-    val rnd = new scala.util.Random(0x5EEDL)
-    val h31 = col("h").bitwiseAND(0x7FFFFFFFL)
-    val sigCols = (0 until k).map { i =>
-      val a = 1L + rnd.nextLong().abs % (p - 1)
-      val b = rnd.nextLong().abs % p
-      min(pmod(h31 * a + b, lit(p))).as(s"h$i")
-    }
-    val sigs = withSh
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-    // bands: hash the 2-row slice into one bucket key per band
+    // One tokenize pass produces shingle sets AND signatures (zero
+    // shuffle — see shingleSigSets). Truncating the shingle space to
+    // 2³¹ inside the signature adds ~|universe|²/2³² collisions —
+    // irrelevant, since candidates are exact-verified below. Persisted
+    // because three downstream stages consume it (band explode + both
+    // sides of the verification join); MEMORY_AND_DISK spills cleanly,
+    // and at corpus scale the (id, hashes, sig) projection is the
+    // standard LSH working set — far smaller than re-tokenizing the
+    // raw text three times.
+    val withSh = shingleSigSets(d, n = 3, k = k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bands: hash the 2-row slice of the signature into one bucket key
+    // per band; docs with no shingles can never reach J ≥ 0.8 → skip
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("sig")))
-    val buckets = sigs.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("bk"))
+        xxhash64(element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)).as("sig")))
+    val buckets = withSh.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
