@@ -105,11 +105,125 @@ object SparkEntry {
        |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
        |ORDER BY ida, idb""".stripMargin
 
+  /** SimHash oracle: rebuild the 4 × 16-bit chunk signatures from
+    * substrings of md5(token) — the exact hash the Spark side uses
+    * (leading 8 digest bytes, frequency-weighted bit votes), then the
+    * same pigeonhole chunk-join + hamming ≤ 3 verification. Generated
+    * (64 vote sums / 4 chunk reassemblies) rather than hand-written. */
+  private val duckSimhash: String = {
+    def hp(p: Int) = s"(strpos('0123456789abcdef', substring(hx, $p, 1)) - 1)"
+    val chunkExprs = (0 until 4).map { k =>
+      val b = 4 * k + 1
+      s"CAST(${hp(b)} * 4096 + ${hp(b + 1)} * 256 + ${hp(b + 2)} * 16 + " +
+        s"${hp(b + 3)} AS INTEGER) AS h$k"
+    }.mkString(",\n       ")
+    val voteExprs = (0 until 4).flatMap { k => (0 until 16).map { i =>
+      s"SUM(CASE WHEN (h$k >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s${k}_$i"
+    }}.mkString(",\n       ")
+    val sigExprs = (0 until 4).map { k =>
+      "(" + (0 until 16).map(i =>
+        s"CASE WHEN s${k}_$i > 0 THEN ${1 << i} ELSE 0 END")
+        .mkString(" + ") + s") AS c$k"
+    }.mkString(",\n       ")
+    val bandRows = (0 until 4).map(k =>
+      s"SELECT doc_id, $k AS ck, c$k AS cv FROM s").mkString("\n       UNION ALL ")
+    val hamming = (0 until 4).map(k =>
+      s"bit_count(xor(sa.c$k, sb.c$k))").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+       |c AS (SELECT doc_id, $chunkExprs FROM h),
+       |v AS (SELECT doc_id, $voteExprs FROM c GROUP BY doc_id),
+       |s AS (SELECT doc_id, $sigExprs FROM v),
+       |b AS ($bandRows),
+       |p AS (SELECT DISTINCT a.doc_id AS ida, b2.doc_id AS idb
+       |      FROM b a JOIN b b2
+       |        ON a.ck = b2.ck AND a.cv = b2.cv AND a.doc_id < b2.doc_id)
+       |SELECT ida, idb, CAST($hamming AS BIGINT) AS hamming
+       |FROM p JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb
+       |WHERE $hamming <= 3
+       |ORDER BY ida, idb""".stripMargin
+  }
+
+  /** ANN-LSH oracle: the hyperplanes are pure functions of
+    * (plane index, dim) — [[Similarity.planeVals]] — so they embed as
+    * literal DOUBLE arrays and DuckDB reproduces the exact signatures
+    * (list_inner_product is bit-identical to the Spark-side sequential
+    * dot product), bucket join, and cosine re-rank. */
+  private val duckAnnLsh: String = {
+    val bits = 8
+    val tables = 4
+    val dim = 64
+    def planeLit(j: Int): String =
+      graft.engine.Similarity.planeVals(j, dim)
+        .mkString("[", ", ", "]::DOUBLE[]")
+    val sigExprs = (0 until tables).map { t =>
+      "CAST(" + (0 until bits).map { j =>
+        s"CASE WHEN list_inner_product(v, ${planeLit(t * bits + j)}) >= 0 " +
+          s"THEN ${1L << j} ELSE 0 END"
+      }.mkString("\n         + ") + s" AS BIGINT) AS s$t"
+    }.mkString(",\n       ")
+    val bandRows = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS tbl, s$t AS sig FROM sg").mkString("\n       UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sg AS (SELECT vec_id, $sigExprs FROM e),
+       |b AS ($bandRows),
+       |q AS (SELECT vec_id AS qid, tbl, sig FROM b WHERE vec_id < 50),
+       |cand AS (SELECT DISTINCT q.qid, b.vec_id AS nid
+       |         FROM b JOIN q ON b.tbl = q.tbl AND b.sig = q.sig
+       |                      AND b.vec_id <> q.qid),
+       |s AS (SELECT qid, nid,
+       |        list_inner_product(eq.v, en.v)
+       |          / (sqrt(list_inner_product(eq.v, eq.v))
+       |             * sqrt(list_inner_product(en.v, en.v))) AS score
+       |      FROM cand
+       |      JOIN e eq ON eq.vec_id = qid
+       |      JOIN e en ON en.vec_id = nid),
+       |r AS (SELECT qid, nid, score,
+       |        row_number() OVER (PARTITION BY qid
+       |                           ORDER BY score DESC, nid) AS rank
+       |      FROM s)
+       |SELECT qid, nid, rank, score FROM r
+       |WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Media-features oracle: payloads are the UTF-8 bytes of the
+    * (pure-ASCII) document text, so `ord()` per character recomputes
+    * the decode stub's byte sums and 16-bin histogram exactly. */
+  private val duckMediaFeatures: String = {
+    val histSel = (0 until 16).map(i =>
+      s"CAST(SUM(h$i) AS BIGINT) AS h$i").mkString(",\n       ")
+    val histPer = (0 until 16).map(i =>
+      s"len(list_filter(bs, x -> x // 16 = $i)) AS h$i").mkString(",\n       ")
+    s"""WITH m AS (
+       |  SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1]
+       |           AS media_type,
+       |         length(text) AS nb,
+       |         list_transform(range(1, length(text) + 1),
+       |           i -> ord(substring(text, CAST(i AS INTEGER), 1))) AS bs
+       |  FROM documents),
+       |p AS (SELECT media_type, nb,
+       |        COALESCE(list_sum(bs), 0) AS bsum,
+       |       $histPer
+       |      FROM m)
+       |SELECT media_type, COUNT(*) AS n,
+       |  CAST(SUM(nb) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(bsum) AS BIGINT) AS sum_bytes,
+       |  CAST(SUM(bsum) AS DOUBLE) / SUM(nb) AS mean_byte,
+       |  $histSel
+       |FROM p
+       |GROUP BY media_type
+       |ORDER BY media_type""".stripMargin
+  }
+
   /** DuckDB oracle SQL per query key (same parquet tables, registered
     * by table name). Omitted for q_approx_distinct (sketch estimates
     * are implementation-defined → rows-only check).
     */
   def oracleSql: Map[String, String] = Map(
+    "q_simhash_pairs" -> duckSimhash,
+    "q_ann_lsh" -> duckAnnLsh,
+    "q_media_features" -> duckMediaFeatures,
     "q_ingest_partition" ->
       """SELECT event_id, user_id, event_type, value,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

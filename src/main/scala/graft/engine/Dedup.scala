@@ -104,11 +104,16 @@ object Dedup {
       .toDF("doc_id", "sh")
   }
 
+  /** JVM-side twin of [[TextOps.tokens]] / the oracle's
+    * `regexp_split_to_array(trim(lower(text)), '\s+')`: lowercase,
+    * trim, split on whitespace runs, drop empties. */
+  private[engine] def tokensOf(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else text.toLowerCase(java.util.Locale.ROOT).trim
+      .split("\\s+").filter(_.nonEmpty)
+
   private def shingleHashesOf(text: String, n: Int): Array[Long] = {
-    val tk =
-      if (text == null) Array.empty[String]
-      else text.toLowerCase(java.util.Locale.ROOT).trim
-        .split("\\s+").filter(_.nonEmpty)
+    val tk = tokensOf(text)
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var i = 0
     while (i + n <= tk.length) { out += fnv1a(tk, i, n); i += 1 }
@@ -268,28 +273,68 @@ object Dedup {
     * bit_count(xor). Hash-function-dependent → no SQL oracle
     * (rows-only check); unit-tested instead. */
   def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val d = Tables(spark, sfDir, "documents")
-    val tok = spread(d).select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s$i"))
-    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
-        when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    val sigs = sums.select(col("doc_id"), sig.as("sig"))
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(cIdx => struct(lit(cIdx).as("c"),
-        shiftright(col("sig"), cIdx * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
-        .as("chunk"))
+    // 64-bit SimHash as 4 × 16-bit chunks from the leading 8 bytes of
+    // each token's MD5 (frequency-weighted: every occurrence votes).
+    // MD5 instead of xxhash64 because both engines compute the SAME
+    // md5 — the DuckDB oracle rebuilds identical signatures from
+    // substrings of md5(token), making the whole approximate operator
+    // hash-checkable. One narrow mapPartitions pass per document — no
+    // explode-tokens shuffle (same reasoning as [[shingleSigSets]]).
+    // Docs with zero tokens carry no signature (mirrors the exploded
+    // formulation where they produce no rows).
+    val sigs = spread(d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val tk = tokensOf(text)
+          if (tk.isEmpty) None
+          else {
+            val votes = new Array[Int](64)
+            tk.foreach { t =>
+              md.reset()
+              val dig = md.digest(
+                t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var k = 0
+              while (k < 4) {
+                val v = ((dig(2 * k) & 0xFF) << 8) | (dig(2 * k + 1) & 0xFF)
+                var i = 0
+                while (i < 16) {
+                  if (((v >> i) & 1) == 1) votes(16 * k + i) += 1
+                  else votes(16 * k + i) -= 1
+                  i += 1
+                }
+                k += 1
+              }
+            }
+            val c = new Array[Int](4)
+            var b = 0
+            while (b < 64) {
+              if (votes(b) > 0) c(b / 16) |= 1 << (b % 16)
+              b += 1
+            }
+            Some((id, c(0), c(1), c(2), c(3)))
+          }
+        }
+      }
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+    // pigeonhole banding: hamming ≤ 3 over 64 bits ⇒ ≥ 1 of the 4
+    // chunks is identical — bucket-join on (chunk idx, chunk value)
+    val chunks = sigs.select(col("doc_id"), col("c0"), col("c1"),
+      col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("ck", "cv")))
+    val ham = (0 until 4).map(k =>
+        bit_count(col(s"a.c$k").bitwiseXOR(col(s"b.c$k"))))
+      .reduce(_ + _).cast("long")
     chunks.as("a")
       .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+        col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
-          .as("hamming"))
+        ham.as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("ida"), col("idb"))

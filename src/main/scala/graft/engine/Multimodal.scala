@@ -18,11 +18,14 @@ case class MediaRecord(
     payload: Array[Byte],
     meta: MediaMeta)
 
-/** Feature row produced by the (stubbed) decoder. */
+/** Feature row produced by the (stubbed) decoder. `byte_sum` is kept
+  * alongside the derived `byte_mean` so downstream aggregates can stay
+  * in exact integer arithmetic. */
 case class MediaFeatures(
     doc_id: Long,
     media_type: String,
     n_bytes: Long,
+    byte_sum: Long,
     byte_mean: Double,
     histogram: Array[Long])
 
@@ -87,7 +90,7 @@ object Multimodal {
           sum += b
           i += 1
         }
-        MediaFeatures(r.doc_id, r.media_type, p.length.toLong,
+        MediaFeatures(r.doc_id, r.media_type, p.length.toLong, sum,
           if (p.length == 0) 0.0 else sum.toDouble / p.length, hist)
       }
     }
@@ -142,15 +145,25 @@ object Multimodal {
 
   /** Feature extraction through the decode stub: typed Dataset →
     * mapPartitions → features, then a relational tail (per-media-type
-    * aggregate) to prove the seam composes with Catalyst. */
+    * aggregate) to prove the seam composes with Catalyst. All
+    * aggregates are exact integers (plus one exact-integer-ratio
+    * double), so the result hash-matches a DuckDB oracle that
+    * recomputes byte stats with `ord()` over the (pure-ASCII)
+    * payloads. */
   def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = mediaFromDocuments(spark, sfDir).as[MediaRecord]
+    val histCols = (0 until 16).map(i =>
+      sum(element_at(col("histogram"), i + 1)).as(s"h$i"))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(col("n_bytes")).as("total_bytes"),
+      sum(col("byte_sum")).as("sum_bytes"),
+      (sum(col("byte_sum")).cast("double") / sum(col("n_bytes")))
+        .as("mean_byte")) ++ histCols
     decodeStub(media).toDF()
       .groupBy(col("media_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("n_bytes")).as("total_bytes"),
-        Relational.dsum(col("byte_mean")).as("sum_byte_mean"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("media_type"))
   }
 }

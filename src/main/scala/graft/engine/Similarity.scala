@@ -98,15 +98,16 @@ object Similarity {
     * projection is a single codegen'd native dot product instead of
     * an interpreted per-element lambda — reproducible across runs and
     * cluster sizes (pure function of (j, d)). */
-  private def plane(j: Int, dim: Int): Column = {
+  private[graft] def planeVals(j: Int, dim: Int): IndexedSeq[Double] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val comps = (0 until dim).map { d =>
+    (0 until dim).map { d =>
       val h = XxHash64(Seq(Literal(j), Literal(d)), 42L).eval(null)
         .asInstanceOf[Long]
       (((h % 2001L) + 2001L) % 2001L - 1000L).toDouble / 1000.0
     }
-    typedLit(comps)
   }
+
+  private def plane(j: Int, dim: Int): Column = typedLit(planeVals(j, dim))
 
   /** Signed random-projection signature of `bits` hyperplanes
     * [firstPlane, firstPlane+bits) for `dim`-dimensional vectors. */
@@ -122,9 +123,12 @@ object Similarity {
     * its bucket in every table, candidates are unioned (distinct) and
     * exact cosine ranks them (top-3 per query, queries = vec_id < 50).
     * Multiple small tables trade signature selectivity for recall —
-    * the standard knob. Approximate by construction → rows-only check
-    * + unit test; the point is the plan shape: a shuffle keyed by
-    * signature instead of an O(n²) scan per query. */
+    * the standard knob. Approximate w.r.t. true nearest neighbors but
+    * fully DETERMINISTIC given the literal hyperplanes — the oracle
+    * SQL embeds the same plane values and reproduces the signatures,
+    * so even this approximate operator hash-checks exactly. The plan
+    * shape is the point: a shuffle keyed by signature instead of an
+    * O(n²) scan per query. */
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val bits = 8
     val tables = 4
