@@ -51,6 +51,11 @@ object SparkEntry {
     "q_set_ops" -> Relational.qSetOps _,
     "q_union" -> Relational.qUnion _,
     "q_case_buckets" -> Relational.qCaseBuckets _,
+    "q_pivot" -> Relational.qPivot _,
+    "q_grouping_sets" -> Relational.qGroupingSets _,
+    "q_range_join" -> Relational.qRangeJoin _,
+    "q_approx_err" -> Relational.qApproxErr _,
+    "q_token_hist" -> TextOps.qTokenHist _,
     // §2.9 north-star: text analysis
     "q_text_stats" -> TextOps.qTextStats _,
     "q_lang_id" -> TextOps.qLangId _,
@@ -61,6 +66,7 @@ object SparkEntry {
     "q_dedup_exact" -> Dedup.qDedupExact _,
     "q_jaccard_pairs" -> Dedup.qJaccardPairs _,
     "q_dedup_minhash" -> Dedup.qDedupMinhash _,
+    "q_dedup_clusters" -> Dedup.qDedupClusters _,
     "q_simhash_pairs" -> Dedup.qSimhashPairs _,
     // §2.9 north-star: embedding similarity
     "q_cosine_topk" -> Similarity.qCosineTopK _,
@@ -87,8 +93,10 @@ object SparkEntry {
       |             ELSE CAST(len(list_filter(tk, x -> list_contains(['the','a','an','and','or','of','to','in','is','that'], x))) AS DOUBLE) / len(tk) END) * 5.0, 1.0) * 0.4
       |    + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
       |                    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) END) * 10.0, 1.0)) * 0.2""".stripMargin
-  private val duckShingleCte =
-    s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+  /** Shared CTE chain ending in the verified J ≥ 0.8 near-dup `pairs`
+    * — consumed by the pair queries and the recursive clusters oracle. */
+  private val duckShingleBody =
+    s"""t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
        |s AS (SELECT doc_id, list_distinct(list_transform(
        |        range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
        |      FROM t WHERE len(tk) >= 3),
@@ -96,14 +104,29 @@ object SparkEntry {
        |sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
        |common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
        |           FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |           GROUP BY 1, 2)
-       |SELECT ida, idb,
-       |  CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
-       |FROM common
-       |JOIN sizes na ON na.doc_id = ida
-       |JOIN sizes nb ON nb.doc_id = idb
-       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
+       |           GROUP BY 1, 2),
+       |pairs AS (SELECT ida, idb,
+       |            CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+       |          FROM common
+       |          JOIN sizes na ON na.doc_id = ida
+       |          JOIN sizes nb ON nb.doc_id = idb
+       |          WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8)""".stripMargin
+  private val duckShingleCte =
+    s"""WITH $duckShingleBody
+       |SELECT ida, idb, jaccard FROM pairs
        |ORDER BY ida, idb""".stripMargin
+  /** Connected components of the near-dup graph by transitive closure
+    * (min reachable id = the component label). */
+  private val duckClusters =
+    s"""WITH RECURSIVE $duckShingleBody,
+       |und AS (SELECT ida AS a, idb AS b FROM pairs
+       |        UNION ALL SELECT idb, ida FROM pairs),
+       |reach(a, b) AS (SELECT DISTINCT a, a FROM und
+       |                UNION
+       |                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT a AS doc_id, MIN(b) AS cluster_id
+       |FROM reach GROUP BY a
+       |ORDER BY doc_id""".stripMargin
 
   /** SimHash oracle: rebuild the 4 × 16-bit chunk signatures from
     * substrings of md5(token) — the exact hash the Spark side uses
@@ -510,6 +533,46 @@ object SparkEntry {
         |GROUP BY fp
         |ORDER BY keep_id""".stripMargin,
     "q_jaccard_pairs" -> duckShingleCte,
+    "q_dedup_clusters" -> duckClusters,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_shipped,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_approx_err" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  true AS within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_token_hist" ->
+      s"""WITH t AS (SELECT len($duckTokens) AS ntk FROM documents)
+        |SELECT CAST(ntk // 50 * 50 AS BIGINT) AS bin_lo, COUNT(*) AS n_docs
+        |FROM t
+        |GROUP BY 1
+        |ORDER BY bin_lo""".stripMargin,
     // MinHash+LSH candidates are exact-verified, and at the J>=0.8
     // output threshold the 32x2 banding misses a pair with
     // P <= (1-0.64)^32 ~= 5e-15 — so the oracle is the same exact

@@ -223,7 +223,12 @@ object Dedup {
     * P ≈ 5e-15, see object doc; hash collisions P ≈ n²/2⁶⁴) while
     * scaling as O(docs × 32) join rows instead of the inverted
     * index's Σ df². */
-  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir).orderBy(col("ida"), col("idb"))
+
+  /** The verified near-dup pair set (unordered) — shared by
+    * [[qDedupMinhash]] and the clustering pass [[qDedupClusters]]. */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 64
     val bands = 32 // × 2 rows
     val d = Tables(spark, sfDir, "documents")
@@ -263,15 +268,62 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** Near-dup CLUSTERS: connected components over the verified
+    * MinHash pair graph, every member labeled with its component's
+    * min doc_id — the canonical "keep one per duplicate cluster"
+    * step after pairwise detection (pairs alone under-dedup when
+    * A~B, B~C but A≁C).
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * vertex takes the min of its own and its neighbors' labels,
+    * until a fixpoint. Scale reasoning: the edge set (near-dup
+    * pairs) is orders of magnitude smaller than the corpus, each
+    * round is one shuffle keyed by vertex over that edge set, and
+    * rounds are bounded by the component diameter (near-dup clusters
+    * are small and dense — a handful of rounds; hard cap 50).
+    * Convergence is detected driver-side via the monotone label-sum
+    * invariant: Σ labels strictly decreases every non-final round.
+    * Intermediates are localCheckpoint'ed so the plan never grows
+    * with the iteration count (the standard iterative-DataFrame
+    * pattern; GraphX/GraphFrames do the same under the hood). */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = minhashPairs(spark, sfDir).select(col("ida"), col("idb"))
+    val edges = pairs
+      .union(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < 50) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("label"))).first().getLong(0)
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
-    * Signature bit i = sign of Σ_tokens (bit i of xxhash64(token) ?
-    * +1 : −1). Candidates via 4×16-bit chunk equality (pigeonhole
-    * guarantees recall for hamming ≤ 3), verified with
-    * bit_count(xor). Hash-function-dependent → no SQL oracle
-    * (rows-only check); unit-tested instead. */
+    * Signature bit b = sign of Σ_tokens (bit b of md5(token)'s leading
+    * 8 bytes ? +1 : −1). Candidates via 4×16-bit chunk equality
+    * (pigeonhole guarantees recall for hamming ≤ 3), verified with
+    * bit_count(xor). md5 is computable in both engines, so the oracle
+    * rebuilds the identical signatures → hash-checked. */
   def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = Tables(spark, sfDir, "documents")

@@ -406,4 +406,80 @@ object Relational {
         count(when(col("o_orderstatus") === "O", 1)).as("n_open"))
       .orderBy(col("bucket"))
   }
+
+  /** Pivot (wide conditional aggregation): order counts per priority,
+    * one column per order status. Explicit pivot values keep the
+    * schema static — at scale an unpinned pivot needs an extra pass
+    * just to discover column names. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Explicit GROUPING SETS — the general form behind rollup/cube:
+    * per-returnflag, per-linestatus, and grand-total rows in one
+    * pass (Spark expands to a single Expand + one hash agg, not
+    * three scans). */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** Range (interval) join WITHOUT the nested-loop trap: orders from
+    * 1995-01 joined to lineitems shipped within the following 7 days.
+    * A naive `l_shipdate BETWEEN o_orderdate AND o_orderdate+7` is a
+    * broadcast-nested-loop at scale; instead both sides are mapped to
+    * 7-day-wide time buckets (the probe side to the ≤ 2 buckets its
+    * window overlaps), equi-joined on the bucket — a plain shuffled
+    * hash join — and the exact range predicate applied as a residual
+    * filter. Cost scales with rows-per-bucket, not |A|×|B|. */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val width = 7L // days, = the window length
+    val oday = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val lday = datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+    val o = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+      .select(col("o_orderkey"), oday.as("od"))
+      .withColumn("bucket", explode(array_distinct(array(
+        floor(col("od") / width), floor((col("od") + width - 1) / width)))))
+    val l = Tables(spark, sfDir, "lineitem")
+      .select(col("l_quantity"), lday.as("ld"))
+      .withColumn("bucket", floor(col("ld") / width))
+    o.join(l, "bucket")
+      .filter(col("ld") >= col("od") && col("ld") < col("od") + width)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Property-check for the HLL++ sketch: the approx distinct count
+    * must land within 5% of the exact count per group. The sketch
+    * estimate itself is implementation-defined (q_approx_distinct is
+    * rows-only-checked), but this bound IS cross-engine-checkable —
+    * the oracle asserts `true` from the exact side. */
+  def qApproxErr(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+        approx_count_distinct(col("l_partkey")).as("appx"))
+      .select(col("l_returnflag"), col("nd_parts"),
+        (abs(col("appx") - col("nd_parts")) <=
+          col("nd_parts") * 0.05).as("within_5pct"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -216,4 +216,17 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(100)
   }
+
+  /** Token-count histogram: documents bucketed by 50-token-wide bins
+    * — the length-distribution profile every training-data pipeline
+    * runs before choosing sequence-length / packing parameters. One
+    * narrow projection + one tiny agg. */
+  def qTokenHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    d.select(floor(tokenCount(col("text")) / 50).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select((col("bin") * 50).as("bin_lo"), col("n_docs"))
+      .orderBy(col("bin_lo"))
+  }
 }

@@ -36,6 +36,30 @@ class DedupSpec extends SparkSpec {
     assert(hits > 0)
   }
 
+  test("clusters: min-label components equal transitive closure of pairs") {
+    val pairs = Dedup.minhashPairs(spark, sf0001)
+      .select("ida", "idb").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty)
+    // reference closure via union-find on the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => (v, find(v))).sorted
+    val got = Dedup.qDedupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    // at least one cluster must be larger than a single pair for the
+    // transitivity to be exercised
+    assert(expected.groupBy(_._2).values.exists(_.size >= 2))
+  }
+
   test("exact dedup groups by canonical fingerprint") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")

@@ -49,4 +49,28 @@ class ScaleSpec extends SparkSpec {
     val plan = salted.queryExecution.executedPlan.toString
     assert(plan.contains("__salt"))
   }
+
+  test("bucketed range join equals naive non-equi join, plans no nested loop") {
+    val bucketed = graft.engine.Relational.qRangeJoin(spark, sf0001)
+    // reference: the naive theta join Spark executes as nested-loop
+    val o = Tables(spark, sf0001, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+    val l = Tables(spark, sf0001, "lineitem")
+    val naive = o.join(l,
+        col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"))
+      .orderBy(col("o_orderkey"))
+      .as[(Long, Long)].collect().toSeq
+    val got = bucketed.select("o_orderkey", "n_shipped")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == naive)
+    assert(got.nonEmpty)
+    // the point of the rewrite: an equi-join (hash/sort-merge), not
+    // BroadcastNestedLoopJoin
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop survived:\n$plan")
+  }
 }
