@@ -63,6 +63,43 @@ object StreamingOps {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("uuid"), col("n"))
 
+  /** Streaming exact dedup: first occurrence per uuid wins, with
+    * state bounded by the watermark — `dropDuplicatesWithinWatermark`
+    * evicts a key's dedup state once the watermark passes its event
+    * time + delay, so state is O(keys per watermark horizon), not
+    * O(stream history). The streaming twin of [[Dedup.qDedupExact]]:
+    * at 100 TB/day ingest this is the dedup that runs ON the stream,
+    * with the batch MinHash/cluster passes downstream. */
+  def dedupStream(parsed: DataFrame,
+      watermarkDelay: String = "5 seconds"): DataFrame =
+    parsed
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("timestamp")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("uuid")
+
+  /** Stream–stream inner join: impressions ⋈ clicks on uuid with the
+    * click constrained to [impression, impression + window]. BOTH
+    * sides are watermarked and the join condition bounds event-time
+    * distance, so each side's buffered state is evicted as the
+    * watermark advances — the only join shape that runs unbounded
+    * streams with bounded state. */
+  def impressionClickJoin(impressions: DataFrame, clicks: DataFrame,
+      window: String = "1 minute"): DataFrame = {
+    val imp = impressions
+      .withColumn("imp_time", TimeOps.eventTimeFromMillis(col("timestamp")))
+      .select(col("uuid"), col("ad_type"), col("imp_time"))
+      .withWatermark("imp_time", "5 seconds")
+    val clk = clicks
+      .withColumn("clk_time", TimeOps.eventTimeFromMillis(col("timestamp")))
+      .select(col("uuid").as("c_uuid"), col("clk_time"))
+      .withWatermark("clk_time", "5 seconds")
+    imp.join(clk,
+      col("uuid") === col("c_uuid") &&
+        col("clk_time") >= col("imp_time") &&
+        col("clk_time") <= col("imp_time") + expr(s"INTERVAL $window"))
+      .select(col("uuid"), col("ad_type"), col("imp_time"), col("clk_time"))
+  }
+
   /** Arbitrary keyed state: sessionization with an event-time timeout.
     * Per uuid, accumulate (count, min ts, max ts); when the watermark
     * passes last-seen + gap, the session closes and one summary row is

@@ -87,6 +87,35 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup keeps first occurrence, bounded by watermark") {
+    val in = writeInput(Seq(
+      rec("a", T0 + 1000, 1), rec("a", T0 + 2000, 2), // dup uuid within horizon
+      rec("b", T0 + 3000, 3),
+      rec("zz", T0 + 10 * 60000)))
+    val out = runToMemory(
+      StreamingOps.dedupStream(
+        Ingest.parseLenient(Ingest.fileRaw(spark, in))), "dedup_stream")
+      .filter($"uuid".isin("a", "b"))
+      .select("uuid").as[String].collect().toSeq.sorted
+    assert(out == Seq("a", "b")) // the second "a" was dropped
+  }
+
+  test("stream-stream join buffers within the event-time window only") {
+    val impDir = writeInput(Seq(
+      rec("i1", T0, 1), rec("i2", T0 + 5000, 2),
+      rec("zz", T0 + 10 * 60000)))
+    val clkDir = writeInput(Seq(
+      rec("i1", T0 + 30000),           // within 1 min of i1 → joins
+      rec("i2", T0 + 300000),          // 5 min after i2 → outside window
+      rec("zz", T0 + 20 * 60000)))
+    val joined = StreamingOps.impressionClickJoin(
+      Ingest.parseLenient(Ingest.fileRaw(spark, impDir)),
+      Ingest.parseLenient(Ingest.fileRaw(spark, clkDir)))
+    val out = runToMemory(joined, "imp_clk")
+      .select("uuid", "ad_type").as[(String, Int)].collect().toSet
+    assert(out == Set(("i1", 1)))
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     val in = writeInput(Seq(
       rec("u1", T0), rec("u1", T0 + 10000),     // session span 10s
