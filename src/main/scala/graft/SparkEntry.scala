@@ -72,6 +72,7 @@ object SparkEntry {
     "q_cosine_topk" -> Similarity.qCosineTopK _,
     "q_embed_neardup" -> Similarity.qEmbedNearDup _,
     "q_ann_lsh" -> Similarity.qAnnLsh _,
+    "q_ann_ivf" -> Similarity.qAnnIvf _,
     // §2.9 north-star: multimodal binary columns
     "q_media_meta" -> Multimodal.qMediaMeta _,
     "q_media_frames" -> Multimodal.qMediaFrames _,
@@ -567,6 +568,39 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // IVF ANN: centroids = first 16 corpus vectors, inner-product
+    // assignment, nprobe=2, exact cosine re-rank — all expressible on
+    // bit-identical list_inner_product, so cells and ranks reproduce.
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |a AS (SELECT e.vec_id, c.cid,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_inner_product(e.v, c.cv) DESC, c.cid) AS rn
+        |      FROM e CROSS JOIN c),
+        |assign AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+        |p AS (SELECT e.vec_id AS qid, c.cid,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_inner_product(e.v, c.cv) DESC, c.cid) AS rn
+        |      FROM e CROSS JOIN c WHERE e.vec_id < 50),
+        |probes AS (SELECT qid, cid FROM p WHERE rn <= 2),
+        |cand AS (SELECT qid, a2.vec_id AS nid
+        |         FROM probes JOIN assign a2 USING (cid)
+        |         WHERE a2.vec_id <> qid),
+        |s AS (SELECT qid, nid,
+        |        list_inner_product(eq.v, en.v)
+        |          / (sqrt(list_inner_product(eq.v, eq.v))
+        |             * sqrt(list_inner_product(en.v, en.v))) AS score
+        |      FROM cand
+        |      JOIN e eq ON eq.vec_id = qid
+        |      JOIN e en ON en.vec_id = nid),
+        |r AS (SELECT qid, nid, score,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY score DESC, nid) AS rank
+        |      FROM s)
+        |SELECT qid, nid, rank, score FROM r
+        |WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin,
     "q_token_hist" ->
       s"""WITH t AS (SELECT len($duckTokens) AS ntk FROM documents)
         |SELECT CAST(ntk // 50 * 50 AS BIGINT) AS bin_lo, COUNT(*) AS n_docs

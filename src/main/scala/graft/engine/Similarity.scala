@@ -129,6 +129,51 @@ object Similarity {
     * so even this approximate operator hash-checks exactly. The plan
     * shape is the point: a shuffle keyed by signature instead of an
     * O(n²) scan per query. */
+  /** ANN top-k via IVF (inverted-file) coarse quantization, the other
+    * standard scale path next to LSH: every corpus vector is assigned
+    * to its best inner-product centroid cell, queries probe their
+    * `nprobe` = 2 best cells, and exact cosine ranks the union. The
+    * quantizer here is seeded deterministically with the first K = 16
+    * corpus vectors (production would k-means a sample offline — the
+    * cell-assignment/probe dataflow is identical). Centroids are tiny
+    * → broadcast; the corpus-side argmax is a narrow broadcast join +
+    * per-vector window, and candidate generation is an equi-join on
+    * cell id — never an O(n²) scan. Inner-product assignment keeps
+    * every score a sequential double dot product, so the oracle
+    * reproduces cells, probes, and ranks bit-exactly. */
+  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 16
+    val nprobe = 2
+    val e = corpus(spark, sfDir)
+    val cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val byIp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ip").desc, col("cid"))
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cid"),
+        dot(col("v"), col("cv")).as("ip"))
+      .withColumn("rn", row_number().over(byIp))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val probes = e.filter(col("vec_id") < 50).join(broadcast(cent))
+      .select(col("vec_id"), col("v").as("qv"), col("cid"),
+        dot(col("v"), col("cv")).as("ip"))
+      .withColumn("rn", row_number().over(byIp))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("qv"), col("cid"))
+    // each corpus vector lives in exactly one cell → (qid, nid) unique
+    val cand = probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qv"), col("v")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val bits = 8
     val tables = 4

@@ -51,4 +51,29 @@ class SimilaritySpec extends SparkSpec {
       .map(t => (t._1, t._2) -> t._3).toMap
     ann.foreach { case (q, n, s) => assert(s == joined((q, n))) }
   }
+
+  test("ANN/IVF: one cell per vector, sane ranks, recall vs brute force") {
+    val ivf = Similarity.qAnnIvf(spark, sf0001)
+      .select("qid", "nid", "rank", "score")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // per query: ranks are 1..n with scores non-increasing
+    ivf.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall(w =>
+        w.length < 2 || w(0)._4 >= w(1)._4))
+      assert(rows.forall(r => r._2 != r._1)) // self excluded
+    }
+    // nprobe=2 of 16 cells must still recover a decent share of the
+    // true top-3 (embeddings testdata has planted near-dup clusters)
+    val exact = Similarity.qCosineTopK(spark, sf0001)
+      .filter(col("rank") <= 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivfPairs = ivf.map(t => (t._1, t._2)).toSet
+    val qids = exact.map(_._1)
+    val hits = exact.count(ivfPairs.contains)
+    assert(qids.nonEmpty && hits.toDouble / exact.size >= 0.3,
+      s"recall too low: $hits/${exact.size}")
+  }
 }
