@@ -27,7 +27,10 @@ object Bench {
     "q_term_freq",        // explode + agg (text)
     "q_fingerprint",      // per-doc hashing (text)
     "q_dedup_minhash",    // MinHash+LSH + verify (dedup)
+    "q_dedup_clusters",   // iterative graph (connected components)
+    "q_range_join",       // non-equi join via bucketed equi-join
     "q_cosine_topk",      // brute-force similarity
+    "q_ann_ivf",          // cell-probe ANN
     "q_media_meta")       // binary column projection
 
   def main(args: Array[String]): Unit = {
