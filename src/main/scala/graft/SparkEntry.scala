@@ -43,6 +43,7 @@ object SparkEntry {
     "q_window_rank" -> Relational.qWindowRank _,
     "q_window_running" -> Relational.qWindowRunning _,
     "q_window_lag_lead" -> Relational.qWindowLagLead _,
+    "q_window_range" -> Relational.qWindowRange _,
     // §2.6 sort / limit / set ops
     "q_percentiles" -> Relational.qPercentiles _,
     "q_sessionize_batch" -> Relational.qSessionizeBatch _,
@@ -390,6 +391,16 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS od,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY epoch_us(o_orderdate) // 86400000000
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rev_30d
+        |FROM orders
+        |ORDER BY o_custkey, od, o_orderkey""".stripMargin,
     "q_asof_join" ->
       """WITH o AS (SELECT o_custkey AS k,
         |             epoch_us(o_orderdate) // 1000000 AS t,

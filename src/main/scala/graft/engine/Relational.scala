@@ -467,6 +467,27 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** RANGE-frame window: per customer, revenue in the trailing 30-day
+    * window of each order — frame membership by VALUE distance
+    * (RANGE), not row count (the complement of qWindowRunning's ROWS
+    * frame). One shuffle on the partition key; the frame scan is a
+    * sliding pointer over each sorted partition. */
+  def qWindowRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("od"))
+      .rangeBetween(-29, org.apache.spark.sql.expressions.Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        day.cast("long").as("od"))
+      .withColumn("rev_30d",
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("od"),
+        col("rev_30d"))
+      .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
+  }
+
   /** Property-check for the HLL++ sketch: the approx distinct count
     * must land within 5% of the exact count per group. The sketch
     * estimate itself is implementation-defined (q_approx_distinct is

@@ -97,4 +97,27 @@ class SinksSpec extends SparkSpec {
     val back = spark.read.text(out).collect().map(_.getString(0)).toSet
     assert(back == lines.toSet)
   }
+
+  test("compaction: many small files -> few, identical rows") {
+    import spark.implicits._
+    val part = tmpDir("compact") + "/logday=2021-04-13"
+    // 20 single-row files, as a minute-level streaming trigger leaves
+    (0 until 20).foreach { i =>
+      Seq((i.toLong, s"u$i")).toDF("id", "uuid")
+        .write.mode("append").parquet(part)
+    }
+    val before = spark.read.parquet(part)
+      .as[(Long, String)].collect().toSet
+    val nBefore = new java.io.File(part).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(nBefore >= 20)
+    val (b, a) = Sinks.compactPartition(spark, part)
+    assert(b == nBefore && a == 1) // tiny total → one 128MB-target file
+    val after = spark.read.parquet(part)
+      .as[(Long, String)].collect().toSet
+    assert(after == before)
+    // leftovers cleaned up
+    val parent = new java.io.File(part).getParentFile
+    assert(!parent.listFiles().exists(_.getName.startsWith(".compact_")))
+  }
 }
