@@ -57,6 +57,7 @@ object SparkEntry {
     "q_range_join" -> Relational.qRangeJoin _,
     "q_approx_err" -> Relational.qApproxErr _,
     "q_token_hist" -> TextOps.qTokenHist _,
+    "q_pack_sequences" -> TextOps.qPackSequences _,
     // §2.9 north-star: text analysis
     "q_text_stats" -> TextOps.qTextStats _,
     "q_lang_id" -> TextOps.qLangId _,
@@ -612,6 +613,16 @@ object SparkEntry {
         |SELECT qid, nid, rank, score FROM r
         |WHERE rank <= 3
         |ORDER BY qid, rank""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, len($duckTokens) AS ntk FROM documents),
+        |c AS (SELECT doc_id, CAST(ntk AS BIGINT) AS ntk,
+        |        CAST(SUM(ntk) OVER (ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        |      FROM t)
+        |SELECT doc_id, ntk, end_off - ntk AS start_off,
+        |  (end_off - ntk) // 512 AS seq_id
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
     "q_token_hist" ->
       s"""WITH t AS (SELECT len($duckTokens) AS ntk FROM documents)
         |SELECT CAST(ntk // 50 * 50 AS BIGINT) AS bin_lo, COUNT(*) AS n_docs

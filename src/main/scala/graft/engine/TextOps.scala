@@ -217,6 +217,29 @@ object TextOps {
       .limit(100)
   }
 
+  /** Sequence packing: assign documents (in doc_id order) to
+    * fixed-budget training sequences of 512 tokens — each doc's bin is
+    * determined by the token offset where it starts, i.e. contiguous
+    * greedy packing. The whole op is one global sort + running sum
+    * (same machinery as qWindowRunning), entirely integer arithmetic.
+    * At 100 TB the global ordering would be a range-partitioned sort —
+    * Spark's default for window-over-everything; in practice packing
+    * runs per shard (partitionBy(shard) in the window) and stays
+    * shuffle-local. Docs longer than the budget occupy ⌈n/512⌉ bins
+    * alone (offset math handles them with no special case). */
+  def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntk"))
+      .withColumn("end_off", sum(col("ntk")).over(w))
+      .select(col("doc_id"), col("ntk"),
+        (col("end_off") - col("ntk")).as("start_off"),
+        floor((col("end_off") - col("ntk")) / 512).as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-count histogram: documents bucketed by 50-token-wide bins
     * — the length-distribution profile every training-data pipeline
     * runs before choosing sequence-length / packing parameters. One
