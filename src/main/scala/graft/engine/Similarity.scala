@@ -145,24 +145,29 @@ object Similarity {
     val k = 16
     val nprobe = 2
     val e = corpus(spark, sfDir)
+    // The coarse quantizer is driver-resident, as in any real IVF
+    // index (k centroids ≪ corpus; production k-means them offline).
+    // Collecting them lets cell assignment be a PER-ROW codegen'd
+    // argmax over literal vectors — the corpus never shuffles and no
+    // window is involved, vs. the join+window formulation which
+    // exchanges |corpus|×k rows twice. Ties break to the lowest cid
+    // via the negated-cid struct field (struct max = lexicographic).
     val cent = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val byIp = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ip").desc, col("cid"))
-    val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cid"),
-        dot(col("v"), col("cv")).as("ip"))
-      .withColumn("rn", row_number().over(byIp))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
-    val probes = e.filter(col("vec_id") < 50).join(broadcast(cent))
-      .select(col("vec_id"), col("v").as("qv"), col("cid"),
-        dot(col("v"), col("cv")).as("ip"))
-      .withColumn("rn", row_number().over(byIp))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("qid"), col("qv"), col("cid"))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1)
+    val cells = array(cent.map { case (cid, cv) =>
+      struct(dot(col("v"), typedLit(cv)).as("ip"), lit(-cid).as("ncid"))
+    }: _*)
+    val assigned = e.select(col("vec_id"), col("v"),
+      (-array_max(cells).getField("ncid")).as("cid"))
+    val top2 = slice(reverse(sort_array(cells)), 1, nprobe)
+    val probes = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(top2).as("pc"))
+      .select(col("qid"), col("qv"), (-col("pc.ncid")).as("cid"))
     // each corpus vector lives in exactly one cell → (qid, nid) unique
-    val cand = probes.join(assigned, "cid")
+    val cand = broadcast(probes).join(assigned, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v")).as("score"))
