@@ -69,6 +69,9 @@ object SparkEntry {
     "q_jaccard_pairs" -> Dedup.qJaccardPairs _,
     "q_dedup_minhash" -> Dedup.qDedupMinhash _,
     "q_dedup_clusters" -> Dedup.qDedupClusters _,
+    "q_dedup_keep" -> Dedup.qDedupKeep _,
+    "q_contamination" -> Dedup.qContamination _,
+    "q_curate" -> TextOps.qCurate _,
     "q_simhash_pairs" -> Dedup.qSimhashPairs _,
     // §2.9 north-star: embedding similarity
     "q_cosine_topk" -> Similarity.qCosineTopK _,
@@ -547,6 +550,40 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
     "q_jaccard_pairs" -> duckShingleCte,
     "q_dedup_clusters" -> duckClusters,
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $duckShingleBody,
+        |und AS (SELECT ida AS a, idb AS b FROM pairs
+        |        UNION ALL SELECT idb, ida FROM pairs),
+        |reach(a, b) AS (SELECT DISTINCT a, a FROM und
+        |                UNION
+        |                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+        |           FROM reach GROUP BY a)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN
+        |  (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+    // string shingles ≡ the Spark side's 64-bit shingle hashes up to
+    // vanishing collision probability (same argument as q_jaccard_pairs)
+    "q_contamination" ->
+      s"""WITH $duckShingleBody
+        |SELECT DISTINCT doc_id FROM idx
+        |WHERE doc_id >= 10
+        |  AND shingle IN (SELECT DISTINCT shingle FROM idx WHERE doc_id < 10)
+        |ORDER BY doc_id""".stripMargin,
+    "q_curate" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $duckTokens AS tk FROM documents),
+        |q AS (SELECT doc_id, source,
+        |$duckQuality
+        |    AS quality
+        |      FROM t),
+        |r AS (SELECT doc_id, source, quality,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY quality DESC, doc_id) AS rank
+        |      FROM q)
+        |SELECT doc_id, source, quality, rank FROM r
+        |WHERE rank <= 20
+        |ORDER BY source, rank""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,

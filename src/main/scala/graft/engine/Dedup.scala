@@ -318,6 +318,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The keep-list after clustering: every document except
+    * non-representative near-dup cluster members (the cluster's min
+    * doc_id is the kept representative). A left-anti join of the
+    * corpus against the drop set — the final materialization step of
+    * the dedup pipeline. */
+  def qDedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val drop = qDedupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    d.select(col("doc_id"), col("lang"), col("source"))
+      .join(drop, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing ANY
+    * word-3-gram with a benchmark set (here: doc_id < 10 stands in
+    * for the eval set; production loads the real benchmarks). The
+    * standard pre-training hygiene pass. Shape: the benchmark
+    * shingle set is tiny → broadcast left-semi join against the
+    * corpus shingle index — one narrow pass over the corpus,
+    * no O(n²) anything. */
+  def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val idx = shingleHashSets(d)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val bench = idx.filter(col("doc_id") < 10)
+      .select(col("shingle")).distinct()
+    idx.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
     * Signature bit b = sign of Σ_tokens (bit b of md5(token)'s leading
     * 8 bytes ? +1 : −1). Candidates via 4×16-bit chunk equality

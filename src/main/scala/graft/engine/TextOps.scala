@@ -175,6 +175,23 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source curation: the top 20 documents of each source by
+    * quality score (ties → lowest doc_id) — the quota/mixture step
+    * that balances sources before training. One shuffle on `source`,
+    * rank inside each partition; `WindowGroupLimit` keeps only 20
+    * rows per key on the map side before the shuffle. */
+  def qCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    d.select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("quality"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** TF-IDF top terms: per (doc, term) frequency joined with per-term
     * document frequency; score = tf · N/df (linear idf — exact
     * rational arithmetic, so the double is bit-identical across
