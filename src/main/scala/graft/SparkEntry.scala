@@ -56,6 +56,7 @@ object SparkEntry {
     "q_grouping_sets" -> Relational.qGroupingSets _,
     "q_range_join" -> Relational.qRangeJoin _,
     "q_approx_err" -> Relational.qApproxErr _,
+    "q_topk_grouped" -> Relational.qTopKGrouped _,
     "q_token_hist" -> TextOps.qTokenHist _,
     "q_pack_sequences" -> TextOps.qPackSequences _,
     // §2.9 north-star: text analysis
@@ -660,6 +661,14 @@ object SparkEntry {
         |  (end_off - ntk) // 512 AS seq_id
         |FROM c
         |ORDER BY doc_id""".stripMargin,
+    "q_topk_grouped" ->
+      """SELECT o_orderpriority, rank, o_totalprice, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
     "q_token_hist" ->
       s"""WITH t AS (SELECT len($duckTokens) AS ntk FROM documents)
         |SELECT CAST(ntk // 50 * 50 AS BIGINT) AS bin_lo, COUNT(*) AS n_docs

@@ -488,6 +488,30 @@ object Relational {
       .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
   }
 
+  /** Per-group top-k via the custom typed [[graft.functions.TopKAgg]]
+    * Aggregator (the UDAF surface): top-3 orders by price per
+    * priority. Unlike the `row_number().over(...)  <= k` formulation
+    * (qWindowRank), the aggregator's partial buffers cap at k
+    * elements per group per map task — shuffle volume O(groups × k)
+    * instead of every row, the right top-k at 100 TB. */
+  def qTopKGrouped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+    o.select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(3).toColumn.name("top"))
+      .toDF("o_orderpriority", "top")
+      .select(col("o_orderpriority"),
+        posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("o_orderpriority"),
+        (col("i") + 1).cast("long").as("rank"),
+        col("p._1").as("o_totalprice"),
+        col("p._2").as("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
   /** Property-check for the HLL++ sketch: the approx distinct count
     * must land within 5% of the exact count per group. The sketch
     * estimate itself is implementation-defined (q_approx_distinct is

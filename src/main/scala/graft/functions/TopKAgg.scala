@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator` computing the per-group top-k (score, id) pairs
+  * with a bounded buffer — the UDAF surface of the library, and the
+  * SCALABLE alternative to `row_number().over(window) <= k` when k is
+  * small: the window formulation shuffles and sorts every row of each
+  * group, while this aggregator's partial buffers carry at most k
+  * elements per group per map task, so the shuffle volume is
+  * O(groups × k), independent of group size.
+  *
+  * Determinism: ordering is (score DESC, id ASC) — ties keep the
+  * lowest id, and `merge` is associative/commutative over that total
+  * order, so results are partitioning-independent (required for an
+  * exact oracle).
+  *
+  * The buffer is a sorted List (insertion into ≤ k elements) — for
+  * the small k this targets (top-3/top-10/top-100) that beats heap
+  * bookkeeping and keeps the Encoder trivial.
+  */
+class TopKAgg(k: Int)
+    extends Aggregator[(Double, Long), List[(Double, Long)],
+      Seq[(Double, Long)]] {
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: List[(Double, Long)],
+      x: (Double, Long)): List[(Double, Long)] = {
+    val (ahead, behind) = buf.span(better(_, x))
+    val merged = ahead ::: x :: behind
+    if (merged.length > k) merged.init else merged
+  }
+
+  override def zero: List[(Double, Long)] = Nil
+
+  override def reduce(buf: List[(Double, Long)],
+      in: (Double, Long)): List[(Double, Long)] =
+    if (buf.length == k && better(buf.last, in)) buf else insert(buf, in)
+
+  override def merge(a: List[(Double, Long)],
+      b: List[(Double, Long)]): List[(Double, Long)] =
+    b.foldLeft(a)(reduce)
+
+  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[List[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.TopKAgg
+import org.apache.spark.sql.functions._
+
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopKAgg: bounded-buffer top-k equals the window formulation") {
+    val agg = Relationalish.windowTop3(spark, sf0001)
+    val got = graft.engine.Relational.qTopKGrouped(spark, sf0001)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(got == agg)
+    assert(got.nonEmpty)
+  }
+
+  test("TopKAgg: result is partitioning-independent and tie-stable") {
+    val in = Seq(
+      ("a", 5.0, 3L), ("a", 5.0, 1L), ("a", 5.0, 2L), ("a", 4.0, 9L),
+      ("b", 1.0, 1L))
+    // same rows, three different physical layouts
+    val layouts = Seq(
+      in.toDF("k", "score", "id"),
+      in.reverse.toDF("k", "score", "id").repartition(7),
+      in.toDF("k", "score", "id").repartition(1))
+    val results = layouts.map { df =>
+      df.as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(new TopKAgg(3).toColumn.name("top"))
+        .collect().toMap
+    }
+    assert(results.forall(_ == results.head))
+    // ties on score keep the LOWEST ids, in order
+    assert(results.head("a") == Seq((5.0, 1L), (5.0, 2L), (5.0, 3L)))
+  }
+}
+
+/** Window-formulation reference used by the equality test. */
+private object Relationalish {
+  def windowTop3(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[(String, Long, Double, Long)] = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    graft.engine.Tables(spark, sfDir, "orders")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_totalprice"),
+        col("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+      .as[(String, Long, Double, Long)].collect().toSeq
+  }
+}
