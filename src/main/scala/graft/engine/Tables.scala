@@ -63,6 +63,15 @@ object Tables {
       // native functions (SQL name graft_dot); cluster deployments can
       // instead set spark.sql.extensions=graft.functions.GraftExtensions
       graft.functions.GraftFunctions.register(spark)
+      // runtime twin of GraftExtensions' injectOptimizerRule: rewrite
+      // the interpreted HOF dot-product pattern to the native
+      // codegen'd DotProduct wherever it appears
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.RewriteDotProduct)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.plans.RewriteDotProduct
+      }
       tunedSessions.add(spark)
     }
   }

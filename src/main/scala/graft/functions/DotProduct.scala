@@ -96,11 +96,14 @@ object GraftFunctions {
 
 /** `SparkSessionExtensions` entry point — the deployment-time path:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * injects `graft_dot` into every session of the cluster. */
+  * injects `graft_dot` and the HOF→native dot-product optimizer rule
+  * into every session of the cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftFunctions.dotBuilder))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+  }
 }

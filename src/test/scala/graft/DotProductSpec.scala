@@ -40,6 +40,27 @@ class DotProductSpec extends SparkSpec {
     assert(v == 11.0)
   }
 
+  test("optimizer rule rewrites the HOF dot-product pattern to graft_dot") {
+    graft.engine.Tables.tune(spark) // installs RewriteDotProduct
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val hof = e.select(col("vec_id"),
+      Similarity.dotHof(col("v"), col("v")).as("d"))
+    // the interpreted aggregate(zip_with(...)) pattern is gone
+    val opt = hof.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_dot"), s"rewrite did not fire:\n$opt")
+    assert(!opt.contains("aggregate("), s"HOF survived:\n$opt")
+    // and results are bit-identical to the explicit native form
+    val native = e.select(col("vec_id"),
+      Similarity.dot(col("v"), col("v")).as("d"))
+    assert(hof.as[(Long, Double)].collect().toSeq ==
+      native.as[(Long, Double)].collect().toSeq)
+    // a non-matching variant (different zero) is left untouched
+    val other = e.select(aggregate(zip_with(col("v"), col("v"),
+      (x, y) => x * y), lit(1.0), (acc, x) => acc + x).as("d"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
   test("whole-stage codegen covers the native dot (no interpreted HOF)") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(Similarity.asDouble(col("embedding")).as("v"))
