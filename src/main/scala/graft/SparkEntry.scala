@@ -57,6 +57,7 @@ object SparkEntry {
     "q_range_join" -> Relational.qRangeJoin _,
     "q_approx_err" -> Relational.qApproxErr _,
     "q_topk_grouped" -> Relational.qTopKGrouped _,
+    "q_sql_correlated" -> Relational.qSqlCorrelated _,
     "q_token_hist" -> TextOps.qTokenHist _,
     "q_pack_sequences" -> TextOps.qPackSequences _,
     // §2.9 north-star: text analysis
@@ -661,6 +662,14 @@ object SparkEntry {
         |  (end_off - ntk) // 512 AS seq_id
         |FROM c
         |ORDER BY doc_id""".stripMargin,
+    "q_sql_correlated" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice >=
+        |  (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+        |          / COUNT(*) * 1.05
+        |   FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
     "q_topk_grouped" ->
       """SELECT o_orderpriority, rank, o_totalprice, o_orderkey FROM (
         |  SELECT o_orderpriority, o_totalprice, o_orderkey,

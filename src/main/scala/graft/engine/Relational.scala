@@ -488,6 +488,24 @@ object Relational {
       .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
   }
 
+  /** The SQL entry path end-to-end: temp views + `spark.sql` with a
+    * CORRELATED scalar subquery (parts priced ≥ 1.05× their brand's
+    * mean). Catalyst decorrelates this into the aggregate+join the
+    * DataFrame API would write by hand — registering it proves the
+    * library's tables work from plain SQL, the surface the
+    * reference's Flink-SQL job exposes (`Kafka2S3Hive.scala:62-129`). */
+  def qSqlCorrelated(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "part").createOrReplaceTempView("graft_part")
+    spark.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM graft_part p
+        |WHERE p_retailprice >=
+        |  (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+        |          / COUNT(*) * 1.05
+        |   FROM graft_part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   /** Per-group top-k via the custom typed [[graft.functions.TopKAgg]]
     * Aggregator (the UDAF surface): top-3 orders by price per
     * priority. Unlike the `row_number().over(...)  <= k` formulation
