@@ -60,6 +60,7 @@ object SparkEntry {
     "q_sql_correlated" -> Relational.qSqlCorrelated _,
     "q_token_hist" -> TextOps.qTokenHist _,
     "q_pack_sequences" -> TextOps.qPackSequences _,
+    "q_holdout_split" -> TextOps.qHoldoutSplit _,
     // §2.9 north-star: text analysis
     "q_text_stats" -> TextOps.qTextStats _,
     "q_lang_id" -> TextOps.qLangId _,
@@ -678,6 +679,21 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rank <= 3
         |ORDER BY o_orderpriority, rank""".stripMargin,
+    "q_holdout_split" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST(((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+        |            + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100
+        |          AS BIGINT) AS bucket
+        |      FROM h)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
     "q_token_hist" ->
       s"""WITH t AS (SELECT len($duckTokens) AS ntk FROM documents)
         |SELECT CAST(ntk // 50 * 50 AS BIGINT) AS bin_lo, COUNT(*) AS n_docs

@@ -257,6 +257,25 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic holdout split: train/val/test assignment by a hash
+    * of the document KEY (not position, not RNG) — md5(doc_id) mod
+    * 100 → 90/5/5. The standard reproducible split: membership is a
+    * pure function of the key, so it survives reshuffles, reruns,
+    * and incremental corpus growth; and being md5 it is reproducible
+    * by any other system (the DuckDB oracle recomputes it exactly).
+    * A narrow projection — no shuffle, no state. */
+  def qHoldoutSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int"), lit(100))
+    d.select(col("doc_id"), bucket.cast("long").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-count histogram: documents bucketed by 50-token-wide bins
     * — the length-distribution profile every training-data pipeline
     * runs before choosing sequence-length / packing parameters. One
