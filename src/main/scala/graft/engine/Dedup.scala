@@ -276,45 +276,69 @@ object Dedup {
     * step after pairwise detection (pairs alone under-dedup when
     * A~B, B~C but A≁C).
     *
-    * Algorithm: iterative min-label propagation — each round every
-    * vertex takes the min of its own and its neighbors' labels,
-    * until a fixpoint. Scale reasoning: the edge set (near-dup
-    * pairs) is orders of magnitude smaller than the corpus, each
-    * round is one shuffle keyed by vertex over that edge set, and
-    * rounds are bounded by the component diameter (near-dup clusters
-    * are small and dense — a handful of rounds; hard cap 50).
-    * Convergence is detected driver-side via the monotone label-sum
-    * invariant: Σ labels strictly decreases every non-final round.
-    * Intermediates are localCheckpoint'ed so the plan never grows
-    * with the iteration count (the standard iterative-DataFrame
-    * pattern; GraphX/GraphFrames do the same under the hood). */
+    * Hybrid execution, thresholded like a broadcast join: the heavy
+    * distributed work is the pair DETECTION; the resulting edge list
+    * is orders of magnitude smaller than the corpus. When it fits
+    * comfortably on the driver (≤ `driverEdgeLimit`, 1M edges ≈
+    * 16 MB) a single collect + union-find labels it exactly — one
+    * job instead of a convergence loop, the same judgment call
+    * Spark itself makes when it broadcasts a small join side.
+    * Larger graphs fall back to distributed min-label propagation:
+    * each round every vertex takes the min of its own and its
+    * neighbors' labels (one shuffle over the edge set per round,
+    * rounds bounded by component diameter, hard cap 50,
+    * localCheckpoint per round so the plan never grows, driver-side
+    * convergence via the monotone label-sum invariant). */
   def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val driverEdgeLimit = 1000000L
     val pairs = minhashPairs(spark, sfDir).select(col("ida"), col("idb"))
-    val edges = pairs
-      .union(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
-      .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
-    var iter = 0
-    var done = edges.isEmpty
-    while (!done && iter < 50) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val s = next.agg(sum(col("label"))).first().getLong(0)
-      labels = next
-      done = s == prevSum
-      prevSum = s
-      iter += 1
-    }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val nEdges = pairs.count()
+    val labeled: DataFrame =
+      if (nEdges <= driverEdgeLimit) {
+        val es = pairs.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val rows = es.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => (v, find(v))).toSeq
+        spark.createDataset(rows).toDF("id", "label")
+      } else {
+        val edges = pairs
+          .union(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+          .toDF("src", "dst")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var labels = edges.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("label"))
+          .localCheckpoint()
+        var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+        var iter = 0
+        var done = false
+        while (!done && iter < 50) {
+          val prop = edges.join(labels, edges("src") === labels("id"))
+            .select(col("dst").as("id"), col("label"))
+          val next = labels.union(prop)
+            .groupBy(col("id")).agg(min(col("label")).as("label"))
+            .localCheckpoint()
+          val s = next.agg(sum(col("label"))).first().getLong(0)
+          labels = next
+          done = s == prevSum
+          prevSum = s
+          iter += 1
+        }
+        edges.unpersist()
+        labels
+      }
+    pairs.unpersist()
+    labeled.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
 
