@@ -72,6 +72,34 @@ object Multimodal {
         (col("n_chars") * 100).cast("long").as("durationMs")).as("meta"))
   }
 
+  /** The real binary ingestion boundary: read a directory of media
+    * files as (path, modificationTime, length, content) via Spark's
+    * `binaryFile` source — one row per file, content as BinaryType,
+    * partition-parallel over files. `pathGlobFilter` restricts to a
+    * media extension; `mediaTypeOf` derives the type column the
+    * synthetic path fakes with doc_id arithmetic. Files above
+    * `spark.sql.sources.binaryFile.maxLength` fail fast rather than
+    * truncate — at 100 TB, media >~100 MB belongs out-of-line (a
+    * path column) exactly as the object-store pattern prescribes. */
+  def readBinaryDir(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"),
+        mediaTypeOf(col("path")).as("media_type"),
+        col("content").as("payload"))
+
+  /** File extension → media type ('other' fallback). */
+  def mediaTypeOf(path: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column = {
+    val ext = lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
+    when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), "image")
+      .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+      .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+      .otherwise("other")
+  }
+
   /** DECODE STUB — stands in for the codec call. Deterministic: a
     * 16-bin byte histogram + byte mean per payload, computed
     * partition-wise over the typed Dataset (the exact seam where a

@@ -34,6 +34,27 @@ class TopKAggSpec extends SparkSpec {
     // ties on score keep the LOWEST ids, in order
     assert(results.head("a") == Seq((5.0, 1L), (5.0, 2L), (5.0, 3L)))
   }
+
+  test("TopKAgg: merge is order-insensitive for random partitionings") {
+    // driver-level property: fold the same multiset through random
+    // partition splits/orders; every path must agree with sort-take
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(30)
+      val xs = Seq.fill(n)((rnd.nextInt(5).toDouble, rnd.nextInt(8).toLong))
+      val k = 1 + rnd.nextInt(4)
+      val agg = new TopKAgg(k)
+      val expected = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      val nParts = 1 + rnd.nextInt(4)
+      val parts = rnd.shuffle(xs).grouped(
+        math.max(1, (xs.size + nParts - 1) / nParts)).toSeq
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == expected,
+        s"xs=$xs k=$k parts=$parts")
+    }
+  }
 }
 
 /** Window-formulation reference used by the equality test. */
