@@ -61,6 +61,7 @@ object SparkEntry {
     "q_token_hist" -> TextOps.qTokenHist _,
     "q_pack_sequences" -> TextOps.qPackSequences _,
     "q_holdout_split" -> TextOps.qHoldoutSplit _,
+    "q_source_stats" -> TextOps.qSourceStats _,
     // §2.9 north-star: text analysis
     "q_text_stats" -> TextOps.qTextStats _,
     "q_lang_id" -> TextOps.qLangId _,
@@ -679,6 +680,22 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rank <= 3
         |ORDER BY o_orderpriority, rank""".stripMargin,
+    "q_source_stats" ->
+      s"""WITH t AS (SELECT source, text, $duckTokens AS tk FROM documents),
+        |p AS (SELECT source,
+        |        CAST(len(tk) AS BIGINT) AS ntk,
+        |        CAST(length(text) AS BIGINT) AS nch,
+        |$duckQuality
+        |    AS q
+        |      FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ntk) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(nch) AS BIGINT) AS total_chars,
+        |  MIN(q) AS min_quality,
+        |  MAX(q) AS max_quality
+        |FROM p
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q_holdout_split" ->
       """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
         |           FROM documents),

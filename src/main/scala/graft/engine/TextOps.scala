@@ -257,6 +257,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus report card: per-source document counts, token mass,
+    * char mass, and the quality range — the summary every
+    * mixture/quota decision starts from. One narrow scan + one tiny
+    * agg (map-side combined). Quality min/max rather than mean:
+    * min/max of doubles is aggregation-order-independent, so the
+    * result is partitioning-proof and hash-checks bit-exactly (a
+    * double mean would depend on summation order). */
+  def qSourceStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    d.select(col("source"),
+        tokenCount(col("text")).cast("long").as("ntk"),
+        length(col("text")).cast("long").as("nch"),
+        qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntk")).as("total_tokens"),
+        sum(col("nch")).as("total_chars"),
+        min(col("q")).as("min_quality"),
+        max(col("q")).as("max_quality"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic holdout split: train/val/test assignment by a hash
     * of the document KEY (not position, not RNG) — md5(doc_id) mod
     * 100 → 90/5/5. The standard reproducible split: membership is a
