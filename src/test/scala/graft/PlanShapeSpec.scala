@@ -1,0 +1,49 @@
+package graft
+
+import graft.engine.Relational
+
+/** Plan-shape guardrails: the scale-critical physical-plan properties
+  * SURVEY.md §8 documents, asserted so a refactor can't silently
+  * regress them. These are the properties that matter at 100 TB —
+  * pushdown reaching the scan, dims broadcasting, aggregation going
+  * partial, top-k avoiding a full sort. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: predicate pushdown and column pruning reach the parquet scan") {
+    val s = Relational.q2FilterPushdown(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(s).get.group(1)
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      pushed)
+    // projection pruned to the 4 selected + 2 filter columns
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(s).get.group(1)
+    assert(read.split(",").length <= 6, read)
+  }
+
+  test("q5: every dimension joins as broadcast, fact side never shuffles before the agg") {
+    val p = plan(Relational.q5LocalRevenue(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q1: aggregation is partial (map-side combine) then final") {
+    val p = plan(Relational.q1PricingSummary(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_topk: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.qTopK(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_window_rank: rank<=k prunes map-side via WindowGroupLimit") {
+    val p = plan(Relational.qWindowRank(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}
