@@ -175,6 +175,51 @@ object Dedup {
       .toDF("doc_id", "sh", "sig")
   }
 
+  /** Iterative union-find with two-pass path compression (a recursive
+    * `find` overflows the stack on long parent chains — up to
+    * `driverEdgeLimit` links is far past the default JVM stack).
+    * Returns vertex → component-min label. Shared with DedupSpec's
+    * reference implementation. */
+  private[graft] def unionFind(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var x = x0 // second pass: compress the chain onto the root
+      while (parent.getOrElse(x, x) != x) {
+        val nxt = parent(x); parent(x) = r; x = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => (v, find(v)))
+  }
+
+  /** Per-(session, sfDir) memo of the persisted LSH working set: the
+    * three dedup queries (minhash, clusters, keep) and repeated
+    * Profile/Verify invocations all reuse ONE cached DataFrame
+    * instead of registering a fresh CacheManager entry per call
+    * (which would accumulate for the session's lifetime). If an
+    * external `clearCache()` dropped the data, the same plan is
+    * re-persisted — still a single entry. */
+  private val sigSetMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+  private def cachedSigSets(spark: SparkSession, sfDir: String,
+      n: Int, k: Int): DataFrame = sigSetMemo.synchronized {
+    val perSession = sigSetMemo.computeIfAbsent(spark,
+      _ => scala.collection.mutable.Map.empty)
+    val df = perSession.getOrElseUpdate(s"$sfDir|$n|$k",
+      shingleSigSets(Tables(spark, sfDir, "documents"), n, k))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
   // ------------------------------------------------------------ queries
 
   /** Exact dedup: one representative (min doc_id) per canonical-text
@@ -231,18 +276,16 @@ object Dedup {
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 64
     val bands = 32 // × 2 rows
-    val d = Tables(spark, sfDir, "documents")
     // One tokenize pass produces shingle sets AND signatures (zero
     // shuffle — see shingleSigSets). Truncating the shingle space to
     // 2³¹ inside the signature adds ~|universe|²/2³² collisions —
     // irrelevant, since candidates are exact-verified below. Persisted
-    // because three downstream stages consume it (band explode + both
-    // sides of the verification join); MEMORY_AND_DISK spills cleanly,
-    // and at corpus scale the (id, hashes, sig) projection is the
-    // standard LSH working set — far smaller than re-tokenizing the
-    // raw text three times.
-    val withSh = shingleSigSets(d, n = 3, k = k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // via the session memo because three downstream stages consume it
+    // (band explode + both sides of the verification join) and three
+    // queries share it; MEMORY_AND_DISK spills cleanly, and at corpus
+    // scale the (id, hashes, sig) projection is the standard LSH
+    // working set — far smaller than re-tokenizing the raw text.
+    val withSh = cachedSigSets(spark, sfDir, n = 3, k = k)
     // bands: hash the 2-row slice of the signature into one bucket key
     // per band; docs with no shingles can never reach J ≥ 0.8 → skip
     val bandCols = (0 until bands).map(b =>
@@ -299,42 +342,48 @@ object Dedup {
     val labeled: DataFrame =
       if (nEdges <= driverEdgeLimit) {
         val es = pairs.as[(Long, Long)].collect()
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        es.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val rows = es.flatMap(e => Seq(e._1, e._2)).distinct
-          .map(v => (v, find(v))).toSeq
+        val rows = Dedup.unionFind(es).toSeq
         spark.createDataset(rows).toDF("id", "label")
       } else {
         val edges = pairs
           .union(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
           .toDF("src", "dst")
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // Convergence via the monotone label-sum invariant, summed in
+        // DECIMAL(38,0): a BIGINT sum of ~millions of large (e.g.
+        // hash-derived) ids can exceed Long range, and Spark 4's ANSI
+        // mode turns that overflow into a crash on exactly the graphs
+        // this branch exists for.
+        def labelSum(df: DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("label").cast("decimal(38,0)")))
+            .first().getDecimal(0)
         var labels = edges.select(col("src").as("id")).distinct()
           .select(col("id"), col("id").as("label"))
           .localCheckpoint()
-        var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+        var prevSum = labelSum(labels)
         var iter = 0
+        val maxIter = 50
         var done = false
-        while (!done && iter < 50) {
+        while (!done && iter < maxIter) {
           val prop = edges.join(labels, edges("src") === labels("id"))
             .select(col("dst").as("id"), col("label"))
           val next = labels.union(prop)
             .groupBy(col("id")).agg(min(col("label")).as("label"))
             .localCheckpoint()
-          val s = next.agg(sum(col("label"))).first().getLong(0)
+          val s = labelSum(next)
           labels = next
-          done = s == prevSum
+          done = s.compareTo(prevSum) == 0
           prevSum = s
           iter += 1
         }
         edges.unpersist()
+        // Unconverged labels are WRONG labels (vertices > maxIter hops
+        // from their component min) — fail loudly, never silently
+        // under-dedup.
+        if (!done) throw new IllegalStateException(
+          s"qDedupClusters: not converged after $maxIter rounds " +
+            "(component diameter exceeds the cap); raise maxIter or " +
+            "pre-contract the graph")
         labels
       }
     pairs.unpersist()
@@ -366,11 +415,14 @@ object Dedup {
     * no O(n²) anything. */
   def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val idx = shingleHashSets(d)
+    // benchmark side tokenizes ONLY the benchmark docs: a filter on
+    // doc_id cannot push through the mapPartitions barrier, so it
+    // must be applied to the input, not the shingle output — else
+    // the full corpus is tokenized twice
+    val bench = shingleHashSets(d.filter(col("doc_id") < 10))
+      .select(explode(col("sh")).as("shingle")).distinct()
+    shingleHashSets(d.filter(col("doc_id") >= 10))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val bench = idx.filter(col("doc_id") < 10)
-      .select(col("shingle")).distinct()
-    idx.filter(col("doc_id") >= 10)
       .join(broadcast(bench), Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
       .orderBy(col("doc_id"))

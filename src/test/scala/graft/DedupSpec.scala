@@ -38,20 +38,31 @@ class DedupSpec extends SparkSpec {
 
   test("clusters: min-label components equal transitive closure of pairs") {
     val pairs = Dedup.minhashPairs(spark, sf0001)
-      .select("ida", "idb").as[(Long, Long)].collect().toSeq
+      .select("ida", "idb").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)
-    // reference closure via union-find on the driver
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
+    // independent reference closure: BFS over the adjacency map
+    // (deliberately NOT Dedup.unionFind, which the driver path uses)
+    val adj = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Set[Long]]
     pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
     }
-    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-      .map(v => (v, find(v))).sorted
+    val labelOf = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!labelOf.contains(start)) {
+        val comp = scala.collection.mutable.Set(start)
+        val queue = scala.collection.mutable.Queue(start)
+        while (queue.nonEmpty) {
+          adj(queue.dequeue()).foreach { n =>
+            if (comp.add(n)) queue.enqueue(n)
+          }
+        }
+        val label = comp.min
+        comp.foreach(v => labelOf(v) = label)
+      }
+    }
+    val expected = labelOf.toSeq.sorted
     val got = Dedup.qDedupClusters(spark, sf0001)
       .as[(Long, Long)].collect().toSeq
     assert(got == expected)
