@@ -46,4 +46,27 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(Relational.qWindowRank(spark, sf0001))
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("minhash: signatures come from mapPartitions, never explode+groupBy") {
+    val p = plan(graft.engine.Dedup.qDedupMinhash(spark, sf0001))
+    // the zero-shuffle signature claim: one typed mapPartitions over
+    // the scan, no Generate→HashAggregate(min×64) signature pipeline
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("xxhash64(h"), p)
+  }
+
+  test("IVF: cell assignment is a projection — no Window before the probe join") {
+    val p = plan(graft.engine.Similarity.qAnnIvf(spark, sf0001))
+    // exactly one Window remains (the final per-query top-3 rank)
+    assert("Window\\b".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("contamination: benchmark side scans only the filtered docs") {
+    val p = plan(graft.engine.Dedup.qContamination(spark, sf0001))
+    // both scans carry a pushed doc_id filter (no full-corpus
+    // tokenize on the benchmark side)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("LeftSemi".r.findAllIn(p).nonEmpty, p)
+  }
 }
