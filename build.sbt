@@ -14,7 +14,9 @@ run / fork := true
 // Pass the forked program's stdout through UNWRAPPED: the default
 // LoggedOutput strategy prefixes every line with "[info] ", which
 // breaks any consumer parsing Bench's single JSON stdout line.
-outputStrategy := Some(StdoutOutput)
+// Scoped to run so forked Test output keeps sbt's default logging.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

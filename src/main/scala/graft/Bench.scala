@@ -50,10 +50,15 @@ object Bench {
 
     // A failed query is a sentinel (-1 in the per-query map, name in
     // "failed", total forced negative) — a crash must never read as a
-    // speedup.
+    // speedup. Cached intermediates (e.g. the shared minhash working
+    // set) are dropped before EVERY sample, not just at pass
+    // boundaries: queries that share a memoized input (minhash /
+    // clusters) must each pay its full cost or a regression in the
+    // shared stage would be invisible in the later query's number.
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
+      spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -75,12 +80,8 @@ object Bench {
 
     // min over two FULL passes (not back-to-back per query): the box
     // runs other tenants, and a contention burst lasting a few seconds
-    // would otherwise inflate both samples of the same query. Cached
-    // intermediates (e.g. the minhash working set) are dropped at pass
-    // boundaries so every timed sample pays its query's full cost.
-    spark.sqlContext.clearCache()
+    // would otherwise inflate both samples of the same query.
     val pass1 = qs.map { case (n, fn) => n -> runOnce(n, fn, sfDir) }.toMap
-    spark.sqlContext.clearCache()
     val results = qs.map { case (n, fn) =>
       val t2 = runOnce(n, fn, sfDir)
       val t1 = pass1(n)

@@ -178,8 +178,9 @@ object Dedup {
   /** Iterative union-find with two-pass path compression (a recursive
     * `find` overflows the stack on long parent chains — up to
     * `driverEdgeLimit` links is far past the default JVM stack).
-    * Returns vertex → component-min label. Shared with DedupSpec's
-    * reference implementation. */
+    * Returns vertex → component-min label. (DedupSpec deliberately
+    * checks the clustering against an independent BFS closure, NOT
+    * this helper — keep it that way.) */
   private[graft] def unionFind(
       edges: Array[(Long, Long)]): Array[(Long, Long)] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -205,16 +206,28 @@ object Dedup {
     * instead of registering a fresh CacheManager entry per call
     * (which would accumulate for the session's lifetime). If an
     * external `clearCache()` dropped the data, the same plan is
-    * re-persisted — still a single entry. */
+    * re-persisted — still a single entry.
+    *
+    * Lifecycle: a memoized DataFrame strongly references its session,
+    * so weak-keying alone cannot collect entries (the value would pin
+    * the key). Instead every access prunes entries whose context has
+    * stopped — heap held by a dead session is bounded by the gap to
+    * the next dedup call. Plan building happens OUTSIDE the lock
+    * (analysis + file listing can take seconds on remote storage);
+    * a lost race costs one redundant plan build, first-put wins. */
   private val sigSetMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def cachedSigSets(spark: SparkSession, sfDir: String,
-      n: Int, k: Int): DataFrame = sigSetMemo.synchronized {
-    val perSession = sigSetMemo.computeIfAbsent(spark,
-      _ => scala.collection.mutable.Map.empty)
-    val df = perSession.getOrElseUpdate(s"$sfDir|$n|$k",
-      shingleSigSets(Tables(spark, sfDir, "documents"), n, k))
+      n: Int, k: Int): DataFrame = {
+    val key = (spark, s"$sfDir|$n|$k")
+    val existing = sigSetMemo.synchronized {
+      sigSetMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      sigSetMemo.get(key)
+    }
+    val df = existing.getOrElse {
+      val built = shingleSigSets(Tables(spark, sfDir, "documents"), n, k)
+      sigSetMemo.synchronized(sigSetMemo.getOrElseUpdate(key, built))
+    }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df

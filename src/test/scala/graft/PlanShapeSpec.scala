@@ -63,10 +63,18 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("contamination: benchmark side scans only the filtered docs") {
-    val p = plan(graft.engine.Dedup.qContamination(spark, sf0001))
-    // both scans carry a pushed doc_id filter (no full-corpus
-    // tokenize on the benchmark side)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert("LeftSemi".r.findAllIn(p).nonEmpty, p)
+    val s = graft.engine.Dedup.qContamination(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // BOTH document scans carry a pushed doc_id range filter — the
+    // regression this guards is filtering AFTER the mapPartitions
+    // barrier, which tokenizes the full corpus twice with unfiltered
+    // scans
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(s).map(_.group(1)).toSeq
+      .filter(_.contains("doc_id"))
+    assert(pushed.count(f => f.contains("LessThan(doc_id")
+      || f.contains("GreaterThanOrEqual(doc_id")) >= 2, s)
+    assert("LeftSemi".r.findAllIn(s).nonEmpty, s)
   }
 }
