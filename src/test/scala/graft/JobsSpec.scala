@@ -69,4 +69,42 @@ class JobsSpec extends SparkSpec {
     assert(visible.toSeq == Seq("a")) // b's partition still pending
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("HiveJob + compaction: committed partition compacts in place, catalog reads unchanged") {
+    val t0 = 1617171790000L
+    // three events in the SAME minute → one partition, plus a far
+    // -future flush event that advances the watermark past it
+    val in = writeInput(Seq(
+      good.replace("1617171790593", t0.toString),
+      good.replace("\"uuid\":\"a\"", "\"uuid\":\"b\"")
+        .replace("1617171790593", (t0 + 1000L).toString),
+      good.replace("\"uuid\":\"a\"", "\"uuid\":\"c\"")
+        .replace("1617171790593", (t0 + 2000L).toString),
+      good.replace("\"uuid\":\"a\"", "\"uuid\":\"z\"")
+        .replace("1617171790593", (t0 + 3600000L).toString)))
+    val table = "source_log_compact_test"
+    val stg = tmpDir("cstg")
+    val h = HiveJob.run(spark, JobConfig(source = "file", inputDir = in,
+      checkpointDir = tmpDir("ccp"), tableName = table,
+      tableLocation = tmpDir("ctbl"), stagingDir = stg,
+      partitionCommitDelayMs = 60000L, availableNow = true))
+    h.query.awaitTermination()
+    val committed = h.committer.commitReady(t0 + 3600000L - 5000L)
+    assert(committed.nonEmpty)
+    val before = spark.table(table).collect()
+      .map(_.getAs[String]("uuid")).sorted.toSeq
+    assert(before == Seq("a", "b", "c"))
+    // compact the committed partition's directory in place
+    val (d, hh, m) = committed.head
+    val partDir = s"$stg/logday=$d/h=$hh/m=$m"
+    val (nBefore, nAfter) =
+      graft.engine.Sinks.compactPartition(spark, partDir)
+    assert(nBefore >= 1 && nAfter == 1)
+    // catalog reads see identical rows through the same partition
+    spark.catalog.refreshTable(table)
+    val after = spark.table(table).collect()
+      .map(_.getAs[String]("uuid")).sorted.toSeq
+    assert(after == before)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
