@@ -66,6 +66,7 @@ object SparkEntry {
     "q_text_stats" -> TextOps.qTextStats _,
     "q_lang_id" -> TextOps.qLangId _,
     "q_fingerprint" -> TextOps.qFingerprint _,
+    "q_winnow_fingerprint" -> TextOps.qWinnowFingerprint _,
     "q_term_freq" -> TextOps.qTermFreq _,
     "q_tfidf_topterms" -> TextOps.qTfidfTopTerms _,
     // §2.9 north-star: deduplication
@@ -523,6 +524,30 @@ object SparkEntry {
       s"""SELECT doc_id, md5($duckNorm) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // winnowing: same polynomial rolling hash (base 256 over ASCII
+    // codes, mod 2^31-1), same w=4 window minima, distinct per doc
+    "q_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |g AS (SELECT doc_id, text,
+        |        unnest(range(1, length(text) - 3)) AS pos
+        |      FROM t),
+        |h AS (SELECT doc_id, pos,
+        |        (ord(substring(text, CAST(pos AS INTEGER), 1)) * 4294967296
+        |       + ord(substring(text, CAST(pos + 1 AS INTEGER), 1)) * 16777216
+        |       + ord(substring(text, CAST(pos + 2 AS INTEGER), 1)) * 65536
+        |       + ord(substring(text, CAST(pos + 3 AS INTEGER), 1)) * 256
+        |       + ord(substring(text, CAST(pos + 4 AS INTEGER), 1))) % 2147483647
+        |          AS kh
+        |      FROM g),
+        |wins AS (SELECT doc_id, pos,
+        |           MIN(kh) OVER (PARTITION BY doc_id ORDER BY pos
+        |                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |             AS wmin
+        |         FROM h)
+        |SELECT DISTINCT doc_id, CAST(wmin AS BIGINT) AS fp
+        |FROM wins
+        |WHERE pos >= 4
+        |ORDER BY doc_id, fp""".stripMargin,
     "q_term_freq" ->
       s"""WITH t AS (SELECT $duckTokens AS tk FROM documents)
         |SELECT term, count(*) AS n

@@ -234,6 +234,38 @@ object TextOps {
       .limit(100)
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): polynomial rolling
+    * hash over every k=5-char gram, then the minimum of each w=4
+    * window of consecutive gram hashes, distinct per document — the
+    * standard local-similarity fingerprint (robust to edits, unlike
+    * a whole-document digest). Entirely built-in expressions:
+    * sequence+explode generates gram positions, the 5-term hash and
+    * window-min are codegen'd, one shuffle on doc_id for the window.
+    * Guarantee: any shared substring of length ≥ k+w-1 = 8 chars
+    * yields at least one shared fingerprint. */
+  def qWinnowFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val B = 256L
+    val p = 2147483647L // 2³¹−1
+    val t = col("text")
+    val pos = col("pos")
+    val kh = (0 until 5).map(j =>
+        ascii(t.substr(pos + j, lit(1))) *
+          lit(math.pow(B.toDouble, 4 - j).toLong))
+      .reduce(_ + _) % p
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(pos).rowsBetween(-3, 0)
+    d.filter(length(t) >= 8)
+      .select(col("doc_id"), t,
+        explode(sequence(lit(1), length(t) - 4)).as("pos"))
+      .select(col("doc_id"), pos, kh.as("kh"))
+      .withColumn("wmin", min(col("kh")).over(w))
+      .filter(pos >= 4) // only full w-size windows
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   /** Sequence packing: assign documents (in doc_id order) to
     * fixed-budget training sequences of 512 tokens — each doc's bin is
     * determined by the token offset where it starts, i.e. contiguous
