@@ -679,13 +679,16 @@ object SparkEntry {
         |SELECT qid, nid, rank, score FROM r
         |WHERE rank <= 3
         |ORDER BY qid, rank""".stripMargin,
+    // offsets are SHARD-local (shard = source): PARTITION BY source in
+    // both engines, integer `//` matching Spark's `div`
     "q_pack_sequences" ->
-      s"""WITH t AS (SELECT doc_id, len($duckTokens) AS ntk FROM documents),
-        |c AS (SELECT doc_id, CAST(ntk AS BIGINT) AS ntk,
-        |        CAST(SUM(ntk) OVER (ORDER BY doc_id
+      s"""WITH t AS (SELECT doc_id, source, len($duckTokens) AS ntk
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, CAST(ntk AS BIGINT) AS ntk,
+        |        CAST(SUM(ntk) OVER (PARTITION BY source ORDER BY doc_id
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
         |      FROM t)
-        |SELECT doc_id, ntk, end_off - ntk AS start_off,
+        |SELECT doc_id, source, ntk, end_off - ntk AS start_off,
         |  (end_off - ntk) // 512 AS seq_id
         |FROM c
         |ORDER BY doc_id""".stripMargin,

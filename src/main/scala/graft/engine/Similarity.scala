@@ -78,16 +78,42 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Exact all-pairs cosine ≥ 0.4 (embedding near-dup detection).
-    * The corpus self-join is O(n²) by nature; Spark executes it as a
-    * broadcast-nested-loop over the block-split corpus. At 100 TB
-    * this exact variant is the verification tool for sampled shards;
-    * the production path is qAnnLsh's bucketed candidates. */
+  /** Exact all-pairs cosine ≥ 0.4 (embedding near-dup detection) via
+    * a BLOCKED self-join — the standard distributed exact-all-pairs
+    * shape. Exact semantics is inherently O(n²) COMPARISONS, but the
+    * plan must never be a broadcast-nested-loop (one side fully on
+    * every executor) or a driver-planned cartesian: each vector is
+    * assigned a block b = vec_id mod B, the left side replicates to
+    * block-pairs (b, j≥b) and the right to (i≤b, b), and the join is
+    * a plain EQUI-join on the pair key — B(B+1)/2 independent tasks,
+    * each comparing two bounded blocks. Shuffle volume is O(n·B)
+    * rows; per-task memory is O(n/B) vectors, so B is the knob that
+    * bounds executor memory at any corpus size. Norms are computed
+    * once per vector BEFORE replication (n sqrt's, not n²).
+    *
+    * Every unordered pair {x,y} meets exactly once: blocks (bx<by)
+    * meet only under key (bx,by) with x left / y right; the diagonal
+    * (b,b) meets twice, disambiguated by the vec_id inequality. */
   def qEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = corpus(spark, sfDir)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+    // smallest B with B(B+1)/2 >= cores — full parallelism while
+    // keeping replication (=B) minimal; result is B-independent
+    val p = spark.sparkContext.defaultParallelism
+    val nBlocks = math.ceil((math.sqrt(8.0 * p + 1) - 1) / 2).toInt.max(2)
+    val blocked = e.select(col("vec_id"), col("v"),
+      l2norm(col("v")).as("nrm"),
+      pmod(col("vec_id"), lit(nBlocks.toLong)).cast("int").as("blk"))
+    val left = blocked.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("i"),
+      explode(sequence(col("blk"), lit(nBlocks - 1))).as("j"))
+    val right = blocked.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"),
+      explode(sequence(lit(0), col("blk"))).as("i"), col("blk").as("j"))
+    left.join(right, Seq("i", "j"))
+      .filter(col("i") < col("j") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("ida"),
+        greatest(col("id_a"), col("id_b")).as("idb"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy(col("ida"), col("idb"))
   }

@@ -196,9 +196,12 @@ object TextOps {
     * document frequency; score = tf · N/df (linear idf — exact
     * rational arithmetic, so the double is bit-identical across
     * engines, unlike ln whose last ulp is libm-dependent); top-3
-    * terms per doc by score desc, term asc. The df side is a tiny
-    * aggregate → broadcast; the tf side shuffles once on doc_id for
-    * the ranking window. */
+    * terms per doc by score desc, term asc. The per-term document
+    * frequency is the FULL corpus vocabulary — billions of terms at
+    * 100 TB — so it must never carry a broadcast hint: the join runs
+    * on the (term-keyed) shuffle, and AQE still picks a broadcast at
+    * small SF where the aggregate actually fits under the threshold.
+    * Only the 1-row corpus count is hint-broadcast. */
   def qTfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
     val docTerms = d
@@ -209,7 +212,7 @@ object TextOps {
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val n = d.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), "term")
+    val scored = tf.join(df, "term")
       .join(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         (col("tf").cast("double") * col("n_docs") / col("df")).as("score"))
@@ -238,54 +241,93 @@ object TextOps {
     * hash over every k=5-char gram, then the minimum of each w=4
     * window of consecutive gram hashes, distinct per document — the
     * standard local-similarity fingerprint (robust to edits, unlike
-    * a whole-document digest). Entirely built-in expressions:
-    * sequence+explode generates gram positions, the 5-term hash and
-    * window-min are codegen'd, one shuffle on doc_id for the window.
+    * a whole-document digest).
     * Guarantee: any shared substring of length ≥ k+w-1 = 8 chars
     * yields at least one shared fingerprint. */
-  def qWinnowFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables(spark, sfDir, "documents")
-    val B = 256L
-    val p = 2147483647L // 2³¹−1
-    val t = col("text")
-    val pos = col("pos")
-    val kh = (0 until 5).map(j =>
-        ascii(t.substr(pos + j, lit(1))) *
-          lit(math.pow(B.toDouble, 4 - j).toLong))
-      .reduce(_ + _) % p
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(pos).rowsBetween(-3, 0)
-    d.filter(length(t) >= 8)
-      .select(col("doc_id"), t,
-        explode(sequence(lit(1), length(t) - 4)).as("pos"))
-      .select(col("doc_id"), pos, kh.as("kh"))
-      .withColumn("wmin", min(col("kh")).over(w))
-      .filter(pos >= 4) // only full w-size windows
-      .select(col("doc_id"), col("wmin").as("fp"))
-      .distinct()
+  def qWinnowFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    winnowFingerprints(Tables(spark, sfDir, "documents"))
       .orderBy(col("doc_id"), col("fp"))
+
+  /** The fingerprint value is a pure per-document function, so it is
+    * computed per document in one `mapPartitions` pass — the same
+    * zero-shuffle seam as [[Dedup.shingleHashSets]], and for the same
+    * reason: the former expression formulation exploded one row PER
+    * CHARACTER (`explode(sequence(...))`) and shuffled them all on
+    * doc_id for the window-min — a shuffle of ~|total corpus
+    * characters| rows at 100 TB, for values that never needed to
+    * leave their input split. The length filter is applied to the
+    * INPUT (filters cannot push through a mapPartitions barrier). */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spread(docs.filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          winnowFpsOf(text).map(fp => (id, fp))
+        }
+      }
+      .toDF("doc_id", "fp")
   }
 
-  /** Sequence packing: assign documents (in doc_id order) to
-    * fixed-budget training sequences of 512 tokens — each doc's bin is
-    * determined by the token offset where it starts, i.e. contiguous
-    * greedy packing. The whole op is one global sort + running sum
-    * (same machinery as qWindowRunning), entirely integer arithmetic.
-    * At 100 TB the global ordering would be a range-partitioned sort —
-    * Spark's default for window-over-everything; in practice packing
-    * runs per shard (partitionBy(shard) in the window) and stays
-    * shuffle-local. Docs longer than the budget occupy ⌈n/512⌉ bins
-    * alone (offset math handles them with no special case). */
+  /** JVM twin of the winnowing contract (and the DuckDB oracle):
+    * gram hash at position i = (Σⱼ codepoint(cᵢ₊ⱼ)·256^(4−j)) mod
+    * 2³¹−1 over code points (Spark `ascii`/`substr` and DuckDB
+    * `ord`/`substring` are both code-point-based), fingerprints =
+    * distinct minima of every full 4-gram window. Max pre-mod value
+    * is < 2⁴⁰ so the accumulator never overflows. */
+  private[engine] def winnowFpsOf(text: String): Array[Long] = {
+    val cp = text.codePoints().toArray
+    val n = cp.length - 4 // number of 5-char grams
+    val p = 2147483647L // 2³¹−1
+    val kh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < 5) { h = h * 256L + cp(i + j); j += 1 }
+      kh(i) = h % p
+      i += 1
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var w = 3 // first full window ends at gram index 3 (pos >= 4)
+    while (w < n) {
+      var m = kh(w)
+      var j = w - 3
+      while (j < w) { if (kh(j) < m) m = kh(j); j += 1 }
+      out += m
+      w += 1
+    }
+    out.toArray
+  }
+
+  /** Sequence packing: assign documents (in doc_id order, per shard)
+    * to fixed-budget training sequences of 512 tokens — each doc's bin
+    * is determined by the token offset where it starts, i.e.
+    * contiguous greedy packing. The shard key is `source`: offsets are
+    * SHARD-LOCAL, so the window is `partitionBy(source)` — one shuffle
+    * keyed by shard, every shard's running sum computed in parallel.
+    * (A `Window.orderBy` with no partition key would put the whole
+    * corpus in ONE task; shard-local offsets are also what a real
+    * packing run wants — sequences never straddle sources.) The
+    * running sum is integer arithmetic throughout, and seq_id uses
+    * integer `div` — double `/` is exact only below 2⁵³, a margin a
+    * 100 TB corpus' cumulative offsets erode. Docs longer than the
+    * budget occupy ⌈n/512⌉ bins alone (offset math handles them with
+    * no special case). */
   def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    d.select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntk"))
+    d.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("ntk"))
       .withColumn("end_off", sum(col("ntk")).over(w))
-      .select(col("doc_id"), col("ntk"),
+      .select(col("doc_id"), col("source"), col("ntk"),
         (col("end_off") - col("ntk")).as("start_off"),
-        floor((col("end_off") - col("ntk")) / 512).as("seq_id"))
+        expr("(end_off - ntk) div 512").as("seq_id"))
       .orderBy(col("doc_id"))
   }
 
