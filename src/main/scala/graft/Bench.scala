@@ -78,22 +78,40 @@ object Bench {
     qs.foreach { case (n, fn) => runOnce(n, fn, sfDir) }
     failed.clear()
 
-    // min over two FULL passes (not back-to-back per query): the box
-    // runs other tenants, and a contention burst lasting a few seconds
-    // would otherwise inflate both samples of the same query.
-    val pass1 = qs.map { case (n, fn) => n -> runOnce(n, fn, sfDir) }.toMap
-    val results = qs.map { case (n, fn) =>
-      val t2 = runOnce(n, fn, sfDir)
-      val t1 = pass1(n)
-      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+    // Median over ≥3 FULL interleaved passes (not back-to-back per
+    // query). The box runs other tenants: a single sample can be
+    // inflated 3-10× by contention, and a min-of-two was repeatedly
+    // caught reporting phantom regressions on unchanged code (r3-r5).
+    // Interleaving means a multi-second burst lands in ONE pass of
+    // many queries rather than every sample of one query; the median
+    // then discards it, and the per-sample arrays in the JSON make a
+    // contaminated run self-evident instead of a mystery.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt.max(3)
+    val passes: Seq[Map[String, Double]] =
+      (1 to reps).map(_ => qs.map { case (n, fn) =>
+        n -> runOnce(n, fn, sfDir) }.toMap)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val samples: Seq[(String, Seq[Double])] =
+      qs.map { case (n, _) => n -> passes.map(_(n)) }
+    val results = samples.map { case (n, ss) =>
+      n -> (if (ss.exists(_ < 0)) -1.0 else median(ss))
+    }
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val sjson = samples.map { case (k, ss) =>
+      "\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total =
       if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$failedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$qjson,"samples":$sjson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

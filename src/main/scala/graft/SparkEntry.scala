@@ -74,6 +74,7 @@ object SparkEntry {
     "q_jaccard_pairs" -> Dedup.qJaccardPairs _,
     "q_dedup_minhash" -> Dedup.qDedupMinhash _,
     "q_dedup_clusters" -> Dedup.qDedupClusters _,
+    "q_dedup_clusters_dist" -> Dedup.qDedupClustersDist _,
     "q_dedup_keep" -> Dedup.qDedupKeep _,
     "q_contamination" -> Dedup.qContamination _,
     "q_curate" -> TextOps.qCurate _,
@@ -579,6 +580,9 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
     "q_jaccard_pairs" -> duckShingleCte,
     "q_dedup_clusters" -> duckClusters,
+    // same oracle — the distributed large-star/small-star branch must
+    // produce byte-identical labels to the driver union-find branch
+    "q_dedup_clusters_dist" -> duckClusters,
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $duckShingleBody,
         |und AS (SELECT ida AS a, idb AS b FROM pairs

@@ -47,17 +47,10 @@ object Dedup {
     shingleHashSets(docs)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
-  /** Redistribute an under-parallel scan across all cores before
-    * CPU-heavy narrow work. The driver testdata ships one
-    * single-row-group parquet file per table, so without this every
-    * per-document stage runs as ONE task. Conditional on the actual
-    * scan parallelism: on a real multi-split lake the input already
-    * has ≥ cores splits and this is a no-op — never an unconditional
-    * full shuffle of 100 TB of text. */
-  private[engine] def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
-  }
+  /** See [[Tables.spread]] — conditional redistribution of an
+    * under-parallel scan, with the parallelism probe memoized per
+    * input file set. */
+  private[engine] def spread(df: DataFrame): DataFrame = Tables.spread(df)
 
   /** FNV-1a 64-bit over the UTF-8 bytes of the tokens joined with a
     * NUL separator — the shingle identity used by the dedup pipeline.
@@ -210,23 +203,40 @@ object Dedup {
     *
     * Lifecycle: a memoized DataFrame strongly references its session,
     * so weak-keying alone cannot collect entries (the value would pin
-    * the key). Instead every access prunes entries whose context has
-    * stopped — heap held by a dead session is bounded by the gap to
-    * the next dedup call. Plan building happens OUTSIDE the lock
-    * (analysis + file listing can take seconds on remote storage);
-    * a lost race costs one redundant plan build, first-put wins. */
+    * the key). Every access (a) prunes entries whose context has
+    * stopped and (b) LRU-bounds the map to `sigSetMemoCap` entries —
+    * the evicted DataFrame is unpersisted, so a long session cycling
+    * through many (sfDir, n, k) working sets holds at most `cap`
+    * cache entries instead of growing without bound. Plan building
+    * happens OUTSIDE the lock (analysis + file listing can take
+    * seconds on remote storage); a lost race costs one redundant
+    * plan build, first-put wins. */
+  private val sigSetMemoCap = 8
   private val sigSetMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String),
+      DataFrame]
   private def cachedSigSets(spark: SparkSession, sfDir: String,
       n: Int, k: Int): DataFrame = {
     val key = (spark, s"$sfDir|$n|$k")
+    def touch(k: (SparkSession, String)): Option[DataFrame] =
+      // LinkedHashMap keeps INSERTION order — re-insert on access so
+      // the head is always the least-recently-used entry
+      sigSetMemo.remove(k).map { v => sigSetMemo.put(k, v); v }
     val existing = sigSetMemo.synchronized {
       sigSetMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-      sigSetMemo.get(key)
+      touch(key)
     }
     val df = existing.getOrElse {
       val built = shingleSigSets(Tables(spark, sfDir, "documents"), n, k)
-      sigSetMemo.synchronized(sigSetMemo.getOrElseUpdate(key, built))
+      sigSetMemo.synchronized {
+        val winner = touch(key).getOrElse { sigSetMemo.put(key, built); built }
+        while (sigSetMemo.size > sigSetMemoCap) {
+          val (ek, ev) = sigSetMemo.head
+          sigSetMemo.remove(ek)
+          if (!ek._1.sparkContext.isStopped) ev.unpersist()
+        }
+        winner
+      }
     }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -326,6 +336,83 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** One large-star round over a canonically-oriented (src > dst)
+    * distinct edge set: every node u connects each STRICTLY LARGER
+    * neighbor to m(u) = min(Γ(u) ∪ {u}). Output is canonical again
+    * (emitted edges (v, m) have v > u ≥ m). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+    sym.join(mins, sym("src") === col("u"))
+      .filter(col("dst") > sym("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: every node u connects its smaller
+    * neighbors Γ⁻(u) — and itself — to m(u) = min(Γ⁻(u)). Input and
+    * output both canonical (src > dst); the v = m self-edge is
+    * dropped. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    e.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(mins.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Distributed connected components via alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the O(log n)
+    * replacement for min-label propagation, whose round count is
+    * bounded by component DIAMETER (a chain-shaped template-drift
+    * cluster of length 10⁶ needs 10⁶ propagation rounds but only
+    * ~log₂ 10⁶ ≈ 20 star rounds).
+    *
+    * Mechanics: each round is one large-star (hook every larger
+    * neighbor to the local minimum) then one small-star (contract
+    * smaller neighbors onto it). Both are a groupBy + join over the
+    * current edge set — O(|E|) shuffle per round, no driver state.
+    * A fixed point is exactly a star forest rooted at each
+    * component's min id; convergence is detected by edge-SET
+    * equality with the previous round (count + except — exact, not
+    * a checksum), and `localCheckpoint` per round keeps the plan
+    * from growing. Unconverged after `maxIter` throws — partial
+    * labels silently under-dedup.
+    *
+    * Input: any (ida, idb) pair DataFrame (self-loops/duplicates
+    * fine). Returns (labels: id → component-min label for every
+    * endpoint, rounds used). */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      maxIter: Int = 64): (DataFrame, Int) = {
+    val canon = pairs
+      .select(greatest(col("ida"), col("idb")).as("src"),
+        least(col("ida"), col("idb")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val vertices = pairs.select(col("ida").as("id"))
+      .union(pairs.select(col("idb").as("id"))).distinct()
+      .localCheckpoint()
+    var edges = canon.localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      done = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter " +
+        "large/small-star rounds — raise maxIter")
+    val labels = vertices
+      .join(edges.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dst"), col("id")).as("label"))
+    (labels, rounds)
+  }
+
   /** Near-dup CLUSTERS: connected components over the verified
     * MinHash pair graph, every member labeled with its component's
     * min doc_id — the canonical "keep one per duplicate cluster"
@@ -339,16 +426,24 @@ object Dedup {
     * 16 MB) a single collect + union-find labels it exactly — one
     * job instead of a convergence loop, the same judgment call
     * Spark itself makes when it broadcasts a small join side.
-    * Larger graphs fall back to distributed min-label propagation:
-    * each round every vertex takes the min of its own and its
-    * neighbors' labels (one shuffle over the edge set per round,
-    * rounds bounded by component diameter, hard cap 50,
-    * localCheckpoint per round so the plan never grows, driver-side
-    * convergence via the monotone label-sum invariant). */
-  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    * Larger graphs run distributed alternating large-star/small-star
+    * ([[connectedComponents]]) — O(log n) rounds regardless of
+    * component shape, one O(|E|) shuffle per round. */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersImpl(spark, sfDir, driverEdgeLimit = 1000000L)
+
+  /** The same clustering FORCED through the distributed
+    * large-star/small-star path (driver threshold 0) — registered as
+    * its own query so the branch that actually runs at corpus scale
+    * is hash-checked against the recursive-CTE oracle at every SF,
+    * not just spec-tested on synthetic graphs. */
+  def qDedupClustersDist(spark: SparkSession, sfDir: String): DataFrame =
+    clustersImpl(spark, sfDir, driverEdgeLimit = -1L)
+
+  private def clustersImpl(spark: SparkSession, sfDir: String,
+      driverEdgeLimit: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
-    val driverEdgeLimit = 1000000L
     val pairs = minhashPairs(spark, sfDir).select(col("ida"), col("idb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = pairs.count()
@@ -357,48 +452,7 @@ object Dedup {
         val es = pairs.as[(Long, Long)].collect()
         val rows = Dedup.unionFind(es).toSeq
         spark.createDataset(rows).toDF("id", "label")
-      } else {
-        val edges = pairs
-          .union(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
-          .toDF("src", "dst")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // Convergence via the monotone label-sum invariant, summed in
-        // DECIMAL(38,0): a BIGINT sum of ~millions of large (e.g.
-        // hash-derived) ids can exceed Long range, and Spark 4's ANSI
-        // mode turns that overflow into a crash on exactly the graphs
-        // this branch exists for.
-        def labelSum(df: DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("label").cast("decimal(38,0)")))
-            .first().getDecimal(0)
-        var labels = edges.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("label"))
-          .localCheckpoint()
-        var prevSum = labelSum(labels)
-        var iter = 0
-        val maxIter = 50
-        var done = false
-        while (!done && iter < maxIter) {
-          val prop = edges.join(labels, edges("src") === labels("id"))
-            .select(col("dst").as("id"), col("label"))
-          val next = labels.union(prop)
-            .groupBy(col("id")).agg(min(col("label")).as("label"))
-            .localCheckpoint()
-          val s = labelSum(next)
-          labels = next
-          done = s.compareTo(prevSum) == 0
-          prevSum = s
-          iter += 1
-        }
-        edges.unpersist()
-        // Unconverged labels are WRONG labels (vertices > maxIter hops
-        // from their component min) — fail loudly, never silently
-        // under-dedup.
-        if (!done) throw new IllegalStateException(
-          s"qDedupClusters: not converged after $maxIter rounds " +
-            "(component diameter exceeds the cap); raise maxIter or " +
-            "pre-contract the graph")
-        labels
-      }
+      } else connectedComponents(pairs)._1
     pairs.unpersist()
     labeled.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))

@@ -29,13 +29,11 @@ object Similarity {
     * all cores when the scan is under-parallel (the testdata parquet
     * is a single row group — without this every dot-product stage
     * runs as one task; on a multi-split lake the condition is false
-    * and no shuffle happens). */
-  private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables(spark, sfDir, "embeddings")
-    val p = spark.sparkContext.defaultParallelism
-    val spreadE = if (e.rdd.getNumPartitions >= p) e else e.repartition(p)
-    spreadE.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-  }
+    * and no shuffle happens). The parallelism probe is memoized per
+    * input file set ([[Tables.spread]]), not re-planned per call. */
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.spread(Tables(spark, sfDir, "embeddings"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
   /** Sequential-sum dot product of two double arrays, via the native
     * codegen'd [[graft.functions.DotProduct]] expression (bit-identical

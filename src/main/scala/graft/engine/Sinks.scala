@@ -167,6 +167,79 @@ object Sinks {
       && !s.getPath.getName.startsWith("."))
     (dataFiles.size, after)
   }
+
+  private def dataFilesIn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).toSeq.filter(s => s.isFile
+      && !s.getPath.getName.startsWith("_")
+      && !s.getPath.getName.startsWith("."))
+
+  /** S3A-safe compaction of one CATALOG partition: rewrite into a new
+    * SIBLING directory, then atomically flip the partition's metastore
+    * LOCATION onto it, then delete the old directory.
+    *
+    * Unlike [[compactPartition]]'s rename swap, this never renames a
+    * directory (an O(files) copy on S3A, non-atomic) and has no
+    * reader-visible gap: the location flip is a single metastore
+    * update, so a concurrent reader resolves either the old or the
+    * new directory, both complete. The old directory is deleted
+    * immediately after the flip — a reader that resolved it just
+    * before can still miss files; production with long scans keeps a
+    * retention delay before the delete. The compacted directory is
+    * named `compact_<partition-leaf>_v<N>` so the committer's
+    * `logday=/h=/m=` directory listing never mistakes it for an
+    * uncommitted partition.
+    *
+    * Must only run on a COMMITTED partition (watermark past
+    * partition-time + delay — the writer has moved on); compacting
+    * the live partition would race the streaming sink.
+    * Returns (data files before, after). */
+  def compactTablePartition(spark: SparkSession, table: String,
+      spec: Seq[(String, String)],
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    // partition values are interpolated into DDL — same injection
+    // guard as the committer's shape check, loosened only to the
+    // charset partition values can legally contain
+    val safeTok = "^[0-9A-Za-z_.:-]+$".r
+    require(spec.nonEmpty && spec.forall { case (k, v) =>
+      safeTok.matches(k) && safeTok.matches(v) },
+      s"unsafe partition spec: $spec")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val cur = spark.sessionState.catalog.getPartition(ident, spec.toMap)
+    val dir = new Path(cur.location)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = dataFilesIn(fs, dir)
+    if (dataFiles.isEmpty) return (0, 0)
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (nOut >= dataFiles.size) return (dataFiles.size, dataFiles.size)
+    // versioned sibling: strip a previous compaction's wrapper so
+    // re-compaction yields compact_<leaf>_v2, not nested wrappers
+    val wrapper = "^compact_(.+)_v([0-9]+)$".r
+    val leaf = dir.getName match {
+      case wrapper(base, _) => base
+      case other => other
+    }
+    val usedVersions = fs.listStatus(dir.getParent).toSeq
+      .map(_.getPath.getName).collect {
+        case wrapper(`leaf`, v) => v.toLong
+      }
+    val next = new Path(dir.getParent,
+      s"compact_${leaf}_v${(usedVersions :+ 0L).max + 1}")
+    // maxRecordsPerFile=0 (unlimited) overrides any session-level
+    // record bound: compaction sizes files by BYTES via coalesce —
+    // a streaming-side record cap would re-split the output
+    spark.read.parquet(dir.toString).coalesce(nOut)
+      .write.mode("overwrite").option("maxRecordsPerFile", 0)
+      .parquet(next.toString)
+    val partSql = spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table PARTITION ($partSql) " +
+      s"SET LOCATION '${fs.makeQualified(next)}'")
+    fs.delete(dir, true)
+    (dataFiles.size, dataFilesIn(fs, next).size)
+  }
 }
 
 /** Emulates Flink's `sink.partition-commit` with trigger
@@ -183,9 +256,21 @@ object Sinks {
   * Call it from a `StreamingQueryListener.onQueryProgress` (watermark
   * from `progress.eventTime`) or any scheduler. Requires a
   * Hive-backed catalog (see [[Sinks.createPartitionedTable]]).
+  *
+  * With `autoCompact` the reference's declared-but-dead
+  * `auto-compaction` knob (`Kafka2S3Hive.scala:87-88`, a no-op on its
+  * Flink 1.11) becomes real: each newly committed partition is
+  * immediately rewritten by [[Sinks.compactTablePartition]]. Safe by
+  * construction — a partition only commits once the watermark passed
+  * its time + delay, so the writer has moved on and compaction never
+  * races the live partition. Compaction failure is logged, never
+  * propagated: the commit (correctness) must not be rolled back for
+  * a failed optimization.
   */
 class PartitionCommitter(spark: SparkSession, table: String,
-    location: String, delayMillis: Long = 60000L) {
+    location: String, delayMillis: Long = 60000L,
+    autoCompact: Boolean = false,
+    compactTargetBytes: Long = 128L * 1024 * 1024) {
 
   private val partRe = "logday=([^/]+)/h=([^/]+)/m=([^/]+)".r
   private val fmt = java.time.format.DateTimeFormatter
@@ -231,18 +316,38 @@ class PartitionCommitter(spark: SparkSession, table: String,
   private def safe(d: String, h: String, m: String): Boolean =
     daySafe.matches(d) && twoDigitSafe.matches(h) && twoDigitSafe.matches(m)
 
+  /** Partitions this committer instance has already registered —
+    * commitReady work (and auto-compaction) happens once per
+    * partition, not once per progress event. A restarted driver
+    * starts empty and re-ADDs everything ready (IF NOT EXISTS makes
+    * that a no-op) and re-compaction of an already-compact partition
+    * is skipped inside [[Sinks.compactTablePartition]], so the state
+    * is purely an optimization, never a correctness dependency. */
+  private val committed =
+    scala.collection.mutable.Set.empty[(String, String, String)]
+
   /** Register every on-disk partition whose partition-time + delay ≤
-    * `watermarkMillis`; returns the partitions added this call. */
+    * `watermarkMillis`; returns the partitions NEWLY added this call
+    * (previously committed ones are skipped). */
   def commitReady(watermarkMillis: Long): Seq[(String, String, String)] = {
-    val ready = partitionsOnDisk().filter { case (d, h, m) =>
-      safe(d, h, m) &&
+    val fresh = partitionsOnDisk().filter { case (d, h, m) =>
+      safe(d, h, m) && !committed((d, h, m)) &&
         partitionTime(d, h, m).exists(_ + delayMillis <= watermarkMillis)
     }
-    ready.foreach { case (d, h, m) =>
+    fresh.foreach { case (d, h, m) =>
       spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " +
         s"PARTITION (logday='$d', h='$h', m='$m') " +
         s"LOCATION '$location/logday=$d/h=$h/m=$m'")
+      committed += ((d, h, m))
+      if (autoCompact) {
+        try Sinks.compactTablePartition(spark, table,
+          Seq("logday" -> d, "h" -> h, "m" -> m), compactTargetBytes)
+        catch { case e: Exception =>
+          System.err.println(s"[PartitionCommitter] auto-compaction of " +
+            s"($d,$h,$m) failed: ${e.getMessage}")
+        }
+      }
     }
-    ready
+    fresh
   }
 }

@@ -24,6 +24,7 @@ case class JobConfig(
     tableLocation: String = "",
     stagingDir: String = "",
     partitionCommitDelayMs: Long = 60000L, // Kafka2S3Hive.scala:103
+    autoCompaction: Boolean = false,       // Kafka2S3Hive.scala:87 (made real)
     availableNow: Boolean = false)         // bounded run (tests/backfill)
 
 object JobConfig {
@@ -45,6 +46,7 @@ object JobConfig {
         case "--staging-dir" => c.copy(stagingDir = v)
         case "--partition-commit-delay-ms" =>
           c.copy(partitionCommitDelayMs = v.toLong)
+        case "--auto-compaction" => c.copy(autoCompaction = v.toBoolean)
         case "--available-now" => c.copy(availableNow = v.toBoolean)
         case other => throw new IllegalArgumentException(
           s"unknown option: $other")
@@ -132,8 +134,13 @@ object HiveJob {
 
   def run(spark: SparkSession, c: JobConfig): HiveJobHandle = {
     Sinks.createPartitionedTable(spark, c.tableName, c.tableLocation)
+    // The committer owns auto-compaction (reference knob
+    // `Kafka2S3Hive.scala:87`): each partition is compacted exactly
+    // once, right after its metastore commit — i.e. only after the
+    // watermark proves the writer is done with it.
     val committer = new PartitionCommitter(spark, c.tableName,
-      c.stagingDir, c.partitionCommitDelayMs)
+      c.stagingDir, c.partitionCommitDelayMs,
+      autoCompact = c.autoCompaction)
     val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
     val q = Sinks.tablePipeline(
         Ingest.parseLenient(Jobs.rawSource(spark, c)),
@@ -145,7 +152,7 @@ object HiveJob {
     // never has a stale listener committing against a dropped table.
     // Registered after start(): the first progress event may be missed,
     // but commitReady is cumulative so the next trigger catches up.
-    spark.streams.addListener(new StreamingQueryListener {
+    val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(
@@ -161,7 +168,13 @@ object HiveJob {
             System.err.println(s"[HiveJob] commit failed: ${ex.getMessage}")
           }
         }
-    })
+    }
+    spark.streams.addListener(listener)
+    // A very short run can terminate BEFORE the listener registers —
+    // its onQueryTerminated then never fires and the listener leaks
+    // into every later query. Double-removal (both this and the
+    // termination callback racing) is a harmless no-op.
+    if (!q.isActive) spark.streams.removeListener(listener)
     HiveJobHandle(q, committer)
   }
 

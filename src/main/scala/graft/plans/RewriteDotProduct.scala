@@ -71,9 +71,14 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // the zero must be POSITIVE zero bit-for-bit: `-0.0 == 0.0` is
+      // true, but aggregate(..., -0.0d, +) of an empty array returns
+      // -0.0 while DotProduct returns 0.0 — a bit-exactness hazard
       case ArrayAggregate(zw: ZipWith, Literal(zero, DoubleType),
             merge, finish)
-          if zero == 0.0 && isDoubleArray(zw.left) &&
+          if zero.isInstanceOf[Double] &&
+            java.lang.Double.doubleToRawLongBits(
+              zero.asInstanceOf[Double]) == 0L && isDoubleArray(zw.left) &&
             isDoubleArray(zw.right) && isMulLambda(zw.function) &&
             isAddLambda(merge) && isIdentityLambda(finish) =>
         DotProduct(zw.left, zw.right)

@@ -71,6 +71,29 @@ class DedupSpec extends SparkSpec {
     assert(expected.groupBy(_._2).values.exists(_.size >= 2))
   }
 
+  test("distributed components: long chain converges in O(log n) star rounds") {
+    // A chain is the worst case for min-label propagation (rounds =
+    // component diameter ≈ n); alternating large-star/small-star must
+    // label it in ~log₂(n) rounds. Ids are permuted so the component
+    // min sits at a random chain position, and a ring + duplicate +
+    // self-loop edges exercise canonicalization.
+    val n = 256
+    val rnd = new scala.util.Random(7L)
+    val ids = rnd.shuffle((100000L until (100000L + n)).toVector)
+    val chain = ids.sliding(2).map(s => (s(0), s(1))).toSeq
+    val extras = Seq((5L, 6L), (6L, 7L), (7L, 5L), (6L, 5L), (9L, 9L))
+    val edges = spark.createDataset(chain ++ extras).toDF("ida", "idb")
+    val (labels, rounds) = Dedup.connectedComponents(edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n + 4)
+    val minChain = ids.min
+    assert(ids.forall(v => got(v) == minChain))
+    assert(Seq(5L, 6L, 7L).forall(v => got(v) == 5L))
+    assert(got(9L) == 9L) // self-loop vertex is its own component
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 2
+    assert(rounds <= bound, s"rounds=$rounds exceeds O(log n) bound $bound")
+  }
+
   test("exact dedup groups by canonical fingerprint") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Documentation ↔ code contract: the query counts quoted in
+  * README.md and the verify skill are DERIVED from `SparkEntry` by
+  * this spec — they drifted twice when hand-maintained. If a query is
+  * added or removed, these assertions name exactly which doc to
+  * update. */
+class DocsSpec extends AnyFunSuite {
+
+  private def read(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+
+  private val nQueries = SparkEntry.queries.size
+  private val nOracle = SparkEntry.oracleSql.size
+
+  test("every registered query has an oracle except the HLL sketch") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // rows-only queries are a deliberate, enumerated exception — a new
+    // query silently missing its oracle must fail here, not pass with
+    // a weaker rows-only check
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+      == Set("q_approx_distinct"))
+  }
+
+  test("README query counts match SparkEntry") {
+    val readme = read("README.md")
+    assert(readme.contains(s"$nQueries registered queries"),
+      s"README.md drifted: expected '$nQueries registered queries'")
+    assert(readme.contains(s"$nQueries queries: $nOracle"),
+      s"README.md drifted: expected '$nQueries queries: $nOracle'")
+  }
+
+  test("verify skill query count matches SparkEntry") {
+    val skill = read(".claude/skills/verify/SKILL.md")
+    assert(skill.contains(s"$nQueries queries"),
+      s"SKILL.md drifted: expected '$nQueries queries'")
+  }
+}

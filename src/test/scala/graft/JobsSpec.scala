@@ -70,7 +70,7 @@ class JobsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
-  test("HiveJob + compaction: committed partition compacts in place, catalog reads unchanged") {
+  test("HiveJob auto-compaction: committed partition compacts via location flip, catalog reads unchanged") {
     val t0 = 1617171790000L
     // three events in the SAME minute → one partition, plus a far
     // -future flush event that advances the watermark past it
@@ -84,27 +84,37 @@ class JobsSpec extends SparkSpec {
         .replace("1617171790593", (t0 + 3600000L).toString)))
     val table = "source_log_compact_test"
     val stg = tmpDir("cstg")
-    val h = HiveJob.run(spark, JobConfig(source = "file", inputDir = in,
-      checkpointDir = tmpDir("ccp"), tableName = table,
-      tableLocation = tmpDir("ctbl"), stagingDir = stg,
-      partitionCommitDelayMs = 60000L, availableNow = true))
-    h.query.awaitTermination()
-    val committed = h.committer.commitReady(t0 + 3600000L - 5000L)
-    assert(committed.nonEmpty)
-    val before = spark.table(table).collect()
-      .map(_.getAs[String]("uuid")).sorted.toSeq
-    assert(before == Seq("a", "b", "c"))
-    // compact the committed partition's directory in place
-    val (d, hh, m) = committed.head
-    val partDir = s"$stg/logday=$d/h=$hh/m=$m"
-    val (nBefore, nAfter) =
-      graft.engine.Sinks.compactPartition(spark, partDir)
-    assert(nBefore >= 1 && nAfter == 1)
-    // catalog reads see identical rows through the same partition
-    spark.catalog.refreshTable(table)
-    val after = spark.table(table).collect()
-      .map(_.getAs[String]("uuid")).sorted.toSeq
-    assert(after == before)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // one file per record, so the partition genuinely holds many
+    // small files — what a minute-level trigger leaves over a day
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try {
+      val h = HiveJob.run(spark, JobConfig(source = "file", inputDir = in,
+        checkpointDir = tmpDir("ccp"), tableName = table,
+        tableLocation = tmpDir("ctbl"), stagingDir = stg,
+        partitionCommitDelayMs = 60000L, autoCompaction = true,
+        availableNow = true))
+      h.query.awaitTermination()
+      // bounded-run final commit; auto-compaction rides the commit
+      val committed = h.committer.commitReady(t0 + 3600000L - 5000L)
+      assert(committed.nonEmpty)
+      val (d, hh, m) = committed.head
+      // the original staging partition dir is gone, replaced by a
+      // single-file compacted sibling the partition LOCATION points at
+      val origDir = new java.io.File(s"$stg/logday=$d/h=$hh/m=$m")
+      assert(!origDir.exists())
+      val compacted = new java.io.File(s"$stg/logday=$d/h=$hh")
+        .listFiles().filter(_.getName.startsWith(s"compact_m=${m}_v"))
+      assert(compacted.length == 1)
+      assert(compacted.head.listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet")) == 1)
+      // catalog reads the same rows through the flipped location; the
+      // uncommitted far-future partition (z) stays invisible
+      val after = spark.table(table).collect()
+        .map(_.getAs[String]("uuid")).sorted.toSeq
+      assert(after == Seq("a", "b", "c"))
+      // a second commitReady neither re-commits nor re-compacts
+      assert(h.committer.commitReady(t0 + 3600000L - 5000L).isEmpty)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 }

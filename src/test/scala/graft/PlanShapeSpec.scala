@@ -62,6 +62,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("winnowing: fingerprints come from mapPartitions — no per-character explode or window") {
+    val p = plan(graft.engine.TextOps.qWinnowFingerprint(spark, sf0001))
+    // the r4 rewrite: per-doc imperative pass; the regression this
+    // guards exploded one row PER CHARACTER and shuffled them all on
+    // doc_id for the window-min (~|corpus characters| rows at 100 TB)
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!"Window\\b".r.findAllIn(p).hasNext, p)
+  }
+
+  test("embed near-dup: blocked equi-join — never BNLJ or cartesian") {
+    val p = plan(graft.engine.Similarity.qEmbedNearDup(spark, sf0001))
+    // the r4 rewrite: block-pair equi-join; a BroadcastNestedLoopJoin
+    // puts one full side on every executor and a CartesianProduct is
+    // driver-planned O(n²) — both are 100 TB killers
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tf-idf: the document-frequency side of the term join is never hint-broadcast") {
+    // the df aggregate is the FULL corpus vocabulary — billions of
+    // terms at 100 TB. A broadcast HINT would pin it to the driver and
+    // every executor regardless of size; only AQE may choose broadcast
+    // when the small-SF aggregate actually fits under the threshold.
+    val lp = graft.engine.TextOps.qTfidfTopTerms(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    // exactly one hinted broadcast survives optimization: the 1-row
+    // corpus count. The term-keyed df join must carry no hint.
+    val hints = "(?i)broadcast".r.findAllIn(lp).size
+    assert(hints <= 1, lp)
+  }
+
   test("contamination: benchmark side scans only the filtered docs") {
     val s = graft.engine.Dedup.qContamination(spark, sf0001)
       .queryExecution.explainString(

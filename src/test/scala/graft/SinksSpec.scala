@@ -98,6 +98,24 @@ class SinksSpec extends SparkSpec {
     assert(back == lines.toSet)
   }
 
+  test("K1 rolling policy: maxRecordsPerFile bounds part-file size") {
+    // reference parity: Kafka2S3Text rolls a part at 1 GiB
+    // (Kafka2S3Text.scala:45); here the size bound is expressed in
+    // records — 9 rows with a 3-row bound must roll ≥ 3 part files
+    val in = tmpDir("in"); val out = tmpDir("out"); val cp = tmpDir("cp")
+    val lines = (1 to 9).map(i => s"line $i")
+    writeLines(in, "b1.txt", lines)
+    Sinks.runAvailableNow(Sinks.textPipeline(
+      Ingest.fileRaw(spark, in), out, cp, maxRecordsPerFile = 3))
+    val day = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("logday=")).head
+    val parts = day.listFiles().filter(f => f.isFile
+      && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(parts.length >= 3, parts.map(_.getName).mkString(","))
+    assert(spark.read.text(out).collect().map(_.getString(0)).toSet
+      == lines.toSet)
+  }
+
   test("compaction: many small files -> few, identical rows") {
     import spark.implicits._
     val part = tmpDir("compact") + "/logday=2021-04-13"
