@@ -25,12 +25,24 @@ object Profile {
     val names = which.map(Seq(_)).getOrElse(Bench.headline)
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      val times = (1 to reps).map { _ =>
+      // Same methodology as Bench so the two artifacts are directly
+      // comparable: two UNTIMED warmup reps (the parquet decode path
+      // needs more than one execution before C2 finishes compiling
+      // the hot loops — a single warmup leaves the first timed reps
+      // descending), then clearCache before every timed rep so
+      // queries sharing a memoized input (minhash working set) each
+      // pay its full cost. Median is the headline
+      // (contention-robust); min and the raw samples are printed
+      // alongside.
+      val times = (-1 to reps).map { _ =>
+        spark.sqlContext.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$n%-22s min=${times.min}%8.3f  all=${times.map(t => f"$t%.2f").mkString(",")}")
+      }.drop(2)
+      val med = times.sorted.apply(times.length / 2)
+      println(f"$n%-22s med=$med%8.3f min=${times.min}%8.3f  " +
+        f"all=${times.map(t => f"$t%.2f").mkString(",")}")
       if (which.isDefined) fn(spark, sfDir).explain("formatted")
     }
     spark.stop()

@@ -90,6 +90,7 @@ object SparkEntry {
     "q_media_resize" -> Multimodal.qMediaResize _,
     "q_media_features" -> Multimodal.qMediaFeatures _,
     "q_quality_filter" -> TextOps.qQualityFilter _,
+    "q_repetition_stats" -> TextOps.qRepetitionStats _,
   )
 
   /** Shared oracle fragments (DuckDB dialect). */
@@ -572,6 +573,30 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, score, rank FROM r
         |WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    // Gopher repetition signals: integer n-gram counts on both sides,
+    // fractions as the same exact-int double division → hash-exact.
+    // Docs too short for an n-gram LEFT-JOIN to NULL, matching the
+    // Spark side's None.
+    "q_repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |         i -> tk[i] || ' ' || tk[i+1])) AS g FROM t),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id,
+        |            CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+        |          FROM bgc GROUP BY doc_id),
+        |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM t),
+        |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+        |tstat AS (SELECT doc_id,
+        |            CAST(COALESCE(sum(c) FILTER (WHERE c >= 2), 0) AS DOUBLE)
+        |              / sum(c) AS dup_trigram_frac
+        |          FROM tgc GROUP BY doc_id)
+        |SELECT doc_id, len(tk) AS n_tokens, top_bigram_frac, dup_trigram_frac
+        |FROM t
+        |LEFT JOIN bstat USING (doc_id)
+        |LEFT JOIN tstat USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT md5($duckNorm) AS fp, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -162,6 +162,51 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * fraction of bigram occurrences taken by the single most frequent
+    * bigram, and the fraction of trigram occurrences whose trigram
+    * appears more than once — the standard filters for
+    * boilerplate/looping text that slips past length and punctuation
+    * checks. Null when the document is too short to have that n-gram.
+    *
+    * One per-document `mapPartitions` pass (the same zero-shuffle,
+    * no-HOF-inlining seam as [[Dedup.shingleHashSets]]): n-gram
+    * counting is row-local, so nothing leaves its input split; the
+    * fractions are exact-integer divisions, bit-identical to the
+    * DuckDB oracle's. */
+  def qRepetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, sfDir, "documents")
+    Dedup.spread(d.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tk = Dedup.tokensOf(text)
+          val n = tk.length
+          // (total occurrences, top count, occurrences of grams seen >= 2x)
+          def gramStats(g: Int): (Long, Long, Long) =
+            if (n < g) (0L, 0L, 0L)
+            else {
+              val m = scala.collection.mutable.HashMap.empty[String, Long]
+              var i = 0
+              while (i + g <= n) {
+                val key = tk.slice(i, i + g).mkString(" ")
+                m.update(key, m.getOrElse(key, 0L) + 1L)
+                i += 1
+              }
+              ((n - g + 1).toLong, m.values.max, m.values.filter(_ >= 2L).sum)
+            }
+          val (bTotal, bTop, _) = gramStats(2)
+          val (tTotal, _, tDup) = gramStats(3)
+          (id, n.toLong,
+            if (bTotal == 0L) None else Some(bTop.toDouble / bTotal),
+            if (tTotal == 0L) None else Some(tDup.toDouble / tTotal))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "top_bigram_frac", "dup_trigram_frac")
+      .orderBy(col("doc_id"))
+  }
+
   /** The C4/Gopher-style pipeline step: keep only documents above a
     * quality bar, returning id + the score that justified keeping
     * them. Filter on a derived column — Catalyst pushes the cheap

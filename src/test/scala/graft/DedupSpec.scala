@@ -94,6 +94,20 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= bound, s"rounds=$rounds exceeds O(log n) bound $bound")
   }
 
+  test("distributed components agree with union-find on a random graph") {
+    // 600 vertices, 500 random edges (seeded) → a mix of isolated
+    // pairs, trees, and multi-cycle components; labels must equal the
+    // driver-path union-find exactly
+    val rnd = new scala.util.Random(42L)
+    val edges = Seq.fill(500)((rnd.nextInt(600).toLong, rnd.nextInt(600).toLong))
+    val (labels, _) = Dedup.connectedComponents(
+      edges.toDF("ida", "idb"))
+    val got = labels.as[(Long, Long)].collect().sorted.toSeq
+    val expected = Dedup.unionFind(edges.toArray).toSeq.sorted
+    // unionFind labels only edge ENDPOINTS, as does connectedComponents
+    assert(got == expected)
+  }
+
   test("exact dedup groups by canonical fingerprint") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
