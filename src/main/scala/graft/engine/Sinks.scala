@@ -113,82 +113,41 @@ object Sinks {
     q.awaitTermination()
   }
 
-  /** Small-file compaction for one committed partition directory —
-    * the operation the reference *declares* but ships disabled
-    * (`auto-compaction`, a no-op on its Flink 1.11,
-    * `Kafka2S3Hive.scala:87-88`). Streaming sinks roll a file set per
-    * micro-batch, so a minute-level trigger over a day accumulates
-    * thousands of tiny parquet files per partition; readers then pay
-    * per-file open/footer costs. This rewrites one partition's files
-    * into ≈ `targetFileBytes`-sized files and swaps them in.
-    *
-    * Deliberately per-partition and batch (run from a scheduler or a
-    * foreachBatch hook on closed partitions): compaction must never
-    * race the writer on the live partition, and at 100 TB one
-    * partition is the natural unit of work — each compaction is an
-    * independent narrow job sized by that partition alone. The swap
-    * is two renames on the partition directory, the same
-    * commit-by-rename granularity the streaming sink itself uses;
-    * readers in the rename gap see a missing dir rather than mixed
-    * old+new data. Returns (files before, files after).
-    *
-    * Applies to CATALOG-registered partitions (the
-    * [[tablePipeline]] + [[PartitionCommitter]] path, where reads
-    * list the partition directory) — never to a raw streaming-sink
-    * root, whose `_spark_metadata` manifest pins the original file
-    * names and would dangle after a rewrite. */
-  def compactPartition(spark: SparkSession, partitionDir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    import org.apache.hadoop.fs.Path
-    val dir = new Path(partitionDir)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val dataFiles = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
-    if (dataFiles.isEmpty) return (0, 0)
-    val totalBytes = dataFiles.map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = new Path(dir.getParent, s".compact_tmp_${dir.getName}")
-    fs.delete(tmp, true)
-    spark.read.parquet(partitionDir).coalesce(nOut)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(new Path(tmp, "_SUCCESS"), false)
-    val old = new Path(dir.getParent, s".compact_old_${dir.getName}")
-    fs.delete(old, true)
-    if (!fs.rename(dir, old))
-      throw new java.io.IOException(s"compaction: cannot move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      fs.rename(old, dir) // roll back
-      throw new java.io.IOException(s"compaction: cannot swap in $tmp")
-    }
-    fs.delete(old, true)
-    val after = fs.listStatus(dir).count(s => s.isFile
-      && !s.getPath.getName.startsWith("_")
-      && !s.getPath.getName.startsWith("."))
-    (dataFiles.size, after)
-  }
-
   private def dataFilesIn(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(dir).toSeq.filter(s => s.isFile
       && !s.getPath.getName.startsWith("_")
       && !s.getPath.getName.startsWith("."))
 
-  /** S3A-safe compaction of one CATALOG partition: rewrite into a new
-    * SIBLING directory, then atomically flip the partition's metastore
-    * LOCATION onto it, then delete the old directory.
+  /** Small-file compaction of one CATALOG partition — the operation
+    * the reference *declares* but ships disabled (`auto-compaction`,
+    * a no-op on its Flink 1.11, `Kafka2S3Hive.scala:87-88`).
+    * Streaming sinks roll a file set per micro-batch, so a
+    * minute-level trigger over a day accumulates thousands of tiny
+    * parquet files per partition; readers then pay per-file
+    * open/footer costs. This rewrites one partition's files into
+    * ≈ `targetFileBytes`-sized files in a new SIBLING directory, then
+    * atomically flips the partition's metastore LOCATION onto it,
+    * then deletes the old directory.
     *
-    * Unlike [[compactPartition]]'s rename swap, this never renames a
-    * directory (an O(files) copy on S3A, non-atomic) and has no
-    * reader-visible gap: the location flip is a single metastore
-    * update, so a concurrent reader resolves either the old or the
-    * new directory, both complete. The old directory is deleted
-    * immediately after the flip — a reader that resolved it just
-    * before can still miss files; production with long scans keeps a
-    * retention delay before the delete. The compacted directory is
-    * named `compact_<partition-leaf>_v<N>` so the committer's
-    * `logday=/h=/m=` directory listing never mistakes it for an
-    * uncommitted partition.
+    * The sibling-dir + location-flip design (rather than a directory
+    * rename swap) is deliberate: a directory rename is an O(files)
+    * copy on S3A and non-atomic, and a swap leaves a reader-visible
+    * gap where the partition path doesn't exist. The location flip is
+    * a single metastore update — a concurrent reader resolves either
+    * the old or the new directory, both complete. The old directory
+    * is deleted immediately after the flip; a reader that resolved it
+    * just before can still miss files, so production with long scans
+    * keeps a retention delay before the delete. The compacted
+    * directory is named `compact_<partition-leaf>_v<N>` so the
+    * committer's `logday=/h=/m=` directory listing never mistakes it
+    * for an uncommitted partition.
+    *
+    * Per-partition and batch by design: at 100 TB one partition is
+    * the natural unit of work — each compaction is an independent
+    * narrow job sized by that partition alone, driven from
+    * [[PartitionCommitter]] right after the partition's metastore
+    * commit (or any scheduler).
     *
     * Must only run on a COMMITTED partition (watermark past
     * partition-time + delay — the writer has moved on); compacting

@@ -72,6 +72,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"Window\\b".r.findAllIn(p).hasNext, p)
   }
 
+  test("repetition stats: one mapPartitions pass — no n-gram explode or shuffle-side agg") {
+    val p = plan(graft.engine.TextOps.qRepetitionStats(spark, sf0001))
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("Generate"), p)
+    // only the oracle-sort exchange may shuffle; the stats themselves
+    // are row-local
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("embed near-dup: blocked equi-join — never BNLJ or cartesian") {
     val p = plan(graft.engine.Similarity.qEmbedNearDup(spark, sf0001))
     // the r4 rewrite: block-pair equi-join; a BroadcastNestedLoopJoin

@@ -116,26 +116,44 @@ class SinksSpec extends SparkSpec {
       == lines.toSet)
   }
 
-  test("compaction: many small files -> few, identical rows") {
+  test("compaction: many small files -> few, identical rows, S3A-safe flip") {
     import spark.implicits._
-    val part = tmpDir("compact") + "/logday=2021-04-13"
+    val table = "compact_unit_test"
+    val root = tmpDir("compact")
+    val part = s"$root/logday=2021-04-13/h=06/m=23"
     // 20 single-row files, as a minute-level streaming trigger leaves
     (0 until 20).foreach { i =>
       Seq((i.toLong, s"u$i")).toDF("id", "uuid")
         .write.mode("append").parquet(part)
     }
-    val before = spark.read.parquet(part)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"""CREATE TABLE $table (id BIGINT, uuid STRING,
+      logday STRING, h STRING, m STRING)
+      USING PARQUET PARTITIONED BY (logday, h, m)
+      LOCATION '$root'""")
+    spark.sql(s"ALTER TABLE $table ADD PARTITION " +
+      s"(logday='2021-04-13', h='06', m='23') LOCATION '$part'")
+    val before = spark.table(table).select("id", "uuid")
       .as[(Long, String)].collect().toSet
     val nBefore = new java.io.File(part).listFiles()
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
     assert(nBefore >= 20)
-    val (b, a) = Sinks.compactPartition(spark, part)
+    val (b, a) = Sinks.compactTablePartition(spark, table,
+      Seq("logday" -> "2021-04-13", "h" -> "06", "m" -> "23"))
     assert(b == nBefore && a == 1) // tiny total → one 128MB-target file
-    val after = spark.read.parquet(part)
+    // rows identical through the flipped location; old dir gone
+    val after = spark.table(table).select("id", "uuid")
       .as[(Long, String)].collect().toSet
     assert(after == before)
-    // leftovers cleaned up
-    val parent = new java.io.File(part).getParentFile
-    assert(!parent.listFiles().exists(_.getName.startsWith(".compact_")))
+    assert(!new java.io.File(part).exists())
+    // re-compaction of an already-compact partition is a no-op
+    assert(Sinks.compactTablePartition(spark, table,
+      Seq("logday" -> "2021-04-13", "h" -> "06", "m" -> "23")) == ((1, 1)))
+    // unsafe partition values are rejected before touching DDL
+    assertThrows[IllegalArgumentException] {
+      Sinks.compactTablePartition(spark, table,
+        Seq("logday" -> "2021-04-13', h='x"))
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
