@@ -27,7 +27,9 @@ object Bench {
     "q_term_freq",        // explode + agg (text)
     "q_fingerprint",      // per-doc hashing (text)
     "q_dedup_minhash",    // MinHash+LSH + verify (dedup)
-    "q_dedup_clusters",   // iterative graph (connected components)
+    "q_dedup_clusters",   // connected components (driver union-find)
+    "q_dedup_clusters_dist", // same via distributed star contraction
+    "q_repetition_stats", // per-doc n-gram repetition (text, r6)
     "q_range_join",       // non-equi join via bucketed equi-join
     "q_cosine_topk",      // brute-force similarity
     "q_ann_ivf",          // cell-probe ANN

@@ -380,7 +380,10 @@ object Dedup {
     * equality with the previous round (count + except — exact, not
     * a checksum), and `localCheckpoint` per round keeps the plan
     * from growing. Unconverged after `maxIter` throws — partial
-    * labels silently under-dedup.
+    * labels silently under-dedup. Measured ([[graft.tools.CCScale]]):
+    * a 100,000-hop chain — the worst case that needs ~100,000
+    * min-label rounds — converges in 14 alternating rounds with
+    * exact labels.
     *
     * Input: any (ida, idb) pair DataFrame (self-loops/duplicates
     * fine). Returns (labels: id → component-min label for every
