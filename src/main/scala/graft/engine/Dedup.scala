@@ -218,18 +218,35 @@ object Dedup {
   private def cachedSigSets(spark: SparkSession, sfDir: String,
       n: Int, k: Int): DataFrame = {
     val key = (spark, s"$sfDir|$n|$k")
-    def touch(k: (SparkSession, String)): Option[DataFrame] =
+    // Persist (a driver-side CacheManager registration, cheap) happens
+    // INSIDE the lock: persisting after release would race an LRU
+    // eviction of the just-inserted entry — the evictor's unpersist
+    // would no-op on the not-yet-persisted df, then the late persist
+    // would register an orphaned cache entry the memo no longer
+    // tracks (exactly the leak this memo exists to prevent).
+    def touchAndPersist(k: (SparkSession, String)): Option[DataFrame] =
       // LinkedHashMap keeps INSERTION order — re-insert on access so
       // the head is always the least-recently-used entry
-      sigSetMemo.remove(k).map { v => sigSetMemo.put(k, v); v }
+      sigSetMemo.remove(k).map { v =>
+        sigSetMemo.put(k, v)
+        if (v.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        v
+      }
     val existing = sigSetMemo.synchronized {
       sigSetMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-      touch(key)
+      touchAndPersist(key)
     }
-    val df = existing.getOrElse {
+    existing.getOrElse {
+      // plan building stays OUTSIDE the lock (analysis + file listing
+      // can take seconds); a lost race costs one redundant build
       val built = shingleSigSets(Tables(spark, sfDir, "documents"), n, k)
       sigSetMemo.synchronized {
-        val winner = touch(key).getOrElse { sigSetMemo.put(key, built); built }
+        val winner = touchAndPersist(key).getOrElse {
+          sigSetMemo.put(key, built)
+          built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          built
+        }
         while (sigSetMemo.size > sigSetMemoCap) {
           val (ek, ev) = sigSetMemo.head
           sigSetMemo.remove(ek)
@@ -238,9 +255,6 @@ object Dedup {
         winner
       }
     }
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
   }
 
   // ------------------------------------------------------------ queries
@@ -399,12 +413,18 @@ object Dedup {
       .union(pairs.select(col("idb").as("id"))).distinct()
       .localCheckpoint()
     var edges = canon.localCheckpoint()
+    var nEdges = edges.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      done = next.count() == edges.count() && next.except(edges).isEmpty
+      // carry the count across rounds — recounting the previous
+      // checkpoint would add a redundant job per round, and fixed
+      // job latency dominates the loop at small SF
+      val nNext = next.count()
+      done = nNext == nEdges && next.except(edges).isEmpty
       edges = next
+      nEdges = nNext
       rounds += 1
     }
     if (!done) throw new IllegalStateException(

@@ -119,6 +119,63 @@ object Sinks {
       && !s.getPath.getName.startsWith("_")
       && !s.getPath.getName.startsWith("."))
 
+  /** `compact_<partition-leaf>_v<N>` — the naming scheme for compacted
+    * partition directories. Not a partition-prefix name (`m=...`), so
+    * the committer's directory listing never mistakes one for an
+    * uncommitted partition. */
+  private val compactWrapper = "^compact_(.+)_v([0-9]+)$".r
+  private def isCompactDir(dir: org.apache.hadoop.fs.Path): Boolean =
+    compactWrapper.matches(dir.getName)
+  /** Next unused versioned sibling for `dir` (strips an existing
+    * wrapper so re-compaction yields `..._v2`, never nested). */
+  private def nextCompactDir(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+    val leaf = dir.getName match {
+      case compactWrapper(base, _) => base
+      case other => other
+    }
+    val used = fs.listStatus(dir.getParent).toSeq
+      .map(_.getPath.getName).collect {
+        case compactWrapper(`leaf`, v) => v.toLong
+      }
+    new org.apache.hadoop.fs.Path(dir.getParent,
+      s"compact_${leaf}_v${(used :+ 0L).max + 1}")
+  }
+
+  // partition values are interpolated into DDL — same injection guard
+  // as the committer's shape check, loosened only to the charset
+  // partition values can legally contain
+  private val safeSpecTok = "^[0-9A-Za-z_.:-]+$".r
+  private def requireSafeSpec(spec: Seq[(String, String)]): Unit =
+    require(spec.nonEmpty && spec.forall { case (k, v) =>
+      safeSpecTok.matches(k) && safeSpecTok.matches(v) },
+      s"unsafe partition spec: $spec")
+  private def specSql(spec: Seq[(String, String)]): String =
+    spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+
+  /** Rewrite `srcDirs` into one ≈`targetFileBytes`-sized file set in a
+    * fresh versioned sibling of `curDir`, atomically flip the
+    * partition LOCATION onto it, delete the sources. */
+  private def rewriteAndFlip(spark: SparkSession, table: String,
+      spec: Seq[(String, String)], fs: org.apache.hadoop.fs.FileSystem,
+      curDir: org.apache.hadoop.fs.Path,
+      srcDirs: Seq[org.apache.hadoop.fs.Path], totalBytes: Long,
+      targetFileBytes: Long): Int = {
+    val nOut = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val next = nextCompactDir(fs, curDir)
+    // maxRecordsPerFile=0 (unlimited) overrides any session-level
+    // record bound: compaction sizes files by BYTES via coalesce —
+    // a streaming-side record cap would re-split the output
+    spark.read.parquet(srcDirs.map(_.toString): _*).coalesce(nOut)
+      .write.mode("overwrite").option("maxRecordsPerFile", 0)
+      .parquet(next.toString)
+    spark.sql(s"ALTER TABLE $table PARTITION (${specSql(spec)}) " +
+      s"SET LOCATION '${fs.makeQualified(next)}'")
+    srcDirs.foreach(fs.delete(_, true))
+    dataFilesIn(fs, next).size
+  }
+
   /** Small-file compaction of one CATALOG partition — the operation
     * the reference *declares* but ships disabled (`auto-compaction`,
     * a no-op on its Flink 1.11, `Kafka2S3Hive.scala:87-88`).
@@ -157,13 +214,7 @@ object Sinks {
       spec: Seq[(String, String)],
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     import org.apache.hadoop.fs.Path
-    // partition values are interpolated into DDL — same injection
-    // guard as the committer's shape check, loosened only to the
-    // charset partition values can legally contain
-    val safeTok = "^[0-9A-Za-z_.:-]+$".r
-    require(spec.nonEmpty && spec.forall { case (k, v) =>
-      safeTok.matches(k) && safeTok.matches(v) },
-      s"unsafe partition spec: $spec")
+    requireSafeSpec(spec)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val cur = spark.sessionState.catalog.getPartition(ident, spec.toMap)
     val dir = new Path(cur.location)
@@ -173,31 +224,54 @@ object Sinks {
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    if (nOut >= dataFiles.size) return (dataFiles.size, dataFiles.size)
-    // versioned sibling: strip a previous compaction's wrapper so
-    // re-compaction yields compact_<leaf>_v2, not nested wrappers
-    val wrapper = "^compact_(.+)_v([0-9]+)$".r
-    val leaf = dir.getName match {
-      case wrapper(base, _) => base
-      case other => other
-    }
-    val usedVersions = fs.listStatus(dir.getParent).toSeq
-      .map(_.getPath.getName).collect {
-        case wrapper(`leaf`, v) => v.toLong
-      }
-    val next = new Path(dir.getParent,
-      s"compact_${leaf}_v${(usedVersions :+ 0L).max + 1}")
-    // maxRecordsPerFile=0 (unlimited) overrides any session-level
-    // record bound: compaction sizes files by BYTES via coalesce —
-    // a streaming-side record cap would re-split the output
-    spark.read.parquet(dir.toString).coalesce(nOut)
-      .write.mode("overwrite").option("maxRecordsPerFile", 0)
-      .parquet(next.toString)
-    val partSql = spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
-    spark.sql(s"ALTER TABLE $table PARTITION ($partSql) " +
-      s"SET LOCATION '${fs.makeQualified(next)}'")
-    fs.delete(dir, true)
-    (dataFiles.size, dataFilesIn(fs, next).size)
+    // no-op only once the location already IS a compacted dir: a
+    // raw staging location always flips (even a 1-file rewrite), so
+    // the staging dir disappears and [[reconcileLatePartition]] can
+    // detect anything that lands there afterwards
+    if (isCompactDir(dir) && nOut >= dataFiles.size)
+      return (dataFiles.size, dataFiles.size)
+    (dataFiles.size, rewriteAndFlip(spark, table, spec, fs, dir,
+      Seq(dir), totalBytes, targetFileBytes))
+  }
+
+  /** Recover LATE data for an already-compacted partition. The file
+    * sink never drops late rows (a watermark only bounds stateful
+    * operators), so an event arriving after its partition was
+    * committed and compacted recreates the original staging
+    * directory — which the table's flipped LOCATION no longer sees.
+    * This merges such a reappeared staging directory back into the
+    * partition: rewrite (current location ∪ staging dir) into the
+    * next compacted version, flip, delete both sources. Returns true
+    * iff a merge happened.
+    *
+    * No-ops when the staging dir IS the current location (partition
+    * not yet compacted — reads already see it), is absent, or holds
+    * no data files yet (an empty shell may be a writer mid-flight —
+    * deleting it could race the in-progress rename; the next call
+    * merges once files exist). A row landing between the listing and
+    * the delete can still be lost — closing that window needs a
+    * transactional table format; this recovers the ~seconds-to-hours
+    * case, which plain parquet pipelines (the reference included)
+    * otherwise lose silently. */
+  def reconcileLatePartition(spark: SparkSession, table: String,
+      spec: Seq[(String, String)], stagingPartDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+    import org.apache.hadoop.fs.Path
+    requireSafeSpec(spec)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val cur = spark.sessionState.catalog.getPartition(ident, spec.toMap)
+    val curDir = new Path(cur.location)
+    val fs = curDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(stagingPartDir)
+    if (fs.makeQualified(staging) == fs.makeQualified(curDir)) return false
+    if (!fs.exists(staging)) return false
+    val late = dataFilesIn(fs, staging)
+    if (late.isEmpty) return false
+    val curFiles = dataFilesIn(fs, curDir)
+    val totalBytes = (late ++ curFiles).map(_.getLen).sum
+    rewriteAndFlip(spark, table, spec, fs, curDir,
+      Seq(curDir, staging), totalBytes, targetFileBytes)
+    true
   }
 }
 
@@ -287,9 +361,21 @@ class PartitionCommitter(spark: SparkSession, table: String,
 
   /** Register every on-disk partition whose partition-time + delay ≤
     * `watermarkMillis`; returns the partitions NEWLY added this call
-    * (previously committed ones are skipped). */
+    * (previously committed ones are skipped).
+    *
+    * With `autoCompact`, every committed partition whose staging
+    * directory is (still or again) present is then attended to:
+    * fresh ones get their first compaction (which flips the LOCATION
+    * off the staging dir and deletes it), and a REAPPEARED staging
+    * dir — late data written by the sink after the flip, which the
+    * table would otherwise never see — is merged back in by
+    * [[Sinks.reconcileLatePartition]]. Compaction/reconciliation
+    * failures are logged, never propagated: the commit (correctness)
+    * must not be rolled back for a failed optimization, and the next
+    * trigger retries naturally. */
   def commitReady(watermarkMillis: Long): Seq[(String, String, String)] = {
-    val fresh = partitionsOnDisk().filter { case (d, h, m) =>
+    val onDisk = partitionsOnDisk()
+    val fresh = onDisk.filter { case (d, h, m) =>
       safe(d, h, m) && !committed((d, h, m)) &&
         partitionTime(d, h, m).exists(_ + delayMillis <= watermarkMillis)
     }
@@ -298,14 +384,26 @@ class PartitionCommitter(spark: SparkSession, table: String,
         s"PARTITION (logday='$d', h='$h', m='$m') " +
         s"LOCATION '$location/logday=$d/h=$h/m=$m'")
       committed += ((d, h, m))
-      if (autoCompact) {
-        try Sinks.compactTablePartition(spark, table,
-          Seq("logday" -> d, "h" -> h, "m" -> m), compactTargetBytes)
-        catch { case e: Exception =>
-          System.err.println(s"[PartitionCommitter] auto-compaction of " +
-            s"($d,$h,$m) failed: ${e.getMessage}")
+    }
+    if (autoCompact) {
+      // every committed partition still listed on disk: fresh commits
+      // (first compaction) and reappeared staging dirs (late data).
+      // After a driver restart `committed` re-fills from `fresh`, so
+      // a late dir for a long-ago-compacted partition is attended
+      // too: ADD is a no-op, reconcile merges, compact no-ops.
+      onDisk.filter(p => safe(p._1, p._2, p._3) && committed(p))
+        .foreach { case (d, h, m) =>
+          val spec = Seq("logday" -> d, "h" -> h, "m" -> m)
+          try {
+            Sinks.reconcileLatePartition(spark, table, spec,
+              s"$location/logday=$d/h=$h/m=$m", compactTargetBytes)
+            Sinks.compactTablePartition(spark, table, spec,
+              compactTargetBytes)
+          } catch { case e: Exception =>
+            System.err.println(s"[PartitionCommitter] auto-compaction " +
+              s"of ($d,$h,$m) failed: ${e.getMessage}")
+          }
         }
-      }
     }
     fresh
   }

@@ -33,6 +33,12 @@ class DocsSpec extends AnyFunSuite {
       s"README.md drifted: expected '$nQueries queries: $nOracle'")
   }
 
+  test("SURVEY hash-checkable ratio matches SparkEntry") {
+    val survey = read("SURVEY.md")
+    assert(survey.contains(s"$nOracle/$nQueries queries hash-checkable"),
+      s"SURVEY.md drifted: expected '$nOracle/$nQueries queries hash-checkable'")
+  }
+
   test("verify skill query count matches SparkEntry") {
     val skill = read(".claude/skills/verify/SKILL.md")
     assert(skill.contains(s"$nQueries queries"),

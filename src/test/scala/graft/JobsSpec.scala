@@ -20,8 +20,11 @@ class JobsSpec extends SparkSpec {
   test("config parser mirrors the reference options; unknown keys fail") {
     val c = JobConfig.parse(Array(
       "--source", "file", "--input-dir", "/in", "--checkpoint-dir", "/cp",
-      "--sink-path", "/out", "--checkpoint-interval", "10"))
+      "--sink-path", "/out", "--checkpoint-interval", "10",
+      "--auto-compaction", "true"))
     assert(c.source == "file" && c.checkpointInterval == 10L)
+    assert(c.autoCompaction)
+    assert(!JobConfig.parse(Array.empty[String]).autoCompaction) // default off, as in the reference
     assertThrows[IllegalArgumentException] {
       JobConfig.parse(Array("--nope", "x"))
     }
@@ -114,6 +117,25 @@ class JobsSpec extends SparkSpec {
       assert(after == Seq("a", "b", "c"))
       // a second commitReady neither re-commits nor re-compacts
       assert(h.committer.commitReady(t0 + 3600000L - 5000L).isEmpty)
+      // LATE data: a row lands in the original staging partition dir
+      // AFTER commit + compaction (the file sink never drops late
+      // rows). Without reconciliation the flipped LOCATION would hide
+      // it forever; the next commitReady must merge it back in.
+      locally {
+        import spark.implicits._
+        Seq(("zlate", "2021-03-31T06:23:50.000Z", t0 + 40000L, 1, "x"))
+          .toDF("uuid", "date", "timestamp", "ad_type", "ad_type_name")
+          .write.mode("append").parquet(origDir.getAbsolutePath)
+      }
+      assert(h.committer.commitReady(t0 + 3600000L - 5000L).isEmpty)
+      val withLate = spark.table(table).collect()
+        .map(_.getAs[String]("uuid")).sorted.toSeq
+      assert(withLate == Seq("a", "b", "c", "zlate"))
+      assert(!origDir.exists()) // staging dir merged away again
+      // merged into the next compacted version, still one file
+      val v2 = new java.io.File(s"$stg/logday=$d/h=$hh")
+        .listFiles().filter(_.getName.startsWith(s"compact_m=${m}_v"))
+      assert(v2.length == 1 && v2.head.getName.endsWith("_v2"))
       spark.sql(s"DROP TABLE IF EXISTS $table")
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
