@@ -47,6 +47,7 @@ object SparkEntry {
     // §2.6 sort / limit / set ops
     "q_percentiles" -> Relational.qPercentiles _,
     "q_sessionize_batch" -> Relational.qSessionizeBatch _,
+    "q_funnel" -> Relational.qFunnel _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -450,6 +451,25 @@ object SparkEntry {
         |FROM x
         |GROUP BY user_id, sess
         |ORDER BY user_id, sess""".stripMargin,
+    // ts comparisons work on the ns→µs-truncated timestamps on both
+    // sides (same contract as q_sessionize_batch)
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |      GROUP BY 1)
+        |SELECT stage, count(*) AS users FROM (
+        |  SELECT 'l1_view' AS stage, user_id FROM v
+        |  UNION ALL SELECT 'l2_click', user_id FROM c
+        |  UNION ALL SELECT 'l3_purchase', user_id FROM p)
+        |GROUP BY stage
+        |ORDER BY stage""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

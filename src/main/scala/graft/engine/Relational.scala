@@ -360,6 +360,39 @@ object Relational {
       .orderBy(col("user_id"), col("sess"))
   }
 
+  /** Ordered-step funnel over the event stream: users who VIEWED,
+    * then CLICKED strictly after their first view, then PURCHASED
+    * strictly after that first qualifying click — the standard
+    * product-analytics conversion funnel, where naive per-stage
+    * counts overstate conversion because they ignore event ORDER.
+    *
+    * Shape for scale: each stage shuffles only its own event-type
+    * slice (the type filter is pushed to the scan), every join and
+    * aggregation is keyed by user_id, and the groupBy AFTER each
+    * join reuses the join's user_id partitioning — the physical plan
+    * shows partial+final HashAggregate with no extra Exchange there.
+    * At small SF AQE broadcasts the (tiny) per-stage aggregates
+    * instead. No windows, no per-user sort — min-reductions only. */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    def stage(tpe: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts"))
+    val v = stage("view").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.select(lit("l1_view").as("stage"), col("user_id"))
+      .union(c.select(lit("l2_click"), col("user_id")))
+      .union(p.select(lit("l3_purchase"), col("user_id")))
+      .groupBy(col("stage")).agg(count(lit(1)).as("users"))
+      .orderBy(col("stage"))
+  }
+
   /** As-of join — for each event, the most recent order of the same
     * customer at or before the event time. Spark has no ASOF JOIN
     * operator; the scalable formulation is the union trick: tag both
