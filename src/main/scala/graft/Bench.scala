@@ -30,9 +30,12 @@ object Bench {
     "q_dedup_clusters",   // connected components (driver union-find)
     "q_dedup_clusters_dist", // same via distributed star contraction
     "q_repetition_stats", // per-doc n-gram repetition (text, r6)
+    "q_passage_dedup",    // passage explode + keep-first window (r6)
+    "q_unigram_score",    // vocabulary join + per-doc agg (r6)
     "q_range_join",       // non-equi join via bucketed equi-join
     "q_cosine_topk",      // brute-force similarity
     "q_ann_ivf",          // cell-probe ANN
+    "q_embed_cluster",    // iterative k-means (3 assignment scans, r6)
     "q_media_meta")       // binary column projection
 
   def main(args: Array[String]): Unit = {

@@ -78,6 +78,7 @@ object SparkEntry {
     "q_dedup_clusters_dist" -> Dedup.qDedupClustersDist _,
     "q_dedup_keep" -> Dedup.qDedupKeep _,
     "q_contamination" -> Dedup.qContamination _,
+    "q_contamination_bloom" -> Dedup.qContaminationBloom _,
     "q_curate" -> TextOps.qCurate _,
     "q_simhash_pairs" -> Dedup.qSimhashPairs _,
     // §2.9 north-star: embedding similarity
@@ -85,6 +86,9 @@ object SparkEntry {
     "q_embed_neardup" -> Similarity.qEmbedNearDup _,
     "q_ann_lsh" -> Similarity.qAnnLsh _,
     "q_ann_ivf" -> Similarity.qAnnIvf _,
+    // rows-only by design (iterative k-means has no SQL oracle; the
+    // spec pins argmin + SSE-monotonicity instead)
+    "q_embed_cluster" -> Similarity.qEmbedCluster _,
     // §2.9 north-star: multimodal binary columns
     "q_media_meta" -> Multimodal.qMediaMeta _,
     "q_media_frames" -> Multimodal.qMediaFrames _,
@@ -92,6 +96,8 @@ object SparkEntry {
     "q_media_features" -> Multimodal.qMediaFeatures _,
     "q_quality_filter" -> TextOps.qQualityFilter _,
     "q_repetition_stats" -> TextOps.qRepetitionStats _,
+    "q_passage_dedup" -> TextOps.qPassageDedup _,
+    "q_unigram_score" -> TextOps.qUnigramScore _,
   )
 
   /** Shared oracle fragments (DuckDB dialect). */
@@ -649,6 +655,14 @@ object SparkEntry {
         |WHERE doc_id >= 10
         |  AND shingle IN (SELECT DISTINCT shingle FROM idx WHERE doc_id < 10)
         |ORDER BY doc_id""".stripMargin,
+    // Bloom pre-pass is output-invisible (false positives removed by
+    // the exact verify join) → same oracle as the exact path.
+    "q_contamination_bloom" ->
+      s"""WITH $duckShingleBody
+        |SELECT DISTINCT doc_id FROM idx
+        |WHERE doc_id >= 10
+        |  AND shingle IN (SELECT DISTINCT shingle FROM idx WHERE doc_id < 10)
+        |ORDER BY doc_id""".stripMargin,
     "q_curate" ->
       s"""WITH t AS (SELECT doc_id, source, text, $duckTokens AS tk FROM documents),
         |q AS (SELECT doc_id, source,
@@ -794,6 +808,37 @@ object SparkEntry {
         |FROM t
         |GROUP BY 1
         |ORDER BY bin_lo""".stripMargin,
+    // Passage-level dedup: same 10-token chunking, keep-first by
+    // (doc_id, pos), reassembled text compared as md5 — coalesce('')
+    // matches Spark's array_join-of-empty for all-dropped docs.
+    "q_passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |tt AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+        |ps AS (SELECT doc_id, list_transform(range(0, (len(tk) + 9) // 10),
+        |         i -> array_to_string(tk[i*10+1:i*10+10], ' ')) AS pl
+        |       FROM tt),
+        |ex AS (SELECT doc_id, unnest(pl) AS passage,
+        |         unnest(range(1, len(pl) + 1)) AS pos FROM ps),
+        |mk AS (SELECT doc_id, pos, passage,
+        |         row_number() OVER (PARTITION BY passage
+        |                            ORDER BY doc_id, pos) = 1 AS keep
+        |       FROM ex)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  count(*) FILTER (WHERE keep) AS n_kept,
+        |  md5(coalesce(string_agg(passage, ' ' ORDER BY pos)
+        |        FILTER (WHERE keep), '')) AS clean_fp
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Commonness score: integer corpus-frequency sums, one double
+    // division at the end — no transcendentals, so hash-exact.
+    "q_unigram_score" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($duckTokens) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS c FROM tk GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tf)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(c) AS DOUBLE) / CAST(count(*) * total AS DOUBLE) AS score
+        |FROM tk JOIN tf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id, total
+        |ORDER BY doc_id""".stripMargin,
     // MinHash+LSH candidates are exact-verified, and at the J>=0.8
     // output threshold the 32x2 banding misses a pair with
     // P <= (1-0.64)^32 ~= 5e-15 — so the oracle is the same exact

@@ -518,6 +518,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination with a Bloom-filter pre-pass —
+    * identical output to [[qContamination]] (it shares that oracle),
+    * different scale shape. The exact path must move every corpus
+    * shingle into the semi-join; here a Bloom filter of the benchmark
+    * shingle hashes (built DISTRIBUTEDLY by `stat.bloomFilter` — the
+    * sketch aggregates per-partition and merges, only the ~1 MB bit
+    * array ever reaches the driver) is broadcast and applied as a
+    * filter BEFORE the join, so the join input shrinks to
+    * O(true matches + fpp × corpus shingles). The exact semi-join on
+    * the survivors then removes the Bloom false positives — the
+    * approximation never reaches the output. This is the shape that
+    * wins when the benchmark suite is too large to broadcast exactly:
+    * the corpus-side shuffle carries ~fpp of the corpus instead of
+    * all of it. (The Bloom probe is a scala closure over the
+    * broadcast sketch — a deliberate exception to the no-UDF rule:
+    * Spark's codegen'd `might_contain` expression is internal-only,
+    * and the probe sits behind a narrow filter, not in an agg/join
+    * hot path.) */
+  def qContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val bench = shingleHashSets(d.filter(col("doc_id") < 10))
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val bf = bench.stat.bloomFilter("shingle",
+      expectedNumItems = 1000000L, fpp = 0.001)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    shingleHashSets(d.filter(col("doc_id") >= 10))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .filter(mightContain(col("shingle")))
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
     * Signature bit b = sign of Σ_tokens (bit b of md5(token)'s leading
     * 8 bytes ? +1 : −1). Candidates via 4×16-bit chunk equality

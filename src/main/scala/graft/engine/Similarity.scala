@@ -230,4 +230,68 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("score"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Embedding-table vector width (FIXTURES.md §B). */
+  private val embDim = 64
+
+  /** Squared-distance argmin assignment against driver-resident
+    * centroids, as a single codegen'd projection: per cell,
+    * −2·x·c + |c|² (the shared |x|² term cancels under argmin), ties
+    * to the lowest cid via lexicographic struct min. The corpus never
+    * shuffles for assignment — same shape as the IVF cell argmax. */
+  private def nearestCell(cent: IndexedSeq[IndexedSeq[Double]]): Column =
+    array_min(array(cent.zipWithIndex.map { case (cv, cid) =>
+      val c2 = cv.map(x => x * x).sum
+      struct((dot(col("v"), typedLit(cv)) * -2.0 + lit(c2)).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Deterministic Lloyd k-means over the embedding corpus — the
+    * SemDeDup/clustered-curation stage 1 (cluster first, then
+    * dedup/curate within cells). Seeded with the k lowest vec_ids
+    * (production would k-means++ an offline sample; the per-iteration
+    * dataflow is what matters). Each iteration is one narrow
+    * assignment projection plus ONE tiny aggregation — k×(dim+1)
+    * partial sums per partition, map-side combined, so the shuffle
+    * carries O(partitions × k × dim) doubles regardless of corpus
+    * size; only the k aggregated rows reach the driver. Empty cells
+    * retain their previous centroid. */
+  def kmeansCentroids(spark: SparkSession, sfDir: String, k: Int,
+      iters: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val e = corpus(spark, sfDir)
+    var cent: IndexedSeq[IndexedSeq[Double]] = e.filter(col("vec_id") < k)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(cent.length == k, s"corpus has fewer than $k seed vectors")
+    for (_ <- 1 to iters) {
+      val aggs = count(lit(1)).as("n") +:
+        (0 until embDim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      val rows = e.select(col("v"), nearestCell(cent).as("cid"))
+        .groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getInt(0) -> r).toMap
+      cent = cent.indices.map { cid =>
+        rows.get(cid) match {
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            (0 until embDim).map(i => r.getDouble(2 + i) / n)
+          case None => cent(cid)
+        }
+      }
+    }
+    cent
+  }
+
+  /** Final k-means cluster assignment (k=8, 3 Lloyd iterations).
+    * No SQL oracle BY DESIGN (like the HLL sketch): the centroid
+    * fixpoint is iterative distributed computation, not a relational
+    * expression — the driver records the rows-only check and
+    * [[SimilaritySpec]] pins the semantics instead (argmin property
+    * vs. a driver-side recomputation, SSE monotonicity, cluster-count
+    * sanity). */
+  def qEmbedCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val cent = kmeansCentroids(spark, sfDir, k = 8, iters = 3)
+    corpus(spark, sfDir)
+      .select(col("vec_id"), nearestCell(cent).cast("long").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
 }

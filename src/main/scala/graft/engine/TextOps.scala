@@ -429,4 +429,81 @@ object TextOps {
       .select((col("bin") * 50).as("bin_lo"), col("n_docs"))
       .orderBy(col("bin_lo"))
   }
+
+  /** Tokens-per-passage for [[qPassageDedup]]. */
+  val passageLen = 10
+
+  /** Passage-level exact dedup with document reassembly — the
+    * C4-style "remove duplicated spans across the corpus" pass (C4
+    * drops repeated three-sentence spans; this corpus has no sentence
+    * boundaries, so the span unit is a fixed [[passageLen]]-token
+    * chunk). Each document is cut into non-overlapping passages; a
+    * passage instance survives iff it is the globally FIRST
+    * occurrence of that passage text in (doc_id, position) order —
+    * later copies, including repeats inside the same document, are
+    * dropped. Survivors are stitched back per document and
+    * fingerprinted, so the output stays narrow (the cleaned text
+    * leaves the executors only as an md5).
+    *
+    * Scale shape: one explode (rows × ~n_tokens/P), one shuffle keyed
+    * by passage text for the keep-first window — the same single
+    * hash-shuffle as exact document dedup, P× fewer rows than a
+    * token-level explode — then one groupBy(doc_id) to reassemble.
+    * Hot passages ("the the the…") skew their window partition; AQE
+    * skew handling applies, and P=10 chunks keep key cardinality high.
+    * Zero-token documents vanish at the explode in both engines. */
+  def qPassageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = passageLen
+    val d = Tables(spark, sfDir, "documents")
+    val t = d.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val cut = t.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), ((size(col("tk")) - 1) / p).cast("int")),
+        i => array_join(slice(col("tk"), i * p + 1, lit(p)), " ")))
+        .as(Seq("pos", "passage")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("passage")).orderBy(col("doc_id"), col("pos"))
+    cut.withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("passage"))))),
+            s => s.getField("passage")),
+          " ")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-frequency commonness score — the hash-exact stand-in for
+    * LM-perplexity filtering (CCNet scores docs with a KenLM; with no
+    * model in the loop, mean corpus unigram frequency separates
+    * common-language text from rare-token noise the same way, and
+    * stays reproducible by any engine). score =
+    * Σ_tokens corpusCount(token) / (n_tokens × totalTokens): integer
+    * sums only, one final double division, so the oracle matches
+    * bit-exactly — no transcendentals whose libm rounding could
+    * diverge between engines.
+    *
+    * Scale shape: explode → one hash-agg for the term table → one
+    * shuffle join of token instances against it (unhinted: the
+    * vocabulary of a 100 TB corpus is itself huge, same reasoning as
+    * the [[qTfidfTopTerms]] df join) → per-doc agg. The grand total
+    * rides along as a broadcast 1-row cross join, never a collect. */
+  def qUnigramScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum(col("c")).as("total"))
+    toks.join(tf, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_c"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_c").cast("double") / (col("n_tokens") * col("total")))
+          .as("score"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -23,6 +23,16 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("bloom-prefiltered contamination equals the exact path") {
+    val exact = Dedup.qContamination(spark, sf0001).collect().toSeq
+    val bloom = Dedup.qContaminationBloom(spark, sf0001).collect().toSeq
+    assert(exact.nonEmpty)
+    // the Bloom pre-pass only prunes: false positives die in the exact
+    // verify join, true positives can't be filtered out (no false
+    // negatives by construction) → byte-identical output
+    assert(bloom == exact)
+  }
+
   test("simhash: near-identical docs collide, distance respects edits") {
     val pairs = Dedup.qSimhashPairs(spark, sf0001)
       .select("ida", "idb", "hamming").as[(Long, Long, Long)].collect()

@@ -103,6 +103,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(hints <= 1, lp)
   }
 
+  test("unigram score: the term-frequency side of the join is never hint-broadcast") {
+    // same reasoning as the tf-idf guard: the term table is the full
+    // corpus vocabulary — only the 1-row grand total may carry a hint
+    val lp = graft.engine.TextOps.qUnigramScore(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val hints = "(?i)broadcast".r.findAllIn(lp).size
+    assert(hints <= 1, lp)
+  }
+
+  test("passage dedup: one explode, no join — a single passage-keyed shuffle") {
+    val p = plan(graft.engine.TextOps.qPassageDedup(spark, sf0001))
+    // one Generate (the passage posexplode); the keep-first marking is
+    // a window over the passage shuffle, NOT a self-join — the
+    // regression this guards is a groupBy(passage)+join-back
+    // formulation that shuffles the exploded corpus twice
+    assert("Generate".r.findAllIn(p).size == 1, p)
+    assert("(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin|cartesian|nestedloop"
+      .r.findAllIn(p).isEmpty, p)
+  }
+
+  test("bloom contamination: bloom probe below the exact semi-join") {
+    val p = plan(graft.engine.Dedup.qContaminationBloom(spark, sf0001))
+    val semiAt = p.indexOf("LeftSemi")
+    // the corpus side prints BELOW the join in the tree, so the UDF
+    // probe filter must appear after it — probing post-join would make
+    // the bloom pass dead weight
+    val probeAt = p.indexOf("UDF(shingle")
+    assert(semiAt >= 0 && probeAt > semiAt, p)
+  }
+
   test("contamination: benchmark side scans only the filtered docs") {
     val s = graft.engine.Dedup.qContamination(spark, sf0001)
       .queryExecution.explainString(

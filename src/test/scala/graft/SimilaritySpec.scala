@@ -76,4 +76,38 @@ class SimilaritySpec extends SparkSpec {
     assert(qids.nonEmpty && hits.toDouble / exact.size >= 0.3,
       s"recall too low: $hits/${exact.size}")
   }
+
+  test("k-means: assignment is the true argmin, SSE monotone over iterations") {
+    val k = 8
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], c: IndexedSeq[Double]): Double =
+      a.lazyZip(c).map((x, y) => (x - y) * (x - y)).sum
+    def sse(cent: IndexedSeq[IndexedSeq[Double]]): Double =
+      vecs.values.map(v => cent.map(d2(v, _)).min).sum
+    // Lloyd's guarantee: SSE non-increasing across iterations (the
+    // engine's distributed means vs this driver-side recompute differ
+    // only in fp summation order — far below iteration-level deltas)
+    val byIter = (1 to 3).map(i =>
+      Similarity.kmeansCentroids(spark, sf0001, k, iters = i))
+    val sses = byIter.map(sse)
+    assert(sses.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 },
+      sses.toString)
+    // final assignment = independent argmin (full squared distance,
+    // ties to lowest cid; the engine drops the |x|^2 term instead)
+    val out = Similarity.qEmbedCluster(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) == vecs.keys.toSeq.sorted)
+    val cent = byIter.last
+    out.foreach { case (id, cl) =>
+      val ds = cent.map(d2(vecs(id), _))
+      assert(cl == ds.indexOf(ds.min), s"vec $id")
+    }
+    // the planted label structure yields populated, non-degenerate cells
+    val sizes = out.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.keys.forall(c => c >= 0 && c < k))
+    assert(sizes.size >= 2)
+  }
 }

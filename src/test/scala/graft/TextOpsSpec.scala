@@ -45,4 +45,53 @@ class TextOpsSpec extends SparkSpec {
       assert((n, bf, tf) == ((en, ebf, etf)), s"doc $id")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  test("passage dedup: global keep-first in (doc_id, pos) order, md5 of survivors") {
+    val out = TextOps.qPassageDedup(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.nonEmpty)
+    // independent recomputation: sequential corpus walk with a seen-set
+    // (a different formulation than the engine's window-over-shuffle)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val expect = docs.toSeq.flatMap { case (id, text) =>
+      val tk = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val ps = tk.grouped(TextOps.passageLen).map(_.mkString(" ")).toSeq
+      if (ps.isEmpty) None
+      else {
+        val kept = ps.filter(seen.add)
+        Some((id, ps.length.toLong, kept.length.toLong,
+          md5hex(kept.mkString(" "))))
+      }
+    }
+    assert(out == expect)
+    // the corpus' planted duplicates actually exercise the drop path
+    assert(out.exists { case (_, n, k, _) => k < n })
+  }
+
+  test("unigram score: mean corpus token frequency, exact arithmetic") {
+    val out = TextOps.qUnigramScore(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    def tok(t: String) = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val cnt = docs.flatMap(d => tok(d._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = cnt.values.sum
+    val expect = docs.toSeq.flatMap { case (id, text) =>
+      val tk = tok(text)
+      if (tk.isEmpty) None
+      else Some((id, tk.length.toLong,
+        tk.map(cnt).sum.toDouble / (tk.length.toLong * total)))
+    }
+    // integer sums + a single double division → bit-exact equality
+    assert(out == expect)
+  }
 }
