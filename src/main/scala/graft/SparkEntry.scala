@@ -98,6 +98,8 @@ object SparkEntry {
     "q_repetition_stats" -> TextOps.qRepetitionStats _,
     "q_passage_dedup" -> TextOps.qPassageDedup _,
     "q_unigram_score" -> TextOps.qUnigramScore _,
+    "q_train_mix" -> TextOps.qTrainMix _,
+    "q_window_pct" -> Relational.qWindowPct _,
   )
 
   /** Shared oracle fragments (DuckDB dialect). */
@@ -787,6 +789,30 @@ object SparkEntry {
         |FROM p
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // same md5 bucketing as q_holdout_split; per-source rate from the
+    // numeric suffix — (n%4+1)*20 percent
+    "q_train_mix" ->
+      """WITH h AS (SELECT doc_id, source,
+        |             md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |b AS (SELECT doc_id, source,
+        |        ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100
+        |          AS bucket,
+        |        (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) * 20
+        |          AS rate
+        |      FROM h)
+        |SELECT doc_id, source FROM b WHERE bucket < rate
+        |ORDER BY doc_id""".stripMargin,
+    "q_window_pct" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_holdout_split" ->
       """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
         |           FROM documents),

@@ -281,6 +281,21 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** percent_rank / cume_dist distribution windows — the rank-family
+    * functions not already covered (rank/dense_rank in qWindowRank,
+    * ntile in qWindowLagLead). Both are exact integer ratios
+    * ((rank−1)/(n−1), peers≤rank / n), and the window order carries
+    * the unique o_orderkey tiebreak → hash-exact across engines. */
+  def qWindowPct(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   // ------------------------------------------------- sort / limit / sets
 
   /** Global top-k by sort: ORDER BY ... LIMIT (Spark plans TakeOrdered
