@@ -12,6 +12,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Even-count convention: mean of the middle two. The ONE median
+    * used by both Bench and Profile — a divergence (e.g. one artifact
+    * switching to lower-median) would manufacture a phantom gap when
+    * cross-checking the two. */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   /** Headline subset: one representative per operator family, so the
     * total tracks engine health rather than suite size. */
   val headline: Seq[String] = Seq(
@@ -95,11 +105,6 @@ object Bench {
     val passes: Seq[Map[String, Double]] =
       (1 to reps).map(_ => qs.map { case (n, fn) =>
         n -> runOnce(n, fn, sfDir) }.toMap)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
     val samples: Seq[(String, Seq[Double])] =
       qs.map { case (n, _) => n -> passes.map(_(n)) }
     val results = samples.map { case (n, ss) =>

@@ -40,12 +40,7 @@ object Profile {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.drop(2)
-      // same even-count convention as Bench (mean of the middle two),
-      // so cross-checking the two artifacts never manufactures a gap
-      val med = {
-        val s = times.sorted; val n = s.length
-        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-      }
+      val med = Bench.median(times)
       println(f"$n%-22s med=$med%8.3f min=${times.min}%8.3f  " +
         f"all=${times.map(t => f"$t%.2f").mkString(",")}")
       if (which.isDefined) fn(spark, sfDir).explain("formatted")

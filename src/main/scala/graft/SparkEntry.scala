@@ -790,7 +790,8 @@ object SparkEntry {
         |GROUP BY source
         |ORDER BY source""".stripMargin,
     // same md5 bucketing as q_holdout_split; per-source rate from the
-    // numeric suffix — (n%4+1)*20 percent
+    // trailing (<=2) digits — (n%4+1)*20 percent, 50 when digitless
+    // (CASE guards the cast, mirroring the Spark side's `when`)
     "q_train_mix" ->
       """WITH h AS (SELECT doc_id, source,
         |             md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
@@ -800,7 +801,10 @@ object SparkEntry {
         |       + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
         |       + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100
         |          AS bucket,
-        |        (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) * 20
+        |        CASE WHEN regexp_extract(source, '([0-9]{1,2})$', 1) = ''
+        |             THEN 50
+        |             ELSE (CAST(regexp_extract(source, '([0-9]{1,2})$', 1)
+        |                     AS INT) % 4 + 1) * 20 END
         |          AS rate
         |      FROM h)
         |SELECT doc_id, source FROM b WHERE bucket < rate

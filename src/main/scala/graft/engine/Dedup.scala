@@ -215,9 +215,13 @@ object Dedup {
   private val sigSetMemo =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String),
       DataFrame]
-  private def cachedSigSets(spark: SparkSession, sfDir: String,
-      n: Int, k: Int): DataFrame = {
-    val key = (spark, s"$sfDir|$n|$k")
+  /** Memoize-and-persist a derived working set, keyed by session +
+    * string key — LRU-bounded, unpersist-on-eviction, re-persisting
+    * after an external `clearCache`. Shared by the minhash signature
+    * sets and the benchmark shingle set. */
+  private[engine] def memoizedPersisted(spark: SparkSession, keyStr: String)(
+      build: => DataFrame): DataFrame = {
+    val key = (spark, keyStr)
     // Persist (a driver-side CacheManager registration, cheap) happens
     // INSIDE the lock: persisting after release would race an LRU
     // eviction of the just-inserted entry — the evictor's unpersist
@@ -240,7 +244,7 @@ object Dedup {
     existing.getOrElse {
       // plan building stays OUTSIDE the lock (analysis + file listing
       // can take seconds); a lost race costs one redundant build
-      val built = shingleSigSets(Tables(spark, sfDir, "documents"), n, k)
+      val built = build
       sigSetMemo.synchronized {
         val winner = touchAndPersist(key).getOrElse {
           sigSetMemo.put(key, built)
@@ -256,6 +260,11 @@ object Dedup {
       }
     }
   }
+
+  private def cachedSigSets(spark: SparkSession, sfDir: String,
+      n: Int, k: Int): DataFrame =
+    memoizedPersisted(spark, s"sigs|$sfDir|$n|$k")(
+      shingleSigSets(Tables(spark, sfDir, "documents"), n, k))
 
   // ------------------------------------------------------------ queries
 
@@ -531,23 +540,34 @@ object Dedup {
     * approximation never reaches the output. This is the shape that
     * wins when the benchmark suite is too large to broadcast exactly:
     * the corpus-side shuffle carries ~fpp of the corpus instead of
-    * all of it. (The Bloom probe is a scala closure over the
+    * all of it — so the verify join here is deliberately UNHINTED
+    * (AQE may still broadcast it when it happens to fit; pinning a
+    * hint would contradict the too-big-to-broadcast premise). The
+    * benchmark shingle set participates three times (count for
+    * sketch sizing, sketch build, verify join), so it is
+    * memoize-persisted like the minhash working set rather than
+    * recomputed per use. (The Bloom probe is a scala closure over the
     * broadcast sketch — a deliberate exception to the no-UDF rule:
     * Spark's codegen'd `might_contain` expression is internal-only,
     * and the probe sits behind a narrow filter, not in an agg/join
     * hot path.) */
   def qContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val bench = shingleHashSets(d.filter(col("doc_id") < 10))
-      .select(explode(col("sh")).as("shingle")).distinct()
+    val bench = memoizedPersisted(spark, s"benchShingles|$sfDir")(
+      shingleHashSets(d.filter(col("doc_id") < 10))
+        .select(explode(col("sh")).as("shingle")).distinct())
+    // size the sketch from the actual set (the count also materializes
+    // the persisted bench side) — a hard-coded capacity would let fpp
+    // degrade toward 1 on a larger benchmark suite, pruning nothing
+    val nBench = bench.count()
     val bf = bench.stat.bloomFilter("shingle",
-      expectedNumItems = 1000000L, fpp = 0.001)
+      expectedNumItems = math.max(nBench, 1000L), fpp = 0.001)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     shingleHashSets(d.filter(col("doc_id") >= 10))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .filter(mightContain(col("shingle")))
-      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .join(bench, Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
       .orderBy(col("doc_id"))
   }

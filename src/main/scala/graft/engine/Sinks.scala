@@ -153,26 +153,81 @@ object Sinks {
   private def specSql(spec: Seq[(String, String)]): String =
     spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
 
-  /** Rewrite `srcDirs` into one ≈`targetFileBytes`-sized file set in a
-    * fresh versioned sibling of `curDir`, atomically flip the
-    * partition LOCATION onto it, delete the sources. */
+  /** Absorbed-staging manifest: every compacted directory carries a
+    * `_absorbed` file naming each STAGING part file whose rows it
+    * (transitively) contains. This is what makes the flip-then-delete
+    * sequence crash-safe: if the process dies (or an object-store
+    * delete fails — `FileSystem.delete` signals failure by return
+    * value) between the LOCATION flip and the source deletes, the
+    * surviving staging files are recognized by name on the next
+    * reconcile and deleted instead of re-merged. Without it they are
+    * indistinguishable from genuinely-late data and every row in the
+    * partition would be silently duplicated. Underscore-prefixed, so
+    * Spark's parquet reader and [[dataFilesIn]] both ignore it. */
+  private val manifestName = "_absorbed"
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, manifestName)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, names: Seq[String]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, manifestName), true)
+    try out.write(names.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  /** Remove a drained source dir: once no data files remain, drop the
+    * non-data markers (`_SUCCESS`, our `_absorbed`, hidden files — the
+    * same set [[dataFilesIn]] excludes) and then the dir iff nothing
+    * else is left (a foreign subdirectory keeps it alive). */
+  private def deleteDirIfDrained(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dir) || dataFilesIn(fs, dir).nonEmpty) return
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && (s.getPath.getName.startsWith("_")
+        || s.getPath.getName.startsWith(".")))
+      .foreach(s => fs.delete(s.getPath, false))
+    if (fs.listStatus(dir).isEmpty) fs.delete(dir, false)
+  }
+
+  /** Rewrite exactly `srcFiles` into one ≈`targetFileBytes`-sized file
+    * set in a fresh versioned sibling of `curDir`, write its absorbed
+    * manifest, atomically flip the partition LOCATION onto it, then
+    * delete the absorbed files (and any drained source dirs). Deletes
+    * are per-FILE, by the listing the rewrite actually read: a file
+    * that lands in a source dir after the listing is neither read nor
+    * deleted — it survives for the next reconcile — and a delete that
+    * fails or is interrupted is finished (never re-merged) by the next
+    * reconcile via the manifest. */
   private def rewriteAndFlip(spark: SparkSession, table: String,
       spec: Seq[(String, String)], fs: org.apache.hadoop.fs.FileSystem,
       curDir: org.apache.hadoop.fs.Path,
-      srcDirs: Seq[org.apache.hadoop.fs.Path], totalBytes: Long,
-      targetFileBytes: Long): Int = {
+      srcFiles: Seq[org.apache.hadoop.fs.FileStatus],
+      manifest: Seq[String], targetFileBytes: Long,
+      cleanupDirs: Seq[org.apache.hadoop.fs.Path]): Int = {
+    val totalBytes = srcFiles.map(_.getLen).sum
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val next = nextCompactDir(fs, curDir)
     // maxRecordsPerFile=0 (unlimited) overrides any session-level
     // record bound: compaction sizes files by BYTES via coalesce —
     // a streaming-side record cap would re-split the output
-    spark.read.parquet(srcDirs.map(_.toString): _*).coalesce(nOut)
+    spark.read.parquet(srcFiles.map(_.getPath.toString): _*).coalesce(nOut)
       .write.mode("overwrite").option("maxRecordsPerFile", 0)
       .parquet(next.toString)
+    writeManifest(fs, next, manifest)
     spark.sql(s"ALTER TABLE $table PARTITION (${specSql(spec)}) " +
       s"SET LOCATION '${fs.makeQualified(next)}'")
-    srcDirs.foreach(fs.delete(_, true))
+    srcFiles.foreach(f => fs.delete(f.getPath, false))
+    cleanupDirs.foreach(deleteDirIfDrained(fs, _))
     dataFilesIn(fs, next).size
   }
 
@@ -185,17 +240,20 @@ object Sinks {
     * open/footer costs. This rewrites one partition's files into
     * ≈ `targetFileBytes`-sized files in a new SIBLING directory, then
     * atomically flips the partition's metastore LOCATION onto it,
-    * then deletes the old directory.
+    * then deletes exactly the absorbed files.
     *
     * The sibling-dir + location-flip design (rather than a directory
     * rename swap) is deliberate: a directory rename is an O(files)
     * copy on S3A and non-atomic, and a swap leaves a reader-visible
     * gap where the partition path doesn't exist. The location flip is
     * a single metastore update — a concurrent reader resolves either
-    * the old or the new directory, both complete. The old directory
-    * is deleted immediately after the flip; a reader that resolved it
-    * just before can still miss files, so production with long scans
-    * keeps a retention delay before the delete. The compacted
+    * the old or the new directory, both complete. The absorbed files
+    * are deleted immediately after the flip; a reader that resolved
+    * the old location just before can still miss files, so production
+    * with long scans keeps a retention delay before the delete. A
+    * crash or failed delete between flip and cleanup is recovered by
+    * the `_absorbed` manifest (see [[reconcileLatePartition]]) — the
+    * leftovers are finished off, never re-merged. The compacted
     * directory is named `compact_<partition-leaf>_v<N>` so the
     * committer's `logday=/h=/m=` directory listing never mistakes it
     * for an uncommitted partition.
@@ -230,8 +288,14 @@ object Sinks {
     // detect anything that lands there afterwards
     if (isCompactDir(dir) && nOut >= dataFiles.size)
       return (dataFiles.size, dataFiles.size)
+    // first compaction absorbs staging files (record their names);
+    // re-compaction of a compact dir only reshapes already-absorbed
+    // rows — its manifest carries forward unchanged
+    val manifest =
+      if (isCompactDir(dir)) readManifest(fs, dir).toSeq
+      else dataFiles.map(_.getPath.getName)
     (dataFiles.size, rewriteAndFlip(spark, table, spec, fs, dir,
-      Seq(dir), totalBytes, targetFileBytes))
+      dataFiles, manifest, targetFileBytes, Seq(dir)))
   }
 
   /** Recover LATE data for an already-compacted partition. The file
@@ -240,19 +304,22 @@ object Sinks {
     * committed and compacted recreates the original staging
     * directory — which the table's flipped LOCATION no longer sees.
     * This merges such a reappeared staging directory back into the
-    * partition: rewrite (current location ∪ staging dir) into the
-    * next compacted version, flip, delete both sources. Returns true
-    * iff a merge happened.
+    * partition: rewrite (current location ∪ genuinely-late staging
+    * files) into the next compacted version, flip, delete the
+    * absorbed files. Returns true iff a merge happened.
     *
-    * No-ops when the staging dir IS the current location (partition
-    * not yet compacted — reads already see it), is absent, or holds
-    * no data files yet (an empty shell may be a writer mid-flight —
-    * deleting it could race the in-progress rename; the next call
-    * merges once files exist). A row landing between the listing and
-    * the delete can still be lost — closing that window needs a
-    * transactional table format; this recovers the ~seconds-to-hours
-    * case, which plain parquet pipelines (the reference included)
-    * otherwise lose silently. */
+    * Staging files named in the current location's `_absorbed`
+    * manifest are NOT late data — they are leftovers of a flip whose
+    * source delete crashed or failed; their rows already live in the
+    * compacted location, so they are deleted, never re-merged
+    * (re-merging would silently duplicate the partition). No-ops when
+    * the staging dir IS the current location (partition not yet
+    * compacted — reads already see it), is absent, or holds no
+    * unabsorbed data files. Deletes are per-file against the listing
+    * the rewrite read, so a row landing mid-merge survives for the
+    * next call; full transactional cover would need a table format,
+    * but this recovers the cases a plain parquet pipeline (the
+    * reference included) loses or duplicates silently. */
   def reconcileLatePartition(spark: SparkSession, table: String,
       spec: Seq[(String, String)], stagingPartDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
@@ -265,12 +332,29 @@ object Sinks {
     val staging = new Path(stagingPartDir)
     if (fs.makeQualified(staging) == fs.makeQualified(curDir)) return false
     if (!fs.exists(staging)) return false
-    val late = dataFilesIn(fs, staging)
-    if (late.isEmpty) return false
+    val absorbed = readManifest(fs, curDir)
+    val stagingAll = dataFilesIn(fs, staging)
+    val late = stagingAll.filterNot(f => absorbed(f.getPath.getName))
+    if (late.isEmpty) {
+      // every surviving staging file is already IN the current
+      // compacted location (a flip whose source delete crashed or
+      // failed) — finish the delete; re-merging would duplicate rows
+      stagingAll.foreach(f => fs.delete(f.getPath, false))
+      if (stagingAll.nonEmpty) deleteDirIfDrained(fs, staging)
+      return false
+    }
     val curFiles = dataFilesIn(fs, curDir)
-    val totalBytes = (late ++ curFiles).map(_.getLen).sum
     rewriteAndFlip(spark, table, spec, fs, curDir,
-      Seq(curDir, staging), totalBytes, targetFileBytes)
+      curFiles ++ late, (absorbed ++ late.map(_.getPath.getName)).toSeq,
+      targetFileBytes, Seq(curDir, staging))
+    // absorbed leftovers that coexisted with the late files: their
+    // rows rode along from the old compact dir, and they stay in the
+    // new manifest — safe to drain now, after the flip
+    val leftovers = stagingAll.filter(f => absorbed(f.getPath.getName))
+    if (leftovers.nonEmpty) {
+      leftovers.foreach(f => fs.delete(f.getPath, false))
+      deleteDirIfDrained(fs, staging)
+    }
     true
   }
 }
@@ -293,7 +377,9 @@ object Sinks {
   * With `autoCompact` the reference's declared-but-dead
   * `auto-compaction` knob (`Kafka2S3Hive.scala:87-88`, a no-op on its
   * Flink 1.11) becomes real: each newly committed partition is
-  * immediately rewritten by [[Sinks.compactTablePartition]]. Safe by
+  * rewritten by [[Sinks.compactTablePartition]] on the shared
+  * compaction worker thread — never on the caller's (listener-bus)
+  * thread, whose event queue a long compaction would back up. Safe by
   * construction — a partition only commits once the watermark passed
   * its time + delay, so the writer has moved on and compaction never
   * races the live partition. Compaction failure is logged, never
@@ -391,20 +477,54 @@ class PartitionCommitter(spark: SparkSession, table: String,
       // After a driver restart `committed` re-fills from `fresh`, so
       // a late dir for a long-ago-compacted partition is attended
       // too: ADD is a no-op, reconcile merges, compact no-ops.
+      // HANDED OFF to the shared compaction worker: commitReady is
+      // called from StreamingQueryListener.onQueryProgress, and a
+      // compaction outlasting the trigger interval on the listener
+      // bus thread would back up progress-event delivery for every
+      // listener (Spark drops events once that queue fills). The DDL
+      // ADDs above stay synchronous — they are the commit itself,
+      // cheap metastore calls. Re-enqueueing a partition already in
+      // the queue is harmless: reconcile/compact no-op on re-entry.
       onDisk.filter(p => safe(p._1, p._2, p._3) && committed(p))
         .foreach { case (d, h, m) =>
           val spec = Seq("logday" -> d, "h" -> h, "m" -> m)
-          try {
-            Sinks.reconcileLatePartition(spark, table, spec,
-              s"$location/logday=$d/h=$h/m=$m", compactTargetBytes)
-            Sinks.compactTablePartition(spark, table, spec,
-              compactTargetBytes)
-          } catch { case e: Exception =>
-            System.err.println(s"[PartitionCommitter] auto-compaction " +
-              s"of ($d,$h,$m) failed: ${e.getMessage}")
-          }
+          PartitionCommitter.compactionExec.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                Sinks.reconcileLatePartition(spark, table, spec,
+                  s"$location/logday=$d/h=$h/m=$m", compactTargetBytes)
+                Sinks.compactTablePartition(spark, table, spec,
+                  compactTargetBytes)
+              } catch { case e: Exception =>
+                System.err.println(s"[PartitionCommitter] auto-compaction " +
+                  s"of ($d,$h,$m) failed: ${e.getMessage}")
+              }
+          })
         }
     }
     fresh
   }
+
+  /** Block until every auto-compaction enqueued so far has run —
+    * bounded-run / test hook (the worker is FIFO, so an empty barrier
+    * task completing implies the earlier submissions did too). */
+  def awaitCompactions(timeoutMs: Long = 120000L): Unit =
+    PartitionCommitter.compactionExec
+      .submit(new Runnable { override def run(): Unit = () })
+      .get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+}
+
+object PartitionCommitter {
+  /** One shared daemon worker for ALL committers: auto-compaction is
+    * an optimization, so serializing it bounds its resource use (one
+    * partition-sized job at a time), keeps it off the streaming
+    * listener bus, and one idle daemon thread per process — not per
+    * committer — is the whole footprint. */
+  private[engine] lazy val compactionExec =
+    java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-auto-compaction")
+        t.setDaemon(true)
+        t
+      })
 }

@@ -481,20 +481,24 @@ object TextOps {
     * same md5(doc_id) bucketing as [[qHoldoutSplit]] — the "weight
     * your sources" step of assembling a training mix (upsample
     * curated sources, downsample crawl). Rates here derive from the
-    * source's numeric suffix ((n mod 4 + 1) × 20%) — a deterministic
-    * stand-in for the real rate table, which production would supply
-    * as a literal map. Membership is a pure function of
-    * (doc_id, source): reproducible across engines, stable under
-    * reshuffles and corpus growth, no RNG. A narrow two-column scan +
-    * filter — no shuffle, no state, trivially 100 TB-safe. */
+    * source's trailing digits ((n mod 4 + 1) × 20%, 50% when the name
+    * has none) — a deterministic stand-in for the real rate table,
+    * which production would supply as a literal map. The suffix match
+    * is capped at two digits and the digitless case is guarded BEFORE
+    * the cast: an unguarded `cast("")`/overflow under ANSI mode would
+    * kill the query on the first source named outside the fixture's
+    * `srcN` scheme. Membership is a pure function of (doc_id, source):
+    * reproducible across engines, stable under reshuffles and corpus
+    * growth, no RNG. A narrow two-column scan + filter — no shuffle,
+    * no state, trivially 100 TB-safe. */
   def qTrainMix(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
     val bucket = pmod(
       conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("int"), lit(100))
-    val rate =
-      (pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int"),
-        lit(4)) + 1) * 20
+    val sfx = regexp_extract(col("source"), "([0-9]{1,2})$", 1)
+    val rate = when(sfx === "", lit(50))
+      .otherwise((pmod(sfx.cast("int"), lit(4)) + 1) * 20)
     d.select(col("doc_id"), col("source"))
       .filter(bucket < rate)
       .orderBy(col("doc_id"))

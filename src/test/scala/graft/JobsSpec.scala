@@ -99,6 +99,7 @@ class JobsSpec extends SparkSpec {
       h.query.awaitTermination()
       // bounded-run final commit; auto-compaction rides the commit
       val committed = h.committer.commitReady(t0 + 3600000L - 5000L)
+      h.committer.awaitCompactions() // async worker — drain before asserting
       assert(committed.nonEmpty)
       val (d, hh, m) = committed.head
       // the original staging partition dir is gone, replaced by a
@@ -117,6 +118,7 @@ class JobsSpec extends SparkSpec {
       assert(after == Seq("a", "b", "c"))
       // a second commitReady neither re-commits nor re-compacts
       assert(h.committer.commitReady(t0 + 3600000L - 5000L).isEmpty)
+      h.committer.awaitCompactions()
       // LATE data: a row lands in the original staging partition dir
       // AFTER commit + compaction (the file sink never drops late
       // rows). Without reconciliation the flipped LOCATION would hide
@@ -128,6 +130,7 @@ class JobsSpec extends SparkSpec {
           .write.mode("append").parquet(origDir.getAbsolutePath)
       }
       assert(h.committer.commitReady(t0 + 3600000L - 5000L).isEmpty)
+      h.committer.awaitCompactions()
       val withLate = spark.table(table).collect()
         .map(_.getAs[String]("uuid")).sorted.toSeq
       assert(withLate == Seq("a", "b", "c", "zlate"))

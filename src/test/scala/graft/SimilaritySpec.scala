@@ -105,9 +105,11 @@ class SimilaritySpec extends SparkSpec {
       val ds = cent.map(d2(vecs(id), _))
       assert(cl == ds.indexOf(ds.min), s"vec $id")
     }
-    // the planted label structure yields populated, non-degenerate cells
-    val sizes = out.groupBy(_._2).view.mapValues(_.size)
-    assert(sizes.keys.forall(c => c >= 0 && c < k))
-    assert(sizes.size >= 2)
+    // non-degenerate clustering: every cell ends up populated (the
+    // corpus is balanced and far larger than k) and no single cell
+    // swallows the corpus — measured 49–72 of 500 per cell at sf0.001
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.size == k, sizes.toString)
+    assert(sizes.values.max < out.size / 2, sizes.toString)
   }
 }

@@ -156,4 +156,54 @@ class SinksSpec extends SparkSpec {
     }
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("crash-safe compaction: leftover absorbed files cleaned, never re-merged") {
+    import spark.implicits._
+    val table = "compact_crash_test"
+    val root = tmpDir("crash")
+    val part = s"$root/logday=2021-04-13/h=06/m=24"
+    val spec = Seq("logday" -> "2021-04-13", "h" -> "06", "m" -> "24")
+    (0 until 5).foreach { i =>
+      Seq((i.toLong, s"u$i")).toDF("id", "uuid")
+        .write.mode("append").parquet(part)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"""CREATE TABLE $table (id BIGINT, uuid STRING,
+      logday STRING, h STRING, m STRING)
+      USING PARQUET PARTITIONED BY (logday, h, m)
+      LOCATION '$root'""")
+    spark.sql(s"ALTER TABLE $table ADD PARTITION " +
+      s"(logday='2021-04-13', h='06', m='24') LOCATION '$part'")
+    // snapshot the staging part files — the simulated crash restores them
+    val saved = new java.io.File(part).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath))
+      .sortBy(_._1)
+    val before = spark.table(table).select("id", "uuid")
+      .as[(Long, String)].collect().toSet
+    Sinks.compactTablePartition(spark, table, spec)
+    // simulate a crash between LOCATION flip and source delete: two of
+    // the absorbed files survive in the staging dir. Reconcile must
+    // recognize them by the _absorbed manifest and finish the delete —
+    // re-merging would duplicate their rows.
+    new java.io.File(part).mkdirs()
+    saved.take(2).foreach { case (n, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(part, n), bytes) }
+    assert(!Sinks.reconcileLatePartition(spark, table, spec, part))
+    assert(spark.table(table).select("id", "uuid")
+      .as[(Long, String)].collect().toSet == before)
+    assert(!new java.io.File(part).exists()) // leftovers drained away
+    // mixed case: one absorbed leftover AND one genuinely-late file —
+    // the merge takes only the late row, the leftover still dies
+    new java.io.File(part).mkdirs()
+    saved.take(1).foreach { case (n, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(part, n), bytes) }
+    Seq((100L, "late")).toDF("id", "uuid")
+      .write.mode("append").parquet(part)
+    assert(Sinks.reconcileLatePartition(spark, table, spec, part))
+    assert(spark.table(table).select("id", "uuid")
+      .as[(Long, String)].collect().toSet == before + ((100L, "late")))
+    assert(!new java.io.File(part).exists())
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
