@@ -89,6 +89,9 @@ object SparkEntry {
     // rows-only by design (iterative k-means has no SQL oracle; the
     // spec pins argmin + SSE-monotonicity instead)
     "q_embed_cluster" -> Similarity.qEmbedCluster _,
+    // rows-only by design (cell-bounded semantic dedup on top of the
+    // k-means fixpoint; the spec re-derives the keep-list exactly)
+    "q_semdedup_keep" -> Similarity.qSemdedupKeep _,
     // §2.9 north-star: multimodal binary columns
     "q_media_meta" -> Multimodal.qMediaMeta _,
     "q_media_frames" -> Multimodal.qMediaFrames _,

@@ -281,6 +281,60 @@ object Similarity {
     cent
   }
 
+  /** SemDeDup end-to-end: the semantic-dedup keep-list. k-means cells
+    * bound the candidate space, exact cosine verifies within-cell
+    * pairs, connected components collapses transitive
+    * near-dup groups, and the group's min vec_id survives. Cross-cell
+    * near-dups are sacrificed BY DESIGN — that recall-for-scale trade
+    * is the SemDeDup algorithm itself (arXiv:2303.09540's published
+    * dataflow: cluster, then dedup only within clusters), which is
+    * why no O(n²) stage exists here: the quadratic is per-cell,
+    * bounded by the cell size.
+    *
+    * Cell count scales with the corpus (n/500, clamped to [8,64]
+    * locally; production picks ~√n cells the same way) so cells stay
+    * small as the corpus grows. The edge list reuses the dedup
+    * pipeline's hybrid labeler: driver union-find when it fits
+    * (near-dup edges are sparse), alternating-star rounds otherwise.
+    * Iterative + data-dependent cells → no SQL oracle (rows-only);
+    * [[SimilaritySpec]] re-derives the whole keep-list independently
+    * and asserts exact equality. */
+  def qSemdedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // the near-dup bar for THIS corpus (same as qEmbedNearDup's: the
+    // synthetic embeddings plant duplicates at cos ≈ 0.4+; real text
+    // embeddings would put the SemDeDup knob at ~0.95)
+    val threshold = 0.4
+    val e = corpus(spark, sfDir)
+    val n = e.count()
+    val k = math.min(64L, math.max(8L, n / 500)).toInt
+    val cent = kmeansCentroids(spark, sfDir, k, iters = 3)
+    val assigned = e.select(col("vec_id"), col("v"),
+      nearestCell(cent).as("cid"))
+    val lhs = assigned.select(col("cid"), col("vec_id").as("ida"),
+      col("v").as("va"))
+    val rhs = assigned.select(col("cid"), col("vec_id").as("idb"),
+      col("v").as("vb"))
+    val pairs = lhs.join(rhs, Seq("cid"))
+      .filter(col("ida") < col("idb"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("ida"), col("idb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = pairs.count()
+    val labeled =
+      if (nEdges <= 1000000L)
+        spark.createDataset(
+          Dedup.unionFind(pairs.as[(Long, Long)].collect()).toSeq)
+          .toDF("id", "label")
+      else Dedup.connectedComponents(pairs)._1
+    pairs.unpersist()
+    val drop = labeled.filter(col("id") =!= col("label"))
+      .select(col("id").as("vec_id"))
+    e.select(col("vec_id"))
+      .join(drop, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
   /** Final k-means cluster assignment (k=8, 3 Lloyd iterations).
     * No SQL oracle BY DESIGN (like the HLL sketch): the centroid
     * fixpoint is iterative distributed computation, not a relational

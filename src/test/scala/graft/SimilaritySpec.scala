@@ -112,4 +112,45 @@ class SimilaritySpec extends SparkSpec {
     assert(sizes.size == k, sizes.toString)
     assert(sizes.values.max < out.size / 2, sizes.toString)
   }
+
+  test("semdedup keep-list equals an independent driver-side re-derivation") {
+    val kept = Similarity.qSemdedupKeep(spark, sf0001)
+      .as[Long].collect().toSeq
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    // same parameters the engine derives: n=500 → k=8, 3 iterations
+    val cent = Similarity.kmeansCentroids(spark, sf0001, k = 8, iters = 3)
+    def d2(a: Seq[Double], c: IndexedSeq[Double]): Double =
+      a.lazyZip(c).map((x, y) => (x - y) * (x - y)).sum
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.lazyZip(y).map(_ * _).foldLeft(0.0)(_ + _)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val cell = vecs.map { case (id, v) =>
+      val ds = cent.map(d2(v, _)); id -> ds.indexOf(ds.min)
+    }.toMap
+    val byId = vecs.toMap
+    val ids = vecs.map(_._1)
+    val edges = for {
+      i <- ids; j <- ids
+      if i < j && cell(i) == cell(j) && cos(byId(i), byId(j)) >= 0.4
+    } yield (i, j)
+    assert(edges.nonEmpty) // planted near-dups land in shared cells
+    // driver union-find (the same transitive-closure semantics,
+    // independently implemented)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long =
+      if (parent.getOrElse(x, x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val dropped = ids.filter(id => find(id) != id).toSet
+    assert(dropped.nonEmpty)
+    assert(kept == ids.filterNot(dropped).sorted.toSeq)
+  }
 }
