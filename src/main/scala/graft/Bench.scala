@@ -46,6 +46,7 @@ object Bench {
     "q_cosine_topk",      // brute-force similarity
     "q_ann_ivf",          // cell-probe ANN
     "q_embed_cluster",    // iterative k-means (3 assignment scans, r6)
+    "q_semdedup_keep",    // cells + within-cell pairs + CC (r6)
     "q_media_meta")       // binary column projection
 
   def main(args: Array[String]): Unit = {

@@ -123,6 +123,15 @@ class PlanShapeSpec extends SparkSpec {
       .r.findAllIn(p).isEmpty, p)
   }
 
+  test("k-means assignment: a pure projection — no join, window, or agg") {
+    // the iterative centroid jobs run eagerly at build time; the
+    // RETURNED plan is the corpus-wide assignment, which must stay a
+    // narrow literal-centroid argmin projection (the IVF shape) — a
+    // join+window formulation would shuffle |corpus|×k rows
+    val p = plan(graft.engine.Similarity.qEmbedCluster(spark, sf0001))
+    assert("(?i)join|window|aggregate".r.findAllIn(p).isEmpty, p)
+  }
+
   test("bloom contamination: bloom probe below the exact semi-join") {
     val p = plan(graft.engine.Dedup.qContaminationBloom(spark, sf0001))
     val semiAt = p.indexOf("LeftSemi")
