@@ -77,6 +77,29 @@ object StreamingOps {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("uuid")
 
+  /** Streaming corpus ingestion: the batch text surface applied
+    * incrementally — per-document features (token count, quality,
+    * language, canonical fingerprint) as STATELESS projections using
+    * the exact same codegen'd expressions as the batch [[TextOps]]
+    * queries, a quality floor, then watermark-bounded exact dedup
+    * keyed on the content fingerprint. A duplicate arriving within
+    * the horizon is dropped exactly; an older re-arrival is the
+    * periodic batch dedup pass's job — bounded state is the price of
+    * streaming (state is O(docs inside the horizon), watermark-
+    * evicted, RocksDB-backed when configured), the same trade the
+    * reference makes with its partition-commit delay. Input must
+    * carry (doc_id, text, event_time). */
+  def docPipeline(docs: DataFrame, watermarkDelay: String = "10 minutes",
+      minQuality: Double = 0.25): DataFrame =
+    docs
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+      .withColumn("language", TextOps.langId(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream–stream inner join: impressions ⋈ clicks on uuid with the
     * click constrained to [impression, impression + window]. BOTH
     * sides are watermarked and the join condition bounds event-time

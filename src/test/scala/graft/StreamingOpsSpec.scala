@@ -133,4 +133,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.contains(("u1", 2L, 10000L)))
     assert(out.contains(("u2", 1L, 0L)))
   }
+
+  test("streaming doc pipeline: batch-identical features, quality floor, content dedup") {
+    import org.apache.spark.sql.functions.col
+    import graft.engine.{TextOps, TimeOps}
+    val good = "the quick brown fox jumps over the lazy dog and runs " +
+      "to the hills with a friend of mine that is nice"
+    val good2 = "a stream of documents arrives and the engine keeps " +
+      "the clean ones that pass the bar of quality in time"
+    val junk = "%%% ### !!! @@@"
+    val dir = tmpDir("docs")
+    def row(id: Long, text: String, ts: Long) =
+      s"""{"doc_id":$id,"text":"$text","ts":$ts}"""
+    Files.write(Paths.get(dir, "in.jsonl"), Seq(
+      row(1, good, T0), row(2, good2, T0 + 1000),
+      row(3, good, T0 + 2000), // same content, later arrival → dropped
+      row(4, junk, T0 + 3000)) // below the quality floor → dropped
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING, ts LONG").json(dir)
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("ts")))
+    val out = runToMemory(StreamingOps.docPipeline(docs), "doc_pipe")
+      .select("doc_id", "fp", "quality", "n_tokens", "language")
+      .as[(Long, String, Double, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // features are the SAME codegen'd expressions as the batch path —
+    // bit-identical on the same text
+    val batch = Seq((1L, good), (2L, good2)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")),
+        TextOps.qualityScore(col("text")),
+        TextOps.tokenCount(col("text")).cast("long"),
+        TextOps.langId(col("text")))
+      .as[(Long, String, Double, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out == batch)
+    // and the junk doc really was a quality kill, not a dedup one
+    val junkQ = Seq(junk).toDF("text")
+      .select(TextOps.qualityScore(col("text"))).as[Double].head()
+    assert(junkQ < 0.25)
+  }
 }
