@@ -103,6 +103,8 @@ object SparkEntry {
     "q_unigram_score" -> TextOps.qUnigramScore _,
     "q_train_mix" -> TextOps.qTrainMix _,
     "q_window_pct" -> Relational.qWindowPct _,
+    "q_date_funcs" -> Relational.qDateFuncs _,
+    "q_string_funcs" -> Relational.qStringFuncs _,
   )
 
   /** Shared oracle fragments (DuckDB dialect). */
@@ -820,6 +822,32 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(CAST(o_orderdate AS DATE)) AS y,
+        |  quarter(CAST(o_orderdate AS DATE)) AS qtr,
+        |  month(CAST(o_orderdate AS DATE)) AS mo,
+        |  day(CAST(o_orderdate AS DATE)) AS dom,
+        |  CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+        |    AS VARCHAR) AS month_start,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS days_since,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // instr↔strpos, regexp_replace needs the 'g' flag to match
+    // Spark's replace-all default
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up,
+        |  length(c_name) AS len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+        |  substring(c_name, 1, 8) AS prefix,
+        |  strpos(c_name, '#') AS hash_at,
+        |  regexp_replace(c_name, '[0-9]', '', 'g') AS no_digits,
+        |  reverse(c_name) AS rev,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_holdout_split" ->
       """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
         |           FROM documents),

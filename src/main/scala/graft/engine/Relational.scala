@@ -296,6 +296,47 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** Calendar-function parity sweep (§2.7 scalar surface): the date
+    * derivations every partition/reporting layer leans on —
+    * year/quarter/month/day extraction, month bucketing (`date_trunc`
+    * + `last_day`), day arithmetic (`datediff`, `date_add`). All pure
+    * calendar math with identical semantics in DuckDB → hash-exact.
+    * One narrow projection; at scale these are the expressions that
+    * must stay inside whole-stage codegen rather than become UDFs. */
+  def qDateFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val d = col("o_orderdate").cast("date")
+    o.select(col("o_orderkey"),
+        year(d).as("y"), quarter(d).as("qtr"), month(d).as("mo"),
+        dayofmonth(d).as("dom"),
+        // date-typed outputs go out as ISO strings: the oracle
+        // compare stringifies rows, and date32 vs timestamp pandas
+        // boxing would diverge on identical calendar values
+        date_trunc("month", d).cast("date").cast("string").as("month_start"),
+        last_day(d).cast("string").as("month_end"),
+        datediff(d, to_date(lit("1995-01-01"))).as("days_since"),
+        date_add(d, 30).cast("string").as("due_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** String-function parity sweep (§2.7): case mapping, padding,
+    * substring windows, search, replace, reverse — restricted to
+    * functions whose semantics match DuckDB's exactly (instr↔strpos,
+    * substring, lpad on ASCII keys). Narrow projection, codegen'd. */
+  def qStringFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val n = col("c_name")
+    c.select(col("c_custkey"),
+        upper(n).as("up"), length(n).as("len"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+        substring(n, 1, 8).as("prefix"),
+        instr(n, "#").as("hash_at"),
+        regexp_replace(n, "[0-9]", "").as("no_digits"),
+        reverse(n).as("rev"),
+        concat_ws("|", col("c_mktsegment"), n).as("tagged"))
+      .orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------- sort / limit / sets
 
   /** Global top-k by sort: ORDER BY ... LIMIT (Spark plans TakeOrdered
