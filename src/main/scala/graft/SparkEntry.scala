@@ -105,6 +105,7 @@ object SparkEntry {
     "q_window_pct" -> Relational.qWindowPct _,
     "q_date_funcs" -> Relational.qDateFuncs _,
     "q_string_funcs" -> Relational.qStringFuncs _,
+    "q_json_funcs" -> Relational.qJsonFuncs _,
   )
 
   /** Shared oracle fragments (DuckDB dialect). */
@@ -835,6 +836,14 @@ object SparkEntry {
         |    AS days_since,
         |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_json_funcs" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     // instr↔strpos, regexp_replace needs the 'g' flag to match
     // Spark's replace-all default
     "q_string_funcs" ->

@@ -337,6 +337,23 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** JSON-path extraction sweep (§2.7): the semi-structured access
+    * pattern at the heart of the reference's own domain (its entire
+    * input is JSON ad events, `Kafka2S3Hive.scala:60-69`) —
+    * `get_json_object` path extraction from a JSON string column,
+    * typed via cast, then aggregated per event class. Extraction is a
+    * codegen'd projection; the agg is the usual partial/final hash
+    * agg — no UDF JSON parsing anywhere. */
+  def qJsonFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "events")
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------- sort / limit / sets
 
   /** Global top-k by sort: ORDER BY ... LIMIT (Spark plans TakeOrdered
