@@ -836,9 +836,12 @@ object SparkEntry {
         |    AS days_since,
         |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // TRY_CAST mirrors Spark's null-on-miss cast semantics — a
+    // malformed props row must degrade to null in BOTH engines, not
+    // error the oracle (same convention as the ingest oracle)
     "q_json_funcs" ->
       """WITH p AS (SELECT event_type,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events)
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k,

@@ -472,23 +472,37 @@ object Dedup {
   def qDedupClustersDist(spark: SparkSession, sfDir: String): DataFrame =
     clustersImpl(spark, sfDir, driverEdgeLimit = -1L)
 
-  private def clustersImpl(spark: SparkSession, sfDir: String,
+  /** Hybrid component labeler over an (ida, idb) edge DataFrame — the
+    * ONE dispatch point for "edges → (id, label)" used by both the
+    * minhash clustering and the semdedup keep-list: persist + count
+    * the edge list, driver union-find when it fits under
+    * `driverEdgeLimit` (one job instead of a convergence loop, the
+    * same judgment call as a broadcast join), alternating-star rounds
+    * otherwise. Unpersisting before the result is consumed is safe on
+    * both branches: the union-find result is driver-local, and
+    * [[connectedComponents]] eagerly localCheckpoints. */
+  private[engine] def labelComponents(pairs: DataFrame,
       driverEdgeLimit: Long): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
     import spark.implicits._
-    val pairs = minhashPairs(spark, sfDir).select(col("ida"), col("idb"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = pairs.count()
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = p.count()
     val labeled: DataFrame =
       if (nEdges <= driverEdgeLimit) {
-        val es = pairs.as[(Long, Long)].collect()
-        val rows = Dedup.unionFind(es).toSeq
-        spark.createDataset(rows).toDF("id", "label")
-      } else connectedComponents(pairs)._1
-    pairs.unpersist()
-    labeled.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+        val es = p.as[(Long, Long)].collect()
+        spark.createDataset(unionFind(es).toSeq).toDF("id", "label")
+      } else connectedComponents(p)._1
+    p.unpersist()
+    labeled
   }
+
+  private def clustersImpl(spark: SparkSession, sfDir: String,
+      driverEdgeLimit: Long): DataFrame =
+    labelComponents(
+      minhashPairs(spark, sfDir).select(col("ida"), col("idb")),
+      driverEdgeLimit)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
 
   /** The keep-list after clustering: every document except
     * non-representative near-dup cluster members (the cluster's min

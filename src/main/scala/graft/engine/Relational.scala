@@ -346,8 +346,11 @@ object Relational {
     * agg — no UDF JSON parsing anywhere. */
   def qJsonFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "events")
+    // try_cast: a malformed props value degrades to null (lenient-
+    // decode convention) instead of erroring the query under ANSI —
+    // the oracle mirrors this with TRY_CAST
     e.select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))

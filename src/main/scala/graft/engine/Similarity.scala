@@ -300,7 +300,6 @@ object Similarity {
     * [[SimilaritySpec]] re-derives the whole keep-list independently
     * and asserts exact equality. */
   def qSemdedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     // the near-dup bar for THIS corpus (same as qEmbedNearDup's: the
     // synthetic embeddings plant duplicates at cos ≈ 0.4+; real text
     // embeddings would put the SemDeDup knob at ~0.95)
@@ -309,25 +308,21 @@ object Similarity {
     val n = e.count()
     val k = math.min(64L, math.max(8L, n / 500)).toInt
     val cent = kmeansCentroids(spark, sfDir, k, iters = 3)
+    // norms computed ONCE per vector before the self-join (n sqrt's,
+    // not n² — the same argument qEmbedNearDup documents); the
+    // per-pair filter is then a single dot product
     val assigned = e.select(col("vec_id"), col("v"),
-      nearestCell(cent).as("cid"))
+      nearestCell(cent).as("cid"), l2norm(col("v")).as("nrm"))
     val lhs = assigned.select(col("cid"), col("vec_id").as("ida"),
-      col("v").as("va"))
+      col("v").as("va"), col("nrm").as("na"))
     val rhs = assigned.select(col("cid"), col("vec_id").as("idb"),
-      col("v").as("vb"))
+      col("v").as("vb"), col("nrm").as("nb"))
     val pairs = lhs.join(rhs, Seq("cid"))
       .filter(col("ida") < col("idb"))
-      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
       .select(col("ida"), col("idb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = pairs.count()
-    val labeled =
-      if (nEdges <= 1000000L)
-        spark.createDataset(
-          Dedup.unionFind(pairs.as[(Long, Long)].collect()).toSeq)
-          .toDF("id", "label")
-      else Dedup.connectedComponents(pairs)._1
-    pairs.unpersist()
+    val labeled = Dedup.labelComponents(pairs, driverEdgeLimit = 1000000L)
     val drop = labeled.filter(col("id") =!= col("label"))
       .select(col("id").as("vec_id"))
     e.select(col("vec_id"))

@@ -205,8 +205,9 @@ object Sinks {
     * are per-FILE, by the listing the rewrite actually read: a file
     * that lands in a source dir after the listing is neither read nor
     * deleted — it survives for the next reconcile — and a delete that
-    * fails or is interrupted is finished (never re-merged) by the next
-    * reconcile via the manifest. */
+    * fails or is interrupted is finished (never re-merged): staging
+    * leftovers by the next reconcile via the manifest, dead compact
+    * siblings by the stale sweep on the next flip. */
   private def rewriteAndFlip(spark: SparkSession, table: String,
       spec: Seq[(String, String)], fs: org.apache.hadoop.fs.FileSystem,
       curDir: org.apache.hadoop.fs.Path,
@@ -228,6 +229,21 @@ object Sinks {
       s"SET LOCATION '${fs.makeQualified(next)}'")
     srcFiles.foreach(f => fs.delete(f.getPath, false))
     cleanupDirs.foreach(deleteDirIfDrained(fs, _))
+    // stale compact siblings: a crash between an earlier flip and its
+    // delete (or between the rewrite and the flip) leaves a whole
+    // compact_<leaf>_vM dir nothing references — the manifest protocol
+    // only tracks STAGING file names, so these would otherwise
+    // accumulate forever. The LOCATION now points at `next`, and one
+    // committer drives a partition (concurrent compactors would race
+    // the DDL anyway), so every other compact dir of this leaf is
+    // definitionally dead — sweep it whole.
+    val leaf = next.getName match { case compactWrapper(b, _) => b }
+    fs.listStatus(next.getParent).toSeq.map(_.getPath)
+      .filter(p => p.getName != next.getName && (p.getName match {
+        case compactWrapper(`leaf`, _) => true
+        case _ => false
+      }))
+      .foreach(p => fs.delete(p, true))
     dataFilesIn(fs, next).size
   }
 

@@ -194,7 +194,14 @@ class SinksSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == before)
     assert(!new java.io.File(part).exists()) // leftovers drained away
     // mixed case: one absorbed leftover AND one genuinely-late file —
-    // the merge takes only the late row, the leftover still dies
+    // the merge takes only the late row, the leftover still dies.
+    // A dead compact sibling (crash between an earlier flip and its
+    // delete) must also be swept by the next flip.
+    val stale = new java.io.File(
+      s"$root/logday=2021-04-13/h=06/compact_m=24_v99")
+    stale.mkdirs()
+    java.nio.file.Files.write(
+      stale.toPath.resolve("junk.parquet"), Array[Byte](1, 2, 3))
     new java.io.File(part).mkdirs()
     saved.take(1).foreach { case (n, bytes) =>
       java.nio.file.Files.write(java.nio.file.Paths.get(part, n), bytes) }
@@ -204,6 +211,10 @@ class SinksSpec extends SparkSpec {
     assert(spark.table(table).select("id", "uuid")
       .as[(Long, String)].collect().toSet == before + ((100L, "late")))
     assert(!new java.io.File(part).exists())
+    assert(!stale.exists()) // orphan swept by the flip
+    // exactly one live compact dir remains (the flip target)
+    assert(new java.io.File(s"$root/logday=2021-04-13/h=06").listFiles()
+      .count(_.getName.startsWith("compact_m=24_v")) == 1)
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
