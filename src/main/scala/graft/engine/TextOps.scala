@@ -452,9 +452,14 @@ object TextOps {
     * Hot passages ("the the the…") skew their window partition; AQE
     * skew handling applies, and P=10 chunks keep key cardinality high.
     * Zero-token documents vanish at the explode in both engines. */
-  def qPassageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def qPassageDedup(spark: SparkSession, sfDir: String): DataFrame =
+    passageDedup(Tables(spark, sfDir, "documents"))
+
+  /** The dataflow behind [[qPassageDedup]], over any (doc_id, text)
+    * frame — also driven by [[graft.tools.PassageScale]] on synthetic
+    * corpora far beyond the SF fixtures. */
+  def passageDedup(d: DataFrame): DataFrame = {
     val p = passageLen
-    val d = Tables(spark, sfDir, "documents")
     val t = d.select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)
     val cut = t.select(col("doc_id"),

@@ -142,6 +142,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(semiAt >= 0 && probeAt > semiAt, p)
   }
 
+  test("scalar sweeps: scans pruned to exactly the referenced columns") {
+    // the §2.7 function sweeps are pure projections — a scan that
+    // reads more than the referenced columns means pruning broke
+    def readCols(df: org.apache.spark.sql.DataFrame): Int = {
+      val s = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(s).get.group(1)
+        .split(",").length
+    }
+    assert(readCols(Relational.qDateFuncs(spark, sf0001)) <= 2)   // key, date
+    assert(readCols(Relational.qStringFuncs(spark, sf0001)) <= 3) // key, name, segment
+    assert(readCols(Relational.qJsonFuncs(spark, sf0001)) <= 2)   // type, props
+  }
+
   test("contamination: benchmark side scans only the filtered docs") {
     val s = graft.engine.Dedup.qContamination(spark, sf0001)
       .queryExecution.explainString(
