@@ -57,6 +57,7 @@ object SparkEntry {
     "q_grouping_sets" -> Relational.qGroupingSets _,
     "q_range_join" -> Relational.qRangeJoin _,
     "q_approx_err" -> Relational.qApproxErr _,
+    "q_approx_pct" -> Relational.qApproxPct _,
     "q_topk_grouped" -> Relational.qTopKGrouped _,
     "q_sql_correlated" -> Relational.qSqlCorrelated _,
     "q_token_hist" -> TextOps.qTokenHist _,
@@ -714,6 +715,13 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS nd_parts,
         |  true AS within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // same bound-query pattern: the sketch value never leaves the
+    // query, only the (order-independent) rank guarantee does
+    "q_approx_pct" ->
+      """SELECT l_returnflag, true AS within_bound
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

@@ -654,4 +654,25 @@ object Relational {
           col("nd_parts") * 0.05).as("within_5pct"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Approximate percentile (§2.4, the other approximate aggregate
+    * next to HLL) with its rank-error guarantee hash-checked — the
+    * same bound-query pattern as [[qApproxErr]]: the sketch VALUE is
+    * merge-order-dependent and never leaves the query, but the GK
+    * guarantee (rank within n/accuracy of the target) is not, so the
+    * output asserts the approx median lies between the exact
+    * percentiles at 0.5 ∓ 2/accuracy (double cushion absorbs the
+    * interpolation wiggle at the window edges). The oracle expects
+    * `true` per group — a sketch regression breaks the hash. */
+  def qApproxPct(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.498)").as("lo"),
+        expr("percentile(l_extendedprice, 0.502)").as("hi"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("appx"))
+      .select(col("l_returnflag"),
+        (col("appx") >= col("lo") && col("appx") <= col("hi"))
+          .as("within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
 }
