@@ -48,6 +48,7 @@ object SparkEntry {
     "q_percentiles" -> Relational.qPercentiles _,
     "q_sessionize_batch" -> Relational.qSessionizeBatch _,
     "q_funnel" -> Relational.qFunnel _,
+    "q_time_bucket" -> Relational.qTimeBucket _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -468,6 +469,13 @@ object SparkEntry {
         |ORDER BY user_id, sess""".stripMargin,
     // ts comparisons work on the ns→µs-truncated timestamps on both
     // sides (same contract as q_sessionize_batch)
+    "q_time_bucket" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

@@ -469,6 +469,22 @@ object Relational {
       .orderBy(col("stage"))
   }
 
+  /** Batch tumbling-window aggregation over the event stream — the
+    * batch twin of [[StreamingOps.windowedCounts]] (§2.5): `window()`
+    * works identically on a bounded frame, bucketing events into
+    * 1-hour tumbles. The DuckDB oracle rebuilds the buckets with
+    * `time_bucket`; bucket starts go out as strings (whole-second
+    * values render identically) and the double sum rides the
+    * decimal(18,4) path ([[dsum]]) so the hash is order-independent. */
+  def qTimeBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** As-of join — for each event, the most recent order of the same
     * customer at or before the event time. Spark has no ASOF JOIN
     * operator; the scalable formulation is the union trick: tag both
