@@ -59,6 +59,7 @@ object SparkEntry {
     "q_range_join" -> Relational.qRangeJoin _,
     "q_approx_err" -> Relational.qApproxErr _,
     "q_approx_pct" -> Relational.qApproxPct _,
+    "q_profile" -> Relational.qProfile _,
     "q_topk_grouped" -> Relational.qTopKGrouped _,
     "q_sql_correlated" -> Relational.qSqlCorrelated _,
     "q_token_hist" -> TextOps.qTokenHist _,
@@ -726,6 +727,25 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // per-column profile rows; numeric extremes via DECIMAL(18,4) to
+    // pin one string rendering across engines
+    "q_profile" -> {
+      def prow(c: String, numeric: Boolean) = {
+        def r(agg: String) =
+          if (numeric) s"CAST(CAST($agg($c) AS DECIMAL(18,4)) AS VARCHAR)"
+          else s"CAST($agg($c) AS VARCHAR)"
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  ${r("min")} AS min_value, ${r("max")} AS max_value
+           |FROM lineitem""".stripMargin
+      }
+      Seq("l_quantity" -> true, "l_extendedprice" -> true,
+        "l_discount" -> true, "l_returnflag" -> false,
+        "l_linestatus" -> false)
+        .map((prow _).tupled).mkString("", "\nUNION ALL\n",
+          "\nORDER BY \"column\"")
+    },
     // same bound-query pattern: the sketch value never leaves the
     // query, only the (order-independent) rank guarantee does
     "q_approx_pct" ->

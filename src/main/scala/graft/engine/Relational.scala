@@ -485,6 +485,42 @@ object Relational {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** One-pass column profile (ANALYZE-style data quality report): per
+    * column — row count, null count, exact distinct count, min/max —
+    * the pre-training profiling pass every pipeline runs before
+    * trusting a source. ONE scan computes every column's aggregates
+    * side by side (wide agg, partial/final), then the wide row is
+    * unpivoted driver-side via stack(); numeric extremes travel as
+    * canonical strings so one output schema fits all column types.
+    * At 100 TB this is the shape that matters: N columns profiled for
+    * the price of one pass, never N scans. */
+  def qProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    // (column, isNumeric) — numeric extremes render via decimal(18,4)
+    // (a FIXED "1.0000" format both engines agree on); raw double→
+    // string would race the engines' shortest-round-trip printers
+    val spec = Seq("l_quantity" -> true, "l_extendedprice" -> true,
+      "l_discount" -> true, "l_returnflag" -> false, "l_linestatus" -> false)
+    val cols = spec.map(_._1)
+    val aggs = spec.flatMap { case (c, numeric) =>
+      def render(x: Column) =
+        if (numeric) x.cast("decimal(18,4)").cast("string")
+        else x.cast("string")
+      Seq(count(lit(1)).as(s"${c}__rows"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        render(min(col(c))).as(s"${c}__min"),
+        render(max(col(c))).as(s"${c}__max"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__rows, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
+    ).mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+      .orderBy(col("column"))
+  }
+
   /** As-of join — for each event, the most recent order of the same
     * customer at or before the event time. Spark has no ASOF JOIN
     * operator; the scalable formulation is the union trick: tag both
