@@ -157,6 +157,23 @@ class SinksSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("schema evolution: mergeSchema unifies old and new part files") {
+    import spark.implicits._
+    // a long-lived partitioned lake accretes files written under
+    // successive schemas; readers must see the union with nulls for
+    // columns a file predates — the evolution story plain parquet
+    // supports (adds, not renames/retypes)
+    val dir = tmpDir("evolve")
+    Seq((1L, "a")).toDF("id", "uuid").write.mode("append").parquet(dir)
+    Seq((2L, "b", 7)).toDF("id", "uuid", "ad_type")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", true).parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("ad_type", "id", "uuid"))
+    val rows = merged.select("id", "uuid", "ad_type")
+      .as[(Long, String, Option[Int])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(7))))
+  }
+
   test("crash-safe compaction: leftover absorbed files cleaned, never re-merged") {
     import spark.implicits._
     val table = "compact_crash_test"
