@@ -468,8 +468,9 @@ object SparkEntry {
         |FROM x
         |GROUP BY user_id, sess
         |ORDER BY user_id, sess""".stripMargin,
-    // ts comparisons work on the ns→µs-truncated timestamps on both
-    // sides (same contract as q_sessionize_batch)
+    // ts comparisons (here and in q_funnel below) work on the
+    // ns→µs-truncated timestamps on both sides (same contract as
+    // q_sessionize_batch)
     "q_time_bucket" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS bucket,
         |  event_type, count(*) AS n,

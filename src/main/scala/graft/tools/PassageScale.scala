@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * corpus far beyond the SF fixtures — `nDocs` documents × 10
   * passages of 10 tokens, where 30% of passage slots draw from a
   * 1000-passage hot pool (the skewed "template drift" pattern the
-  * operator exists for; hot keys carry ~`nDocs`×3 instances each
+  * operator exists for; each hot key carries ~`nDocs`×3/1000 instances
   * through the keep-first window) and the rest are globally unique.
   * The expected survivor count is computable in closed form from the
   * same slot hash, so the run is exact-checked, not eyeballed.

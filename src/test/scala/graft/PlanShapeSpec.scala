@@ -148,8 +148,17 @@ class PlanShapeSpec extends SparkSpec {
     def readCols(df: org.apache.spark.sql.DataFrame): Int = {
       val s = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(s).get.group(1)
-        .split(",").length
+      val schema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(s)
+        .map(_.group(1))
+        .getOrElse(fail(s"no parseable ReadSchema in plan:\n$s"))
+      // count top-level fields: commas inside type parens
+      // (decimal(18,2)) are not field separators
+      var depth = 0
+      1 + schema.count { ch =>
+        if (ch == '(' || ch == '<') depth += 1
+        else if (ch == ')' || ch == '>') depth -= 1
+        ch == ',' && depth == 0
+      }
     }
     assert(readCols(Relational.qDateFuncs(spark, sf0001)) <= 2)   // key, date
     assert(readCols(Relational.qStringFuncs(spark, sf0001)) <= 3) // key, name, segment
