@@ -89,6 +89,11 @@ object SparkEntry {
     "q_embed_neardup" -> Similarity.qEmbedNearDup _,
     "q_ann_lsh" -> Similarity.qAnnLsh _,
     "q_ann_ivf" -> Similarity.qAnnIvf _,
+    // fixed-centroid argmin (the k-means assignment expression with
+    // the iterative fixpoint factored out) — both codegen paths,
+    // each hash-checked against the same DuckDB oracle
+    "q_kmeans_assign" -> Similarity.qKmeansAssign _,
+    "q_kmeans_assign_expr" -> Similarity.qKmeansAssignExpr _,
     // rows-only by design (iterative k-means has no SQL oracle; the
     // spec pins argmin + SSE-monotonicity instead)
     "q_embed_cluster" -> Similarity.qEmbedCluster _,
@@ -124,6 +129,21 @@ object SparkEntry {
       |             ELSE CAST(len(list_filter(tk, x -> list_contains(['the','a','an','and','or','of','to','in','is','that'], x))) AS DOUBLE) / len(tk) END) * 5.0, 1.0) * 0.4
       |    + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
       |                    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) END) * 10.0, 1.0)) * 0.2""".stripMargin
+  /** One oracle, two Spark codegen paths (`q_kmeans_assign` /
+    * `q_kmeans_assign_expr`): fixed-centroid squared-distance argmin. */
+  private val kmeansAssignOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |s AS (SELECT e.vec_id, c.cid,
+      |        -2 * list_inner_product(e.v, c.cv)
+      |          + list_inner_product(c.cv, c.cv) AS d2
+      |      FROM e CROSS JOIN c),
+      |r AS (SELECT vec_id, cid,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |      FROM s)
+      |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM r
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** Shared CTE chain ending in the verified J ≥ 0.8 near-dup `pairs`
     * — consumed by the pair queries and the recursive clusters oracle. */
   private val duckShingleBody =
@@ -754,6 +774,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // fixed-centroid squared-distance argmin: centroids = first 8
+    // corpus vectors, d2 = −2·ip(v,c) + ip(c,c) (the shared |v|² term
+    // cancels under argmin), ties to the lowest cid — bit-identical
+    // sequential double sums on both sides, so the literal-projection
+    // AND broadcast-expression codegen paths hash-check against the
+    // same SQL.
+    "q_kmeans_assign" -> kmeansAssignOracle,
+    "q_kmeans_assign_expr" -> kmeansAssignOracle,
     // IVF ANN: centroids = first 16 corpus vectors, inner-product
     // assignment, nprobe=2, exact cosine re-rank — all expressible on
     // bit-identical list_inner_product, so cells and ranks reproduce.

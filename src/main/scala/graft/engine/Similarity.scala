@@ -92,12 +92,35 @@ object Similarity {
     * Every unordered pair {x,y} meets exactly once: blocks (bx<by)
     * meet only under key (bx,by) with x left / y right; the diagonal
     * (b,b) meets twice, disambiguated by the vec_id inequality. */
+  /** Block count for the all-pairs self-join: the larger of the
+    * parallelism floor (smallest B with B(B+1)/2 ≥ cores — full
+    * parallelism at minimal replication) and the MEMORY floor
+    * (each task holds two blocks of ≈ n/B vectors, so
+    * 2·n·bytesPerVec/B must fit the per-task budget). The memory
+    * floor is what makes the bound cluster-shape-independent: a
+    * 10⁹-vector corpus on 16 cores still gets B ≈ 16k blocks so no
+    * task ever materializes more than `taskBudgetBytes` of vectors,
+    * while a small corpus on 1000 cores keeps the parallelism floor.
+    * Result rows are B-independent either way. */
+  private[graft] def blockCount(parallelism: Int, n: Long,
+      bytesPerVec: Long, taskBudgetBytes: Long): Int = {
+    val parB = math.ceil((math.sqrt(8.0 * parallelism + 1) - 1) / 2).toInt
+    val memB = math.ceil(2.0 * n * bytesPerVec / taskBudgetBytes).toInt
+    math.max(2, math.max(parB, memB))
+  }
+
+  /** Per-task vector-memory budget for [[qEmbedNearDup]] (64 MiB —
+    * comfortably inside a default executor core's share). */
+  private[graft] val nearDupTaskBudgetBytes: Long = 64L * 1024 * 1024
+
   def qEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = corpus(spark, sfDir)
-    // smallest B with B(B+1)/2 >= cores — full parallelism while
-    // keeping replication (=B) minimal; result is B-independent
     val p = spark.sparkContext.defaultParallelism
-    val nBlocks = math.ceil((math.sqrt(8.0 * p + 1) - 1) / 2).toInt.max(2)
+    // bytes per replicated vector row: dim doubles + array header +
+    // id/norm/block columns (rounded up; the bound only needs an
+    // over-estimate)
+    val nBlocks = blockCount(p, e.count(),
+      bytesPerVec = embDim * 8L + 64, taskBudgetBytes = nearDupTaskBudgetBytes)
     val blocked = e.select(col("vec_id"), col("v"),
       l2norm(col("v")).as("nrm"),
       pmod(col("vec_id"), lit(nBlocks.toLong)).cast("int").as("blk"))
@@ -234,17 +257,37 @@ object Similarity {
   /** Embedding-table vector width (FIXTURES.md §B). */
   private val embDim = 64
 
+  /** Max centroid count for the unrolled literal-projection argmin.
+    * Each literal centroid inlines `dim` double constants plus a dot
+    * product into the generated projection method; past a few dozen
+    * centroids that overruns the JVM's 64 KB method limit and codegen
+    * silently falls back to interpretation. Beyond the cap the
+    * assignment switches to [[graft.functions.NearestCentroid]] —
+    * one reference-object matrix, constant method size at any k. */
+  private[graft] val literalArgminMaxK = 64
+
   /** Squared-distance argmin assignment against driver-resident
-    * centroids, as a single codegen'd projection: per cell,
-    * −2·x·c + |c|² (the shared |x|² term cancels under argmin), ties
-    * to the lowest cid via lexicographic struct min. The corpus never
-    * shuffles for assignment — same shape as the IVF cell argmax. */
-  private def nearestCell(cent: IndexedSeq[IndexedSeq[Double]]): Column =
-    array_min(array(cent.zipWithIndex.map { case (cv, cid) =>
-      val c2 = cv.map(x => x * x).sum
-      struct((dot(col("v"), typedLit(cv)) * -2.0 + lit(c2)).as("d2"),
-        lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    * centroids: per cell, −2·x·c + |c|² (the shared |x|² term cancels
+    * under argmin), ties to the lowest cid. The corpus never shuffles
+    * for assignment — same shape as the IVF cell argmax. Small k
+    * codegens as an unrolled literal-array projection (lexicographic
+    * struct min); large k (or `forceExpr`) routes through the
+    * broadcast-centroid expression, which computes the bit-same d2
+    * (strict sequential dot, driver-side sequential |c|²) so the two
+    * paths are interchangeable row-for-row. */
+  private[graft] def nearestCell(cent: IndexedSeq[IndexedSeq[Double]],
+      forceExpr: Boolean = false): Column =
+    if (!forceExpr && cent.length <= literalArgminMaxK)
+      array_min(array(cent.zipWithIndex.map { case (cv, cid) =>
+        val c2 = cv.map(x => x * x).sum
+        struct((dot(col("v"), typedLit(cv)) * -2.0 + lit(c2)).as("d2"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    else
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.NearestCentroid(
+          org.apache.spark.sql.GraftBridge.expression(col("v")),
+          cent.map(_.toSeq)))
 
   /** Deterministic Lloyd k-means over the embedding corpus — the
     * SemDeDup/clustered-curation stage 1 (cluster first, then
@@ -255,7 +298,17 @@ object Similarity {
     * partial sums per partition, map-side combined, so the shuffle
     * carries O(partitions × k × dim) doubles regardless of corpus
     * size; only the k aggregated rows reach the driver. Empty cells
-    * retain their previous centroid. */
+    * retain their previous centroid.
+    *
+    * Determinism: the per-dimension sums run as `decimal(30,15)` —
+    * exact, ORDER-INDEPENDENT addition — so the centroids (and every
+    * downstream cell assignment) are identical across partitionings
+    * and cluster shapes, matching the repo's hash-determinism bar
+    * (double partial-aggregate merge order is scheduler-dependent;
+    * the one-time 1e-15 cast rounding is far below any assignment
+    * boundary and is the same on every run). Driver memory is
+    * k×(dim+1) aggregated values per iteration — 16 MB at k = 32k,
+    * broadcast-sized by construction. */
   def kmeansCentroids(spark: SparkSession, sfDir: String, k: Int,
       iters: Int): IndexedSeq[IndexedSeq[Double]] = {
     val e = corpus(spark, sfDir)
@@ -265,15 +318,17 @@ object Similarity {
     require(cent.length == k, s"corpus has fewer than $k seed vectors")
     for (_ <- 1 to iters) {
       val aggs = count(lit(1)).as("n") +:
-        (0 until embDim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
+        (0 until embDim).map(i =>
+          sum(element_at(col("v"), i + 1).cast("decimal(30,15)")).as(s"s$i"))
       val rows = e.select(col("v"), nearestCell(cent).as("cid"))
         .groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)
         .collect().map(r => r.getInt(0) -> r).toMap
       cent = cent.indices.map { cid =>
         rows.get(cid) match {
           case Some(r) =>
-            val n = r.getLong(1).toDouble
-            (0 until embDim).map(i => r.getDouble(2 + i) / n)
+            val n = r.getLong(1)
+            (0 until embDim).map(i =>
+              r.getDecimal(2 + i).doubleValue() / n)
           case None => cent(cid)
         }
       }
@@ -291,9 +346,14 @@ object Similarity {
     * why no O(n²) stage exists here: the quadratic is per-cell,
     * bounded by the cell size.
     *
-    * Cell count scales with the corpus (n/500, clamped to [8,64]
-    * locally; production picks ~√n cells the same way) so cells stay
-    * small as the corpus grows. The edge list reuses the dedup
+    * Cell count is UNCAPPED — ≈√n cells ([[semdedupCells]]), the
+    * balance point where assignment O(n·k·dim) and within-cell
+    * verification Σ|cell|² ≈ n²/k are both O(n^1.5): at 10⁹ docs
+    * that is ~32k cells of ~32k docs, with the centroid matrix a
+    * 16 MB broadcast and the assignment routed through the
+    * loop-codegen [[graft.functions.NearestCentroid]] expression
+    * (the unrolled literal projection stops codegenning past
+    * [[literalArgminMaxK]] cells). The edge list reuses the dedup
     * pipeline's hybrid labeler: driver union-find when it fits
     * (near-dup edges are sparse), alternating-star rounds otherwise.
     * Iterative + data-dependent cells → no SQL oracle (rows-only);
@@ -306,7 +366,7 @@ object Similarity {
     val threshold = 0.4
     val e = corpus(spark, sfDir)
     val n = e.count()
-    val k = math.min(64L, math.max(8L, n / 500)).toInt
+    val k = semdedupCells(n)
     val cent = kmeansCentroids(spark, sfDir, k, iters = 3)
     // norms computed ONCE per vector before the self-join (n sqrt's,
     // not n² — the same argument qEmbedNearDup documents); the
@@ -327,6 +387,46 @@ object Similarity {
       .select(col("id").as("vec_id"))
     e.select(col("vec_id"))
       .join(drop, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
+  /** SemDeDup cell count for an n-doc corpus: ⌈√n⌉, floor 8,
+    * UNCAPPED. √n is the total-work balance point — assignment costs
+    * O(n·k·dim) dots and within-cell exact verification costs
+    * Σ|cell|² ≈ n²/k comparisons, so k = √n makes both O(n^1.5·…);
+    * any cap reintroduces a linear-in-n cell size and an unbounded
+    * per-cell quadratic. Driver/broadcast footprint is k·dim·8 bytes
+    * (≈16 MB at n = 10⁹) — the scale at which one would move the
+    * centroid fixpoint to an offline sample anyway, with this same
+    * assignment dataflow. */
+  private[graft] def semdedupCells(n: Long): Int =
+    math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** Fixed-centroid k-means cell assignment: centroids are the first
+    * 8 corpus vectors VERBATIM (the IVF-quantizer seeding trick, no
+    * Lloyd iterations), so the squared-distance argmin — the exact
+    * expression every k-means/SemDeDup stage reuses — gets a DuckDB
+    * oracle row: d2 = −2·list_inner_product(v,c) + |c|², ties to the
+    * lowest cid, all on bit-identical sequential double sums. */
+  def qKmeansAssign(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssignImpl(spark, sfDir, forceExpr = false)
+
+  /** The same assignment FORCED through the broadcast-centroid
+    * [[graft.functions.NearestCentroid]] expression (the large-k
+    * codegen path) — registered as its own query so the branch that
+    * runs at uncapped cell counts is hash-checked against the same
+    * oracle every round, not just spec-tested. */
+  def qKmeansAssignExpr(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssignImpl(spark, sfDir, forceExpr = true)
+
+  private def kmeansAssignImpl(spark: SparkSession, sfDir: String,
+      forceExpr: Boolean): DataFrame = {
+    val e = corpus(spark, sfDir)
+    val cent: IndexedSeq[IndexedSeq[Double]] = e.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    e.select(col("vec_id"),
+        nearestCell(cent, forceExpr).cast("long").as("cid"))
       .orderBy(col("vec_id"))
   }
 

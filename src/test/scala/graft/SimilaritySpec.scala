@@ -88,8 +88,9 @@ class SimilaritySpec extends SparkSpec {
     def sse(cent: IndexedSeq[IndexedSeq[Double]]): Double =
       vecs.values.map(v => cent.map(d2(v, _)).min).sum
     // Lloyd's guarantee: SSE non-increasing across iterations (the
-    // engine's distributed means vs this driver-side recompute differ
-    // only in fp summation order — far below iteration-level deltas)
+    // engine's decimal-exact distributed means vs this driver-side
+    // double recompute differ only at the 1e-15 cast rounding — far
+    // below iteration-level deltas)
     val byIter = (1 to 3).map(i =>
       Similarity.kmeansCentroids(spark, sf0001, k, iters = i))
     val sses = byIter.map(sse)
@@ -120,8 +121,10 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    // same parameters the engine derives: n=500 → k=8, 3 iterations
-    val cent = Similarity.kmeansCentroids(spark, sf0001, k = 8, iters = 3)
+    // same parameters the engine derives: n=500 → ⌈√500⌉ = 23 cells,
+    // 3 iterations (the √n formula is spec'd in NearestCentroidSpec)
+    val cent = Similarity.kmeansCentroids(spark, sf0001,
+      k = Similarity.semdedupCells(500), iters = 3)
     def d2(a: Seq[Double], c: IndexedSeq[Double]): Double =
       a.lazyZip(c).map((x, y) => (x - y) * (x - y)).sum
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
