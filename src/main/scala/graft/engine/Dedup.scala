@@ -400,8 +400,10 @@ object Dedup {
     * current edge set — O(|E|) shuffle per round, no driver state.
     * A fixed point is exactly a star forest rooted at each
     * component's min id; convergence is detected by edge-SET
-    * equality with the previous round (count + except — exact, not
-    * a checksum), and `localCheckpoint` per round keeps the plan
+    * equality with the previous round (count + left-anti — exact,
+    * not a checksum; both sides are already distinct so the
+    * anti-join alone decides ⊆, without `except`'s extra
+    * de-duplicating aggregate), and `localCheckpoint` per round keeps the plan
     * from growing. Unconverged after `maxIter` throws — partial
     * labels silently under-dedup. Measured ([[graft.tools.CCScale]]):
     * chains — the worst case, where min-label needs diameter rounds —
@@ -431,7 +433,9 @@ object Dedup {
       // checkpoint would add a redundant job per round, and fixed
       // job latency dominates the loop at small SF
       val nNext = next.count()
-      done = nNext == nEdges && next.except(edges).isEmpty
+      // equal counts + next ⊆ edges ⟺ set equality (both distinct)
+      done = nNext == nEdges &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
       edges = next
       nEdges = nNext
       rounds += 1

@@ -72,6 +72,19 @@ class NearestCentroidSpec extends SparkSpec {
     assert(r(1).isNullAt(0) && r(2).isNullAt(0) && r(3).isNullAt(0))
   }
 
+  test("blockCount: per-task vector memory stays under the budget at any shape") {
+    val bytesPerVec = 64 * 8L + 64
+    val budget = Similarity.nearDupTaskBudgetBytes
+    for (p <- Seq(4, 32, 1000); n <- Seq(100L, 100000L, 1000000000L)) {
+      val b = Similarity.blockCount(p, n, bytesPerVec, budget)
+      // each task joins two blocks of ≈ n/B vectors — the bound the
+      // docstring promises, independent of cluster shape
+      assert(2.0 * n / b * bytesPerVec <= budget + bytesPerVec, s"p=$p n=$n b=$b")
+      // and the parallelism floor still holds: B(B+1)/2 ≥ cores
+      assert(b.toLong * (b + 1) / 2 >= p, s"p=$p n=$n b=$b")
+    }
+  }
+
   test("semdedupCells: ⌈√n⌉ uncapped, floor 8 — cell size stays ~√n") {
     assert(Similarity.semdedupCells(0) == 8)
     assert(Similarity.semdedupCells(64) == 8)
