@@ -198,6 +198,44 @@ object Sinks {
     if (fs.listStatus(dir).isEmpty) fs.delete(dir, false)
   }
 
+  /** Milliseconds since `dir`'s `_absorbed` manifest was written — the
+    * LOCATION-flip timestamp proxy that age-gates deferred deletes
+    * under a retention grace (the manifest is written immediately
+    * before the flip, so its age ≈ how long ago readers could last
+    * have resolved a now-absorbed file's directory). `Long.MaxValue`
+    * when no manifest exists: a raw staging location was never flipped
+    * away from, so there is no reader window to respect. */
+  private def flipAgeMs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, manifestName)
+    if (!fs.exists(p)) Long.MaxValue
+    else System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+  }
+
+  /** Sweep dead `compact_<leaf>_vM` siblings of the current location:
+    * a crash between an earlier flip and its delete (or between a
+    * rewrite and its flip) leaves a whole compact dir nothing
+    * references — the manifest protocol only tracks STAGING file
+    * names, so these would otherwise accumulate forever. The catalog
+    * LOCATION points at `cur`, and one committer drives a partition
+    * (concurrent compactors would race the DDL anyway), so every
+    * OTHER compact dir of this leaf is definitionally dead. Called
+    * after every flip AND on the no-op / early-return paths, so an
+    * orphan is recovered even when the partition never flips again. */
+  private def sweepStaleCompactSiblings(fs: org.apache.hadoop.fs.FileSystem,
+      cur: org.apache.hadoop.fs.Path): Unit = {
+    val leaf = cur.getName match {
+      case compactWrapper(b, _) => b
+      case other => other
+    }
+    fs.listStatus(cur.getParent).toSeq.map(_.getPath)
+      .filter(p => p.getName != cur.getName && (p.getName match {
+        case compactWrapper(`leaf`, _) => true
+        case _ => false
+      }))
+      .foreach(p => fs.delete(p, true))
+  }
+
   /** Rewrite exactly `srcFiles` into one ≈`targetFileBytes`-sized file
     * set in a fresh versioned sibling of `curDir`, write its absorbed
     * manifest, atomically flip the partition LOCATION onto it, then
@@ -207,13 +245,24 @@ object Sinks {
     * deleted — it survives for the next reconcile — and a delete that
     * fails or is interrupted is finished (never re-merged): staging
     * leftovers by the next reconcile via the manifest, dead compact
-    * siblings by the stale sweep on the next flip. */
+    * siblings by the stale sweep on the next flip or no-op pass.
+    *
+    * With `retentionMs > 0` NOTHING is deleted at flip time: a reader
+    * that resolved the old location just before the flip may still be
+    * mid-scan, so the absorbed files (named in the new manifest) and
+    * the dead siblings are left for a LATER reconcile/compact pass,
+    * which removes them only once the flip is older than the grace
+    * window ([[flipAgeMs]]). The read merges schemas across source
+    * files — staging files written under an evolved schema (the
+    * documented mergeSchema contract) keep their added columns when
+    * merged with older compact files. */
   private def rewriteAndFlip(spark: SparkSession, table: String,
       spec: Seq[(String, String)], fs: org.apache.hadoop.fs.FileSystem,
       curDir: org.apache.hadoop.fs.Path,
       srcFiles: Seq[org.apache.hadoop.fs.FileStatus],
       manifest: Seq[String], targetFileBytes: Long,
-      cleanupDirs: Seq[org.apache.hadoop.fs.Path]): Int = {
+      cleanupDirs: Seq[org.apache.hadoop.fs.Path],
+      retentionMs: Long): Int = {
     val totalBytes = srcFiles.map(_.getLen).sum
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -221,29 +270,18 @@ object Sinks {
     // maxRecordsPerFile=0 (unlimited) overrides any session-level
     // record bound: compaction sizes files by BYTES via coalesce —
     // a streaming-side record cap would re-split the output
-    spark.read.parquet(srcFiles.map(_.getPath.toString): _*).coalesce(nOut)
+    spark.read.option("mergeSchema", true)
+      .parquet(srcFiles.map(_.getPath.toString): _*).coalesce(nOut)
       .write.mode("overwrite").option("maxRecordsPerFile", 0)
       .parquet(next.toString)
     writeManifest(fs, next, manifest)
     spark.sql(s"ALTER TABLE $table PARTITION (${specSql(spec)}) " +
       s"SET LOCATION '${fs.makeQualified(next)}'")
-    srcFiles.foreach(f => fs.delete(f.getPath, false))
-    cleanupDirs.foreach(deleteDirIfDrained(fs, _))
-    // stale compact siblings: a crash between an earlier flip and its
-    // delete (or between the rewrite and the flip) leaves a whole
-    // compact_<leaf>_vM dir nothing references — the manifest protocol
-    // only tracks STAGING file names, so these would otherwise
-    // accumulate forever. The LOCATION now points at `next`, and one
-    // committer drives a partition (concurrent compactors would race
-    // the DDL anyway), so every other compact dir of this leaf is
-    // definitionally dead — sweep it whole.
-    val leaf = next.getName match { case compactWrapper(b, _) => b }
-    fs.listStatus(next.getParent).toSeq.map(_.getPath)
-      .filter(p => p.getName != next.getName && (p.getName match {
-        case compactWrapper(`leaf`, _) => true
-        case _ => false
-      }))
-      .foreach(p => fs.delete(p, true))
+    if (retentionMs <= 0L) {
+      srcFiles.foreach(f => fs.delete(f.getPath, false))
+      cleanupDirs.foreach(deleteDirIfDrained(fs, _))
+      sweepStaleCompactSiblings(fs, next)
+    }
     dataFilesIn(fs, next).size
   }
 
@@ -266,10 +304,14 @@ object Sinks {
     * the old or the new directory, both complete. The absorbed files
     * are deleted immediately after the flip; a reader that resolved
     * the old location just before can still miss files, so production
-    * with long scans keeps a retention delay before the delete. A
-    * crash or failed delete between flip and cleanup is recovered by
-    * the `_absorbed` manifest (see [[reconcileLatePartition]]) — the
-    * leftovers are finished off, never re-merged. The compacted
+    * with long scans sets `retentionMs`: absorbed files then survive
+    * the flip and are removed by a LATER compact/reconcile pass, only
+    * once the flip is older than the grace window (longest expected
+    * scan time) — the same age-gated protocol that recovers crashed
+    * deletes. A crash or failed delete between flip and cleanup is
+    * recovered by the `_absorbed` manifest (see
+    * [[reconcileLatePartition]]) — the leftovers are finished off,
+    * never re-merged. The compacted
     * directory is named `compact_<partition-leaf>_v<N>` so the
     * committer's `logday=/h=/m=` directory listing never mistakes it
     * for an uncommitted partition.
@@ -286,7 +328,8 @@ object Sinks {
     * Returns (data files before, after). */
   def compactTablePartition(spark: SparkSession, table: String,
       spec: Seq[(String, String)],
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      retentionMs: Long = 0L): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     requireSafeSpec(spec)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -301,9 +344,14 @@ object Sinks {
     // no-op only once the location already IS a compacted dir: a
     // raw staging location always flips (even a 1-file rewrite), so
     // the staging dir disappears and [[reconcileLatePartition]] can
-    // detect anything that lands there afterwards
-    if (isCompactDir(dir) && nOut >= dataFiles.size)
+    // detect anything that lands there afterwards. Even the no-op
+    // path sweeps crash-orphaned siblings (age-gated) — a partition
+    // that never flips again must not leak its dead dirs.
+    if (isCompactDir(dir) && nOut >= dataFiles.size) {
+      if (retentionMs <= 0L || flipAgeMs(fs, dir) > retentionMs)
+        sweepStaleCompactSiblings(fs, dir)
       return (dataFiles.size, dataFiles.size)
+    }
     // first compaction absorbs staging files (record their names);
     // re-compaction of a compact dir only reshapes already-absorbed
     // rows — its manifest carries forward unchanged
@@ -311,7 +359,7 @@ object Sinks {
       if (isCompactDir(dir)) readManifest(fs, dir).toSeq
       else dataFiles.map(_.getPath.getName)
     (dataFiles.size, rewriteAndFlip(spark, table, spec, fs, dir,
-      dataFiles, manifest, targetFileBytes, Seq(dir)))
+      dataFiles, manifest, targetFileBytes, Seq(dir), retentionMs))
   }
 
   /** Recover LATE data for an already-compacted partition. The file
@@ -338,7 +386,8 @@ object Sinks {
     * reference included) loses or duplicates silently. */
   def reconcileLatePartition(spark: SparkSession, table: String,
       spec: Seq[(String, String)], stagingPartDir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      retentionMs: Long = 0L): Boolean = {
     import org.apache.hadoop.fs.Path
     requireSafeSpec(spec)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -347,27 +396,42 @@ object Sinks {
     val fs = curDir.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new Path(stagingPartDir)
     if (fs.makeQualified(staging) == fs.makeQualified(curDir)) return false
-    if (!fs.exists(staging)) return false
+    val graceOver = retentionMs <= 0L || flipAgeMs(fs, curDir) > retentionMs
+    if (!fs.exists(staging)) {
+      // nothing late, but crash-orphaned compact siblings may exist —
+      // this early return must not leak them forever
+      if (isCompactDir(curDir) && graceOver)
+        sweepStaleCompactSiblings(fs, curDir)
+      return false
+    }
     val absorbed = readManifest(fs, curDir)
     val stagingAll = dataFilesIn(fs, staging)
     val late = stagingAll.filterNot(f => absorbed(f.getPath.getName))
     if (late.isEmpty) {
       // every surviving staging file is already IN the current
-      // compacted location (a flip whose source delete crashed or
-      // failed) — finish the delete; re-merging would duplicate rows
-      stagingAll.foreach(f => fs.delete(f.getPath, false))
-      if (stagingAll.nonEmpty) deleteDirIfDrained(fs, staging)
+      // compacted location (a flip whose source delete crashed,
+      // failed, or was deferred by the retention grace) — finish the
+      // delete once the flip has aged past the grace window;
+      // re-merging would duplicate rows
+      if (graceOver) {
+        stagingAll.foreach(f => fs.delete(f.getPath, false))
+        if (stagingAll.nonEmpty) deleteDirIfDrained(fs, staging)
+        if (isCompactDir(curDir)) sweepStaleCompactSiblings(fs, curDir)
+      }
       return false
     }
     val curFiles = dataFilesIn(fs, curDir)
     rewriteAndFlip(spark, table, spec, fs, curDir,
       curFiles ++ late, (absorbed ++ late.map(_.getPath.getName)).toSeq,
-      targetFileBytes, Seq(curDir, staging))
+      targetFileBytes, Seq(curDir, staging), retentionMs)
     // absorbed leftovers that coexisted with the late files: their
     // rows rode along from the old compact dir, and they stay in the
-    // new manifest — safe to drain now, after the flip
+    // new manifest — safe to drain now, after the flip (deferred to a
+    // later age-gated pass when a retention grace is set: the flip
+    // that absorbed THEM was the previous one, but the conservative
+    // gate is the newest flip)
     val leftovers = stagingAll.filter(f => absorbed(f.getPath.getName))
-    if (leftovers.nonEmpty) {
+    if (leftovers.nonEmpty && retentionMs <= 0L) {
       leftovers.foreach(f => fs.delete(f.getPath, false))
       deleteDirIfDrained(fs, staging)
     }
@@ -405,7 +469,8 @@ object Sinks {
 class PartitionCommitter(spark: SparkSession, table: String,
     location: String, delayMillis: Long = 60000L,
     autoCompact: Boolean = false,
-    compactTargetBytes: Long = 128L * 1024 * 1024) {
+    compactTargetBytes: Long = 128L * 1024 * 1024,
+    compactRetentionMs: Long = 0L) {
 
   private val partRe = "logday=([^/]+)/h=([^/]+)/m=([^/]+)".r
   private val fmt = java.time.format.DateTimeFormatter
@@ -508,9 +573,10 @@ class PartitionCommitter(spark: SparkSession, table: String,
             override def run(): Unit =
               try {
                 Sinks.reconcileLatePartition(spark, table, spec,
-                  s"$location/logday=$d/h=$h/m=$m", compactTargetBytes)
+                  s"$location/logday=$d/h=$h/m=$m", compactTargetBytes,
+                  compactRetentionMs)
                 Sinks.compactTablePartition(spark, table, spec,
-                  compactTargetBytes)
+                  compactTargetBytes, compactRetentionMs)
               } catch { case e: Exception =>
                 System.err.println(s"[PartitionCommitter] auto-compaction " +
                   s"of ($d,$h,$m) failed: ${e.getMessage}")

@@ -157,6 +157,91 @@ class SinksSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("retention grace: absorbed files outlive the flip until the window ages out") {
+    import spark.implicits._
+    val table = "compact_retention_test"
+    val root = tmpDir("retention")
+    val part = s"$root/logday=2021-04-13/h=06/m=25"
+    val spec = Seq("logday" -> "2021-04-13", "h" -> "06", "m" -> "25")
+    (0 until 5).foreach { i =>
+      Seq((i.toLong, s"u$i")).toDF("id", "uuid")
+        .write.mode("append").parquet(part)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"""CREATE TABLE $table (id BIGINT, uuid STRING,
+      logday STRING, h STRING, m STRING)
+      USING PARQUET PARTITIONED BY (logday, h, m)
+      LOCATION '$root'""")
+    spark.sql(s"ALTER TABLE $table ADD PARTITION " +
+      s"(logday='2021-04-13', h='06', m='25') LOCATION '$part'")
+    val before = spark.table(table).select("id", "uuid")
+      .as[(Long, String)].collect().toSet
+    val grace = 3600 * 1000L
+    val (b, a) = Sinks.compactTablePartition(spark, table, spec,
+      retentionMs = grace)
+    assert(b == 5 && a == 1)
+    // flip happened (reads go through the compact dir) but the
+    // absorbed staging files SURVIVE for concurrent readers that
+    // resolved the old location just before the flip
+    assert(spark.table(table).select("id", "uuid")
+      .as[(Long, String)].collect().toSet == before)
+    val stagingFiles = new java.io.File(part).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(stagingFiles == 5, s"staging files deleted despite grace")
+    // a reconcile pass inside the grace window leaves them alone
+    assert(!Sinks.reconcileLatePartition(spark, table, spec, part,
+      retentionMs = grace))
+    assert(new java.io.File(part).exists())
+    // age the flip past the window (backdate the manifest, the flip
+    // timestamp proxy) — the next pass finishes the delete
+    val hDir = new java.io.File(s"$root/logday=2021-04-13/h=06")
+    val compactDir = hDir.listFiles()
+      .filter(_.getName.startsWith("compact_m=25_v")).head
+    assert(new java.io.File(compactDir, "_absorbed")
+      .setLastModified(System.currentTimeMillis() - 2 * grace))
+    assert(!Sinks.reconcileLatePartition(spark, table, spec, part,
+      retentionMs = grace))
+    assert(!new java.io.File(part).exists(), "aged staging not drained")
+    assert(spark.table(table).select("id", "uuid")
+      .as[(Long, String)].collect().toSet == before)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("orphan compact dirs are swept even when the partition never flips again") {
+    import spark.implicits._
+    val table = "compact_orphan_test"
+    val root = tmpDir("orphan")
+    val part = s"$root/logday=2021-04-13/h=06/m=26"
+    val spec = Seq("logday" -> "2021-04-13", "h" -> "06", "m" -> "26")
+    Seq((1L, "u1")).toDF("id", "uuid").write.mode("append").parquet(part)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"""CREATE TABLE $table (id BIGINT, uuid STRING,
+      logday STRING, h STRING, m STRING)
+      USING PARQUET PARTITIONED BY (logday, h, m)
+      LOCATION '$root'""")
+    spark.sql(s"ALTER TABLE $table ADD PARTITION " +
+      s"(logday='2021-04-13', h='06', m='26') LOCATION '$part'")
+    Sinks.compactTablePartition(spark, table, spec)
+    // a crash between an earlier flip and its delete left a dead
+    // sibling; the partition is already compact so every later call
+    // takes the no-op path — which must still sweep the orphan
+    // (round-6 gap: the sweep only ran inside rewriteAndFlip)
+    val stale = new java.io.File(
+      s"$root/logday=2021-04-13/h=06/compact_m=26_v99")
+    stale.mkdirs()
+    java.nio.file.Files.write(
+      stale.toPath.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    assert(Sinks.compactTablePartition(spark, table, spec) == ((1, 1)))
+    assert(!stale.exists(), "no-op path leaked the orphan dir")
+    // same recovery via reconcile's staging-missing early return
+    stale.mkdirs()
+    java.nio.file.Files.write(
+      stale.toPath.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    assert(!Sinks.reconcileLatePartition(spark, table, spec, part))
+    assert(!stale.exists(), "reconcile early return leaked the orphan dir")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("schema evolution: mergeSchema unifies old and new part files") {
     import spark.implicits._
     // a long-lived partitioned lake accretes files written under
