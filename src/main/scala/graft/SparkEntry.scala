@@ -904,9 +904,15 @@ object SparkEntry {
     // TRY_CAST mirrors Spark's null-on-miss cast semantics — a
     // malformed props row must degrade to null in BOTH engines, not
     // error the oracle (same convention as the ingest oracle)
+    // json_valid guard mirrors Spark's lenient get_json_object (null
+    // on malformed JSON) — DuckDB's json_extract_string RAISES on
+    // invalid input, and TRY_CAST only covers cast misses, so without
+    // the guard a malformed props row would null in Spark but error
+    // the oracle
     "q_json_funcs" ->
       """WITH p AS (SELECT event_type,
-        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |    TRY_CAST(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
         |  FROM events)
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
