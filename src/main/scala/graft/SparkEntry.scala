@@ -105,6 +105,9 @@ object SparkEntry {
     "q_media_frames" -> Multimodal.qMediaFrames _,
     "q_media_resize" -> Multimodal.qMediaResize _,
     "q_media_features" -> Multimodal.qMediaFeatures _,
+    // REAL PNG encode+decode round-trip (javax.imageio), verified
+    // relationally via the losslessness of gray PNG
+    "q_media_decode" -> Multimodal.qMediaDecode _,
     "q_quality_filter" -> TextOps.qQualityFilter _,
     "q_repetition_stats" -> TextOps.qRepetitionStats _,
     "q_passage_dedup" -> TextOps.qPassageDedup _,
@@ -298,6 +301,24 @@ object SparkEntry {
     "q_simhash_pairs" -> duckSimhash,
     "q_ann_lsh" -> duckAnnLsh,
     "q_media_features" -> duckMediaFeatures,
+    // the real-codec round-trip: a 16-wide zero-padded grayscale PNG
+    // is lossless, so decoded raster stats ≡ payload byte stats —
+    // recomputable from the text with ord() like q_media_features
+    "q_media_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS nb,
+        |    COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substring(text, CAST(i AS INTEGER), 1)))), 0) AS psum
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |d AS (SELECT doc_id, psum,
+        |        greatest(1, CAST(ceil(nb / 16.0) AS BIGINT)) AS ht
+        |      FROM m)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS width,
+        |  CAST(ht AS INTEGER) AS height,
+        |  16 * ht AS n_pixels,
+        |  CAST(psum AS BIGINT) AS pixel_sum,
+        |  CAST(psum AS DOUBLE) / (16 * ht) AS mean_px
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_ingest_partition" ->
       """SELECT event_id, user_id, event_type, value,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

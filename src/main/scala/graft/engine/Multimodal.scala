@@ -29,6 +29,17 @@ case class MediaFeatures(
     byte_mean: Double,
     histogram: Array[Long])
 
+/** Raster stats from a REAL image decode ([[Multimodal.decodePng]]):
+  * dimensions from the decoded image header, pixel stats from its
+  * raster — exact integers plus one exact ratio. */
+case class DecodedImage(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    n_pixels: Long,
+    pixel_sum: Long,
+    mean_px: Double)
+
 /** Multimodal-column plumbing — media as opaque `binary` columns with
   * typed metadata structs, plus decode / feature-extract / resize /
   * frame-sample operators (north-star surface; the reference itself
@@ -124,6 +135,54 @@ object Multimodal {
     }
   }
 
+  /** Render raw bytes as a `width`-wide 8-bit GRAYSCALE image
+    * (row-major, last row zero-padded) and encode it as a real PNG
+    * via the JDK's `javax.imageio` — no external codec needed. Gray
+    * PNG is lossless, so the decoded raster reproduces the input
+    * bytes exactly; that reversibility is what lets the REAL codec
+    * path below be hash-checked by a relational oracle. */
+  def pngFromBytes(bytes: Array[Byte], width: Int): Array[Byte] = {
+    val h = math.max(1, (bytes.length + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(width, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < width * h) {
+      raster.setSample(i % width, i / width, 0,
+        if (i < bytes.length) bytes(i) & 0xFF else 0)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL PNG decode (the round-6 stub made genuine for images; the
+    * audio/video decode remains the honest [[decodeStub]] — those
+    * codecs aren't in the JDK). Reads dimensions from the decoded
+    * header and pixel stats straight off the raster — no color-space
+    * conversion (getRGB would gamma-map gray), so gray samples come
+    * back bit-exact. Returns None for undecodable bytes — the
+    * drop-malformed posture every other lenient path here takes. */
+  def decodePng(docId: Long, png: Array[Byte]): Option[DecodedImage] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    if (img == null) None
+    else {
+      val r = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some(DecodedImage(docId, w, h, n, sum, sum.toDouble / n))
+    }
+  }
+
   /** Resize stub: normalize every payload to exactly `n` bytes —
     * truncate long payloads, pad short ones with 0x2E (binary rpad) —
     * the binary analogue of resizing an image to a fixed input shape.
@@ -169,6 +228,26 @@ object Multimodal {
         length(resizeStub(col("payload"), 32)).cast("long").as("n_bytes"),
         hex(resizeStub(col("payload"), 32)).as("resized_hex"))
       .orderBy(col("doc_id"))
+  }
+
+  /** REAL image-codec round-trip over the image-typed rows: each
+    * payload is rendered into a 16-wide grayscale image, encoded to
+    * an actual PNG and decoded BACK through `javax.imageio` — both
+    * directions genuine codec work, partition-local inside one
+    * `mapPartitions` (payload bytes never shuffle). Because gray PNG
+    * is lossless, the decoded raster stats equal the payload byte
+    * stats, so this real-codec path hash-checks against a DuckDB
+    * oracle that recomputes them relationally from the text — the
+    * decode is verified, not stubbed. */
+  def qMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, sfDir).as[MediaRecord]
+    media.filter(_.media_type == "image").mapPartitions { it =>
+      it.flatMap { r =>
+        val p = if (r.payload == null) Array.empty[Byte] else r.payload
+        decodePng(r.doc_id, pngFromBytes(p, width = 16))
+      }
+    }.toDF().orderBy("doc_id")
   }
 
   /** Feature extraction through the decode stub: typed Dataset →

@@ -39,6 +39,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real PNG decode: round-trip is lossless, dims from the codec") {
+    // encode arbitrary bytes → REAL PNG → decode: dimensions come from
+    // the decoded image header, pixel sum from its raster
+    val bytes = (0 until 37).map(i => ((i * 7) % 256).toByte).toArray
+    val png = Multimodal.pngFromBytes(bytes, width = 16)
+    // a real PNG: magic bytes, not our input
+    assert(png.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val d = Multimodal.decodePng(5L, png).get
+    assert(d.width == 16 && d.height == 3) // ceil(37/16) = 3 rows
+    assert(d.n_pixels == 48L)
+    assert(d.pixel_sum == bytes.map(_ & 0xFF).sum.toLong) // zero pad adds 0
+    // empty payload → 16×1 all-zero image, still decodable
+    val e = Multimodal.decodePng(6L,
+      Multimodal.pngFromBytes(Array.empty, width = 16)).get
+    assert(e.width == 16 && e.height == 1 && e.pixel_sum == 0L)
+    // undecodable bytes → None (drop-malformed), never a throw
+    assert(Multimodal.decodePng(7L, Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("real PNG files through the binaryFile source decode with true dims") {
+    val dir = tmpDir("png")
+    val payloads = Map(
+      "x.png" -> (0 until 40).map(_.toByte).toArray,
+      "y.png" -> Array[Byte](9, 8, 7))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        Multimodal.pngFromBytes(bytes, width = 16))
+    }
+    val decoded = Multimodal.readBinaryDir(spark, dir, glob = "*.png")
+      .select(col("path"), col("payload")).as[(String, Array[Byte])]
+      .collect()
+      .map { case (p, png) =>
+        new java.io.File(p.stripPrefix("file:")).getName ->
+          Multimodal.decodePng(0L, png).get
+      }.toMap
+    assert(decoded("x.png").width == 16 && decoded("x.png").height == 3)
+    assert(decoded("x.png").pixel_sum == (0 until 40).sum.toLong)
+    assert(decoded("y.png").height == 1 &&
+      decoded("y.png").pixel_sum == 24L)
+  }
+
   test("binaryFile source: one row per file, typed media, exact bytes") {
     val dir = tmpDir("media")
     val payloads = Map(
