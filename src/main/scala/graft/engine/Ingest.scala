@@ -33,6 +33,17 @@ object Ingest {
   /** S1 — Kafka raw-string source (streaming). Spark tracks offsets in
     * its own checkpoint WAL (not the Kafka consumer group), which is
     * what gives end-to-end exactly-once with file sinks.
+    *
+    * NOT executable in this environment, by construction: running it
+    * needs the `spark-sql-kafka-0-10` connector and `kafka-clients`
+    * (an embedded broker would additionally need the kafka server
+    * artifacts), and none of these exist in `/opt/spark/jars` or the
+    * offline dependency cache — verified by listing both (round 7);
+    * with zero egress they cannot be fetched, so even an in-process
+    * broker test is impossible, not merely unattempted. The format
+    * string resolves at RUNTIME (this compiles fine), and every
+    * downstream operator is exercised through [[fileRaw]], whose plan
+    * past the source is identical.
     */
   def kafkaRaw(spark: SparkSession, brokers: String, topic: String,
       groupId: String): DataFrame =
