@@ -259,12 +259,19 @@ object Similarity {
 
   /** Max centroid count for the unrolled literal-projection argmin.
     * Each literal centroid inlines `dim` double constants plus a dot
-    * product into the generated projection method; past a few dozen
-    * centroids that overruns the JVM's 64 KB method limit and codegen
-    * silently falls back to interpretation. Beyond the cap the
-    * assignment switches to [[graft.functions.NearestCentroid]] —
-    * one reference-object matrix, constant method size at any k. */
-  private[graft] val literalArgminMaxK = 64
+    * product into the generated projection method, so COMPILE time
+    * grows with k·dim and every k-means iteration (new literals) is a
+    * fresh Janino compile; past a few dozen centroids the method also
+    * overruns the JVM's 64 KB limit and codegen silently falls back
+    * to interpretation. Beyond the cap the assignment switches to
+    * [[graft.functions.NearestCentroid]] — one reference-object
+    * matrix, constant method size at any k, and IDENTICAL generated
+    * source across iterations (centroids ride in `references`), so
+    * the codegen cache compiles it once. Measured at sf0.1 (k=45,
+    * 5-rep medians): semdedup 5.4 s literal vs 3.3 s expression; at
+    * k=8 the two tie — 16 keeps small-k plans literal-readable and
+    * routes everything that iterates or grows to the cached loop. */
+  private[graft] val literalArgminMaxK = 16
 
   /** Squared-distance argmin assignment against driver-resident
     * centroids: per cell, −2·x·c + |c|² (the shared |x|² term cancels

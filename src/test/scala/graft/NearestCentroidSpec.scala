@@ -16,7 +16,8 @@ class NearestCentroidSpec extends SparkSpec {
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
 
   test("expression path equals the literal-projection path row-for-row") {
-    val cent = firstK(32) // ≤ literalArgminMaxK: both paths available
+    val cent = firstK(12) // ≤ literalArgminMaxK: both paths available
+    assert(cent.length <= Similarity.literalArgminMaxK)
     val lit = corpus.select(col("vec_id"),
         Similarity.nearestCell(cent).as("cid"))
       .as[(Long, Int)].collect().toSeq
