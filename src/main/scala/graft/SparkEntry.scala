@@ -73,6 +73,8 @@ object SparkEntry {
     "q_winnow_fingerprint" -> TextOps.qWinnowFingerprint _,
     "q_term_freq" -> TextOps.qTermFreq _,
     "q_tfidf_topterms" -> TextOps.qTfidfTopTerms _,
+    // sketch-candidates + exact-verify frequent terms
+    "q_heavy_hitters" -> TextOps.qHeavyHitters _,
     // §2.9 north-star: deduplication
     "q_dedup_exact" -> Dedup.qDedupExact _,
     "q_jaccard_pairs" -> Dedup.qJaccardPairs _,
@@ -643,6 +645,16 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY n DESC, term
         |LIMIT 100""".stripMargin,
+    // the sketch is candidates-only (lossy counting, w = 2·denom ⇒
+    // candidate superset is provable); the OUTPUT is exact counts ≥
+    // N/denom, so the oracle is a plain exact HAVING
+    "q_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($duckTokens) AS term FROM documents),
+        |tot AS (SELECT count(*) AS n FROM t)
+        |SELECT term, count(*) AS n FROM t
+        |GROUP BY term
+        |HAVING count(*) >= greatest(1, (SELECT n // 500 FROM tot))
+        |ORDER BY n DESC, term""".stripMargin,
     "q_tfidf_topterms" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
         |dt AS (SELECT doc_id, unnest(tk) AS term FROM t),

@@ -282,6 +282,71 @@ object TextOps {
       .limit(100)
   }
 
+  /** Per-partition lossy-counting summary (Manku & Motwani, VLDB'02)
+    * over a token iterator: bucket width `w` tokens; a counter is
+    * (count, Δ = bucketIndex−1 at insert); at each bucket boundary,
+    * counters with count + Δ ≤ bucketIndex are dropped. Returns the
+    * SURVIVING terms. Guarantees: any term with true partition count
+    * > N_p/w survives (a drop implies trueCount ≤ count + Δ ≤
+    * bucketIndex ≤ N_p/w); memory is O(w·log(N_p/w)) counters; the
+    * boundary purge scans O(|counters|) once per w tokens — amortized
+    * O(1) per token, unlike textbook Misra-Gries' decrement-all. */
+  private[graft] def lossyCandidates(it: Iterator[String],
+      w: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    var bucket = 1L
+    var inBucket = 0
+    it.foreach { t =>
+      counts.updateWith(t) {
+        case Some((c, d)) => Some((c + 1, d))
+        case None => Some((1L, bucket - 1))
+      }
+      inBucket += 1
+      if (inBucket == w) {
+        counts.filterInPlace { case (_, (c, d)) => c + d > bucket }
+        bucket += 1
+        inBucket = 0
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** Heavy hitters — terms with corpus frequency ≥ N/`supportDenom`,
+    * with EXACT counts, via the sketch-candidates-then-exact-verify
+    * shape (the same posture as the Bloom-prefiltered
+    * decontamination: approximate structures narrow, exact operators
+    * decide, so the result is deterministic and oracle-checkable).
+    *
+    * Pass 1 is narrow: a per-partition lossy-counting summary of
+    * width w = 2·supportDenom ([[lossyCandidates]]) — the union of
+    * partition survivors provably contains every term with global
+    * count > N/w (if a term misses every summary, each local count
+    * ≤ N_p/w, so the global count ≤ N/w < N/supportDenom). Pass 2
+    * broadcast-joins the bounded candidate set (≤ partitions×w terms)
+    * against the token stream BEFORE the aggregation, so the shuffle
+    * carries only candidate occurrences pre-combined per task —
+    * O(candidates × partitions) rows — never the full vocabulary,
+    * which at 100 TB is billions of distinct terms against a few
+    * thousand candidates. N comes from a narrow no-explode scan. */
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val supportDenom = 500L
+    val w = (2L * supportDenom).toInt
+    val d = Tables(spark, sfDir, "documents")
+    val toks = d.select(explode(tokens(col("text"))).as("term"))
+    val n = d.select(sum(size(tokens(col("text")))).cast("long"))
+      .head().getLong(0)
+    val threshold = math.max(1L, n / supportDenom)
+    val cand = toks.as[String]
+      .mapPartitions(it => lossyCandidates(it, w))
+      .distinct().toDF("term")
+    toks.join(broadcast(cand), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(col("n").desc, col("term"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): polynomial rolling
     * hash over every k=5-char gram, then the minimum of each w=4
     * window of consecutive gram hashes, distinct per document — the

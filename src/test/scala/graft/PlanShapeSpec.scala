@@ -112,6 +112,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(hints <= 1, lp)
   }
 
+  test("heavy hitters: candidate filter is a broadcast join below the agg") {
+    // the exact-verify aggregation must see only candidate-filtered
+    // tokens: the bounded candidate set broadcast-joins BEFORE the
+    // groupBy, so the shuffle never carries the full vocabulary — the
+    // regression this guards is thresholding a full exact term count
+    // (which q_term_freq already covers) with the sketch as dead code
+    val p = plan(graft.engine.TextOps.qHeavyHitters(spark, sf0001))
+    val bhjAt = p.indexOf("BroadcastHashJoin")
+    assert(bhjAt >= 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the FINAL aggregate prints above the join in the tree
+    val aggAt = p.indexOf("HashAggregate")
+    assert(aggAt >= 0 && aggAt < bhjAt, p)
+  }
+
   test("passage dedup: one explode, no join — a single passage-keyed shuffle") {
     val p = plan(graft.engine.TextOps.qPassageDedup(spark, sf0001))
     // one Generate (the passage posexplode); the keep-first marking is

@@ -114,6 +114,30 @@ class SimilaritySpec extends SparkSpec {
     assert(sizes.values.max < out.size / 2, sizes.toString)
   }
 
+  test("cell sizes stay ~√n as the corpus grows (the uncapped-cells property)") {
+    // the scale property the round-6 64-cell clamp broke: with
+    // k = ⌈√n⌉ cells the MAX realized cell must stay within a small
+    // constant of √n on real (planted-cluster) data, so the
+    // within-cell quadratic is O(n) per cell-group at any corpus
+    // size. Checked at both fixture scales — n quadruples, the bound
+    // holds at the same factor.
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.1")) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val n = e.count()
+      val k = Similarity.semdedupCells(n)
+      val cent = Similarity.kmeansCentroids(spark, dir, k, iters = 3)
+      val maxCell = e.select(Similarity.nearestCell(cent).as("cid"))
+        .groupBy("cid").count()
+        .agg(org.apache.spark.sql.functions.max("count"))
+        .head().getLong(0)
+      assert(maxCell <= 4 * math.sqrt(n.toDouble).ceil.toLong,
+        s"n=$n k=$k maxCell=$maxCell")
+    }
+  }
+
   test("semdedup keep-list equals an independent driver-side re-derivation") {
     val kept = Similarity.qSemdedupKeep(spark, sf0001)
       .as[Long].collect().toSeq

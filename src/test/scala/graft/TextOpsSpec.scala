@@ -7,6 +7,43 @@ import graft.engine.TextOps
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lossy counting: every term above the support bound survives the summary") {
+    // adversarial-ish stream: a few heavy terms buried in a long tail
+    // of near-distinct noise, shuffled deterministically
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(150)("beta") ++
+      Seq.fill(60)("gamma")
+    val noise = (0 until 5000).map(i => s"t${i % 2500}")
+    val stream = new scala.util.Random(42).shuffle(heavy ++ noise)
+    val w = 100
+    val survivors = TextOps.lossyCandidates(stream.iterator, w).toSet
+    val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+    val bound = stream.size.toDouble / w
+    // the lossy-counting guarantee: count > N/w ⇒ survives
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(survivors(t), s"$t (count=${exact(t)}) dropped, bound=$bound")
+    }
+    // and the summary stayed small — the point of the sketch
+    assert(survivors.size < exact.size / 5,
+      s"${survivors.size} survivors of ${exact.size} distinct")
+  }
+
+  test("heavy hitters: exact counts, equal to a brute-force re-derivation") {
+    import org.apache.spark.sql.functions.col
+    val out = TextOps.qHeavyHitters(spark, sf0001)
+      .as[(String, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // brute force: full exact term counts, thresholded the same way
+    val terms = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        TextOps.tokens(col("text"))).as("t"))
+      .as[String].collect()
+    val threshold = math.max(1L, terms.length / 500L)
+    val exact = terms.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= threshold).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    assert(out == exact)
+  }
+
   test("repetition stats: hand-computed fractions and short-doc nulls") {
     val out = TextOps.qRepetitionStats(spark, sf0001)
       .as[(Long, Long, Option[Double], Option[Double])].collect()
