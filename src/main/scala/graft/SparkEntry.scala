@@ -75,6 +75,10 @@ object SparkEntry {
     "q_tfidf_topterms" -> TextOps.qTfidfTopTerms _,
     // sketch-candidates + exact-verify frequent terms
     "q_heavy_hitters" -> TextOps.qHeavyHitters _,
+    // PII-style two-pass redaction (emails, long digit runs)
+    "q_redact" -> TextOps.qRedact _,
+    // per-vector symmetric int8 embedding quantization
+    "q_embed_quantize" -> Similarity.qEmbedQuantize _,
     // §2.9 north-star: deduplication
     "q_dedup_exact" -> Dedup.qDedupExact _,
     "q_jaccard_pairs" -> Dedup.qJaccardPairs _,
@@ -655,6 +659,36 @@ object SparkEntry {
         |GROUP BY term
         |HAVING count(*) >= greatest(1, (SELECT n // 500 FROM tot))
         |ORDER BY n DESC, term""".stripMargin,
+    // same two-pass order as the Spark side (emails first, so digit
+    // runs inside addresses are consumed); 'g' = Spark's replace-all
+    "q_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{6,}')) AS n_numbers,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // floor-based half-up rounding evaluates identically in Java and
+    // DuckDB (round() would not: HALF_EVEN); integer sums are
+    // order-independent, scale is one exact division
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |w AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS m
+        |      FROM e),
+        |q AS (SELECT vec_id, m,
+        |        CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(v,
+        |               x -> CAST(floor(x * 127 / m + 0.5) AS BIGINT)) END AS qs
+        |      FROM w)
+        |SELECT vec_id, m / 127 AS scale,
+        |  CAST(list_sum(qs) AS BIGINT) AS qsum,
+        |  CAST(list_min(qs) AS INTEGER) AS qmin,
+        |  CAST(list_max(qs) AS INTEGER) AS qmax
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_tfidf_topterms" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
         |dt AS (SELECT doc_id, unnest(tk) AS term FROM t),

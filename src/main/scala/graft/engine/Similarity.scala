@@ -437,6 +437,33 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-vector symmetric int8 quantization — the standard 4×
+    * memory/bandwidth cut for embedding storage and ANN serving:
+    * scale = max|vᵢ|/127, qᵢ = ⌊vᵢ/scale + 0.5⌋ ∈ [−127, 127]
+    * (half-up via `floor`, which Java and DuckDB evaluate
+    * identically — `round` would differ on HALF_EVEN engines).
+    * Reconstruction error is ≤ scale/2 per element BY CONSTRUCTION
+    * ([[SimilaritySpec]] asserts the bound). A narrow zero-shuffle
+    * projection; the emitted summary (exact integer sum/min/max of
+    * the quantized vector + the double scale) hash-checks against a
+    * DuckDB list_transform oracle. All-zero vectors quantize to
+    * scale 0 with zero codes (guarded — no 0/0). */
+  def qEmbedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = corpus(spark, sfDir)
+    val withM = e.select(col("vec_id"), col("v"),
+      array_max(transform(col("v"), x => abs(x))).as("m"))
+    val q = when(col("m") === 0.0,
+        transform(col("v"), _ => lit(0L)))
+      .otherwise(transform(col("v"),
+        x => floor(x * 127.0 / col("m") + 0.5).cast("long")))
+    withM.select(col("vec_id"),
+        (col("m") / 127.0).as("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("qsum"),
+        array_min(q).cast("int").as("qmin"),
+        array_max(q).cast("int").as("qmax"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Final k-means cluster assignment (k=8, 3 Lloyd iterations).
     * No SQL oracle BY DESIGN (like the HLL sketch): the centroid
     * fixpoint is iterative distributed computation, not a relational

@@ -347,6 +347,33 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
   }
 
+  /** Email-ish pattern for [[qRedact]] — deliberately simple classes
+    * only, so Java regex (Spark codegen) and RE2 (DuckDB) agree. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Long digit runs (phone/account/id-shaped). */
+  private val longNumRe = "[0-9]{6,}"
+
+  /** PII-style scrubbing (the C4-pipeline redaction pass): emails →
+    * `<EMAIL>` first, then 6+-digit runs → `<NUM>` (order matters —
+    * the first pass consumes digits inside addresses), with match
+    * counts kept as exact integers. A pure codegen'd projection, zero
+    * shuffle at any corpus size; the redacted text is emitted as its
+    * md5 (the repo's fingerprint convention — verifies the full
+    * transform without dumping documents). Deterministic ⇒ the DuckDB
+    * oracle recomputes the same two-pass replace with the 'g' flag. */
+  def qRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    d.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(longNumRe), lit(0)))
+          .cast("long").as("n_numbers"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          longNumRe, "<NUM>")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): polynomial rolling
     * hash over every k=5-char gram, then the minimum of each w=4
     * window of consecutive gram hashes, distinct per document — the

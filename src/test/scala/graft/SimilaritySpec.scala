@@ -138,6 +138,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes bounded, reconstruction within scale/2") {
+    val out = Similarity.qEmbedQuantize(spark, sf0001)
+      .as[(Long, Double, Long, Int, Int)].collect()
+    assert(out.length == 500)
+    out.foreach { case (_, scale, _, qmin, qmax) =>
+      assert(scale >= 0.0)
+      assert(qmin >= -127 && qmax <= 127, s"codes out of range: $qmin..$qmax")
+    }
+    // the construction bound: dequantized values sit within half a
+    // quantization step of the original, every element — recomputed
+    // with the engine's exact fp expression (x·127/m, not x/scale,
+    // which can differ in the last ulp and flip a floor)
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val qsums = out.map(r => r._1 -> r._3).toMap
+    val scales = out.map(r => r._1 -> r._2).toMap
+    vecs.take(100).foreach { case (id, v) =>
+      val m = v.map(math.abs).max
+      if (m > 0) {
+        val qs = v.map(x => math.floor(x * 127.0 / m + 0.5))
+        assert(qsums(id) == qs.map(_.toLong).sum, s"vec $id")
+        val s = scales(id)
+        qs.lazyZip(v).foreach { (q, x) =>
+          assert(math.abs(q * s - x) <= s / 2 + 1e-12, s"vec $id")
+        }
+      } else assert(qsums(id) == 0L)
+    }
+  }
+
   test("semdedup keep-list equals an independent driver-side re-derivation") {
     val kept = Similarity.qSemdedupKeep(spark, sf0001)
       .as[Long].collect().toSeq

@@ -44,6 +44,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out == exact)
   }
 
+  test("redaction: crafted patterns fire; engine md5 equals a driver-side replace") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]{6,}"
+    // pattern behavior pinned on crafted input (incl. two-pass order:
+    // the email pass consumes the digits inside the address)
+    val crafted = "mail a@b.co or c.d+x1234567@e-f.org, acct 7654321, zip 12345"
+    assert(crafted.replaceAll(email, "<EMAIL>").replaceAll(num, "<NUM>")
+      == "mail <EMAIL> or <EMAIL>, acct <NUM>, zip 12345")
+    // engine output vs an independent driver-side java.util.regex pass
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val out = TextOps.qRedact(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == docs.size)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.take(100).foreach { case (id, ne, nn, h) =>
+      val t = docs(id)
+      assert(ne == email.r.findAllIn(t).size, s"doc $id")
+      assert(nn == num.r.findAllIn(t).size, s"doc $id")
+      assert(h == md5hex(
+        t.replaceAll(email, "<EMAIL>").replaceAll(num, "<NUM>")), s"doc $id")
+    }
+  }
+
   test("repetition stats: hand-computed fractions and short-doc nulls") {
     val out = TextOps.qRepetitionStats(spark, sf0001)
       .as[(Long, Long, Option[Double], Option[Double])].collect()
