@@ -77,6 +77,8 @@ object SparkEntry {
     "q_heavy_hitters" -> TextOps.qHeavyHitters _,
     // PII-style two-pass redaction (emails, long digit runs)
     "q_redact" -> TextOps.qRedact _,
+    // overlapping token-window chunking (retrieval/context windows)
+    "q_chunk" -> TextOps.qChunk _,
     // per-vector symmetric int8 embedding quantization
     "q_embed_quantize" -> Similarity.qEmbedQuantize _,
     // §2.9 north-star: deduplication
@@ -671,6 +673,22 @@ object SparkEntry {
         |    '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // W=64 / S=48 overlapping windows; duckdb range() excludes the
+    // end like Spark's sequence(0, n-1, S) includes only starts < n,
+    // and list_slice clamps the tail like Spark's slice
+    "q_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |s AS (SELECT doc_id, tk,
+        |        unnest(range(0, len(tk), 48)) AS start
+        |      FROM t WHERE len(tk) > 0)
+        |SELECT doc_id,
+        |  start // 48 AS chunk_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(least(64, len(tk) - start) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(list_slice(tk, start + 1, start + 64), ' '))
+        |    AS chunk_md5
+        |FROM s
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // floor-based half-up rounding evaluates identically in Java and
     // DuckDB (round() would not: HALF_EVEN); integer sums are
     // order-independent, scale is one exact division

@@ -374,6 +374,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping token-window chunking — the retrieval/context-window
+    * shape (vs [[qPackSequences]], which packs disjoint offsets):
+    * windows of W=64 tokens starting every S=48 (16-token overlap,
+    * the RAG default of ~25%), last window short, empty docs emit
+    * nothing. chunk_id = start/S is derivable on both engines, the
+    * chunk content is pinned by md5 of the space-joined tokens.
+    * Replication factor is W/S ≈ 1.33 — one generator over a narrow
+    * scan, no shuffle beyond the oracle sort, at any corpus size. */
+  def qChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    val d = Tables(spark, sfDir, "documents")
+    d.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 1, lit(S))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / S).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(lit(W), size(col("tk")) - col("start")).cast("long")
+          .as("n_tok"),
+        md5(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(W))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): polynomial rolling
     * hash over every k=5-char gram, then the minimum of each w=4
     * window of consecutive gram hashes, distinct per document — the

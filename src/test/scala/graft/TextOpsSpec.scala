@@ -70,6 +70,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking: 48-stride 64-wide windows cover every token, md5-pinned") {
+    import org.apache.spark.sql.functions.col
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .as[(Long, Seq[String])].collect().toMap
+    val out = TextOps.qChunk(spark, sf0001)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // empty-token docs emit nothing; everything else fully re-derived
+    assert(out.keySet == toks.filter(_._2.nonEmpty).keySet)
+    out.view.take(60).foreach { case (id, chunks) =>
+      val tk = toks(id)
+      val starts = 0 until tk.length by 48
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == starts.map(_.toLong))
+      sorted.foreach { case (_, cid, start, nTok, h) =>
+        assert(cid == start / 48)
+        assert(nTok == math.min(64, tk.length - start))
+        assert(h == md5hex(
+          tk.slice(start.toInt, start.toInt + 64).mkString(" ")))
+      }
+      // coverage: chunk spans reach the last token
+      assert(sorted.last._3 + sorted.last._4 == tk.length)
+    }
+  }
+
   test("repetition stats: hand-computed fractions and short-doc nulls") {
     val out = TextOps.qRepetitionStats(spark, sf0001)
       .as[(Long, Long, Option[Double], Option[Double])].collect()
