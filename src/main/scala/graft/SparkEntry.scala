@@ -90,6 +90,8 @@ object SparkEntry {
     "q_dedup_keep" -> Dedup.qDedupKeep _,
     "q_contamination" -> Dedup.qContamination _,
     "q_contamination_bloom" -> Dedup.qContaminationBloom _,
+    // per-source-pair distinct shared 3-gram shingles (dataset QA)
+    "q_cross_source_overlap" -> Dedup.qCrossSourceOverlap _,
     "q_curate" -> TextOps.qCurate _,
     "q_simhash_pairs" -> Dedup.qSimhashPairs _,
     // §2.9 north-star: embedding similarity
@@ -754,6 +756,23 @@ object SparkEntry {
         |GROUP BY fp
         |ORDER BY keep_id""".stripMargin,
     "q_jaccard_pairs" -> duckShingleCte,
+    // (shingle, source)-distinct inverted index, then a source-keyed
+    // self-join — 1-based tk[i..i+2] over i = 1..len-2 mirrors
+    // shinglesFromTokens' sequence(0, size-3) exactly
+    "q_cross_source_overlap" ->
+      s"""WITH t AS (SELECT source, $duckTokens AS tk FROM documents),
+        |sh AS (SELECT DISTINCT source, unnest(
+        |         list_transform(range(1, len(tk) - 1),
+        |           i -> tk[CAST(i AS INTEGER)] || ' '
+        |             || tk[CAST(i AS INTEGER) + 1] || ' '
+        |             || tk[CAST(i AS INTEGER) + 2])) AS shingle
+        |       FROM t)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_dedup_clusters" -> duckClusters,
     // same oracle — the distributed large-star/small-star branch must
     // produce byte-identical labels to the driver union-find branch

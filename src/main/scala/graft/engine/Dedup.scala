@@ -279,6 +279,31 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Cross-source contamination matrix — the dataset-QA view behind
+    * "which sources copy from each other": for every unordered source
+    * pair, the number of DISTINCT word-3-gram shingles present in
+    * both. Same inverted-index posture as [[qJaccardPairs]], but
+    * keyed per SOURCE not per document: after the (shingle, source)
+    * distinct (one map-side-combined shuffle) a shingle joins at most
+    * |sources| rows per side, so the fan-out is ≤ |sources|² — a few
+    * hundred — no matter how many millions of documents share the
+    * shingle; the hot-key skew that threatens a doc-level self-join
+    * is structurally impossible here. */
+  def qCrossSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables(spark, sfDir, "documents")
+      .select(col("source"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("source"), explode(shinglesFromTokens(col("tk")))
+        .as("shingle"))
+      .distinct()
+    val a = sh.select(col("shingle"), col("source").as("src_a"))
+    val b = sh.select(col("shingle"), col("source").as("src_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Exact near-dup pairs by word-3-gram Jaccard ≥ 0.8 via the shingle
     * inverted index: explode → self-join on shingle hash → per-pair
     * common count → join per-doc sizes → filter. At 100 TB the

@@ -16,6 +16,28 @@ class DedupSpec extends SparkSpec {
     assert(r(3) == Seq("x x x")) // distinct collapses repeats
   }
 
+  test("cross-source overlap equals a driver-side shingle recompute") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val tk = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(_.map(d => shingles(d._2)).reduce(_ ++ _)).toMap
+    val sources = bySource.keys.toSeq.sorted
+    val expected = (for {
+      i <- sources.indices; j <- i + 1 until sources.length
+      n = (bySource(sources(i)) & bySource(sources(j))).size
+      if n > 0
+    } yield (sources(i), sources(j), n.toLong)).toSeq
+    val out = Dedup.qCrossSourceOverlap(spark, sf0001)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out == expected)
+  }
+
   test("minhash+LSH output equals exact inverted-index Jaccard at sf0.001") {
     val exact = Dedup.qJaccardPairs(spark, sf0001).collect().toSeq
     val lsh = Dedup.qDedupMinhash(spark, sf0001).collect().toSeq
