@@ -25,6 +25,7 @@ case class JobConfig(
     stagingDir: String = "",
     partitionCommitDelayMs: Long = 60000L, // Kafka2S3Hive.scala:103
     autoCompaction: Boolean = false,       // Kafka2S3Hive.scala:87 (made real)
+    compactRetentionMs: Long = 0L,         // grace before absorbed-file deletes
     availableNow: Boolean = false)         // bounded run (tests/backfill)
 
 object JobConfig {
@@ -47,6 +48,8 @@ object JobConfig {
         case "--partition-commit-delay-ms" =>
           c.copy(partitionCommitDelayMs = v.toLong)
         case "--auto-compaction" => c.copy(autoCompaction = v.toBoolean)
+        case "--compact-retention-ms" =>
+          c.copy(compactRetentionMs = v.toLong)
         case "--available-now" => c.copy(availableNow = v.toBoolean)
         case other => throw new IllegalArgumentException(
           s"unknown option: $other")
@@ -140,7 +143,8 @@ object HiveJob {
     // watermark proves the writer is done with it.
     val committer = new PartitionCommitter(spark, c.tableName,
       c.stagingDir, c.partitionCommitDelayMs,
-      autoCompact = c.autoCompaction)
+      autoCompact = c.autoCompaction,
+      compactRetentionMs = c.compactRetentionMs)
     val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
     val q = Sinks.tablePipeline(
         Ingest.parseLenient(Jobs.rawSource(spark, c)),

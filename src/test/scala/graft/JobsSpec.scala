@@ -21,9 +21,11 @@ class JobsSpec extends SparkSpec {
     val c = JobConfig.parse(Array(
       "--source", "file", "--input-dir", "/in", "--checkpoint-dir", "/cp",
       "--sink-path", "/out", "--checkpoint-interval", "10",
-      "--auto-compaction", "true"))
+      "--auto-compaction", "true", "--compact-retention-ms", "3600000"))
     assert(c.source == "file" && c.checkpointInterval == 10L)
     assert(c.autoCompaction)
+    assert(c.compactRetentionMs == 3600000L)
+    assert(JobConfig.parse(Array.empty[String]).compactRetentionMs == 0L)
     assert(!JobConfig.parse(Array.empty[String]).autoCompaction) // default off, as in the reference
     assertThrows[IllegalArgumentException] {
       JobConfig.parse(Array("--nope", "x"))
