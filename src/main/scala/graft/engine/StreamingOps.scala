@@ -100,6 +100,28 @@ object StreamingOps {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Windowed trending terms — the streaming twin of the batch
+    * heavy-hitters ([[TextOps.qHeavyHitters]]): doc-stream tokens
+    * exploded and counted per (tumbling window, term); only terms
+    * reaching `minCount` inside their window emit. Append mode ⇒ each
+    * window's trending set emits exactly once, when the watermark
+    * passes window end. State is the open windows' partial counts —
+    * watermark-evicted, O(distinct terms per open window); when the
+    * per-window vocabulary is itself unbounded, production fronts
+    * this with the per-partition lossy candidate sketch
+    * ([[TextOps.lossyCandidates]]) so only candidates reach the
+    * stateful agg. Input must carry (text, event_time). */
+  def trendingTerms(docs: DataFrame, windowDur: String = "1 minute",
+      minCount: Long = 3L): DataFrame =
+    docs
+      .withWatermark("event_time", "5 seconds")
+      .select(col("event_time"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(window(col("event_time"), windowDur), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("w_start"), col("term"), col("n"))
+
   /** Stream–stream inner join: impressions ⋈ clicks on uuid with the
     * click constrained to [impression, impression + window]. BOTH
     * sides are watermarked and the join condition bounds event-time

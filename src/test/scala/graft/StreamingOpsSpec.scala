@@ -173,4 +173,28 @@ class StreamingOpsSpec extends SparkSpec {
       .select(TextOps.qualityScore(col("text"))).as[Double].head()
     assert(junkQ < 0.25)
   }
+
+  test("trending terms: a window's over-threshold terms emit exactly once") {
+    import org.apache.spark.sql.functions.col
+    import graft.engine.TimeOps
+    val dir = tmpDir("trend")
+    def row(id: Long, text: String, ts: Long) =
+      s"""{"doc_id":$id,"text":"$text","ts":$ts}"""
+    // window 06:23: "spark" x3 (trending), "quiet" x2 (below bar);
+    // next window gets one more "spark" that must NOT leak back
+    Files.write(Paths.get(dir, "in.jsonl"), Seq(
+      row(1, "spark spark quiet", T0),
+      row(2, "spark quiet", T0 + 5000),
+      row(3, "spark", T0 + 61000),
+      row(9, "flush", T0 + 10 * 60000))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING, ts LONG").json(dir)
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("ts")))
+    val out = runToMemory(StreamingOps.trendingTerms(docs), "trending")
+      .select("w_start", "term", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val w2323 = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(T0 - T0 % 60000))
+    assert(out == Set((w2323, "spark", 3L)))
+  }
 }
