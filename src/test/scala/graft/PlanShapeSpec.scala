@@ -127,6 +127,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggAt >= 0 && aggAt < bhjAt, p)
   }
 
+  test("chunking: one generator, no join — token windows never self-join") {
+    val p = plan(graft.engine.TextOps.qChunk(spark, sf0001))
+    // one Generate (the start-offset explode); chunk content comes
+    // from slice() on the carried token array, NOT from joining the
+    // exploded rows back — the regression is a chunks⋈tokens re-join
+    assert("Generate".r.findAllIn(p).size == 1, p)
+    assert("(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin|cartesian|nestedloop"
+      .r.findAllIn(p).isEmpty, p)
+  }
+
+  test("redact + quantize: pure projections over pruned scans") {
+    def readCols(df: org.apache.spark.sql.DataFrame): Int = {
+      val s = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val schema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse(fail(s"no ReadSchema:\n$s"))
+      var depth = 0
+      1 + schema.count { ch =>
+        if (ch == '(' || ch == '<') depth += 1
+        else if (ch == ')' || ch == '>') depth -= 1
+        ch == ',' && depth == 0
+      }
+    }
+    // (doc_id, text) and (vec_id, embedding) — nothing else read
+    assert(readCols(graft.engine.TextOps.qRedact(spark, sf0001)) <= 2)
+    val pq = plan(graft.engine.Similarity.qEmbedQuantize(spark, sf0001))
+    // no join and no AGG OPERATOR (the lowercase aggregate(...) HOF
+    // inside the projection is the per-vector fold, not a shuffle)
+    assert("(?i)join".r.findAllIn(pq).isEmpty, pq)
+    assert("HashAggregate|SortAggregate".r.findAllIn(pq).isEmpty, pq)
+  }
+
+  test("cross-source overlap: equi-join only — never cartesian") {
+    val p = plan(graft.engine.Dedup.qCrossSourceOverlap(spark, sf0001))
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+  }
+
   test("passage dedup: one explode, no join — a single passage-keyed shuffle") {
     val p = plan(graft.engine.TextOps.qPassageDedup(spark, sf0001))
     // one Generate (the passage posexplode); the keep-first marking is
