@@ -118,6 +118,8 @@ object SparkEntry {
     // REAL PNG encode+decode round-trip (javax.imageio), verified
     // relationally via the losslessness of gray PNG
     "q_media_decode" -> Multimodal.qMediaDecode _,
+    // REAL WAV round-trip (javax.sound.sampled, uncompressed PCM)
+    "q_media_wav" -> Multimodal.qMediaWav _,
     "q_quality_filter" -> TextOps.qQualityFilter _,
     "q_repetition_stats" -> TextOps.qRepetitionStats _,
     "q_passage_dedup" -> TextOps.qPassageDedup _,
@@ -691,6 +693,21 @@ object SparkEntry {
         |    AS chunk_md5
         |FROM s
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // audio rows are doc_id % 3 = 1; PCM WAV is uncompressed, so the
+    // decoded sample stream equals the payload bytes (8 kHz mono
+    // comes from the encoder constants)
+    "q_media_wav" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS nb,
+        |    COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substring(text, CAST(i AS INTEGER), 1)))), 0) AS ssum
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_frames,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(ssum AS BIGINT) AS sample_sum,
+        |  CASE WHEN nb = 0 THEN 0.0
+        |       ELSE CAST(ssum AS DOUBLE) / nb END AS mean_sample
+        |FROM m ORDER BY doc_id""".stripMargin,
     // floor-based half-up rounding evaluates identically in Java and
     // DuckDB (round() would not: HALF_EVEN); integer sums are
     // order-independent, scale is one exact division

@@ -40,6 +40,16 @@ case class DecodedImage(
     pixel_sum: Long,
     mean_px: Double)
 
+/** Waveform stats from a REAL audio decode ([[Multimodal.decodeWav]]):
+  * frame count and rate from the decoded header, sample stats from
+  * the decoded PCM stream. */
+case class DecodedAudio(
+    doc_id: Long,
+    n_frames: Long,
+    sample_rate: Int,
+    sample_sum: Long,
+    mean_sample: Double)
+
 /** Multimodal-column plumbing — media as opaque `binary` columns with
   * typed metadata structs, plus decode / feature-extract / resize /
   * frame-sample operators (north-star surface; the reference itself
@@ -183,6 +193,48 @@ object Multimodal {
     }
   }
 
+  /** Wrap raw bytes as 8 kHz mono 8-bit UNSIGNED PCM and encode a
+    * real WAV container via the JDK's `javax.sound.sampled` — the
+    * audio twin of [[pngFromBytes]]. PCM is uncompressed, so the
+    * decoded sample stream reproduces the input bytes exactly. */
+  def wavFromBytes(bytes: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV decode — with [[decodePng]], two of the three media
+    * types now decode genuinely (video stays the honest stub: no JDK
+    * codec). Frame count and rate come from the decoded header,
+    * sample stats from the decoded PCM stream; None for undecodable
+    * bytes (drop-malformed). */
+  def decodeWav(docId: Long, wav: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      val buf = new Array[Byte](8192)
+      var sum = 0L
+      var n = 0L
+      var read = ais.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) { sum += buf(i) & 0xFF; i += 1 }
+        n += read
+        read = ais.read(buf)
+      }
+      Some(DecodedAudio(docId, n, fmt.getSampleRate.toInt, sum,
+        if (n == 0) 0.0 else sum.toDouble / n))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** Resize stub: normalize every payload to exactly `n` bytes —
     * truncate long payloads, pad short ones with 0x2E (binary rpad) —
     * the binary analogue of resizing an image to a fixed input shape.
@@ -246,6 +298,23 @@ object Multimodal {
       it.flatMap { r =>
         val p = if (r.payload == null) Array.empty[Byte] else r.payload
         decodePng(r.doc_id, pngFromBytes(p, width = 16))
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** REAL audio-codec round-trip over the audio-typed rows — the WAV
+    * twin of [[qMediaDecode]]: payload bytes wrapped as 8-bit PCM,
+    * encoded to an actual WAV container and decoded back through
+    * `javax.sound.sampled`, partition-local in one `mapPartitions`.
+    * PCM is uncompressed, so decoded sample stats ≡ payload byte
+    * stats and the real decode hash-checks relationally. */
+  def qMediaWav(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, sfDir).as[MediaRecord]
+    media.filter(_.media_type == "audio").mapPartitions { it =>
+      it.flatMap { r =>
+        val p = if (r.payload == null) Array.empty[Byte] else r.payload
+        decodeWav(r.doc_id, wavFromBytes(p))
       }
     }.toDF().orderBy("doc_id")
   }

@@ -80,6 +80,23 @@ class MultimodalSpec extends SparkSpec {
       decoded("y.png").pixel_sum == 24L)
   }
 
+  test("real WAV decode: PCM round-trip is lossless, header drives the stats") {
+    val bytes = (0 until 123).map(i => ((i * 13) % 256).toByte).toArray
+    val wav = Multimodal.wavFromBytes(bytes)
+    // a real RIFF/WAVE container, not our input
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val d = Multimodal.decodeWav(3L, wav).get
+    assert(d.n_frames == 123L && d.sample_rate == 8000)
+    assert(d.sample_sum == bytes.map(_ & 0xFF).sum.toLong)
+    // empty payload → zero frames, still a decodable container
+    val e = Multimodal.decodeWav(4L,
+      Multimodal.wavFromBytes(Array.empty)).get
+    assert(e.n_frames == 0L && e.sample_sum == 0L && e.mean_sample == 0.0)
+    // undecodable bytes → None (drop-malformed), never a throw
+    assert(Multimodal.decodeWav(5L, Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("binaryFile source: one row per file, typed media, exact bytes") {
     val dir = tmpDir("media")
     val payloads = Map(
