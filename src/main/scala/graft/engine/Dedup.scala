@@ -282,23 +282,31 @@ object Dedup {
   /** Cross-source contamination matrix — the dataset-QA view behind
     * "which sources copy from each other": for every unordered source
     * pair, the number of DISTINCT word-3-gram shingles present in
-    * both. Same inverted-index posture as [[qJaccardPairs]], but
-    * keyed per SOURCE not per document: after the (shingle, source)
-    * distinct (one map-side-combined shuffle) a shingle joins at most
-    * |sources| rows per side, so the fan-out is ≤ |sources|² — a few
-    * hundred — no matter how many millions of documents share the
-    * shingle; the hot-key skew that threatens a doc-level self-join
-    * is structurally impossible here. */
+    * both. NOT a self-join: after the (shingle, source) distinct (one
+    * map-side-combined shuffle), each shingle's source set is
+    * collected — bounded by |sources|, a few dozen, no matter how
+    * many millions of documents share the shingle — and the unordered
+    * pairs are generated INSIDE the row from the sorted set, so the
+    * corpus is scanned once and the only remaining shuffle carries
+    * ≤ |sources|² pair rows per task. (The equivalent shingle-keyed
+    * self-join was measured to re-scan and re-explode the corpus on
+    * both sides — AQE does not reuse the exchange across the aliased
+    * subtrees.) */
   def qCrossSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables(spark, sfDir, "documents")
       .select(col("source"), TextOps.tokens(col("text")).as("tk"))
       .select(col("source"), explode(shinglesFromTokens(col("tk")))
         .as("shingle"))
       .distinct()
-    val a = sh.select(col("shingle"), col("source").as("src_a"))
-    val b = sh.select(col("shingle"), col("source").as("src_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("src_a") < col("src_b"))
+    val sets = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    // unordered pairs from the sorted set: for element i, pair with
+    // every later element — (a < b) by construction
+    val pairs = sets.select(explode(flatten(transform(col("ss"),
+      (a, i) => transform(slice(col("ss"), i + 2, size(col("ss"))),
+        b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+    pairs.select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("src_a"), col("src_b"))

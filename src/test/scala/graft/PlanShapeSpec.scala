@@ -159,9 +159,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate|SortAggregate".r.findAllIn(pq).isEmpty, pq)
   }
 
-  test("cross-source overlap: equi-join only — never cartesian") {
+  test("cross-source overlap: one corpus scan, no self-join") {
     val p = plan(graft.engine.Dedup.qCrossSourceOverlap(spark, sf0001))
-    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+    // pairs are generated in-row from each shingle's collected source
+    // set — the regression is the shingle-keyed self-join, which
+    // scans and explodes the corpus TWICE (no exchange reuse across
+    // the aliased subtrees, measured)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin|cartesian|nestedloop"
+      .r.findAllIn(p).isEmpty, p)
   }
 
   test("passage dedup: one explode, no join — a single passage-keyed shuffle") {
