@@ -41,12 +41,6 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(TextOps.tokens(text), n)
 
-  /** doc_id → exploded distinct shingle hashes (the inverted-index
-    * input). */
-  private def shingleIndex(docs: DataFrame): DataFrame =
-    shingleHashSets(docs)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-
   /** See [[Tables.spread]] — conditional redistribution of an
     * under-parallel scan, with the parallelism probe memoized per
     * input file set. */
@@ -318,8 +312,12 @@ object Dedup {
     * common-shingle skew is AQE-split and the per-pair aggregation is
     * map-side combined. */
   def qJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables(spark, sfDir, "documents")
-    val idx = shingleIndex(d)
+    // explode off the SAME persisted (id, hashes, sig) working set the
+    // minhash queries memoize — `idx` feeds three subtrees (both join
+    // sides + the per-doc sizes), and without the cache each one
+    // re-ran the full tokenize+shingle mapPartitions pass
+    val idx = cachedSigSets(spark, sfDir, n = 3, k = 64)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = idx.as("a")
       .join(idx.as("b"),

@@ -377,9 +377,14 @@ object Similarity {
     val cent = kmeansCentroids(spark, sfDir, k, iters = 3)
     // norms computed ONCE per vector before the self-join (n sqrt's,
     // not n² — the same argument qEmbedNearDup documents); the
-    // per-pair filter is then a single dot product
+    // per-pair filter is then a single dot product. The assignment
+    // scan (k×dim dots per row) feeds BOTH join sides — without the
+    // persist it runs twice, since Spark does not share the aliased
+    // subtrees; labelComponents is eager (it persists + counts the
+    // pair list), so the bracket is safe to release immediately after.
     val assigned = e.select(col("vec_id"), col("v"),
       nearestCell(cent).as("cid"), l2norm(col("v")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lhs = assigned.select(col("cid"), col("vec_id").as("ida"),
       col("v").as("va"), col("nrm").as("na"))
     val rhs = assigned.select(col("cid"), col("vec_id").as("idb"),
@@ -390,6 +395,7 @@ object Similarity {
         >= threshold)
       .select(col("ida"), col("idb"))
     val labeled = Dedup.labelComponents(pairs, driverEdgeLimit = 1000000L)
+    assigned.unpersist()
     val drop = labeled.filter(col("id") =!= col("label"))
       .select(col("id").as("vec_id"))
     e.select(col("vec_id"))
