@@ -1,0 +1,86 @@
+package graft
+
+import graft.engine.{Dedup, TextOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded randomized property checks for the driver-side algorithmic
+  * kernels — hundreds of generated cases per property, deterministic
+  * across runs (fixed seeds), no Spark session needed. */
+class FuzzSpec extends AnyFunSuite {
+
+  test("lossy counting: candidate superset holds on random skewed streams") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 100) {
+      val w = 20 + rnd.nextInt(200)
+      val nHeavy = 1 + rnd.nextInt(10)
+      val n = 500 + rnd.nextInt(20000)
+      // mixture: heavy terms with prob ~50%, else a long random tail
+      val stream = Seq.fill(n) {
+        if (rnd.nextBoolean()) s"h${rnd.nextInt(nHeavy)}"
+        else s"t${rnd.nextInt(n)}"
+      }
+      val survivors = TextOps.lossyCandidates(stream.iterator, w).toSet
+      val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val bound = n.toDouble / w
+      exact.foreach { case (t, c) =>
+        if (c > bound) assert(survivors(t),
+          s"trial $trial: dropped $t count=$c bound=$bound w=$w n=$n")
+      }
+    }
+  }
+
+  test("union-find labels equal a BFS transitive closure on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 100) {
+      val nV = 2 + rnd.nextInt(60)
+      val nE = 1 + rnd.nextInt(120)
+      val edges = Array.fill(nE)(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      val labels = Dedup.unionFind(edges).toMap
+      // independent BFS closure over the same edge set
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+        .withDefaultValue(Nil)
+      edges.foreach { case (a, b) =>
+        adj(a) = b :: adj(a); adj(b) = a :: adj(b)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val seen = scala.collection.mutable.Set.empty[Long]
+      verts.sorted.foreach { v =>
+        if (!seen(v)) {
+          val comp = scala.collection.mutable.Set(v)
+          var frontier = List(v)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(adj).filterNot(comp)
+            comp ++= frontier
+          }
+          seen ++= comp
+          val m = comp.min
+          comp.foreach { u =>
+            assert(labels(u) == m, s"trial $trial: vertex $u")
+          }
+        }
+      }
+    }
+  }
+
+  test("int8 quantization arithmetic: bounds hold for random vectors") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 500) {
+      val dim = 1 + rnd.nextInt(128)
+      val scalePow = rnd.nextInt(12) - 6 // magnitudes 1e-6 .. 1e6
+      val v = Array.fill(dim)(
+        (rnd.nextDouble() * 2 - 1) * math.pow(10, scalePow))
+      val m = v.map(math.abs).max
+      if (m > 0) {
+        val s = m / 127.0
+        v.foreach { x =>
+          // the engine's exact fp expression (Similarity.qEmbedQuantize)
+          val q = math.floor(x * 127.0 / m + 0.5)
+          assert(q >= -127 && q <= 127, s"trial $trial: code $q")
+          assert(math.abs(q * s - x) <= s / 2 + m * 1e-12,
+            s"trial $trial: reconstruction off")
+        }
+      }
+    }
+  }
+}
