@@ -319,8 +319,11 @@ object Similarity {
   def kmeansCentroids(spark: SparkSession, sfDir: String, k: Int,
       iters: Int): IndexedSeq[IndexedSeq[Double]] = {
     val e = corpus(spark, sfDir)
-    var cent: IndexedSeq[IndexedSeq[Double]] = e.filter(col("vec_id") < k)
-      .orderBy(col("vec_id")).collect()
+    // seeds = the k LOWEST vec_ids (TakeOrdered — k rows to the
+    // driver), not `vec_id < k`: id spaces with gaps (post-dedup
+    // corpora) would otherwise under-seed
+    var cent: IndexedSeq[IndexedSeq[Double]] = e
+      .orderBy(col("vec_id")).limit(k).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     require(cent.length == k, s"corpus has fewer than $k seed vectors")
     for (_ <- 1 to iters) {
