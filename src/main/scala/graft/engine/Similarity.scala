@@ -317,8 +317,14 @@ object Similarity {
     * k×(dim+1) aggregated values per iteration — 16 MB at k = 32k,
     * broadcast-sized by construction. */
   def kmeansCentroids(spark: SparkSession, sfDir: String, k: Int,
+      iters: Int): IndexedSeq[IndexedSeq[Double]] =
+    kmeansCentroidsFrom(corpus(spark, sfDir), k, iters)
+
+  /** [[kmeansCentroids]] over an arbitrary (vec_id, v) corpus — the
+    * seam the scale harness ([[graft.tools.SemScale]]) drives with
+    * synthetic corpora far beyond the SF fixtures. */
+  private[graft] def kmeansCentroidsFrom(e: DataFrame, k: Int,
       iters: Int): IndexedSeq[IndexedSeq[Double]] = {
-    val e = corpus(spark, sfDir)
     // seeds = the k LOWEST vec_ids (TakeOrdered — k rows to the
     // driver), not `vec_id < k`: id spaces with gaps (post-dedup
     // corpora) would otherwise under-seed
@@ -369,15 +375,19 @@ object Similarity {
     * Iterative + data-dependent cells → no SQL oracle (rows-only);
     * [[SimilaritySpec]] re-derives the whole keep-list independently
     * and asserts exact equality. */
-  def qSemdedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+  def qSemdedupKeep(spark: SparkSession, sfDir: String): DataFrame =
     // the near-dup bar for THIS corpus (same as qEmbedNearDup's: the
     // synthetic embeddings plant duplicates at cos ≈ 0.4+; real text
     // embeddings would put the SemDeDup knob at ~0.95)
-    val threshold = 0.4
-    val e = corpus(spark, sfDir)
+    semdedupKeepFrom(corpus(spark, sfDir), threshold = 0.4)
+
+  /** [[qSemdedupKeep]] over an arbitrary (vec_id, v) corpus — the
+    * seam [[graft.tools.SemScale]] drives at synthetic scale. */
+  private[graft] def semdedupKeepFrom(e: DataFrame,
+      threshold: Double): DataFrame = {
     val n = e.count()
     val k = semdedupCells(n)
-    val cent = kmeansCentroids(spark, sfDir, k, iters = 3)
+    val cent = kmeansCentroidsFrom(e, k, iters = 3)
     // norms computed ONCE per vector before the self-join (n sqrt's,
     // not n² — the same argument qEmbedNearDup documents); the
     // per-pair filter is then a single dot product. The assignment
