@@ -677,13 +677,15 @@ object SparkEntry {
         |    '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
-    // W=64 / S=48 overlapping windows; duckdb range() excludes the
-    // end like Spark's sequence(0, n-1, S) includes only starts < n,
-    // and list_slice clamps the tail like Spark's slice
+    // W=64 / S=48 overlapping windows; starts stop at len-17 (a
+    // later window would sit entirely inside its predecessor);
+    // duckdb range() excludes the end like Spark's inclusive
+    // sequence(0, greatest(len-17, 0), 48), and list_slice clamps
+    // the tail like Spark's slice
     "q_chunk" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
         |s AS (SELECT doc_id, tk,
-        |        unnest(range(0, len(tk), 48)) AS start
+        |        unnest(range(0, greatest(len(tk) - 16, 1), 48)) AS start
         |      FROM t WHERE len(tk) > 0)
         |SELECT doc_id,
         |  start // 48 AS chunk_id,

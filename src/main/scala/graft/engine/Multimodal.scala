@@ -174,7 +174,7 @@ object Multimodal {
     * conversion (getRGB would gamma-map gray), so gray samples come
     * back bit-exact. Returns None for undecodable bytes — the
     * drop-malformed posture every other lenient path here takes. */
-  def decodePng(docId: Long, png: Array[Byte]): Option[DecodedImage] = {
+  def decodePng(docId: Long, png: Array[Byte]): Option[DecodedImage] = try {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(png))
     if (img == null) None
@@ -191,6 +191,11 @@ object Multimodal {
       val n = w.toLong * h
       Some(DecodedImage(docId, w, h, n, sum, sum.toDouble / n))
     }
+  } catch {
+    // recognized-but-corrupt bytes (e.g. a truncated PNG) make
+    // ImageIO.read THROW rather than return null — both are the
+    // same drop-malformed outcome here
+    case _: java.io.IOException => None
   }
 
   /** Wrap raw bytes as 8 kHz mono 8-bit UNSIGNED PCM and encode a

@@ -387,7 +387,16 @@ object Similarity {
       threshold: Double): DataFrame = {
     val n = e.count()
     val k = semdedupCells(n)
-    val cent = kmeansCentroidsFrom(e, k, iters = 3)
+    semdedupKeepWithCentroids(e, threshold,
+      kmeansCentroidsFrom(e, k, iters = 3))
+  }
+
+  /** The keep-list given already-fit centroids — lets a caller that
+    * needs the centroids for its own measurements (SemScale's
+    * cell-size audit) fit them exactly once. */
+  private[graft] def semdedupKeepWithCentroids(e: DataFrame,
+      threshold: Double,
+      cent: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
     // norms computed ONCE per vector before the self-join (n sqrt's,
     // not n² — the same argument qEmbedNearDup documents); the
     // per-pair filter is then a single dot product. The assignment

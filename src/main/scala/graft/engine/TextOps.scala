@@ -286,13 +286,18 @@ object TextOps {
     * over a token iterator: bucket width `w` tokens; a counter is
     * (count, Δ = bucketIndex−1 at insert); at each bucket boundary,
     * counters with count + Δ ≤ bucketIndex are dropped. Returns the
-    * SURVIVING terms. Guarantees: any term with true partition count
-    * > N_p/w survives (a drop implies trueCount ≤ count + Δ ≤
-    * bucketIndex ≤ N_p/w); memory is O(w·log(N_p/w)) counters; the
-    * boundary purge scans O(|counters|) once per w tokens — amortized
-    * O(1) per token, unlike textbook Misra-Gries' decrement-all. */
-  private[graft] def lossyCandidates(it: Iterator[String],
-      w: Int): Iterator[String] = {
+    * surviving terms WITH their maintained counts. Guarantees: any
+    * term with true partition count > N_p/w survives (a drop implies
+    * trueCount ≤ count + Δ ≤ bucketIndex ≤ N_p/w), and a survivor's
+    * count undercounts its true count by at most N_p/w (it missed at
+    * most the occurrences before its last re-insert, bounded by its
+    * Δ ≤ N_p/w) — the bound the distributed merge in
+    * [[qHeavyHitters]] leans on; memory is O(w·log(N_p/w)) counters;
+    * the boundary purge scans O(|counters|) once per w tokens —
+    * amortized O(1) per token, unlike textbook Misra-Gries'
+    * decrement-all. */
+  private[graft] def lossySummary(it: Iterator[String],
+      w: Int): Iterator[(String, Long)] = {
     val counts = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
     var bucket = 1L
     var inBucket = 0
@@ -308,8 +313,12 @@ object TextOps {
         inBucket = 0
       }
     }
-    counts.keysIterator
+    counts.iterator.map { case (t, (c, _)) => (t, c) }
   }
+
+  /** Surviving terms only (see [[lossySummary]]). */
+  private[graft] def lossyCandidates(it: Iterator[String],
+      w: Int): Iterator[String] = lossySummary(it, w).map(_._1)
 
   /** Heavy hitters — terms with corpus frequency ≥ N/`supportDenom`,
     * with EXACT counts, via the sketch-candidates-then-exact-verify
@@ -317,17 +326,21 @@ object TextOps {
     * decontamination: approximate structures narrow, exact operators
     * decide, so the result is deterministic and oracle-checkable).
     *
-    * Pass 1 is narrow: a per-partition lossy-counting summary of
-    * width w = 2·supportDenom ([[lossyCandidates]]) — the union of
-    * partition survivors provably contains every term with global
-    * count > N/w (if a term misses every summary, each local count
-    * ≤ N_p/w, so the global count ≤ N/w < N/supportDenom). Pass 2
-    * broadcast-joins the bounded candidate set (≤ partitions×w terms)
-    * against the token stream BEFORE the aggregation, so the shuffle
-    * carries only candidate occurrences pre-combined per task —
-    * O(candidates × partitions) rows — never the full vocabulary,
-    * which at 100 TB is billions of distinct terms against a few
-    * thousand candidates. N comes from a narrow no-explode scan. */
+    * Pass 1 is narrow: per-partition lossy-counting summaries of
+    * width w = 2·supportDenom ([[lossySummary]]), MERGED by a
+    * distributed sum-and-filter rather than unioned raw — the raw
+    * union grows with the partition count (Θ(partitions · w · log)
+    * terms; at 100 TB's ~10⁶ splits that is a multi-GB driver
+    * broadcast), while the merge is provably ≤ w terms at ANY scale:
+    * each survivor's count undercounts its true partition count by
+    * ≤ N_p/w, so a term with true global count ≥ N/supportDenom has
+    * Σ counts ≥ N/supportDenom − N/w = N/w, and since the counts
+    * total ≤ N at most w terms can clear that bar. Pass 2
+    * broadcast-joins those ≤ w candidates against the token stream
+    * BELOW the aggregation, so the shuffle carries only candidate
+    * occurrences pre-combined per task — never the full vocabulary,
+    * which at 100 TB is billions of distinct terms. N comes from a
+    * narrow no-explode scan. */
   def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val supportDenom = 500L
@@ -337,9 +350,16 @@ object TextOps {
     val n = d.select(sum(size(tokens(col("text")))).cast("long"))
       .head().getLong(0)
     val threshold = math.max(1L, n / supportDenom)
+    // merge bar: threshold − N/w (real-valued, conservative); summed
+    // summary counts are map-side combined, so the shuffle carries
+    // O(summary terms × partitions) rows, never raw tokens
+    val mergeBar = math.max(1.0, threshold.toDouble - n.toDouble / w)
     val cand = toks.as[String]
-      .mapPartitions(it => lossyCandidates(it, w))
-      .distinct().toDF("term")
+      .mapPartitions(it => lossySummary(it, w))
+      .toDF("term", "c")
+      .groupBy(col("term")).agg(sum(col("c")).as("cs"))
+      .filter(col("cs") >= mergeBar)
+      .select(col("term"))
     toks.join(broadcast(cand), Seq("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
@@ -378,10 +398,15 @@ object TextOps {
     * shape (vs [[qPackSequences]], which packs disjoint offsets):
     * windows of W=64 tokens starting every S=48 (16-token overlap,
     * the RAG default of ~25%), last window short, empty docs emit
-    * nothing. chunk_id = start/S is derivable on both engines, the
-    * chunk content is pinned by md5 of the space-joined tokens.
-    * Replication factor is W/S ≈ 1.33 — one generator over a narrow
-    * scan, no shuffle beyond the oracle sort, at any corpus size. */
+    * nothing. Starts stop at ntk−(W−S)−1: a later start's window
+    * would sit entirely inside its predecessor (zero new tokens — a
+    * duplicate retrieval candidate), so it is never emitted; every
+    * emitted chunk contributes ≥ S−… ≥ 1 new tokens and the last
+    * chunk still reaches the final token. chunk_id = start/S is
+    * derivable on both engines, the chunk content is pinned by md5
+    * of the space-joined tokens. Replication factor is W/S ≈ 1.33 —
+    * one generator over a narrow scan, no shuffle beyond the oracle
+    * sort, at any corpus size. */
   def qChunk(spark: SparkSession, sfDir: String): DataFrame = {
     val W = 64
     val S = 48
@@ -389,7 +414,9 @@ object TextOps {
     d.select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)
       .select(col("doc_id"), col("tk"),
-        explode(sequence(lit(0), size(col("tk")) - 1, lit(S))).as("start"))
+        explode(sequence(lit(0),
+          greatest(size(col("tk")) - (W - S) - 1, lit(0)),
+          lit(S))).as("start"))
       .select(col("doc_id"),
         (col("start") / S).cast("long").as("chunk_id"),
         col("start").cast("long").as("start"),

@@ -72,7 +72,10 @@ case class NearestCentroid(child: Expression,
       if (d2 < best) { best = d2; bestCid = c }
       c += 1
     }
-    bestCid
+    // all-NaN distances (a NaN input element) leave bestCid untouched;
+    // the literal path's array_min orders NaN equal-largest and
+    // tie-breaks to cell 0 — match it, never emit a phantom cell
+    if (bestCid < 0) 0 else bestCid
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -112,7 +115,7 @@ case class NearestCentroid(child: Expression,
               if ($d2 < $best) { $best = $d2; $bestCid = $c; }
             }
             ${ev.isNull} = false;
-            ${ev.value} = $bestCid;
+            ${ev.value} = $bestCid < 0 ? 0 : $bestCid;
           }
         }""")
   }

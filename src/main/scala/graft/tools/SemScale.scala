@@ -72,7 +72,9 @@ object SemScale {
 
     val k = Similarity.semdedupCells(nVecs)
     val t0 = System.nanoTime()
-    val kept = Similarity.semdedupKeepFrom(e, threshold = 0.9)
+    // fit once, reuse for both the keep-list and the cell-size audit
+    val cent = Similarity.kmeansCentroidsFrom(e, k, iters = 3)
+    val kept = Similarity.semdedupKeepWithCentroids(e, threshold = 0.9, cent)
       .as[Long].collect().toSet
     val secs = (System.nanoTime() - t0) / 1e9
 
@@ -92,11 +94,8 @@ object SemScale {
       id += 1
     }
     val planted = nVecs / 10
-    val maxCell = {
-      val cent = Similarity.kmeansCentroidsFrom(e, k, iters = 3)
-      e.select(Similarity.nearestCell(cent).as("cid"))
-        .groupBy("cid").count().agg(max("count")).head().getLong(0)
-    }
+    val maxCell = e.select(Similarity.nearestCell(cent).as("cid"))
+      .groupBy("cid").count().agg(max("count")).head().getLong(0)
     val ok = plantedDropped == planted && mateMissing == 0 &&
       spurious == 0 && maxCell <= 8 * math.sqrt(nVecs.toDouble).ceil.toLong
     println(f"SemScale nVecs=$nVecs k=$k planted=$planted " +

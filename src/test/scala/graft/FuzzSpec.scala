@@ -29,6 +29,38 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed summary merge: heavy terms survive, candidates stay ≤ w") {
+    // the qHeavyHitters two-level protocol on random partitioned
+    // streams: per-partition lossySummary, then Σ counts ≥
+    // threshold − N/w keeps every true heavy hitter while at most w
+    // terms can clear the bar
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 50) {
+      val w = 40 + rnd.nextInt(100)
+      val denom = w / 2
+      val nParts = 1 + rnd.nextInt(8)
+      val n = 2000 + rnd.nextInt(20000)
+      val nHeavy = 1 + rnd.nextInt(8)
+      val stream = Seq.fill(n) {
+        if (rnd.nextInt(100) < 40) s"h${rnd.nextInt(nHeavy)}"
+        else s"t${rnd.nextInt(n)}"
+      }
+      val parts = stream.grouped((n + nParts - 1) / nParts).toSeq
+      val merged = parts
+        .flatMap(p => TextOps.lossySummary(p.iterator, w))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val threshold = math.max(1L, n.toLong / denom)
+      val mergeBar = math.max(1.0, threshold.toDouble - n.toDouble / w)
+      val cand = merged.filter(_._2 >= mergeBar).keySet
+      val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+      exact.foreach { case (t, c) =>
+        if (c >= threshold) assert(cand(t),
+          s"trial $trial: heavy $t (count=$c, thr=$threshold) not a candidate")
+      }
+      assert(cand.size <= w, s"trial $trial: ${cand.size} candidates > w=$w")
+    }
+  }
+
   test("union-find labels equal a BFS transitive closure on random graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 100) {

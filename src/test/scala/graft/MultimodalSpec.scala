@@ -56,6 +56,10 @@ class MultimodalSpec extends SparkSpec {
     assert(e.width == 16 && e.height == 1 && e.pixel_sum == 0L)
     // undecodable bytes → None (drop-malformed), never a throw
     assert(Multimodal.decodePng(7L, Array[Byte](1, 2, 3)).isEmpty)
+    // recognized-but-corrupt: real PNG magic, truncated body — the
+    // reader THROWS rather than returning null; still None
+    val truncated = Multimodal.pngFromBytes(bytes, width = 16).take(20)
+    assert(Multimodal.decodePng(8L, truncated).isEmpty)
   }
 
   test("real PNG files through the binaryFile source decode with true dims") {

@@ -73,6 +73,24 @@ class NearestCentroidSpec extends SparkSpec {
     assert(r(1).isNullAt(0) && r(2).isNullAt(0) && r(3).isNullAt(0))
   }
 
+  test("NaN elements: both paths agree on cell 0 (no phantom cell)") {
+    // a NaN element makes every d2 NaN; the literal array_min orders
+    // NaN equal-largest and tie-breaks to cell 0 — the expression
+    // must match, never emit -1 (a cell no centroid update sees)
+    val cent = IndexedSeq(IndexedSeq(0.0, 0.0), IndexedSeq(1.0, 1.0))
+    val df = Seq(
+      Seq(Double.NaN, 1.0),       // all-NaN distances
+      Seq(0.9, 1.1))              // sane row alongside
+      .toDF("v")
+    val lit = df.select(Similarity.nearestCell(cent).as("cid"))
+      .as[Int].collect().toSeq
+    val expr = df.select(
+        Similarity.nearestCell(cent, forceExpr = true).as("cid"))
+      .as[Int].collect().toSeq
+    assert(lit == expr, s"lit=$lit expr=$expr")
+    assert(lit == Seq(0, 1))
+  }
+
   test("blockCount: per-task vector memory stays under the budget at any shape") {
     val bytesPerVec = 64 * 8L + 64
     val budget = Similarity.nearDupTaskBudgetBytes

@@ -85,7 +85,9 @@ class TextOpsSpec extends SparkSpec {
     assert(out.keySet == toks.filter(_._2.nonEmpty).keySet)
     out.view.take(60).foreach { case (id, chunks) =>
       val tk = toks(id)
-      val starts = 0 until tk.length by 48
+      // starts stop once a window would add no new tokens (fully
+      // contained in its predecessor): last start ≤ len − 17
+      val starts = 0 until math.max(tk.length - 16, 1) by 48
       val sorted = chunks.sortBy(_._2)
       assert(sorted.map(_._3).toSeq == starts.map(_.toLong))
       sorted.foreach { case (_, cid, start, nTok, h) =>
