@@ -246,14 +246,24 @@ object TextOps {
     * 100 TB — so it must never carry a broadcast hint: the join runs
     * on the (term-keyed) shuffle, and AQE still picks a broadcast at
     * small SF where the aggregate actually fits under the threshold.
-    * Only the 1-row corpus count is hint-broadcast. */
+    * Only the 1-row corpus count is hint-broadcast.
+    *
+    * The (doc, term, tf) working set feeds BOTH the df aggregate and
+    * the scoring join; Spark does not share the aliased subtrees, so
+    * without the session memo the tokenize+explode+agg ran once per
+    * consumer (measured: 3 corpus scans). Memoized+persisted it runs
+    * once — the same working-set pattern as the LSH signature sets.
+    * (A window-over-term df would also dedupe the subtree but puts
+    * every instance of a stopword in ONE window task — join skew is
+    * AQE-splittable, window skew is not.) */
   def qTfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
     val docTerms = d
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(col("tk")).as("term"))
-    val tf = docTerms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = Dedup.memoizedPersisted(spark, s"tfidf-tf|$sfDir")(
+      docTerms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val n = d.select(count(lit(1)).as("n_docs"))
@@ -668,11 +678,16 @@ object TextOps {
     * shuffle join of token instances against it (unhinted: the
     * vocabulary of a 100 TB corpus is itself huge, same reasoning as
     * the [[qTfidfTopTerms]] df join) → per-doc agg. The grand total
-    * rides along as a broadcast 1-row cross join, never a collect. */
+    * rides along as a broadcast 1-row cross join, never a collect.
+    * The vocab-sized term table feeds both the total and the join —
+    * memoized+persisted so its explode+agg runs once instead of once
+    * per consumer (the instance side still scans the corpus for the
+    * join itself: two scans total, down from three). */
   def qUnigramScore(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
     val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tf = Dedup.memoizedPersisted(spark, s"unigram-tf|$sfDir")(
+      toks.groupBy(col("term")).agg(count(lit(1)).as("c")))
     val total = tf.agg(sum(col("c")).as("total"))
     toks.join(tf, Seq("term"))
       .groupBy(col("doc_id"))
