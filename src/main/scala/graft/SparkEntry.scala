@@ -99,6 +99,8 @@ object SparkEntry {
     "q_embed_neardup" -> Similarity.qEmbedNearDup _,
     "q_ann_lsh" -> Similarity.qAnnLsh _,
     "q_ann_ivf" -> Similarity.qAnnIvf _,
+    // reciprocal-rank fusion of the two ANN lists
+    "q_ann_fused" -> Similarity.qAnnFused _,
     // fixed-centroid argmin (the k-means assignment expression with
     // the iterative fixpoint factored out) — both codegen paths,
     // each hash-checked against the same DuckDB oracle
@@ -275,6 +277,38 @@ object SparkEntry {
        |WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
   }
+
+  /** ANN-IVF oracle (shared with the RRF fusion oracle). */
+  private val duckAnnIvf: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |a AS (SELECT e.vec_id, c.cid,
+      |        row_number() OVER (PARTITION BY e.vec_id
+      |          ORDER BY list_inner_product(e.v, c.cv) DESC, c.cid) AS rn
+      |      FROM e CROSS JOIN c),
+      |assign AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+      |p AS (SELECT e.vec_id AS qid, c.cid,
+      |        row_number() OVER (PARTITION BY e.vec_id
+      |          ORDER BY list_inner_product(e.v, c.cv) DESC, c.cid) AS rn
+      |      FROM e CROSS JOIN c WHERE e.vec_id < 50),
+      |probes AS (SELECT qid, cid FROM p WHERE rn <= 2),
+      |cand AS (SELECT qid, a2.vec_id AS nid
+      |         FROM probes JOIN assign a2 USING (cid)
+      |         WHERE a2.vec_id <> qid),
+      |s AS (SELECT qid, nid,
+      |        list_inner_product(eq.v, en.v)
+      |          / (sqrt(list_inner_product(eq.v, eq.v))
+      |             * sqrt(list_inner_product(en.v, en.v))) AS score
+      |      FROM cand
+      |      JOIN e eq ON eq.vec_id = qid
+      |      JOIN e en ON en.vec_id = nid),
+      |r AS (SELECT qid, nid, score,
+      |        row_number() OVER (PARTITION BY qid
+      |                           ORDER BY score DESC, nid) AS rank
+      |      FROM s)
+      |SELECT qid, nid, rank, score FROM r
+      |WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
 
   /** Media-features oracle: payloads are the UTF-8 bytes of the
     * (pure-ASCII) document text, so `ord()` per character recomputes
@@ -908,36 +942,24 @@ object SparkEntry {
     // IVF ANN: centroids = first 16 corpus vectors, inner-product
     // assignment, nprobe=2, exact cosine re-rank — all expressible on
     // bit-identical list_inner_product, so cells and ranks reproduce.
-    "q_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-        |a AS (SELECT e.vec_id, c.cid,
-        |        row_number() OVER (PARTITION BY e.vec_id
-        |          ORDER BY list_inner_product(e.v, c.cv) DESC, c.cid) AS rn
-        |      FROM e CROSS JOIN c),
-        |assign AS (SELECT vec_id, cid FROM a WHERE rn = 1),
-        |p AS (SELECT e.vec_id AS qid, c.cid,
-        |        row_number() OVER (PARTITION BY e.vec_id
-        |          ORDER BY list_inner_product(e.v, c.cv) DESC, c.cid) AS rn
-        |      FROM e CROSS JOIN c WHERE e.vec_id < 50),
-        |probes AS (SELECT qid, cid FROM p WHERE rn <= 2),
-        |cand AS (SELECT qid, a2.vec_id AS nid
-        |         FROM probes JOIN assign a2 USING (cid)
-        |         WHERE a2.vec_id <> qid),
-        |s AS (SELECT qid, nid,
-        |        list_inner_product(eq.v, en.v)
-        |          / (sqrt(list_inner_product(eq.v, eq.v))
-        |             * sqrt(list_inner_product(en.v, en.v))) AS score
-        |      FROM cand
-        |      JOIN e eq ON eq.vec_id = qid
-        |      JOIN e en ON en.vec_id = nid),
-        |r AS (SELECT qid, nid, score,
+    "q_ann_ivf" -> duckAnnIvf,
+    // RRF fusion of the two ANN lists: both oracles ride along as
+    // CTEs, the fused score is the identically-computed double
+    // Σ 1/(rank+60) (≤ 2 addends — order-free)
+    "q_ann_fused" ->
+      s"""WITH lsh AS ($duckAnnLsh),
+        |ivf AS ($duckAnnIvf),
+        |u AS (SELECT qid, nid, rank FROM lsh
+        |      UNION ALL SELECT qid, nid, rank FROM ivf),
+        |sc AS (SELECT qid, nid,
+        |         SUM(1.0::DOUBLE / (rank + 60)) AS rrf
+        |       FROM u GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, rrf,
         |        row_number() OVER (PARTITION BY qid
-        |                           ORDER BY score DESC, nid) AS rank
-        |      FROM s)
-        |SELECT qid, nid, rank, score FROM r
-        |WHERE rank <= 3
-        |ORDER BY qid, rank""".stripMargin,
+        |                           ORDER BY rrf DESC, nid) AS rank
+        |      FROM sc)
+        |SELECT qid, nid, rank, rrf FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // offsets are SHARD-local (shard = source): PARTITION BY source in
     // both engines, integer `//` matching Spark's `div`
     "q_pack_sequences" ->

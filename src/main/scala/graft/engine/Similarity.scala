@@ -254,6 +254,29 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion of the two ANN indexes — the standard
+    * serving-side merge when multiple retrieval structures answer the
+    * same query: score(q,n) = Σ_lists 1/(60 + rank), re-ranked, top 3
+    * per query. RRF needs only ranks (no score calibration across
+    * index types), and with ≤ 2 addends the double sum is
+    * order-independent, so the fused scores hash-check against an
+    * oracle that composes the two ANN oracles as CTEs. Cost is the
+    * two index probes (each already sublinear) plus a candidate-sized
+    * agg — no new corpus scan shape. */
+  def qAnnFused(spark: SparkSession, sfDir: String): DataFrame = {
+    val lsh = qAnnLsh(spark, sfDir).select(col("qid"), col("nid"), col("rank"))
+    val ivf = qAnnIvf(spark, sfDir).select(col("qid"), col("nid"), col("rank"))
+    val scored = lsh.union(ivf)
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(lit(1.0) / (col("rank") + lit(60))).as("rrf"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("rrf"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Embedding-table vector width (FIXTURES.md §B). */
   private val embDim = 64
 

@@ -138,6 +138,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("RRF fusion equals a driver-side recompute from the two ANN lists") {
+    val lsh = Similarity.qAnnLsh(spark, sf0001)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect()
+    val ivf = Similarity.qAnnIvf(spark, sf0001)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect()
+    val expected = (lsh ++ ivf).toSeq
+      .groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(t => 1.0 / (t._3 + 60)).sum).toSeq
+      .groupBy(_._1._1).toSeq.flatMap { case (qid, cands) =>
+        cands.sortBy { case ((_, nid), rrf) => (-rrf, nid) }
+          .take(3).zipWithIndex
+          .map { case (((_, nid), rrf), i) => (qid, nid, i + 1L, rrf) }
+      }.sortBy(t => (t._1, t._3))
+    val out = Similarity.qAnnFused(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out == expected)
+  }
+
   test("int8 quantization: codes bounded, reconstruction within scale/2") {
     val out = Similarity.qEmbedQuantize(spark, sf0001)
       .as[(Long, Double, Long, Int, Int)].collect()
