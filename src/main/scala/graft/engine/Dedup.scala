@@ -315,7 +315,13 @@ object Dedup {
     // explode off the SAME persisted (id, hashes, sig) working set the
     // minhash queries memoize — `idx` feeds three subtrees (both join
     // sides + the per-doc sizes), and without the cache each one
-    // re-ran the full tokenize+shingle mapPartitions pass
+    // re-ran the full tokenize+shingle mapPartitions pass. Sharing
+    // means a COLD run of only this query also pays the k=64
+    // signature pass it discards — the right trade here because the
+    // verify/bench drivers always run the minhash queries in the same
+    // session (one cache entry instead of two near-identical ones);
+    // a deployment running only exact Jaccard would key its own
+    // sh-only working set instead.
     val idx = cachedSigSets(spark, sfDir, n = 3, k = 64)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

@@ -192,10 +192,12 @@ object Multimodal {
       Some(DecodedImage(docId, w, h, n, sum, sum.toDouble / n))
     }
   } catch {
-    // recognized-but-corrupt bytes (e.g. a truncated PNG) make
-    // ImageIO.read THROW rather than return null — both are the
-    // same drop-malformed outcome here
-    case _: java.io.IOException => None
+    // recognized-but-corrupt bytes make ImageIO.read THROW rather
+    // than return null — and JDK plugin readers surface malformed
+    // chunks as RuntimeExceptions (negative array sizes, index
+    // bounds), not just IIOException — all the same drop-malformed
+    // outcome here
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Wrap raw bytes as 8 kHz mono 8-bit UNSIGNED PCM and encode a

@@ -90,7 +90,12 @@ object SemScale {
       if (id % 10 == 9) {
         if (!kept(id)) plantedDropped += 1
         if (!kept(id - 1)) mateMissing += 1
-      } else if (id % 10 != 8 && !kept(id)) spurious += 1
+      } else if ((id % 10 != 8 || id + 1 >= nVecs) && !kept(id)) {
+        // ids ≡ 8 are audited as mates via the ≡ 9 branch — except a
+        // TRAILING ≡ 8 with no partner in range, which must count as
+        // spurious like any other unpaired id
+        spurious += 1
+      }
       id += 1
     }
     val planted = nVecs / 10
