@@ -498,7 +498,11 @@ object Similarity {
     * projection; the emitted summary (exact integer sum/min/max of
     * the quantized vector + the double scale) hash-checks against a
     * DuckDB list_transform oracle. All-zero vectors quantize to
-    * scale 0 with zero codes (guarded — no 0/0). */
+    * scale 0 with zero codes (guarded — no 0/0). The per-element
+    * transform/aggregate HOFs are interpreted — fine for a summary
+    * query; a production quantizer emitting the int8 ARRAY on the
+    * hot path would get a fused codegen Expression, the same upgrade
+    * [[dot]] applied to the HOF dot product. */
   def qEmbedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
     val e = corpus(spark, sfDir)
     val withM = e.select(col("vec_id"), col("v"),

@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * the driver never holds the corpus. Usage:
   *   sbt "runMain graft.tools.SemScale [nVecs]"   # default 100000
   *
-  * Measured (local[32]): nVecs=100,000 (50× the sf0.1 fixture) →
-  * k=317 cells, all assignment through the expression path, 10,000
+  * Measured (local[32]): 100k vectors (50× the sf0.1 fixture) →
+  * k=317 cells, all assignment through the expression path, 10k
   * planted dups all dropped, 0 spurious, max cell 424 ≈ 1.34·√n,
-  * 12.7 s end-to-end. */
+  * 12.7 s; 500k → k=708, 50k dups all dropped, 0 spurious, max cell
+  * 892 ≈ 1.26·√n, 23.3 s (5× the data, 1.8× the wall — the n^1.5
+  * work still fits inside the core budget at this scale). */
 object SemScale {
   private val dim = 64
 
