@@ -145,6 +145,13 @@ object Multimodal {
     }
   }
 
+  /** ImageIO defaults to DISK-backed stream caches — every
+    * encode/decode round-trips a temp file, which on a 32-task
+    * executor serializes on filesystem traffic. Memory-backed caches
+    * are the right mode for byte-array payloads; set once per JVM. */
+  private lazy val imageIoMemCached: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Render raw bytes as a `width`-wide 8-bit GRAYSCALE image
     * (row-major, last row zero-padded) and encode it as a real PNG
     * via the JDK's `javax.imageio` — no external codec needed. Gray
@@ -152,6 +159,7 @@ object Multimodal {
     * bytes exactly; that reversibility is what lets the REAL codec
     * path below be hash-checked by a relational oracle. */
   def pngFromBytes(bytes: Array[Byte], width: Int): Array[Byte] = {
+    imageIoMemCached
     val h = math.max(1, (bytes.length + width - 1) / width)
     val img = new java.awt.image.BufferedImage(width, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -175,6 +183,7 @@ object Multimodal {
     * back bit-exact. Returns None for undecodable bytes — the
     * drop-malformed posture every other lenient path here takes. */
   def decodePng(docId: Long, png: Array[Byte]): Option[DecodedImage] = try {
+    imageIoMemCached
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(png))
     if (img == null) None
