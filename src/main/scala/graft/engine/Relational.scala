@@ -607,7 +607,12 @@ object Relational {
     * 7-day-wide time buckets (the probe side to the ≤ 2 buckets its
     * window overlaps), equi-joined on the bucket — a plain shuffled
     * hash join — and the exact range predicate applied as a residual
-    * filter. Cost scales with rows-per-bucket, not |A|×|B|. */
+    * filter. Cost scales with rows-per-bucket, not |A|×|B|. The
+    * build side's date window is a STATIC constant, so the probe
+    * side carries the derived bound [window start, window end +
+    * width) as a pushed parquet filter — without it the whole fact
+    * table shuffles just to die on the residual (at 100 TB: the
+    * entire table vs five weeks of it). */
   def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val width = 7L // days, = the window length
     val oday = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
@@ -619,6 +624,10 @@ object Relational {
       .withColumn("bucket", explode(array_distinct(array(
         floor(col("od") / width), floor((col("od") + width - 1) / width)))))
     val l = Tables(spark, sfDir, "lineitem")
+      // derived from the orders window: any surviving match has
+      // od ≤ ld < od + width with od ∈ [1995-01-01, 1995-02-01)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-02-08").cast("timestamp"))
       .select(col("l_quantity"), lday.as("ld"))
       .withColumn("bucket", floor(col("ld") / width))
     o.join(l, "bucket")
