@@ -47,6 +47,8 @@ object Bench {
     "q_ann_ivf",          // cell-probe ANN
     "q_embed_cluster",    // iterative k-means (3 assignment scans, r6)
     "q_semdedup_keep",    // cells + within-cell pairs + CC (r6)
+    "q_heavy_hitters",    // sketch merge + exact verify (r7)
+    "q_cross_source_overlap", // in-row pair generation (r7)
     "q_media_meta",       // binary column projection
     "q_media_decode")     // real PNG encode+decode round-trip (r7)
 
