@@ -101,6 +101,9 @@ object SparkEntry {
     "q_ann_ivf" -> Similarity.qAnnIvf _,
     // reciprocal-rank fusion of the two ANN lists
     "q_ann_fused" -> Similarity.qAnnFused _,
+    // per-label centroids — the oracle for the decimal vector-mean
+    // arithmetic the (rows-only) k-means fixpoint reuses
+    "q_label_centroids" -> Similarity.qLabelCentroids _,
     // fixed-centroid argmin (the k-means assignment expression with
     // the iterative fixpoint factored out) — both codegen paths,
     // each hash-checked against the same DuckDB oracle
@@ -931,6 +934,18 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // decimal(30,15) sums then one double division — the same
+    // machinery the k-means iterations use, here under the oracle
+    "q_label_centroids" -> {
+      val means = (0 until 8).map(i =>
+        s"CAST(SUM(CAST(v[${i + 1}] AS DECIMAL(30,15))) AS DOUBLE)" +
+          s" / COUNT(*) AS m$i").mkString(",\n        |  ")
+      s"""SELECT label, COUNT(*) AS n,
+        |  $means
+        |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+        |GROUP BY label
+        |ORDER BY label""".stripMargin
+    },
     // fixed-centroid squared-distance argmin: centroids = first 8
     // corpus vectors, d2 = −2·ip(v,c) + ip(c,c) (the shared |v|² term
     // cancels under argmin), ties to the lowest cid — bit-identical

@@ -519,6 +519,25 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-label embedding centroids (first 8 dimensions) — the
+    * embedding-analytics groupBy, and the ORACLE for the decimal
+    * vector-mean arithmetic the k-means iterations use (their
+    * fixpoint is rows-only; this single-pass mean is SQL-expressible,
+    * so the exact same sum-as-decimal(30,15)-then-divide machinery
+    * hash-checks against DuckDB here). One map-side-combined shuffle
+    * of |labels|×(8+1) decimal sums — scale-free. */
+  def qLabelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+    val dims = 8
+    val aggs = count(lit(1)).as("n") +:
+      (0 until dims).map(i =>
+        (sum(element_at(col("v"), i + 1).cast("decimal(30,15)"))
+          .cast("double") / count(lit(1))).as(s"m$i"))
+    e.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("label"))
+  }
+
   /** Final k-means cluster assignment (k=8, 3 Lloyd iterations).
     * No SQL oracle BY DESIGN (like the HLL sketch): the centroid
     * fixpoint is iterative distributed computation, not a relational
