@@ -295,7 +295,11 @@ object Dedup {
     // profiled ~1.4× slower end-to-end; distinct hash counts equal
     // distinct string counts up to the vanishing 2⁻⁶⁴ collision
     // probability the string-shingle oracle already tolerates
-    // everywhere else. One scan, zero joins (plan-guarded).
+    // everywhere else. One scan, zero joins (plan-guarded). This is
+    // [[shingleHashSets]]' pass keyed by source instead of doc_id —
+    // the hashing CONTRACT both share lives in [[shingleHashesOf]]
+    // (tokenize, n-gram, FNV), so a contract change lands in one
+    // place; only the thin key-column wrapper is duplicated.
     val sh = spread(Tables(spark, sfDir, "documents"))
       .select(col("source"), col("text"))
       .as[(String, String)]

@@ -615,19 +615,24 @@ object Relational {
     * entire table vs five weeks of it). */
   def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val width = 7L // days, = the window length
+    val winStart = "1995-01-01"
+    val winEnd = "1995-02-01"
+    // probe bound DERIVED from the shared constants (od ≤ ld <
+    // od + width with od < winEnd ⇒ ld < winEnd + width) — never a
+    // hand-computed date a window change could silently orphan
+    val probeEnd = java.time.LocalDate.parse(winEnd)
+      .plusDays(width).toString
     val oday = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
     val lday = datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
     val o = Tables(spark, sfDir, "orders")
-      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit(winStart).cast("timestamp") &&
+        col("o_orderdate") < lit(winEnd).cast("timestamp"))
       .select(col("o_orderkey"), oday.as("od"))
       .withColumn("bucket", explode(array_distinct(array(
         floor(col("od") / width), floor((col("od") + width - 1) / width)))))
     val l = Tables(spark, sfDir, "lineitem")
-      // derived from the orders window: any surviving match has
-      // od ≤ ld < od + width with od ∈ [1995-01-01, 1995-02-01)
-      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1995-02-08").cast("timestamp"))
+      .filter(col("l_shipdate") >= lit(winStart).cast("timestamp") &&
+        col("l_shipdate") < lit(probeEnd).cast("timestamp"))
       .select(col("l_quantity"), lday.as("ld"))
       .withColumn("bucket", floor(col("ld") / width))
     o.join(l, "bucket")

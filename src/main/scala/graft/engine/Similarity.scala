@@ -527,7 +527,7 @@ object Similarity {
     * hash-checks against DuckDB here). One map-side-combined shuffle
     * of |labels|×(8+1) decimal sums — scale-free. */
   def qLabelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables(spark, sfDir, "embeddings")
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
       .select(col("label"), asDouble(col("embedding")).as("v"))
     val dims = 8
     val aggs = count(lit(1)).as("n") +:

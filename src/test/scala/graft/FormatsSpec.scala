@@ -8,9 +8,13 @@ package graft
 class FormatsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ordered before the limit: each test plans `sample` twice (write,
+  // then expected-set collect) and an unordered limit(200) has no
+  // cross-job row-set guarantee
   private def sample = spark.read
     .parquet(s"$sf0001/lineitem.parquet")
     .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    .orderBy("l_orderkey", "l_linenumber")
     .limit(200)
 
   test("ORC round-trip preserves rows and types") {
