@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * Measured (local[32]): 100k vectors (50× the sf0.1 fixture) →
   * k=317 cells, all assignment through the expression path, 10k
   * planted dups all dropped, 0 spurious, max cell 424 ≈ 1.34·√n,
-  * 12.7 s; 500k → k=708, 50k dups all dropped, 0 spurious, max cell
-  * 892 ≈ 1.26·√n, 23.3 s (5× the data, 1.8× the wall — the n^1.5
-  * work still fits inside the core budget at this scale). */
+  * 12.7 s; 500k → k=708, max cell 892 ≈ 1.26·√n, 23.3 s; 1M (500×
+  * the fixture) → k=1000, 100k dups all dropped, 0 spurious, max
+  * cell 1282 ≈ 1.28·√n, 41.9 s. 10× the corpus costs 3.3× the wall —
+  * the n^1.5 work curve flattened by parallel slack at this scale,
+  * with every exactness check green at each point. */
 object SemScale {
   private val dim = 64
 
