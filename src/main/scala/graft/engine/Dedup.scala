@@ -287,8 +287,7 @@ object Dedup {
     * both sides — AQE does not reuse the exchange across the aliased
     * subtrees.) */
   def qCrossSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
+    import spark.implicits._
     // shingle IDENTITY here is the 64-bit FNV hash computed in the
     // same imperative per-partition pass the dedup pipeline uses —
     // NOT the interpreted per-element HOF shingle transform, which
