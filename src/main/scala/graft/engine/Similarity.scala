@@ -206,8 +206,12 @@ object Similarity {
     val cells = array(cent.map { case (cid, cv) =>
       struct(dot(col("v"), typedLit(cv)).as("ip"), lit(-cid).as("ncid"))
     }: _*)
-    val assigned = e.select(col("vec_id"), col("v"),
-      (-array_max(cells).getField("ncid")).as("cid"))
+    // the cell-assigned corpus IS the IVF index — session-memoized
+    // like the LSH buckets (the coarse quantizer is deterministic, so
+    // the assignment is a pure function of the corpus)
+    val assigned = Dedup.memoizedPersisted(spark, s"ivfassigned|$sfDir")(
+      e.select(col("vec_id"), col("v"),
+        (-array_max(cells).getField("ncid")).as("cid")))
     val top2 = slice(reverse(sort_array(cells)), 1, nprobe)
     val probes = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -235,8 +239,14 @@ object Similarity {
     val sigArr = array((0 until tables).map { t =>
       lshSignature(col("v"), bits, dim, firstPlane = t * bits)
     }: _*)
-    val bucketed = e.select(col("vec_id"), col("v"),
-        posexplode(sigArr).as(Seq("tbl", "sig")))
+    // the bucketed corpus IS the LSH index — a production system
+    // builds it once and probes it many times, so it lives in the
+    // session working-set memo (like the minhash signature sets)
+    // rather than being recomputed per probe; the fused query's
+    // second probe and repeated Verify calls hit the cache
+    val bucketed = Dedup.memoizedPersisted(spark, s"lshbuckets|$sfDir")(
+      e.select(col("vec_id"), col("v"),
+        posexplode(sigArr).as(Seq("tbl", "sig"))))
     val q = bucketed.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("tbl"), col("sig"))
