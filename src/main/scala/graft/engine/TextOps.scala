@@ -349,26 +349,41 @@ object TextOps {
     * broadcast-joins those ≤ w candidates against the token stream
     * BELOW the aggregation, so the shuffle carries only candidate
     * occurrences pre-combined per task — never the full vocabulary,
-    * which at 100 TB is billions of distinct terms. N comes from a
-    * narrow no-explode scan. */
+    * which at 100 TB is billions of distinct terms. N rides along IN
+    * the summary pass (each partition appends a sentinel row with its
+    * token count — "" can never be a real term, the tokenizer drops
+    * empties), so the whole query is TWO corpus scans: summaries and
+    * the exact verify; the merged summary table is session-memoized
+    * (bounded: ≤ partitions × w·log terms) because both the
+    * N lookup and the candidate filter read it. */
   def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val supportDenom = 500L
     val w = (2L * supportDenom).toInt
     val d = Tables(spark, sfDir, "documents")
     val toks = d.select(explode(tokens(col("text"))).as("term"))
-    val n = d.select(sum(size(tokens(col("text")))).cast("long"))
-      .head().getLong(0)
+    val merged = Dedup.memoizedPersisted(spark, s"hhsummary|$sfDir")(
+      toks.as[String]
+        .mapPartitions { it =>
+          var np = 0L
+          val counted = it.map { t => np += 1; t }
+          // lossySummary consumes `counted` fully before returning,
+          // so np is the partition's token count by the time the
+          // sentinel row is appended
+          val out = lossySummary(counted, w).toBuffer
+          out.iterator ++ Iterator(("", np))
+        }
+        .toDF("term", "c")
+        .groupBy(col("term")).agg(sum(col("c")).as("cs")))
+    val n = merged.filter(col("term") === "")
+      .agg(coalesce(sum(col("cs")), lit(0L))).head().getLong(0)
     val threshold = math.max(1L, n / supportDenom)
     // merge bar: threshold − N/w (real-valued, conservative); summed
     // summary counts are map-side combined, so the shuffle carries
     // O(summary terms × partitions) rows, never raw tokens
     val mergeBar = math.max(1.0, threshold.toDouble - n.toDouble / w)
-    val cand = toks.as[String]
-      .mapPartitions(it => lossySummary(it, w))
-      .toDF("term", "c")
-      .groupBy(col("term")).agg(sum(col("c")).as("cs"))
-      .filter(col("cs") >= mergeBar)
+    val cand = merged
+      .filter(col("term") =!= "" && col("cs") >= mergeBar)
       .select(col("term"))
     toks.join(broadcast(cand), Seq("term"))
       .groupBy(col("term"))
