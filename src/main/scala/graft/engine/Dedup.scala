@@ -205,7 +205,11 @@ object Dedup {
     * happens OUTSIDE the lock (analysis + file listing can take
     * seconds on remote storage); a lost race costs one redundant
     * plan build, first-put wins. */
-  private val sigSetMemoCap = 8
+  // sized for TWO concurrent sfDirs' full working sets (7 keys each:
+  // sigs, bench shingles, tfidf-tf, unigram-tf, hh summary, LSH
+  // buckets, IVF cells) — below that, every access would evict a
+  // still-hot corpus-scale entry and silently recompute it per query
+  private val sigSetMemoCap = 16
   private val sigSetMemo =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String),
       DataFrame]

@@ -367,11 +367,10 @@ object TextOps {
         .mapPartitions { it =>
           var np = 0L
           val counted = it.map { t => np += 1; t }
-          // lossySummary consumes `counted` fully before returning,
-          // so np is the partition's token count by the time the
-          // sentinel row is appended
-          val out = lossySummary(counted, w).toBuffer
-          out.iterator ++ Iterator(("", np))
+          // lossySummary consumes `counted` fully before returning
+          // (its result iterates the internal map, not the input),
+          // so np is final by the time the sentinel row is appended
+          lossySummary(counted, w) ++ Iterator(("", np))
         }
         .toDF("term", "c")
         .groupBy(col("term")).agg(sum(col("c")).as("cs")))
