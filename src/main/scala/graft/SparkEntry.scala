@@ -101,6 +101,9 @@ object SparkEntry {
     "q_ann_ivf" -> Similarity.qAnnIvf _,
     // reciprocal-rank fusion of the two ANN lists
     "q_ann_fused" -> Similarity.qAnnFused _,
+    // recall@3 of all three ANN paths vs exact ground truth — the
+    // metric that makes "approximate" a measured claim
+    "q_ann_recall" -> Similarity.qAnnRecall _,
     // per-label centroids — the oracle for the decimal vector-mean
     // arithmetic the (rows-only) k-means fixpoint reuses
     "q_label_centroids" -> Similarity.qLabelCentroids _,
@@ -125,6 +128,9 @@ object SparkEntry {
     "q_media_decode" -> Multimodal.qMediaDecode _,
     // REAL WAV round-trip (javax.sound.sampled, uncompressed PCM)
     "q_media_wav" -> Multimodal.qMediaWav _,
+    // REAL per-frame video round-trip (concatenated-PNG container,
+    // every frame a genuine javax.imageio encode+decode)
+    "q_media_video" -> Multimodal.qMediaVideo _,
     "q_quality_filter" -> TextOps.qQualityFilter _,
     "q_repetition_stats" -> TextOps.qRepetitionStats _,
     "q_passage_dedup" -> TextOps.qPassageDedup _,
@@ -242,28 +248,42 @@ object SparkEntry {
     * (plane index, dim) — [[Similarity.planeVals]] — so they embed as
     * literal DOUBLE arrays and DuckDB reproduces the exact signatures
     * (list_inner_product is bit-identical to the Spark-side sequential
-    * dot product), bucket join, and cosine re-rank. */
+    * dot product), bucket join, and cosine re-rank. The signature
+    * WIDTH is n-derived ([[Similarity.lshBits]]: bit length of
+    * ⌊(n−1)/16⌋, floor 4 — integer arithmetic both engines compute
+    * identically via `length(bin(x))`), so the oracle pre-embeds
+    * `oracleMaxBits` planes per table and gates each bit on j < bits;
+    * 24 embedded planes cover corpora to 16·2²⁴ ≈ 268M vectors, and
+    * this GENERATED text regrows mechanically beyond that. */
   private val duckAnnLsh: String = {
-    val bits = 8
+    val oracleMaxBits = 24
     val tables = 4
     val dim = 64
+    val stride = graft.engine.Similarity.lshPlaneStride
     def planeLit(j: Int): String =
       graft.engine.Similarity.planeVals(j, dim)
         .mkString("[", ", ", "]::DOUBLE[]")
     val sigExprs = (0 until tables).map { t =>
-      "CAST(" + (0 until bits).map { j =>
-        s"CASE WHEN list_inner_product(v, ${planeLit(t * bits + j)}) >= 0 " +
+      "CAST(" + (0 until oracleMaxBits).map { j =>
+        s"CASE WHEN $j < w.bits AND " +
+          s"list_inner_product(v, ${planeLit(t * stride + j)}) >= 0 " +
           s"THEN ${1L << j} ELSE 0 END"
       }.mkString("\n         + ") + s" AS BIGINT) AS s$t"
     }.mkString(",\n       ")
     val bandRows = (0 until tables).map(t =>
       s"SELECT vec_id, $t AS tbl, s$t AS sig FROM sg").mkString("\n       UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |sg AS (SELECT vec_id, $sigExprs FROM e),
+       |w AS (SELECT least(63, greatest(4,
+       |         length(bin((count(*) - 1) // 16)))) AS bits FROM e),
+       |sg AS (SELECT vec_id, $sigExprs FROM e CROSS JOIN w),
        |b AS ($bandRows),
-       |q AS (SELECT vec_id AS qid, tbl, sig FROM b WHERE vec_id < 50),
+       |q AS (SELECT vec_id AS qid, tbl,
+       |        unnest(list_prepend(sig, list_transform(range(w.bits),
+       |          j -> xor(sig, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))))
+       |          AS psig
+       |      FROM b CROSS JOIN w WHERE vec_id < 50),
        |cand AS (SELECT DISTINCT q.qid, b.vec_id AS nid
-       |         FROM b JOIN q ON b.tbl = q.tbl AND b.sig = q.sig
+       |         FROM b JOIN q ON b.tbl = q.tbl AND b.sig = q.psig
        |                      AND b.vec_id <> q.qid),
        |s AS (SELECT qid, nid,
        |        list_inner_product(eq.v, en.v)
@@ -281,10 +301,15 @@ object SparkEntry {
        |ORDER BY qid, rank""".stripMargin
   }
 
-  /** ANN-IVF oracle (shared with the RRF fusion oracle). */
+  /** ANN-IVF oracle (shared with the RRF fusion oracle). The cell
+    * count is n-derived — ⌈√n⌉, floor 16 ([[Similarity.ivfCells]]) —
+    * recomputed here as a scalar subquery on the same double sqrt
+    * both engines evaluate identically. */
   private val duckAnnIvf: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e
+      |      WHERE vec_id < (SELECT greatest(16,
+      |        CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)),
       |a AS (SELECT e.vec_id, c.cid,
       |        row_number() OVER (PARTITION BY e.vec_id
       |          ORDER BY list_inner_product(e.v, c.cv) DESC, c.cid) AS rn
@@ -312,6 +337,23 @@ object SparkEntry {
       |SELECT qid, nid, rank, score FROM r
       |WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
+
+  /** RRF-fusion oracle — both ANN oracles ride along as CTEs; shared
+    * by `q_ann_fused` and the recall audit. */
+  private val duckAnnFused: String =
+    s"""WITH lsh AS ($duckAnnLsh),
+      |ivf AS ($duckAnnIvf),
+      |u AS (SELECT qid, nid, rank FROM lsh
+      |      UNION ALL SELECT qid, nid, rank FROM ivf),
+      |sc AS (SELECT qid, nid,
+      |         SUM(1.0::DOUBLE / (rank + 60)) AS rrf
+      |       FROM u GROUP BY 1, 2),
+      |r AS (SELECT qid, nid, rrf,
+      |        row_number() OVER (PARTITION BY qid
+      |                           ORDER BY rrf DESC, nid) AS rank
+      |      FROM sc)
+      |SELECT qid, nid, rank, rrf FROM r
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** Media-features oracle: payloads are the UTF-8 bytes of the
     * (pure-ASCII) document text, so `ord()` per character recomputes
@@ -368,6 +410,28 @@ object SparkEntry {
         |  CAST(psum AS BIGINT) AS pixel_sum,
         |  CAST(psum AS DOUBLE) / (16 * ht) AS mean_px
         |FROM d ORDER BY doc_id""".stripMargin,
+    // the real per-frame video round-trip: per-frame gray-PNG
+    // losslessness means pixel_sum ≡ payload byte sum, and n_pixels
+    // follows from the container geometry alone — 64-byte frames as
+    // 16-wide rasters, the last (or only) frame zero-padded to a
+    // whole row, an empty payload one blank 16×1 frame
+    "q_media_video" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS nb,
+        |    COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substring(text, CAST(i AS INTEGER), 1)))), 0) AS psum
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |d AS (SELECT doc_id, psum,
+        |        greatest(1, CAST(ceil(nb / 64.0) AS BIGINT)) AS nf, nb
+        |      FROM m),
+        |p AS (SELECT doc_id, psum, nf,
+        |        (nf - 1) * 64 + 16 * greatest(1,
+        |          CAST(ceil((nb - (nf - 1) * 64) / 16.0) AS BIGINT)) AS np
+        |      FROM d)
+        |SELECT doc_id, nf AS n_frames, np AS n_pixels,
+        |  CAST(psum AS BIGINT) AS pixel_sum,
+        |  CAST(psum AS DOUBLE) / np AS mean_px
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_ingest_partition" ->
       """SELECT event_id, user_id, event_type, value,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
@@ -954,27 +1018,48 @@ object SparkEntry {
     // same SQL.
     "q_kmeans_assign" -> kmeansAssignOracle,
     "q_kmeans_assign_expr" -> kmeansAssignOracle,
-    // IVF ANN: centroids = first 16 corpus vectors, inner-product
+    // IVF ANN: centroids = first ⌈√n⌉ corpus vectors, inner-product
     // assignment, nprobe=2, exact cosine re-rank — all expressible on
-    // bit-identical list_inner_product, so cells and ranks reproduce.
+    // bit-identical list_inner_product, so cells and ranks reproduce
+    // at any n-derived cell count.
     "q_ann_ivf" -> duckAnnIvf,
     // RRF fusion of the two ANN lists: both oracles ride along as
     // CTEs, the fused score is the identically-computed double
     // Σ 1/(rank+60) (≤ 2 addends — order-free)
-    "q_ann_fused" ->
-      s"""WITH lsh AS ($duckAnnLsh),
-        |ivf AS ($duckAnnIvf),
-        |u AS (SELECT qid, nid, rank FROM lsh
-        |      UNION ALL SELECT qid, nid, rank FROM ivf),
-        |sc AS (SELECT qid, nid,
-        |         SUM(1.0::DOUBLE / (rank + 60)) AS rrf
-        |       FROM u GROUP BY 1, 2),
-        |r AS (SELECT qid, nid, rrf,
-        |        row_number() OVER (PARTITION BY qid
-        |                           ORDER BY rrf DESC, nid) AS rank
-        |      FROM sc)
-        |SELECT qid, nid, rank, rrf FROM r
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_ann_fused" -> duckAnnFused,
+    // recall@3 of each ANN path: all three ANN oracles plus an exact
+    // brute-force truth CTE compose into one statement; recall is an
+    // exact small-integer count / 3.0 — hash-stable
+    "q_ann_recall" ->
+      s"""WITH lshq AS ($duckAnnLsh),
+        |ivfq AS ($duckAnnIvf),
+        |fusedq AS ($duckAnnFused),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |         list_inner_product(q.v, n.v)
+        |           / (sqrt(list_inner_product(q.v, q.v))
+        |              * sqrt(list_inner_product(n.v, n.v))) AS score
+        |       FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        |       WHERE q.vec_id < 50),
+        |truth AS (SELECT qid, nid FROM (
+        |            SELECT qid, nid,
+        |              row_number() OVER (PARTITION BY qid
+        |                ORDER BY score DESC, nid) AS rank
+        |            FROM sc) t
+        |          WHERE rank <= 3)
+        |SELECT t.qid,
+        |  CAST(SUM(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / 3.0 AS recall_lsh,
+        |  CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / 3.0 AS recall_ivf,
+        |  CAST(SUM(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / 3.0 AS recall_fused
+        |FROM truth t
+        |LEFT JOIN lshq l ON l.qid = t.qid AND l.nid = t.nid
+        |LEFT JOIN ivfq i ON i.qid = t.qid AND i.nid = t.nid
+        |LEFT JOIN fusedq f ON f.qid = t.qid AND f.nid = t.nid
+        |GROUP BY t.qid
+        |ORDER BY t.qid""".stripMargin,
     // offsets are SHARD-local (shard = source): PARTITION BY source in
     // both engines, integer `//` matching Spark's `div`
     "q_pack_sequences" ->

@@ -457,10 +457,15 @@ object Dedup {
     * current edge set — O(|E|) shuffle per round, no driver state.
     * A fixed point is exactly a star forest rooted at each
     * component's min id; convergence is detected by edge-SET
-    * equality with the previous round (count + left-anti — exact,
-    * not a checksum; both sides are already distinct so the
-    * anti-join alone decides ⊆, without `except`'s extra
-    * de-duplicating aggregate), and `localCheckpoint` per round keeps the plan
+    * equality with the previous round, decided in two tiers: each
+    * round's ONE aggregate job returns (count, order-independent
+    * xxhash64-XOR fingerprint) over the fresh checkpoint — a
+    * fingerprint or count mismatch proves inequality with no further
+    * job, and only a full match falls through to the exact left-anti
+    * ⊆ check (both sides already distinct), which then runs ONCE, on
+    * the converged round, rather than on every count plateau. The
+    * checkpoint is lazy, so materialization rides inside that same
+    * aggregate job; `localCheckpoint` per round keeps the plan
     * from growing. Unconverged after `maxIter` throws — partial
     * labels silently under-dedup. Measured ([[graft.tools.CCScale]]):
     * chains — the worst case, where min-label needs diameter rounds —
@@ -480,21 +485,36 @@ object Dedup {
     val vertices = pairs.select(col("ida").as("id"))
       .union(pairs.select(col("idb").as("id"))).distinct()
       .localCheckpoint()
-    var edges = canon.localCheckpoint()
-    var nEdges = edges.count()
+    // (count, commutative xxhash64 XOR fingerprint) in ONE aggregate
+    // job — the lazy checkpoint materializes under it, so each round
+    // costs a single job until the sets actually match. XOR (not sum:
+    // ANSI mode makes a long sum overflow-throw) is order-independent
+    // and collision-safe here because both edge sets are DISTINCT —
+    // no even-multiplicity cancellation exists to exploit.
+    def summarize(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = canon.localCheckpoint(false)
+    var (nEdges, fpEdges) = summarize(edges)
     var rounds = 0
     var done = false
     while (!done && rounds < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      // carry the count across rounds — recounting the previous
-      // checkpoint would add a redundant job per round, and fixed
-      // job latency dominates the loop at small SF
-      val nNext = next.count()
-      // equal counts + next ⊆ edges ⟺ set equality (both distinct)
-      done = nNext == nEdges &&
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      // carry (count, fingerprint) across rounds — recounting the
+      // previous checkpoint would add a redundant job per round, and
+      // fixed job latency dominates the loop at small SF
+      val (nNext, fpNext) = summarize(next)
+      // fingerprint/count mismatch ⇒ sets differ, skip the join; on a
+      // full match the exact anti-join (next ⊆ edges, both distinct ⟹
+      // equality) confirms — collisions can only cost one extra job,
+      // never a wrong convergence
+      done = nNext == nEdges && fpNext == fpEdges &&
         next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
       edges = next
       nEdges = nNext
+      fpEdges = fpNext
       rounds += 1
     }
     if (!done) throw new IllegalStateException(

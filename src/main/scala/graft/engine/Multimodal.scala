@@ -40,6 +40,16 @@ case class DecodedImage(
     pixel_sum: Long,
     mean_px: Double)
 
+/** Per-video stats from a REAL frame-by-frame decode
+  * ([[Multimodal.decodeVideo]]): frame count from the container walk,
+  * pixel stats summed over every decoded frame raster. */
+case class DecodedVideo(
+    doc_id: Long,
+    n_frames: Long,
+    n_pixels: Long,
+    pixel_sum: Long,
+    mean_px: Double)
+
 /** Waveform stats from a REAL audio decode ([[Multimodal.decodeWav]]):
   * frame count and rate from the decoded header, sample stats from
   * the decoded PCM stream. */
@@ -55,12 +65,18 @@ case class DecodedAudio(
   * frame-sample operators (north-star surface; the reference itself
   * has no media path).
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stub ([[decodeStub]]); everything
-  * around it — schema, `Dataset[MediaRecord]` encoders, partition-wise
-  * batch iteration via `mapPartitions`, binary slicing via built-in
-  * expressions — is the real Spark plumbing a production decoder
-  * (ImageIO/ffmpeg behind JNI) would drop into.
+  * All three media types decode GENUINELY with JDK-only codecs:
+  * images through `javax.imageio` PNG ([[decodePng]]), audio through
+  * `javax.sound.sampled` WAV ([[decodeWav]]), and video as a
+  * concatenated-PNG frame container decoded frame-by-frame
+  * ([[decodeVideo]] — the JDK ships no video codec, so the fixture's
+  * video format is DEFINED as length-prefixed PNG frames). The
+  * byte-histogram [[decodeStub]] remains only as the codec-agnostic
+  * featurizer seam; the surrounding plumbing — schema,
+  * `Dataset[MediaRecord]` encoders, partition-wise batch iteration
+  * via `mapPartitions`, binary slicing via built-in expressions — is
+  * the real Spark shape a production decoder (ffmpeg behind JNI)
+  * would drop into.
   *
   * Scale notes: payload bytes never leave their input split until the
   * final projection — decode/featurize are narrow `mapPartitions`
@@ -175,9 +191,9 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL PNG decode (the round-6 stub made genuine for images; the
-    * audio/video decode remains the honest [[decodeStub]] — those
-    * codecs aren't in the JDK). Reads dimensions from the decoded
+  /** REAL PNG decode (the round-6 stub made genuine for images; also
+    * the per-frame codec behind [[decodeVideo]]). Reads dimensions
+    * from the decoded
     * header and pixel stats straight off the raster — no color-space
     * conversion (getRGB would gamma-map gray), so gray samples come
     * back bit-exact. Returns None for undecodable bytes — the
@@ -224,9 +240,9 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL WAV decode — with [[decodePng]], two of the three media
-    * types now decode genuinely (video stays the honest stub: no JDK
-    * codec). Frame count and rate come from the decoded header,
+  /** REAL WAV decode — with [[decodePng]] and [[decodeVideo]], all
+    * three media types decode genuinely.
+    * Frame count and rate come from the decoded header,
     * sample stats from the decoded PCM stream; None for undecodable
     * bytes (drop-malformed). */
   def decodeWav(docId: Long, wav: Array[Byte]): Option[DecodedAudio] =
@@ -250,6 +266,73 @@ object Multimodal {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
+
+  /** Frame payload size for the synthetic video container: each
+    * 64-byte slice of the source bytes becomes one 16×4 grayscale
+    * frame. */
+  private[graft] val videoFrameBytes = 64
+
+  /** Encode raw bytes as an MJPEG-style VIDEO container with JDK-only
+    * parts: the payload is sliced into [[videoFrameBytes]]-byte
+    * chunks (≥ 1 — an empty payload is one empty frame), each chunk
+    * rendered and PNG-encoded via [[pngFromBytes]], and the container
+    * is the concatenation of length-prefixed (4-byte big-endian)
+    * frames — the same frames-in-a-box shape as a real interframe-
+    * free format, with a codec the JDK actually ships. Gray PNG is
+    * lossless per frame, so the whole container stays relationally
+    * verifiable. */
+  def videoFromBytes(bytes: Array[Byte],
+      frameBytes: Int = videoFrameBytes, width: Int = 16): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    val nFrames = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+    var f = 0
+    while (f < nFrames) {
+      val from = f * frameBytes
+      val until = math.min(from + frameBytes, bytes.length)
+      val png = pngFromBytes(java.util.Arrays.copyOfRange(bytes, from, until),
+        width)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** REAL video decode — walks the length-prefixed container and
+    * decodes every frame through the genuine PNG codec
+    * ([[decodePng]]), accumulating frame count and raster stats.
+    * Truncated containers, negative lengths, or any undecodable frame
+    * → None (drop-malformed, like the image/audio paths — a video
+    * with one bad frame is a bad video, not a partial one). */
+  def decodeVideo(docId: Long, container: Array[Byte]): Option[DecodedVideo] = {
+    var off = 0
+    var frames = 0L
+    var pixels = 0L
+    var sum = 0L
+    while (off < container.length) {
+      if (off + 4 > container.length) return None
+      val len = ((container(off) & 0xFF) << 24) |
+        ((container(off + 1) & 0xFF) << 16) |
+        ((container(off + 2) & 0xFF) << 8) |
+        (container(off + 3) & 0xFF)
+      off += 4
+      if (len < 0 || off + len > container.length) return None
+      decodePng(docId, java.util.Arrays.copyOfRange(container, off, off + len))
+        match {
+        case Some(img) =>
+          frames += 1
+          pixels += img.n_pixels
+          sum += img.pixel_sum
+        case None => return None
+      }
+      off += len
+    }
+    if (frames == 0) None
+    else Some(DecodedVideo(docId, frames, pixels, sum,
+      if (pixels == 0) 0.0 else sum.toDouble / pixels))
+  }
 
   /** Resize stub: normalize every payload to exactly `n` bytes —
     * truncate long payloads, pad short ones with 0x2E (binary rpad) —
@@ -331,6 +414,26 @@ object Multimodal {
       it.flatMap { r =>
         val p = if (r.payload == null) Array.empty[Byte] else r.payload
         decodeWav(r.doc_id, wavFromBytes(p))
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** REAL video-codec round-trip over the video-typed rows — the
+    * third media type made genuine (the JDK ships no video codec, so
+    * the fixture's video payload is DEFINED as the concatenated-PNG
+    * frame container [[videoFromBytes]] builds — every frame is real
+    * PNG encode + decode work, partition-local in one mapPartitions).
+    * Per-frame gray-PNG losslessness makes the container stats a pure
+    * function of the payload bytes, so the decode hash-checks against
+    * a relational oracle: pixel_sum ≡ payload byte sum and n_pixels
+    * follows from the frame/row geometry alone. */
+  def qMediaVideo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, sfDir).as[MediaRecord]
+    media.filter(_.media_type == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        val p = if (r.payload == null) Array.empty[Byte] else r.payload
+        decodeVideo(r.doc_id, videoFromBytes(p))
       }
     }.toDF().orderBy("doc_id")
   }

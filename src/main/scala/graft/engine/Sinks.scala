@@ -236,6 +236,29 @@ object Sinks {
       .foreach(p => fs.delete(p, true))
   }
 
+  /** Drain absorbed STAGING leftovers of a compacted location — files
+    * in the original staging sibling (`parent/<leaf>`) that the
+    * current manifest names: their rows already live in `cur`, the
+    * delete was deferred (retention grace) or failed. Only
+    * manifest-named files are touched — anything else in the staging
+    * dir is potential late data, which stays for
+    * [[reconcileLatePartition]] to merge. Callers gate on
+    * [[flipAgeMs]]. */
+  private def drainAbsorbedStaging(fs: org.apache.hadoop.fs.FileSystem,
+      cur: org.apache.hadoop.fs.Path): Unit = {
+    val leaf = cur.getName match {
+      case compactWrapper(b, _) => b
+      case _ => return // not a compact dir — nothing was absorbed
+    }
+    val staging = new org.apache.hadoop.fs.Path(cur.getParent, leaf)
+    if (!fs.exists(staging)) return
+    val absorbed = readManifest(fs, cur)
+    val leftovers = dataFilesIn(fs, staging)
+      .filter(f => absorbed(f.getPath.getName))
+    leftovers.foreach(f => fs.delete(f.getPath, false))
+    if (leftovers.nonEmpty) deleteDirIfDrained(fs, staging)
+  }
+
   /** Rewrite exactly `srcFiles` into one ≈`targetFileBytes`-sized file
     * set in a fresh versioned sibling of `curDir`, write its absorbed
     * manifest, atomically flip the partition LOCATION onto it, then
@@ -345,11 +368,17 @@ object Sinks {
     // raw staging location always flips (even a 1-file rewrite), so
     // the staging dir disappears and [[reconcileLatePartition]] can
     // detect anything that lands there afterwards. Even the no-op
-    // path sweeps crash-orphaned siblings (age-gated) — a partition
-    // that never flips again must not leak its dead dirs.
+    // path finishes the age-gated cleanup — crash-orphaned compact
+    // siblings AND absorbed staging leftovers whose deletes a
+    // retention grace deferred — so a compact-only caller (not
+    // driving [[reconcileLatePartition]]) still converges to zero
+    // leftovers once the grace passes; a partition that never flips
+    // again must not leak its dead dirs.
     if (isCompactDir(dir) && nOut >= dataFiles.size) {
-      if (retentionMs <= 0L || flipAgeMs(fs, dir) > retentionMs)
+      if (retentionMs <= 0L || flipAgeMs(fs, dir) > retentionMs) {
         sweepStaleCompactSiblings(fs, dir)
+        drainAbsorbedStaging(fs, dir)
+      }
       return (dataFiles.size, dataFiles.size)
     }
     // first compaction absorbs staging files (record their names);

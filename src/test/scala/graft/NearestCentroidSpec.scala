@@ -73,6 +73,25 @@ class NearestCentroidSpec extends SparkSpec {
     assert(r(1).isNullAt(0) && r(2).isNullAt(0) && r(3).isNullAt(0))
   }
 
+  test("null ELEMENT: literal path emits a cell, expression path nulls " +
+      "— the documented caveat to interchangeability") {
+    // The interchangeability contract holds for non-null vectors (all
+    // fixture corpora). On a vector with a null ELEMENT the paths
+    // diverge by design of their building blocks: the expression
+    // returns null (drop-malformed), while the literal array_min
+    // compares structs whose d2 is null and still emits a cell id.
+    // Pin both behaviors so a silent change in either trips here.
+    val cent = IndexedSeq(IndexedSeq(0.0, 0.0), IndexedSeq(1.0, 1.0))
+    val df = Seq(Seq(Some(1.0), None), Seq(Some(0.9), Some(1.1)))
+      .toDF("v")
+    val lit = df.select(Similarity.nearestCell(cent).as("cid")).collect()
+    val expr = df.select(
+      Similarity.nearestCell(cent, forceExpr = true).as("cid")).collect()
+    assert(!lit(0).isNullAt(0))   // literal path: emits a cell
+    assert(expr(0).isNullAt(0))   // expression path: null
+    assert(lit(1).getInt(0) == 1 && expr(1).getInt(0) == 1)
+  }
+
   test("NaN elements: both paths agree on cell 0 (no phantom cell)") {
     // a NaN element makes every d2 NaN; the literal array_min orders
     // NaN equal-largest and tie-breaks to cell 0 — the expression

@@ -207,6 +207,50 @@ class SinksSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("retention grace: a compact-ONLY caller drains aged absorbed staging") {
+    // the round-7 advice gap: deferred absorbed-staging deletes were
+    // drained solely by reconcileLatePartition, so a scheduler driving
+    // only compactTablePartition leaked staging files forever
+    import spark.implicits._
+    val table = "compact_drain_test"
+    val root = tmpDir("draincompact")
+    val part = s"$root/logday=2021-04-13/h=06/m=27"
+    val spec = Seq("logday" -> "2021-04-13", "h" -> "06", "m" -> "27")
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"u$i")).toDF("id", "uuid")
+        .write.mode("append").parquet(part)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"""CREATE TABLE $table (id BIGINT, uuid STRING,
+      logday STRING, h STRING, m STRING)
+      USING PARQUET PARTITIONED BY (logday, h, m)
+      LOCATION '$root'""")
+    spark.sql(s"ALTER TABLE $table ADD PARTITION " +
+      s"(logday='2021-04-13', h='06', m='27') LOCATION '$part'")
+    val before = spark.table(table).select("id", "uuid")
+      .as[(Long, String)].collect().toSet
+    val grace = 3600 * 1000L
+    assert(Sinks.compactTablePartition(spark, table, spec,
+      retentionMs = grace) == ((4, 1)))
+    // inside the grace window the no-op compact pass leaves them alone
+    assert(Sinks.compactTablePartition(spark, table, spec,
+      retentionMs = grace) == ((1, 1)))
+    assert(new java.io.File(part).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet")) == 4)
+    // age the flip out; the next compact-only pass finishes the drain
+    val hDir = new java.io.File(s"$root/logday=2021-04-13/h=06")
+    val compactDir = hDir.listFiles()
+      .filter(_.getName.startsWith("compact_m=27_v")).head
+    assert(new java.io.File(compactDir, "_absorbed")
+      .setLastModified(System.currentTimeMillis() - 2 * grace))
+    assert(Sinks.compactTablePartition(spark, table, spec,
+      retentionMs = grace) == ((1, 1)))
+    assert(!new java.io.File(part).exists(), "aged staging not drained")
+    assert(spark.table(table).select("id", "uuid")
+      .as[(Long, String)].collect().toSet == before)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("orphan compact dirs are swept even when the partition never flips again") {
     import spark.implicits._
     val table = "compact_orphan_test"
