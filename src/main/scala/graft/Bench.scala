@@ -44,13 +44,15 @@ object Bench {
     "q_unigram_score",    // vocabulary join + per-doc agg (r6)
     "q_range_join",       // non-equi join via bucketed equi-join
     "q_cosine_topk",      // brute-force similarity
-    "q_ann_ivf",          // cell-probe ANN
+    "q_ann_ivf",          // cell-probe ANN (n-derived cells, r8)
+    "q_ann_recall",       // full ANN serving stack + exact truth (r8)
     "q_embed_cluster",    // iterative k-means (3 assignment scans, r6)
     "q_semdedup_keep",    // cells + within-cell pairs + CC (r6)
     "q_heavy_hitters",    // sketch merge + exact verify (r7)
     "q_cross_source_overlap", // in-row pair generation (r7)
     "q_media_meta",       // binary column projection
-    "q_media_decode")     // real PNG encode+decode round-trip (r7)
+    "q_media_decode",     // real PNG encode+decode round-trip (r7)
+    "q_media_video")      // real per-frame video round-trip (r8)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -349,9 +349,14 @@ object Similarity {
         cosine(col("qv"), col("v")).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("nid"), col("rank"), col("score"))
+    // the ranked list joins the session working sets: the RRF fusion
+    // and the recall audit each consume it, and Spark re-executes
+    // aliased subtrees per consumer — without the memo one
+    // qAnnRecall ran the probe+rank pipeline twice per index
+    Dedup.memoizedPersisted(spark, s"ivflist|$sfDir")(
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("nid"), col("rank"), col("score")))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -415,9 +420,11 @@ object Similarity {
         cosine(col("qv"), col("v")).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("nid"), col("rank"), col("score"))
+    // ranked list memoized like the IVF one — see qAnnIvf
+    Dedup.memoizedPersisted(spark, s"lshlist|$sfDir")(
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("nid"), col("rank"), col("score")))
       .orderBy(col("qid"), col("rank"))
   }
 
