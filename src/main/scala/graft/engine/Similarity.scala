@@ -93,8 +93,12 @@ object Similarity {
   def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = exactTopK(corpus(spark, sfDir), maxQid = 50, k = 3)
       .select(col("qid"), col("nid"))
+    // each ANN list is ≤ 3·|queries| rows — broadcast EXPLICITLY: the
+    // memoized lists carry no stats before materialization, so the
+    // planner's initial pick is a sort-merge join that would shuffle
+    // the truth side three times
     def flag(m: DataFrame, nm: String): DataFrame =
-      m.select(col("qid"), col("nid"), lit(1L).as(nm))
+      broadcast(m.select(col("qid"), col("nid"), lit(1L).as(nm)))
     truth
       .join(flag(qAnnLsh(spark, sfDir), "hl"), Seq("qid", "nid"), "left")
       .join(flag(qAnnIvf(spark, sfDir), "hi"), Seq("qid", "nid"), "left")

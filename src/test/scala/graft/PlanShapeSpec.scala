@@ -62,6 +62,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("video decode: one mapPartitions pass — frames never shuffle") {
+    val p = plan(graft.engine.Multimodal.qMediaVideo(spark, sf0001))
+    // the container walk + per-frame PNG decode is split-local; the
+    // only reorganization allowed is the final oracle-dump sort
+    assert(p.contains("MapPartitions"), p)
+    assert("(?i)join|aggregate|window".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("ANN recall: candidate lists join the truth as broadcasts") {
+    val p = plan(graft.engine.Similarity.qAnnRecall(spark, sf0001))
+    // three tiny ranked lists (≤150 rows each) flag-join the exact
+    // truth — a sort-merge join here would shuffle the truth side
+    // three times. The ONE BroadcastNestedLoopJoin is the ground
+    // truth's brute-force corpus×queries scan (qCosineTopK's
+    // documented baseline shape), never a flag join.
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+  }
+
   test("winnowing: fingerprints come from mapPartitions — no per-character explode or window") {
     val p = plan(graft.engine.TextOps.qWinnowFingerprint(spark, sf0001))
     // the r4 rewrite: per-doc imperative pass; the regression this

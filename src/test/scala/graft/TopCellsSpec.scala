@@ -156,4 +156,30 @@ class TopCellsSpec extends SparkSpec {
     // and per-query candidate volume stays a vanishing corpus share
     assert(large <= 16384 / 8.0, s"large=$large")
   }
+
+  test("LSH bucket occupancy stays ~targetBucket as n grows (width scales)") {
+    // the defect the n-derived width fixes: at fixed bits the mean
+    // bucket population is n/2^bits — linear in n. With
+    // bits = lshBits(n), occupancy must stay O(targetBucket).
+    def corpusOf(n: Int) = spark.range(n).map { id =>
+      val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L)
+      (id, Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "v")
+    def meanBucket(n: Int): Double = {
+      val bits = Similarity.lshBits(n)
+      val e = corpusOf(n)
+      val sig = Similarity.lshSignature(col("v"), bits, dim = 64,
+        firstPlane = 0)
+      val occ = e.select(sig.as("sig")).groupBy("sig")
+        .count().agg(avg("count")).head().getDouble(0)
+      occ
+    }
+    val small = meanBucket(1024)  // bits 6
+    val large = meanBucket(16384) // bits 10
+    // hyperplane buckets are NOT uniform — allow generous imbalance,
+    // but occupancy must be flat-ish in n, never 16× (fixed-width)
+    assert(small <= 8.0 * 16, s"small=$small")
+    assert(large <= 8.0 * 16, s"large=$large")
+    assert(large / small <= 3.0, s"small=$small large=$large")
+  }
 }
