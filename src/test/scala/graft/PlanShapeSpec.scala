@@ -57,8 +57,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("IVF: cell assignment is a projection — no Window before the probe join") {
     val p = plan(graft.engine.Similarity.qAnnIvf(spark, sf0001))
-    // exactly one Window remains (the final per-query top-3 rank)
-    assert("Window\\b".r.findAllIn(p).size == 1, p)
+    // the only Window allowed is the final per-query top-3 rank
+    // (row_number partitioned by qid); counted BY KIND, not by
+    // occurrence — a materialized InMemoryRelation prints its cached
+    // plan twice, so a fixed count is suite-order-dependent
+    val wins = "Window \\[".r.findAllIn(p).size
+    val rankWins =
+      "Window \\[row_number\\(\\) windowspecdefinition\\(qid".r
+        .findAllIn(p).size
+    assert(wins >= 1 && wins == rankWins, p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
