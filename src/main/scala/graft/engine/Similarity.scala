@@ -416,12 +416,16 @@ object Similarity {
     val q = bucketed.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("tbl"), explode(probeFan).as("sig"))
+    // score BEFORE the (qid, nid) dedup: the score is a deterministic
+    // function of the pair, so duplicates across tables/probes carry
+    // identical doubles and the dedup shuffles 16-byte rows instead of
+    // dragging both 64-dim vectors through a sort-based aggregate
+    // (array buffers force SortAggregate; a double keeps it hash)
     val cand = bucketed.join(q, Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("v"))
-      .dropDuplicates("qid", "nid")
-      .select(col("qid"), col("nid"),
+      .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v")).as("score"))
+      .dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid"))
     // ranked list memoized like the IVF one — see qAnnIvf

@@ -24,8 +24,11 @@ import org.apache.spark.sql.types._
   * file), so batch size — and therefore state-store pressure per
   * trigger — is controlled and the measurement covers several
   * watermark advances, not one monolithic batch. Usage:
-  *   sbt "runMain graft.tools.StreamScale [nDocs] [nEvents]"
-  * Defaults 120k docs / 400k events; prints ONE JSON line. */
+  *   sbt "runMain graft.tools.StreamScale [nDocs] [nEvents] [rocksdb]"
+  * Defaults 120k docs / 400k events, default (HDFS-backed) state
+  * store; a third arg `rocksdb` flips every stateful operator onto
+  * the RocksDB provider (SURVEY §2.8 T3) so the spill-ready backend
+  * has measured numbers too, not just a spec. Prints ONE JSON line. */
 object StreamScale {
 
   private def percentile(xs: Seq[Double], p: Double): Double =
@@ -132,6 +135,11 @@ object StreamScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.tune(spark)
+    val rocks = args.lift(2).contains("rocksdb")
+    if (rocks) spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
     val root = java.nio.file.Files.createTempDirectory("streamscale")
       .toString
 
@@ -162,6 +170,7 @@ object StreamScale {
 
     println("{\"metric\":\"stream_rows_per_sec\"," +
       s""""value":${(docs.rows / docs.wallSec).round},"unit":"rows/s",""" +
+      s""""state_store":"${if (rocks) "rocksdb" else "default"}",""" +
       s""""pipelines":{${docs.json("doc_pipeline")},""" +
       s"""${trending.json("trending_terms")},""" +
       s"""${joined.json("interval_join")}}}""")
