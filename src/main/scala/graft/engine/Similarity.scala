@@ -198,14 +198,34 @@ object Similarity {
 
   private def plane(j: Int, dim: Int): Column = typedLit(planeVals(j, dim))
 
+  /** Max signature width for the unrolled literal-plane formulation —
+    * the same literal-vs-reference-object boundary as
+    * [[literalArgminMaxK]]: each literal plane inlines `dim` double
+    * constants, and wide signatures outgrow codegen (measured at
+    * n = 1M / bits = 16, i.e. 1024 inlined doubles per table: 278 s
+    * literal vs seconds for the loop expression on the same index
+    * build). Fixture widths (≤ 7 bits through sf0.1) stay
+    * literal-readable; scale widths route to the loop expression. */
+  private[graft] val literalSigMaxBits = 8
+
   /** Signed random-projection signature of `bits` hyperplanes
-    * [firstPlane, firstPlane+bits) for `dim`-dimensional vectors. */
+    * [firstPlane, firstPlane+bits) for `dim`-dimensional vectors.
+    * Dual codegen paths, interchangeable bit-for-bit: an unrolled
+    * literal OR-reduce up to [[literalSigMaxBits]] (or under
+    * `forceExpr`), the constant-method-size
+    * [[graft.functions.HyperplaneSig]] loop beyond. */
   def lshSignature(v: Column, bits: Int, dim: Int,
-      firstPlane: Int = 0): Column =
-    (0 until bits).map { j =>
-      when(dot(v, plane(firstPlane + j, dim)) >= 0,
-        shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+      firstPlane: Int = 0, forceExpr: Boolean = false): Column =
+    if (!forceExpr && bits <= literalSigMaxBits)
+      (0 until bits).map { j =>
+        when(dot(v, plane(firstPlane + j, dim)) >= 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    else
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HyperplaneSig(
+          org.apache.spark.sql.GraftBridge.expression(v),
+          (0 until bits).map(j => planeVals(firstPlane + j, dim))))
 
   /** ANN top-k via MULTI-PROBE random-hyperplane LSH, 4 hash tables ×
     * [[lshBits]](n) bits: the corpus is bucketed by (table,

@@ -1,0 +1,138 @@
+package graft.tools
+
+import graft.engine.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the round-8 n-derived ANN index granularity
+  * (the r7 `weak`): builds BOTH index structures over a synthetic
+  * corpus far beyond the SF fixtures and audits the properties that
+  * make them indexes rather than constant-factor scans —
+  *
+  *  - IVF: k = ⌈√n⌉ cells (1000 at n = 1M, ~62× past
+  *    [[Similarity.literalArgminMaxK]], so every assignment runs the
+  *    loop-codegen `TopCells` path a 10⁹-vector corpus would take);
+  *    checks cell-size balance (max/√n) and the per-query candidate
+  *    fraction at nprobe = 2 — must be ≪ the 2/16 = 12.5% a fixed
+  *    16-cell quantizer would drag in.
+  *  - LSH: bits = [[Similarity.lshBits]](n) (16 at 1M → 65k buckets/
+  *    table); checks mean bucket occupancy ≈ targetBucket and the
+  *    multi-probe candidate fraction per query.
+  *
+  * Generation is executor-side (same splitmix64 noise as
+  * [[SemScale]] — avalanche is load-bearing); the driver holds only
+  * the ⌈√n⌉ quantizer. Usage:
+  *   sbt "runMain graft.tools.AnnScale [nVecs]"   # default 1000000
+  *
+  * Measured (local[32], n = 1M): IVF k=1000, quantize+assign 5.6 s,
+  * max cell 4.0·√n, avg candidates/query 2326 = 0.23% of the corpus
+  * (a fixed 16-cell quantizer would probe 12.5%); LSH bits=16,
+  * 4 tables, index 2.2 s (278 s before the [[graft.functions
+  * .HyperplaneSig]] loop expression — the 1024 inlined literal
+  * doubles per table degraded codegen), mean bucket 15.5 ≈ the 16
+  * target, multi-probe candidates/query 1770 = 0.18%. Both probe
+  * fractions SHRINK as n grows — the index property the fixture
+  * constants lacked. */
+object AnnScale {
+  private val dim = 64
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def vecOf(id: Long): Array[Double] = {
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = (mix((id << 8) | i) >>> 11).toDouble / (1L << 53) - 0.5
+      i += 1
+    }
+    v
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val nQueries = 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val e = spark.range(0L, n, 1L, cpus.toInt).as[Long]
+      .mapPartitions(_.map(id => (id, vecOf(id).toSeq)))
+      .toDF("vec_id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+
+    // ---- IVF: ⌈√n⌉ cells through the TopCells loop-codegen path
+    val k = Similarity.ivfCells(n)
+    require(k > Similarity.literalArgminMaxK,
+      "scale run must exercise the expression path")
+    var t0 = System.nanoTime()
+    val cent = e.filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
+    val assigned = e.select(col("vec_id"), col("v"),
+        Similarity.ivfCellCol(cent).as("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellSizes = assigned.groupBy("cid").count()
+      .select(col("count")).as[Long].collect()
+    val ivfSecs = (System.nanoTime() - t0) / 1e9
+    val maxCell = cellSizes.max
+    // candidate volume: Σ probed-cell sizes over nQueries queries
+    t0 = System.nanoTime()
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        explode(Similarity.ivfProbeCol(cent, nprobe = 2)).as("cid"))
+    val ivfCand = probes.join(assigned, "cid").count()
+    val ivfProbeSecs = (System.nanoTime() - t0) / 1e9
+    val sqrtN = math.sqrt(n.toDouble)
+    println(f"AnnScale IVF n=$n k=$k cells=${cellSizes.length} " +
+      f"maxCell=$maxCell (${maxCell / sqrtN}%.2f·sqrt(n)) " +
+      f"candPerQuery=${ivfCand / nQueries} " +
+      f"(${100.0 * ivfCand / nQueries / n}%.3f%% of corpus) " +
+      f"fitAssign=$ivfSecs%.1fs probe=$ivfProbeSecs%.1fs")
+    assigned.unpersist()
+
+    // ---- LSH: n-derived width, 4 tables, Hamming-1 multi-probe
+    val bits = Similarity.lshBits(n)
+    val tables = 4
+    t0 = System.nanoTime()
+    val sigArr = array((0 until tables).map { t =>
+      Similarity.lshSignature(col("v"), bits, dim,
+        firstPlane = t * Similarity.lshPlaneStride)
+    }: _*)
+    val bucketed = e.select(col("vec_id"),
+        posexplode(sigArr).as(Seq("tbl", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = bucketed.groupBy("tbl", "sig").count()
+      .agg(avg("count"), max("count")).head()
+    val lshSecs = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val probeFan = array((0 to bits).map { j =>
+      if (j == 0) col("sig")
+      else col("sig").bitwiseXOR(lit(1L << (j - 1)))
+    }: _*)
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("tbl"),
+        explode(probeFan).as("sig"))
+    val lshCand = bucketed.join(q, Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct().count()
+    val lshProbeSecs = (System.nanoTime() - t0) / 1e9
+    println(f"AnnScale LSH n=$n bits=$bits tables=$tables " +
+      f"meanBucket=${occ.getDouble(0)}%.1f maxBucket=${occ.getLong(1)} " +
+      f"candPerQuery=${lshCand / nQueries} " +
+      f"(${100.0 * lshCand / nQueries / n}%.3f%% of corpus) " +
+      f"index=$lshSecs%.1fs probe=$lshProbeSecs%.1fs")
+
+    spark.stop()
+  }
+}

@@ -157,6 +157,34 @@ class TopCellsSpec extends SparkSpec {
     assert(large <= 16384 / 8.0, s"large=$large")
   }
 
+  test("wide LSH signature: loop expression equals the literal path bit-for-bit") {
+    val e = corpus
+    // 8 bits: both paths available (boundary value of literalSigMaxBits)
+    val lit8 = e.select(col("vec_id"),
+        Similarity.lshSignature(col("v"), 8, 64, firstPlane = 64).as("s"))
+      .as[(Long, Long)].collect().toSeq
+    val expr8 = e.select(col("vec_id"),
+        Similarity.lshSignature(col("v"), 8, 64, firstPlane = 64,
+          forceExpr = true).as("s"))
+      .as[(Long, Long)].collect().toSeq
+    assert(lit8 == expr8)
+    // 20 bits auto-routes to the expression and stays codegen'd
+    val df20 = e.select(
+      Similarity.lshSignature(col("v"), 20, 64).as("s"), col("v"))
+    val p = df20.queryExecution.executedPlan.toString
+    assert(p.contains("graft_hyperplane_sig"), p)
+    assert(p.linesIterator.find(_.contains("graft_hyperplane_sig"))
+      .get.trim.startsWith("*"), p)
+    // the 20-bit signature's low 8 bits over the same planes match
+    // the literal 8-bit signature (prefix property: plane j ↦ bit j)
+    val low8 = df20.select(col("s").bitwiseAND(lit(0xFFL)))
+      .as[Long].collect().toSeq
+    val lit8p0 = e.select(
+        Similarity.lshSignature(col("v"), 8, 64).as("s"))
+      .as[Long].collect().toSeq
+    assert(low8 == lit8p0)
+  }
+
   test("LSH bucket occupancy stays ~targetBucket as n grows (width scales)") {
     // the defect the n-derived width fixes: at fixed bits the mean
     // bucket population is n/2^bits — linear in n. With
