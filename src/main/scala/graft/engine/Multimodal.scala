@@ -67,10 +67,11 @@ case class DecodedAudio(
   *
   * All three media types decode GENUINELY with JDK-only codecs:
   * images through `javax.imageio` PNG ([[decodePng]]), audio through
-  * `javax.sound.sampled` WAV ([[decodeWav]]), and video as a
-  * concatenated-PNG frame container decoded frame-by-frame
-  * ([[decodeVideo]] — the JDK ships no video codec, so the fixture's
-  * video format is DEFINED as length-prefixed PNG frames). The
+  * `javax.sound.sampled` WAV ([[decodeWav]]), and video as a REAL
+  * RIFF-AVI container with the MPNG (PNG-per-frame) codec, walked
+  * and decoded frame-by-frame ([[decodeVideo]] — the JDK ships no
+  * video BITSTREAM codec, so the fixture uses the one AVI codec
+  * whose frames the JDK can decode). The
   * byte-histogram [[decodeStub]] remains only as the codec-agnostic
   * featurizer seam; the surrounding plumbing — schema,
   * `Dataset[MediaRecord]` encoders, partition-wise batch iteration
@@ -272,64 +273,135 @@ object Multimodal {
     * frame. */
   private[graft] val videoFrameBytes = 64
 
-  /** Encode raw bytes as an MJPEG-style VIDEO container with JDK-only
-    * parts: the payload is sliced into [[videoFrameBytes]]-byte
-    * chunks (≥ 1 — an empty payload is one empty frame), each chunk
-    * rendered and PNG-encoded via [[pngFromBytes]], and the container
-    * is the concatenation of length-prefixed (4-byte big-endian)
-    * frames — the same frames-in-a-box shape as a real interframe-
-    * free format, with a codec the JDK actually ships. Gray PNG is
-    * lossless per frame, so the whole container stays relationally
-    * verifiable. */
+  /** RIFF little-endian helpers for the AVI writer. */
+  private def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+  }
+  private def fourcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** Encode raw bytes as a REAL RIFF-AVI video with the MPNG
+    * (PNG-per-frame) codec — a genuine, ffmpeg-readable container
+    * built from JDK-only parts: the payload is sliced into
+    * [[videoFrameBytes]]-byte chunks (≥ 1 — an empty payload is one
+    * empty frame), each chunk rendered and PNG-encoded via
+    * [[pngFromBytes]], and the frames are laid out as `00dc` chunks
+    * in a `movi` LIST under the standard `hdrl` (avih + strh 'vids'/
+    * 'MPNG' + strf BITMAPINFOHEADER) headers. Gray PNG is lossless
+    * per frame, so the whole video stays relationally verifiable. */
   def videoFromBytes(bytes: Array[Byte],
       frameBytes: Int = videoFrameBytes, width: Int = 16): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
     val nFrames = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
-    var f = 0
-    while (f < nFrames) {
+    val frames = (0 until nFrames).map { f =>
       val from = f * frameBytes
       val until = math.min(from + frameBytes, bytes.length)
-      val png = pngFromBytes(java.util.Arrays.copyOfRange(bytes, from, until),
-        width)
-      out.writeInt(png.length)
-      out.write(png)
-      f += 1
+      pngFromBytes(java.util.Arrays.copyOfRange(bytes, from, until), width)
     }
-    out.flush()
-    bos.toByteArray
+    val height = math.max(1, (math.min(frameBytes, math.max(bytes.length, 1))
+      + width - 1) / width)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      fourcc(o, id); le32(o, body.length); o.write(body)
+      if (body.length % 2 == 1) o.write(0) // RIFF chunks pad to even
+      o.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      fourcc(o, "LIST"); le32(o, body.length + 4); fourcc(o, kind)
+      o.write(body)
+      o.toByteArray
+    }
+    val avih = { // main header: 56-byte AVIMAINHEADER body
+      val o = new java.io.ByteArrayOutputStream()
+      le32(o, 100000); le32(o, 0); le32(o, 0); le32(o, 0x10) // µs/frame, rate, pad, HASINDEX off
+      le32(o, nFrames); le32(o, 0); le32(o, 1); le32(o, 0)   // frames, initial, streams, bufsize
+      le32(o, width); le32(o, height); (0 until 4).foreach(_ => le32(o, 0))
+      chunk("avih", o.toByteArray)
+    }
+    val strh = { // stream header: 'vids' handled by 'MPNG'
+      val o = new java.io.ByteArrayOutputStream()
+      fourcc(o, "vids"); fourcc(o, "MPNG")
+      le32(o, 0); le32(o, 0); le32(o, 0)      // flags, prio+lang, initial
+      le32(o, 1); le32(o, 10)                 // scale, rate → 10 fps
+      le32(o, 0); le32(o, nFrames); le32(o, 0) // start, length, bufsize
+      le32(o, -1); le32(o, 0)                 // quality, samplesize
+      le32(o, 0); le32(o, (height << 16) | width) // rcFrame
+      chunk("strh", o.toByteArray)
+    }
+    val strf = { // BITMAPINFOHEADER with biCompression = 'MPNG'
+      val o = new java.io.ByteArrayOutputStream()
+      le32(o, 40); le32(o, width); le32(o, height)
+      le32(o, (8 << 16) | 1) // planes=1, bitcount=8
+      fourcc(o, "MPNG")
+      le32(o, width * height); le32(o, 0); le32(o, 0); le32(o, 0); le32(o, 0)
+      chunk("strf", o.toByteArray)
+    }
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      frames.map(png => chunk("00dc", png)).reduce(_ ++ _))
+    val riffBody = hdrl ++ movi
+    val o = new java.io.ByteArrayOutputStream()
+    fourcc(o, "RIFF"); le32(o, riffBody.length + 4); fourcc(o, "AVI ")
+    o.write(riffBody)
+    o.toByteArray
   }
 
-  /** REAL video decode — walks the length-prefixed container and
-    * decodes every frame through the genuine PNG codec
-    * ([[decodePng]]), accumulating frame count and raster stats.
-    * Truncated containers, negative lengths, or any undecodable frame
-    * → None (drop-malformed, like the image/audio paths — a video
-    * with one bad frame is a bad video, not a partial one). */
-  def decodeVideo(docId: Long, container: Array[Byte]): Option[DecodedVideo] = {
-    var off = 0
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def isFourcc(b: Array[Byte], off: Int, s: String): Boolean =
+    s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+  /** REAL video decode — walks the RIFF-AVI structure (header check,
+    * LIST traversal to `movi`, per-`00dc`-chunk iteration with RIFF
+    * even-padding) and decodes every frame through the genuine PNG
+    * codec ([[decodePng]]), accumulating frame count and raster
+    * stats. Truncated or malformed containers, trailing junk past
+    * the declared RIFF size, or any undecodable frame → None
+    * (drop-malformed, like the image/audio paths — a video with one
+    * bad frame is a bad video, not a partial one). */
+  def decodeVideo(docId: Long, avi: Array[Byte]): Option[DecodedVideo] = {
+    if (avi.length < 12 || !isFourcc(avi, 0, "RIFF")
+      || !isFourcc(avi, 8, "AVI ")) return None
+    val riffSize = rdLe32(avi, 4)
+    if (riffSize < 4 || 8 + riffSize != avi.length) return None
+    var off = 12
     var frames = 0L
     var pixels = 0L
     var sum = 0L
-    while (off < container.length) {
-      if (off + 4 > container.length) return None
-      val len = ((container(off) & 0xFF) << 24) |
-        ((container(off + 1) & 0xFF) << 16) |
-        ((container(off + 2) & 0xFF) << 8) |
-        (container(off + 3) & 0xFF)
-      off += 4
-      if (len < 0 || off + len > container.length) return None
-      decodePng(docId, java.util.Arrays.copyOfRange(container, off, off + len))
-        match {
-        case Some(img) =>
-          frames += 1
-          pixels += img.n_pixels
-          sum += img.pixel_sum
-        case None => return None
+    var sawMovi = false
+    while (off + 8 <= avi.length) {
+      val size = rdLe32(avi, off + 4)
+      if (size < 0 || off + 8 + size > avi.length) return None
+      if (isFourcc(avi, off, "LIST")) {
+        if (size < 4) return None
+        if (isFourcc(avi, off + 8, "movi")) {
+          sawMovi = true
+          var p = off + 12
+          val end = off + 8 + size
+          while (p + 8 <= end) {
+            val fsize = rdLe32(avi, p + 4)
+            if (fsize < 0 || p + 8 + fsize > end) return None
+            if (isFourcc(avi, p, "00dc")) {
+              decodePng(docId,
+                java.util.Arrays.copyOfRange(avi, p + 8, p + 8 + fsize))
+                match {
+                case Some(img) =>
+                  frames += 1
+                  pixels += img.n_pixels
+                  sum += img.pixel_sum
+                case None => return None
+              }
+            }
+            p += 8 + fsize + (fsize & 1) // RIFF even padding
+          }
+          if (p != end) return None
+        }
       }
-      off += len
+      off += 8 + size + (size & 1)
     }
-    if (frames == 0) None
+    if (off != avi.length || !sawMovi || frames == 0) None
     else Some(DecodedVideo(docId, frames, pixels, sum,
       if (pixels == 0) 0.0 else sum.toDouble / pixels))
   }
@@ -419,14 +491,14 @@ object Multimodal {
   }
 
   /** REAL video-codec round-trip over the video-typed rows — the
-    * third media type made genuine (the JDK ships no video codec, so
-    * the fixture's video payload is DEFINED as the concatenated-PNG
-    * frame container [[videoFromBytes]] builds — every frame is real
-    * PNG encode + decode work, partition-local in one mapPartitions).
-    * Per-frame gray-PNG losslessness makes the container stats a pure
-    * function of the payload bytes, so the decode hash-checks against
-    * a relational oracle: pixel_sum ≡ payload byte sum and n_pixels
-    * follows from the frame/row geometry alone. */
+    * third media type made genuine: [[videoFromBytes]] builds an
+    * actual RIFF-AVI/MPNG file and [[decodeVideo]] walks the RIFF
+    * structure and PNG-decodes every `00dc` frame, partition-local
+    * in one mapPartitions. Per-frame gray-PNG losslessness makes the
+    * container stats a pure function of the payload bytes, so the
+    * decode hash-checks against a relational oracle: pixel_sum ≡
+    * payload byte sum and n_pixels follows from the frame/row
+    * geometry alone. */
   def qMediaVideo(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = mediaFromDocuments(spark, sfDir).as[MediaRecord]

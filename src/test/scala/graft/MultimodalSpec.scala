@@ -105,7 +105,12 @@ class MultimodalSpec extends SparkSpec {
     // 150 bytes → 3 frames (64+64+22); per-frame gray PNG is lossless
     // so pixel_sum ≡ byte sum; last frame zero-pads 22 bytes to 2 rows
     val bytes = Array.tabulate(150)(i => (i % 251).toByte)
-    val v = Multimodal.decodeVideo(1L, Multimodal.videoFromBytes(bytes)).get
+    val avi = Multimodal.videoFromBytes(bytes)
+    // the container is a genuine RIFF-AVI file: RIFF magic, 'AVI '
+    // form type, and the declared size spanning exactly the payload
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val v = Multimodal.decodeVideo(1L, avi).get
     assert(v.n_frames == 3L)
     assert(v.pixel_sum == bytes.map(_ & 0xFF).map(_.toLong).sum)
     assert(v.n_pixels == 64 + 64 + 32) // 16×4, 16×4, 16×2
