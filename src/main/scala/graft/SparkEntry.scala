@@ -128,7 +128,7 @@ object SparkEntry {
     "q_media_decode" -> Multimodal.qMediaDecode _,
     // REAL WAV round-trip (javax.sound.sampled, uncompressed PCM)
     "q_media_wav" -> Multimodal.qMediaWav _,
-    // REAL per-frame video round-trip (concatenated-PNG container,
+    // REAL per-frame video round-trip (RIFF-AVI/MPNG container,
     // every frame a genuine javax.imageio encode+decode)
     "q_media_video" -> Multimodal.qMediaVideo _,
     "q_quality_filter" -> TextOps.qQualityFilter _,

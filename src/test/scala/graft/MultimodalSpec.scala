@@ -84,6 +84,34 @@ class MultimodalSpec extends SparkSpec {
       decoded("y.png").pixel_sum == 24L)
   }
 
+  test("real AVI files through the binaryFile source decode frame stats") {
+    // the media-lake path end-to-end: .avi files on disk → binaryFile
+    // rows → RIFF walk + per-frame PNG decode
+    val dir = tmpDir("avi")
+    val payloads = Map(
+      "a.avi" -> (0 until 150).map(_.toByte).toArray, // 3 frames
+      "b.avi" -> Array[Byte](1, 2, 3))                // 1 short frame
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        Multimodal.videoFromBytes(bytes))
+    }
+    val rows = Multimodal.readBinaryDir(spark, dir, glob = "*.avi")
+    assert(rows.select("media_type").as[String].collect()
+      .forall(_ == "video"))
+    val decoded = rows
+      .select(col("path"), col("payload")).as[(String, Array[Byte])]
+      .collect()
+      .map { case (p, avi) =>
+        new java.io.File(p.stripPrefix("file:")).getName ->
+          Multimodal.decodeVideo(0L, avi).get
+      }.toMap
+    assert(decoded("a.avi").n_frames == 3L)
+    assert(decoded("a.avi").pixel_sum == (0 until 150).sum.toLong)
+    assert(decoded("b.avi").n_frames == 1L
+      && decoded("b.avi").n_pixels == 16L
+      && decoded("b.avi").pixel_sum == 6L)
+  }
+
   test("real WAV decode: PCM round-trip is lossless, header drives the stats") {
     val bytes = (0 until 123).map(i => ((i * 13) % 256).toByte).toArray
     val wav = Multimodal.wavFromBytes(bytes)
