@@ -99,6 +99,12 @@ object SparkEntry {
     "q_embed_neardup" -> Similarity.qEmbedNearDup _,
     "q_ann_lsh" -> Similarity.qAnnLsh _,
     "q_ann_ivf" -> Similarity.qAnnIvf _,
+    // one oracle, both codegen paths per index (the q_kmeans_assign
+    // pattern): the LSH twin forces the loop-expression signature the
+    // fixture widths don't reach; the IVF twin forces the literal
+    // argmax the n-derived cell counts skip
+    "q_ann_lsh_expr" -> Similarity.qAnnLshExpr _,
+    "q_ann_ivf_lit" -> Similarity.qAnnIvfLit _,
     // reciprocal-rank fusion of the two ANN lists
     "q_ann_fused" -> Similarity.qAnnFused _,
     // recall@3 of all three ANN paths vs exact ground truth — the
@@ -1023,6 +1029,10 @@ object SparkEntry {
     // bit-identical list_inner_product, so cells and ranks reproduce
     // at any n-derived cell count.
     "q_ann_ivf" -> duckAnnIvf,
+    // the forced-codegen-path twins hash-check against the SAME
+    // oracles — the point is that both paths produce identical bits
+    "q_ann_lsh_expr" -> duckAnnLsh,
+    "q_ann_ivf_lit" -> duckAnnIvf,
     // RRF fusion of the two ANN lists: both oracles ride along as
     // CTEs, the fused score is the identically-computed double
     // Σ 1/(rank+60) (≤ 2 addends — order-free)

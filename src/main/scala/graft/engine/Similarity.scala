@@ -294,8 +294,8 @@ object Similarity {
     * independent of k. Both paths: strict sequential double dots,
     * interchangeable row-for-row. */
   private[graft] def ivfCellCol(cent: IndexedSeq[(Long, IndexedSeq[Double])],
-      forceExpr: Boolean = false): Column =
-    if (!forceExpr && cent.length <= literalArgminMaxK)
+      forceExpr: Boolean = false, forceLit: Boolean = false): Column =
+    if (forceLit || (!forceExpr && cent.length <= literalArgminMaxK))
       -array_max(array(cent.map { case (cid, cv) =>
         struct(dot(col("v"), typedLit(cv)).as("ip"), lit(-cid).as("ncid"))
       }: _*)).getField("ncid")
@@ -310,8 +310,9 @@ object Similarity {
     * best first — same dual literal/loop-expression paths as
     * [[ivfCellCol]]. */
   private[graft] def ivfProbeCol(cent: IndexedSeq[(Long, IndexedSeq[Double])],
-      nprobe: Int, forceExpr: Boolean = false): Column =
-    if (!forceExpr && cent.length <= literalArgminMaxK)
+      nprobe: Int, forceExpr: Boolean = false,
+      forceLit: Boolean = false): Column =
+    if (forceLit || (!forceExpr && cent.length <= literalArgminMaxK))
       transform(
         slice(reverse(sort_array(array(cent.map { case (cid, cv) =>
           struct(dot(col("v"), typedLit(cv)).as("ip"), lit(-cid).as("ncid"))
@@ -347,7 +348,22 @@ object Similarity {
     }.toIndexedSeq
   }
 
-  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfImpl(spark, sfDir, forceLit = false)
+
+  /** The same IVF retrieval FORCED through the unrolled literal
+    * struct-array argmax at the n-derived cell count — the small-k
+    * codegen branch no fixture corpus reaches on its own (⌈√n⌉ > 16
+    * at every SF), registered so BOTH paths stay hash-checked against
+    * the one oracle every round, mirroring `q_kmeans_assign` /
+    * `q_kmeans_assign_expr`. Bypasses the session memos — sharing the
+    * default query's cached index would silently serve the OTHER
+    * path's results. */
+  def qAnnIvfLit(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfImpl(spark, sfDir, forceLit = true)
+
+  private def annIvfImpl(spark: SparkSession, sfDir: String,
+      forceLit: Boolean): DataFrame = {
     val nprobe = 2
     val e = corpus(spark, sfDir)
     val k = ivfCells(corpusCount(spark, sfDir))
@@ -360,12 +376,17 @@ object Similarity {
     val cent = ivfCentroids(spark, sfDir, e, k)
     // the cell-assigned corpus IS the IVF index — session-memoized
     // like the LSH buckets (the coarse quantizer is deterministic, so
-    // the assignment is a pure function of the corpus)
-    val assigned = Dedup.memoizedPersisted(spark, s"ivfassigned|$sfDir")(
-      e.select(col("vec_id"), col("v"), ivfCellCol(cent).as("cid")))
+    // the assignment is a pure function of the corpus). The forced-
+    // literal verification twin computes un-memoized.
+    val assignPlan =
+      e.select(col("vec_id"), col("v"),
+        ivfCellCol(cent, forceLit = forceLit).as("cid"))
+    val assigned =
+      if (forceLit) assignPlan
+      else Dedup.memoizedPersisted(spark, s"ivfassigned|$sfDir")(assignPlan)
     val probes = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(ivfProbeCol(cent, nprobe)).as("cid"))
+        explode(ivfProbeCol(cent, nprobe, forceLit = forceLit)).as("cid"))
     // each corpus vector lives in exactly one cell → (qid, nid) unique
     val cand = broadcast(probes).join(assigned, "cid")
       .filter(col("vec_id") =!= col("qid"))
@@ -377,10 +398,12 @@ object Similarity {
     // and the recall audit each consume it, and Spark re-executes
     // aliased subtrees per consumer — without the memo one
     // qAnnRecall ran the probe+rank pipeline twice per index
-    Dedup.memoizedPersisted(spark, s"ivflist|$sfDir")(
-      cand.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("nid"), col("rank"), col("score")))
+    val ranked = cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("score"))
+    (if (forceLit) ranked
+     else Dedup.memoizedPersisted(spark, s"ivflist|$sfDir")(ranked))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -408,7 +431,22 @@ object Similarity {
     * [[lshBits]]. */
   private[graft] val lshPlaneStride = 64
 
-  def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame =
+    annLshImpl(spark, sfDir, forceExpr = false)
+
+  /** The same LSH retrieval FORCED through the loop-codegen
+    * [[graft.functions.HyperplaneSig]] signature — the wide-width
+    * branch no fixture corpus reaches on its own (bits ≤ 7 through
+    * sf0.1, under [[literalSigMaxBits]]), registered so the path a
+    * 10⁹-vector corpus takes is hash-checked against the same oracle
+    * every round (the `q_kmeans_assign_expr` pattern). Bypasses the
+    * session memos — sharing the default query's cached index would
+    * silently serve the literal path's results. */
+  def qAnnLshExpr(spark: SparkSession, sfDir: String): DataFrame =
+    annLshImpl(spark, sfDir, forceExpr = true)
+
+  private def annLshImpl(spark: SparkSession, sfDir: String,
+      forceExpr: Boolean): DataFrame = {
     val bits = lshBits(corpusCount(spark, sfDir))
     val tables = 4
     val dim = embDim
@@ -416,16 +454,20 @@ object Similarity {
     // per-table signatures; table t uses hyperplanes
     // [t*stride, t*stride + bits)
     val sigArr = array((0 until tables).map { t =>
-      lshSignature(col("v"), bits, dim, firstPlane = t * lshPlaneStride)
+      lshSignature(col("v"), bits, dim, firstPlane = t * lshPlaneStride,
+        forceExpr = forceExpr)
     }: _*)
     // the bucketed corpus IS the LSH index — a production system
     // builds it once and probes it many times, so it lives in the
     // session working-set memo (like the minhash signature sets)
     // rather than being recomputed per probe; the fused query's
-    // second probe and repeated Verify calls hit the cache
-    val bucketed = Dedup.memoizedPersisted(spark, s"lshbuckets|$sfDir")(
-      e.select(col("vec_id"), col("v"),
-        posexplode(sigArr).as(Seq("tbl", "sig"))))
+    // second probe and repeated Verify calls hit the cache. The
+    // forced-expression verification twin computes un-memoized.
+    val bucketPlan = e.select(col("vec_id"), col("v"),
+      posexplode(sigArr).as(Seq("tbl", "sig")))
+    val bucketed =
+      if (forceExpr) bucketPlan
+      else Dedup.memoizedPersisted(spark, s"lshbuckets|$sfDir")(bucketPlan)
     // multi-probe fan: the exact bucket plus each single-bit flip —
     // bits+1 probe signatures per (query, table), built driver-side
     // from the n-derived width
@@ -448,11 +490,13 @@ object Similarity {
       .dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid"))
-    // ranked list memoized like the IVF one — see qAnnIvf
-    Dedup.memoizedPersisted(spark, s"lshlist|$sfDir")(
-      cand.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("nid"), col("rank"), col("score")))
+    // ranked list memoized like the IVF one — see annIvfImpl
+    val ranked = cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("score"))
+    (if (forceExpr) ranked
+     else Dedup.memoizedPersisted(spark, s"lshlist|$sfDir")(ranked))
       .orderBy(col("qid"), col("rank"))
   }
 
