@@ -95,6 +95,55 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("expression kernels: interpreted eval matches a driver recompute " +
+      "on random matrices") {
+    // NearestCentroid / TopCells / HyperplaneSig share the
+    // sequential-dot contract; fuzz their nullSafeEval against an
+    // independently-written recompute across random dims/k/values
+    // (the codegen paths are pinned equal to eval by their specs)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(29)
+    def seqDot(a: Array[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    for (trial <- 1 to 300) {
+      val dim = 1 + rnd.nextInt(80)
+      val k = 1 + rnd.nextInt(60)
+      val cent = IndexedSeq.fill(k)(
+        IndexedSeq.fill(dim)(rnd.nextDouble() * 4 - 2))
+      val v = Array.fill(dim)(rnd.nextDouble() * 4 - 2)
+      val arr = new GenericArrayData(v)
+      val child = Literal(1) // unused: nullSafeEval is called directly
+
+      val nc = graft.functions.NearestCentroid(child, cent.map(_.toSeq))
+        .nullSafeEval(arr).asInstanceOf[Int]
+      val d2s = cent.map(c => seqDot(v, c) * -2.0 +
+        c.foldLeft(0.0)((s, x) => s + x * x))
+      assert(nc == d2s.indexOf(d2s.min), s"trial $trial NC")
+
+      val topN = 1 + rnd.nextInt(math.min(k, 5))
+      val tc = graft.functions.TopCells(child, cent.map(_.toSeq), topN)
+        .nullSafeEval(arr).asInstanceOf[GenericArrayData]
+        .toIntArray().toSeq
+      val ips = cent.map(c => seqDot(v, c))
+      val want = ips.zipWithIndex.sortBy { case (ip, i) => (-ip, i) }
+        .take(topN).map(_._2)
+      assert(tc == want, s"trial $trial TopCells")
+
+      val bits = math.min(k, 63)
+      val hs = graft.functions.HyperplaneSig(child,
+        cent.take(bits).map(_.toSeq))
+        .nullSafeEval(arr).asInstanceOf[Long]
+      val wantSig = (0 until bits).foldLeft(0L) { (s, j) =>
+        if (seqDot(v, cent(j)) >= 0) s | (1L << j) else s
+      }
+      assert(hs == wantSig, s"trial $trial HyperplaneSig")
+    }
+  }
+
   test("int8 quantization arithmetic: bounds hold for random vectors") {
     val rnd = new scala.util.Random(13)
     for (trial <- 1 to 500) {
