@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * Scale design: brute-force top-k broadcasts the (tiny) query set
   * against the full corpus — linear scan, no shuffle of the corpus,
   * the right baseline even at 100 TB when |queries| is small. The
-  * LSH variant buckets the corpus by 16-bit random-hyperplane
-  * signatures so each query only probes its bucket — the sublinear
-  * path when |queries| ~ |corpus|.
+  * ANN paths are the sublinear story when |queries| ~ |corpus|, and
+  * their index GRANULARITY is derived from the corpus size rather
+  * than fixed: LSH buckets by [[lshBits]](n)-wide random-hyperplane
+  * signatures (expected bucket population ≈ 16 at any n, Hamming-1
+  * multi-probe for recall), IVF quantizes into [[ivfCells]](n) = ⌈√n⌉
+  * cells — so per-query probe cost tracks √n / log n instead of a
+  * fixed corpus fraction. [[qAnnRecall]] measures what "approximate"
+  * costs in recall@3 against exact ground truth.
   */
 object Similarity {
 
