@@ -24,15 +24,16 @@ import org.apache.spark.sql.functions._
   * the ⌈√n⌉ quantizer. Usage:
   *   sbt "runMain graft.tools.AnnScale [nVecs]"   # default 1000000
   *
-  * Measured (local[32], n = 1M): IVF k=1000, quantize+assign 5.6 s,
-  * max cell 4.0·√n, avg candidates/query 2326 = 0.23% of the corpus
-  * (a fixed 16-cell quantizer would probe 12.5%); LSH bits=16,
-  * 4 tables, index 2.2 s (278 s before the [[graft.functions
-  * .HyperplaneSig]] loop expression — the 1024 inlined literal
-  * doubles per table degraded codegen), mean bucket 15.5 ≈ the 16
-  * target, multi-probe candidates/query 1770 = 0.18%. Both probe
-  * fractions SHRINK as n grows — the index property the fixture
-  * constants lacked. */
+  * Measured (local[32], n = 1M): IVF k=1000, quantize+assign 5.3 s,
+  * max cell 4.3·√n, avg candidates/query 2261 = 0.23% of the corpus
+  * (a fixed 16-cell quantizer would probe 12.5%), planted-neighbor
+  * candidate recall 100/100; LSH bits=16, 4 tables, index 1.9 s
+  * (278 s before the [[graft.functions.HyperplaneSig]] loop
+  * expression — the 1024 inlined literal doubles per table degraded
+  * codegen), mean bucket 15.6 ≈ the 16 target, multi-probe
+  * candidates/query 1819 = 0.18%, planted recall 100/100. Probe
+  * fractions SHRINK as n grows while the planted near-neighbors stay
+  * retrievable — the index property the fixture constants lacked. */
 object AnnScale {
   private val dim = 64
 
@@ -43,11 +44,21 @@ object AnnScale {
     z ^ (z >>> 31)
   }
 
-  private def vecOf(id: Long): Array[Double] = {
+  /** Deterministic noise vector; ids ≡ 9 (mod 10) are a NEAR-copy of
+    * their predecessor (small perturbation, cos ≈ 0.995) — the
+    * planted neighbor whose retrievability the candidate-recall audit
+    * measures. Uniform noise has no real neighbor structure, so
+    * planted pairs are the only meaningful recall signal at scale. */
+  private def vecOf(id0: Long): Array[Double] = {
+    val planted = id0 % 10 == 9
+    val id = if (planted) id0 - 1 else id0
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) {
       v(i) = (mix((id << 8) | i) >>> 11).toDouble / (1L << 53) - 0.5
+      if (planted)
+        v(i) += ((mix((id0 << 8) | (i + 7)) >>> 11).toDouble / (1L << 53)
+          - 0.5) * 0.1
       i += 1
     }
     v
@@ -93,11 +104,22 @@ object AnnScale {
         explode(Similarity.ivfProbeCol(cent, nprobe = 2)).as("cid"))
     val ivfCand = probes.join(assigned, "cid").count()
     val ivfProbeSecs = (System.nanoTime() - t0) / 1e9
+    // candidate recall of the planted neighbors: does the near-copy's
+    // mate land in the probed cells? (100 planted queries)
+    val pProbes = assigned
+      .filter(col("vec_id") % 10 === 9 && col("vec_id") < 1000)
+      .select(col("vec_id").as("qid"),
+        explode(Similarity.ivfProbeCol(cent, nprobe = 2)).as("cid"))
+    val ivfHits = pProbes
+      .join(assigned.select(col("vec_id").as("nid"), col("cid")), "cid")
+      .filter(col("nid") === col("qid") - 1)
+      .select("qid").distinct().count()
     val sqrtN = math.sqrt(n.toDouble)
     println(f"AnnScale IVF n=$n k=$k cells=${cellSizes.length} " +
       f"maxCell=$maxCell (${maxCell / sqrtN}%.2f·sqrt(n)) " +
       f"candPerQuery=${ivfCand / nQueries} " +
       f"(${100.0 * ivfCand / nQueries / n}%.3f%% of corpus) " +
+      f"plantedRecall=${ivfHits / 100.0} " +
       f"fitAssign=$ivfSecs%.1fs probe=$ivfProbeSecs%.1fs")
     assigned.unpersist()
 
@@ -127,10 +149,19 @@ object AnnScale {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id")).distinct().count()
     val lshProbeSecs = (System.nanoTime() - t0) / 1e9
+    // planted-neighbor candidate recall through the multi-probe fan
+    val pq = bucketed
+      .filter(col("vec_id") % 10 === 9 && col("vec_id") < 1000)
+      .select(col("vec_id").as("qid"), col("tbl"),
+        explode(probeFan).as("sig"))
+    val lshHits = bucketed.join(pq, Seq("tbl", "sig"))
+      .filter(col("vec_id") === col("qid") - 1)
+      .select("qid").distinct().count()
     println(f"AnnScale LSH n=$n bits=$bits tables=$tables " +
       f"meanBucket=${occ.getDouble(0)}%.1f maxBucket=${occ.getLong(1)} " +
       f"candPerQuery=${lshCand / nQueries} " +
       f"(${100.0 * lshCand / nQueries / n}%.3f%% of corpus) " +
+      f"plantedRecall=${lshHits / 100.0} " +
       f"index=$lshSecs%.1fs probe=$lshProbeSecs%.1fs")
 
     spark.stop()
