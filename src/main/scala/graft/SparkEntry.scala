@@ -309,13 +309,12 @@ object SparkEntry {
 
   /** ANN-IVF oracle (shared with the RRF fusion oracle). The cell
     * count is n-derived — ⌈√n⌉, floor 16 ([[Similarity.ivfCells]]) —
-    * recomputed here as a scalar subquery on the same double sqrt
-    * both engines evaluate identically. */
-  private val duckAnnIvf: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |c AS (SELECT vec_id AS cid, v AS cv FROM e
-      |      WHERE vec_id < (SELECT greatest(16,
-      |        CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)),
+    * recomputed as a scalar subquery on the same double sqrt both
+    * engines evaluate identically; the literal-path twin
+    * (`q_ann_ivf_lit`) pins k = 16, the largest width the unrolled
+    * literal argmax auto-selects. */
+  private val duckAnnIvfTail: String =
+    """
       |a AS (SELECT e.vec_id, c.cid,
       |        row_number() OVER (PARTITION BY e.vec_id
       |          ORDER BY list_inner_product(e.v, c.cv) DESC, c.cid) AS rn
@@ -343,6 +342,15 @@ object SparkEntry {
       |SELECT qid, nid, rank, score FROM r
       |WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
+
+  private def duckAnnIvfWithK(kSql: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e
+      |      WHERE vec_id < $kSql),""".stripMargin + duckAnnIvfTail
+  private val duckAnnIvf: String = duckAnnIvfWithK(
+    "(SELECT greatest(16,\n" +
+      "        CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)")
+  private val duckAnnIvf16: String = duckAnnIvfWithK("16")
 
   /** RRF-fusion oracle — both ANN oracles ride along as CTEs; shared
     * by `q_ann_fused` and the recall audit. */
@@ -1029,10 +1037,12 @@ object SparkEntry {
     // bit-identical list_inner_product, so cells and ranks reproduce
     // at any n-derived cell count.
     "q_ann_ivf" -> duckAnnIvf,
-    // the forced-codegen-path twins hash-check against the SAME
-    // oracles — the point is that both paths produce identical bits
+    // the codegen-path twins: the LSH one forces the loop expression
+    // against the SAME oracle (identical bits is the point); the IVF
+    // one pins k=16 — the literal branch's own domain — so its oracle
+    // fixes the same k instead of deriving it
     "q_ann_lsh_expr" -> duckAnnLsh,
-    "q_ann_ivf_lit" -> duckAnnIvf,
+    "q_ann_ivf_lit" -> duckAnnIvf16,
     // RRF fusion of the two ANN lists: both oracles ride along as
     // CTEs, the fused score is the identically-computed double
     // Σ 1/(rank+60) (≤ 2 addends — order-free)

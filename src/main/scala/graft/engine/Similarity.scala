@@ -354,22 +354,25 @@ object Similarity {
   }
 
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
-    annIvfImpl(spark, sfDir, forceLit = false)
+    annIvfImpl(spark, sfDir, fixedK = None)
 
-  /** The same IVF retrieval FORCED through the unrolled literal
-    * struct-array argmax at the n-derived cell count — the small-k
-    * codegen branch no fixture corpus reaches on its own (⌈√n⌉ > 16
-    * at every SF), registered so BOTH paths stay hash-checked against
-    * the one oracle every round, mirroring `q_kmeans_assign` /
-    * `q_kmeans_assign_expr`. Bypasses the session memos — sharing the
-    * default query's cached index would silently serve the OTHER
-    * path's results. */
+  /** The IVF retrieval at a FIXED 16-cell quantizer — the
+    * configuration where the unrolled literal argmax is the
+    * auto-selected codegen path (k ≤ [[literalArgminMaxK]]), which
+    * the n-derived cell counts skip at every fixture SF (⌈√n⌉ > 16).
+    * Registered so the literal branch stays hash-checked IN ITS OWN
+    * DOMAIN every round (small k — forcing it at ⌈√n⌉ would compile
+    * thousands of inlined literals to verify a configuration
+    * production can never select). Bypasses the session memos —
+    * sharing the default query's cached ⌈√n⌉-cell index would serve
+    * the wrong quantizer's results. */
   def qAnnIvfLit(spark: SparkSession, sfDir: String): DataFrame =
-    annIvfImpl(spark, sfDir, forceLit = true)
+    annIvfImpl(spark, sfDir, fixedK = Some(literalArgminMaxK))
 
   private def annIvfImpl(spark: SparkSession, sfDir: String,
-      forceLit: Boolean): DataFrame = {
+      fixedK: Option[Int]): DataFrame = {
     val nprobe = 2
+    val forceLit = fixedK.isDefined
     val e = corpus(spark, sfDir)
     val k = ivfCells(corpusCount(spark, sfDir))
     // The coarse quantizer is driver-resident, as in any real IVF
@@ -378,7 +381,12 @@ object Similarity {
     // argmax — the corpus never shuffles and no window is involved,
     // vs. the join+window formulation which exchanges |corpus|×k rows
     // twice. Ties break to the lowest cid on both codegen paths.
-    val cent = ivfCentroids(spark, sfDir, e, k)
+    // The fixed-k twin takes a PREFIX of the memoized quantizer
+    // (centroids are the first-k corpus vectors sorted by vec_id and
+    // ivfCells floors at 16, so first-16 is always a prefix) — the
+    // memo stays keyed by corpus alone.
+    val cent = fixedK.fold(ivfCentroids(spark, sfDir, e, k))(fk =>
+      ivfCentroids(spark, sfDir, e, k).take(fk))
     // the cell-assigned corpus IS the IVF index — session-memoized
     // like the LSH buckets (the coarse quantizer is deterministic, so
     // the assignment is a pure function of the corpus). The forced-
@@ -691,18 +699,6 @@ object Similarity {
     val k = semdedupCells(corpusCount(spark, sfDir))
     semdedupKeepWithCentroids(e, threshold = 0.4,
       kmeansCentroidsCached(spark, sfDir, k, iters = 3, e))
-  }
-
-  /** [[qSemdedupKeep]] over an arbitrary (vec_id, v) corpus — the
-    * seam [[graft.tools.SemScale]] drives at synthetic scale.
-    * `knownN` skips the sizing count job when the caller already
-    * holds the cardinality (the fixture path memoizes it). */
-  private[graft] def semdedupKeepFrom(e: DataFrame,
-      threshold: Double, knownN: Option[Long] = None): DataFrame = {
-    val n = knownN.getOrElse(e.count())
-    val k = semdedupCells(n)
-    semdedupKeepWithCentroids(e, threshold,
-      kmeansCentroidsFrom(e, k, iters = 3))
   }
 
   /** The keep-list given already-fit centroids — lets a caller that

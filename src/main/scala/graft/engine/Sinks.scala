@@ -256,7 +256,11 @@ object Sinks {
     val leftovers = dataFilesIn(fs, staging)
       .filter(f => absorbed(f.getPath.getName))
     leftovers.foreach(f => fs.delete(f.getPath, false))
-    if (leftovers.nonEmpty) deleteDirIfDrained(fs, staging)
+    // ALWAYS attempt the dir removal (it no-ops while data files
+    // remain): a prior drain that deleted the files but crashed
+    // before the rmdir leaves a marker-only dir this pass would
+    // otherwise never touch
+    deleteDirIfDrained(fs, staging)
   }
 
   /** Rewrite exactly `srcFiles` into one ≈`targetFileBytes`-sized file
@@ -444,7 +448,9 @@ object Sinks {
       // re-merging would duplicate rows
       if (graceOver) {
         stagingAll.foreach(f => fs.delete(f.getPath, false))
-        if (stagingAll.nonEmpty) deleteDirIfDrained(fs, staging)
+        // unconditional: a marker-only dir left by a crashed prior
+        // drain must still be removed (no-op while data files remain)
+        deleteDirIfDrained(fs, staging)
         if (isCompactDir(curDir)) sweepStaleCompactSiblings(fs, curDir)
       }
       return false

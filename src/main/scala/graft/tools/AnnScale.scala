@@ -105,9 +105,13 @@ object AnnScale {
     val ivfCand = probes.join(assigned, "cid").count()
     val ivfProbeSecs = (System.nanoTime() - t0) / 1e9
     // candidate recall of the planted neighbors: does the near-copy's
-    // mate land in the probed cells? (100 planted queries)
+    // mate land in the probed cells? Query window and denominator
+    // both scale with n (ids ≡ 9 mod 10 below the cap — exactly
+    // cap/10 queries), so small CLI corpora report true fractions
+    val plantedCap = math.min(n, 10L * nQueries)
+    val nPlanted = (plantedCap / 10).toDouble
     val pProbes = assigned
-      .filter(col("vec_id") % 10 === 9 && col("vec_id") < 1000)
+      .filter(col("vec_id") % 10 === 9 && col("vec_id") < plantedCap)
       .select(col("vec_id").as("qid"),
         explode(Similarity.ivfProbeCol(cent, nprobe = 2)).as("cid"))
     val ivfHits = pProbes
@@ -119,7 +123,7 @@ object AnnScale {
       f"maxCell=$maxCell (${maxCell / sqrtN}%.2f·sqrt(n)) " +
       f"candPerQuery=${ivfCand / nQueries} " +
       f"(${100.0 * ivfCand / nQueries / n}%.3f%% of corpus) " +
-      f"plantedRecall=${ivfHits / 100.0} " +
+      f"plantedRecall=${ivfHits / nPlanted}%.2f " +
       f"fitAssign=$ivfSecs%.1fs probe=$ivfProbeSecs%.1fs")
     assigned.unpersist()
 
@@ -150,8 +154,9 @@ object AnnScale {
       .select(col("qid"), col("vec_id")).distinct().count()
     val lshProbeSecs = (System.nanoTime() - t0) / 1e9
     // planted-neighbor candidate recall through the multi-probe fan
+    // (same n-scaled query window/denominator as the IVF audit)
     val pq = bucketed
-      .filter(col("vec_id") % 10 === 9 && col("vec_id") < 1000)
+      .filter(col("vec_id") % 10 === 9 && col("vec_id") < plantedCap)
       .select(col("vec_id").as("qid"), col("tbl"),
         explode(probeFan).as("sig"))
     val lshHits = bucketed.join(pq, Seq("tbl", "sig"))
@@ -161,7 +166,7 @@ object AnnScale {
       f"meanBucket=${occ.getDouble(0)}%.1f maxBucket=${occ.getLong(1)} " +
       f"candPerQuery=${lshCand / nQueries} " +
       f"(${100.0 * lshCand / nQueries / n}%.3f%% of corpus) " +
-      f"plantedRecall=${lshHits / 100.0} " +
+      f"plantedRecall=${lshHits / nPlanted}%.2f " +
       f"index=$lshSecs%.1fs probe=$lshProbeSecs%.1fs")
 
     spark.stop()

@@ -86,11 +86,19 @@ object StreamScale {
   private def writeDocs(spark: SparkSession, n: Long, files: Int,
       dir: String): Unit = {
     import spark.implicits._
+    // TIME-SLICED files (range partition on event time, ascending
+    // part numbers = ascending time): the file source feeds batches
+    // in path order, so the watermark advances once per micro-batch.
+    // A round-robin split would put the full time range in EVERY
+    // file — the first batch would drag the watermark to ~max and
+    // the stateful operators would drop the later batches as late,
+    // measuring row-dropping instead of state work.
     spark.range(n).map { id =>
       (id, textOf(id),
         new java.sql.Timestamp(1617171780000L + id * 3))
     }.toDF("doc_id", "text", "event_time")
-      .repartition(files)
+      .repartitionByRange(files, org.apache.spark.sql.functions
+        .col("event_time"))
       .write.mode("overwrite").json(dir)
   }
 
@@ -102,11 +110,13 @@ object StreamScale {
   private def writeEvents(spark: SparkSession, n: Long, files: Int,
       dir: String, lagMs: Long): Unit = {
     import spark.implicits._
+    // time-sliced like writeDocs — see the ordering comment there
     spark.range(n).map { id =>
       (s"u${id % 50000}", (id % 9 + 1).toInt,
         1617171780000L + id * 2 + lagMs)
     }.toDF("uuid", "ad_type", "timestamp")
-      .repartition(files)
+      .repartitionByRange(files, org.apache.spark.sql.functions
+        .col("timestamp"))
       .write.mode("overwrite").json(dir)
   }
 
