@@ -248,6 +248,16 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(part).exists(), "aged staging not drained")
     assert(spark.table(table).select("id", "uuid")
       .as[(Long, String)].collect().toSet == before)
+    // a MARKER-ONLY staging dir (a prior drain deleted the data files
+    // but crashed before the rmdir) must also be removed — the drain
+    // may not gate the dir removal on having deleted files itself
+    val markerDir = new java.io.File(part)
+    markerDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(part, "_SUCCESS"), Array.empty[Byte])
+    assert(Sinks.compactTablePartition(spark, table, spec,
+      retentionMs = grace) == ((1, 1)))
+    assert(!markerDir.exists(), "marker-only staging dir leaked")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
