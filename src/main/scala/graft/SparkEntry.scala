@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{Dedup, Ingest, Multimodal, Relational, Similarity, TextOps}
+import graft.engine.{Dedup, Ingest, Multimodal, Relational, Similarity, Tables, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -97,13 +97,15 @@ object SparkEntry {
     // §2.9 north-star: embedding similarity
     "q_cosine_topk" -> Similarity.qCosineTopK _,
     "q_embed_neardup" -> Similarity.qEmbedNearDup _,
-    "q_ann_lsh" -> Similarity.qAnnLsh _,
+    "q_ann_lsh" -> ((s, d) => { lshOracleGuard(s, d)
+      Similarity.qAnnLsh(s, d) }),
     "q_ann_ivf" -> Similarity.qAnnIvf _,
     // one oracle, both codegen paths per index (the q_kmeans_assign
     // pattern): the LSH twin forces the loop-expression signature the
     // fixture widths don't reach; the IVF twin forces the literal
     // argmax the n-derived cell counts skip
-    "q_ann_lsh_expr" -> Similarity.qAnnLshExpr _,
+    "q_ann_lsh_expr" -> ((s, d) => { lshOracleGuard(s, d)
+      Similarity.qAnnLshExpr(s, d) }),
     "q_ann_ivf_lit" -> Similarity.qAnnIvfLit _,
     // reciprocal-rank fusion of the two ANN lists
     "q_ann_fused" -> Similarity.qAnnFused _,
@@ -261,9 +263,27 @@ object SparkEntry {
     * `oracleMaxBits` planes per table and gates each bit on j < bits;
     * 24 embedded planes cover corpora to 16·2²⁴ ≈ 268M vectors, and
     * this GENERATED text regrows mechanically beyond that. */
+  /** Hyperplanes embedded per table in [[duckAnnLsh]] — covers corpora
+    * to 16·2²⁴ ≈ 268M vectors; [[lshOracleGuard]] fails fast (with the
+    * regrow instruction) if a fixture ever outgrows it, instead of the
+    * oracle silently truncating signatures into an opaque hash
+    * mismatch. */
+  private val lshOracleMaxBits = 24
+
+  /** Verify-time guard tying the oracle's embedded plane count to the
+    * Scala-side width knob [[Similarity.lshBits]]. */
+  private def lshOracleGuard(s: SparkSession, dir: String): Unit = {
+    val n = Tables.memoizedCount(s, dir, "embeddings")
+    val bits = Similarity.lshBits(n)
+    require(bits <= lshOracleMaxBits,
+      s"lshBits($n) = $bits exceeds the $lshOracleMaxBits hyperplanes " +
+        "embedded per table in the duckAnnLsh oracle - regrow the " +
+        "generated plane list (SparkEntry.lshOracleMaxBits)")
+  }
+
   private val duckAnnLsh: String = {
-    val oracleMaxBits = 24
-    val tables = 4
+    val oracleMaxBits = lshOracleMaxBits
+    val tables = Similarity.lshTables
     val dim = 64
     val stride = graft.engine.Similarity.lshPlaneStride
     def planeLit(j: Int): String =
@@ -350,7 +370,10 @@ object SparkEntry {
   private val duckAnnIvf: String = duckAnnIvfWithK(
     "(SELECT greatest(16,\n" +
       "        CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)")
-  private val duckAnnIvf16: String = duckAnnIvfWithK("16")
+  // interpolated from the Scala knob, NOT hardcoded: retuning
+  // literalArgminMaxK must move the oracle with the qAnnIvfLit twin
+  private val duckAnnIvf16: String =
+    duckAnnIvfWithK(Similarity.literalArgminMaxK.toString)
 
   /** RRF-fusion oracle — both ANN oracles ride along as CTEs; shared
     * by `q_ann_fused` and the recall audit. */

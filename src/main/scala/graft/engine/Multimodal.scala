@@ -373,7 +373,9 @@ object Multimodal {
     var sawMovi = false
     while (off + 8 <= avi.length) {
       val size = rdLe32(avi, off + 4)
-      if (size < 0 || off + 8 + size > avi.length) return None
+      // Long arithmetic: a corrupt size near Int.MaxValue must fail the
+      // bound, not wrap negative and index past the array.
+      if (size < 0 || off.toLong + 8L + size > avi.length) return None
       if (isFourcc(avi, off, "LIST")) {
         if (size < 4) return None
         if (isFourcc(avi, off + 8, "movi")) {
@@ -382,7 +384,7 @@ object Multimodal {
           val end = off + 8 + size
           while (p + 8 <= end) {
             val fsize = rdLe32(avi, p + 4)
-            if (fsize < 0 || p + 8 + fsize > end) return None
+            if (fsize < 0 || p.toLong + 8L + fsize > end) return None
             if (isFourcc(avi, p, "00dc")) {
               decodePng(docId,
                 java.util.Arrays.copyOfRange(avi, p + 8, p + 8 + fsize))

@@ -96,8 +96,13 @@ object Similarity {
     * DuckDB oracle composes the same CTEs and the recall numbers
     * hash-check exactly. */
   def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = exactTopK(corpus(spark, sfDir), maxQid = 50, k = 3)
-      .select(col("qid"), col("nid"))
+    // the exact truth list joins the session working sets like the
+    // ranked ANN lists do — it is a pure function of the corpus, and
+    // without the memo every audit run re-paid the full brute-force
+    // scan (the single most expensive stage of the query)
+    val truth = Dedup.memoizedPersisted(spark, s"truthlist|$sfDir")(
+      exactTopK(corpus(spark, sfDir), maxQid = 50, k = 3)
+        .select(col("qid"), col("nid")))
     // each ANN list is ≤ 3·|queries| rows — broadcast EXPLICITLY: the
     // memoized lists carry no stats before materialization, so the
     // planner's initial pick is a sort-merge join that would shuffle
@@ -232,7 +237,7 @@ object Similarity {
           org.apache.spark.sql.GraftBridge.expression(v),
           (0 until bits).map(j => planeVals(firstPlane + j, dim))))
 
-  /** ANN top-k via MULTI-PROBE random-hyperplane LSH, 4 hash tables ×
+  /** ANN top-k via MULTI-PROBE random-hyperplane LSH, [[lshTables]] ×
     * [[lshBits]](n) bits: the corpus is bucketed by (table,
     * signature); each query probes its own bucket plus every bucket
     * at Hamming distance 1 in every table (Lv et al., "Multi-Probe
@@ -444,6 +449,30 @@ object Similarity {
     * [[lshBits]]. */
   private[graft] val lshPlaneStride = 64
 
+  /** LSH table count — the RECALL knob that does not grow per-bucket
+    * cost: each table is an independent draw of [[lshBits]](n) planes
+    * (the 64-plane stride guarantees disjoint plane sets), so a
+    * neighbor missed by one table's split is caught by another, and
+    * the per-neighbor miss probability decays geometrically in the
+    * table count while candidate volume grows only linearly
+    * (tables · (bits+1) · targetBucket per query — 0.36% of a
+    * 1M-vector corpus at 8 tables, measured by
+    * [[graft.tools.AnnScale]]). 4→8 lifted measured recall@3 at sf0.1
+    * from 0.58 to ≥ the 0.75 bar (BASELINE.md). */
+  private[graft] val lshTables = 8
+
+  /** Multi-probe fan over a bucket signature: the exact bucket plus
+    * each single-bit flip — bits+1 probe signatures per (query,
+    * table), built driver-side from the n-derived width (Lv et al.,
+    * "Multi-Probe LSH", VLDB'07). Shared by the retrieval path and
+    * the scale harness so the measured probe fraction is the shipped
+    * fan. */
+  private[graft] def lshProbeFan(bits: Int): Column =
+    array((0 to bits).map { j =>
+      if (j == 0) col("sig")
+      else col("sig").bitwiseXOR(lit(1L << (j - 1)))
+    }: _*)
+
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame =
     annLshImpl(spark, sfDir, forceExpr = false)
 
@@ -461,7 +490,7 @@ object Similarity {
   private def annLshImpl(spark: SparkSession, sfDir: String,
       forceExpr: Boolean): DataFrame = {
     val bits = lshBits(corpusCount(spark, sfDir))
-    val tables = 4
+    val tables = lshTables
     val dim = embDim
     val e = corpus(spark, sfDir)
     // per-table signatures; table t uses hyperplanes
@@ -481,13 +510,7 @@ object Similarity {
     val bucketed =
       if (forceExpr) bucketPlan
       else Dedup.memoizedPersisted(spark, s"lshbuckets|$sfDir")(bucketPlan)
-    // multi-probe fan: the exact bucket plus each single-bit flip —
-    // bits+1 probe signatures per (query, table), built driver-side
-    // from the n-derived width
-    val probeFan = array((0 to bits).map { j =>
-      if (j == 0) col("sig")
-      else col("sig").bitwiseXOR(lit(1L << (j - 1)))
-    }: _*)
+    val probeFan = lshProbeFan(bits)
     val q = bucketed.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("tbl"), explode(probeFan).as("sig"))

@@ -127,9 +127,11 @@ object AnnScale {
       f"fitAssign=$ivfSecs%.1fs probe=$ivfProbeSecs%.1fs")
     assigned.unpersist()
 
-    // ---- LSH: n-derived width, 4 tables, Hamming-1 multi-probe
+    // ---- LSH: n-derived width, shared table count, Hamming-1
+    // multi-probe — the knobs are the SHIPPED ones (Similarity.lshTables
+    // / lshProbeFan), so the measured probe fraction is the real fan
     val bits = Similarity.lshBits(n)
-    val tables = 4
+    val tables = Similarity.lshTables
     t0 = System.nanoTime()
     val sigArr = array((0 until tables).map { t =>
       Similarity.lshSignature(col("v"), bits, dim,
@@ -142,10 +144,7 @@ object AnnScale {
       .agg(avg("count"), max("count")).head()
     val lshSecs = (System.nanoTime() - t0) / 1e9
     t0 = System.nanoTime()
-    val probeFan = array((0 to bits).map { j =>
-      if (j == 0) col("sig")
-      else col("sig").bitwiseXOR(lit(1L << (j - 1)))
-    }: _*)
+    val probeFan = Similarity.lshProbeFan(bits)
     val q = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("tbl"),
         explode(probeFan).as("sig"))

@@ -7,18 +7,17 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.show(3, truncate = false)
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     import org.apache.spark.sql.functions._
-    ev.select(unix_timestamp(col("ts")).as("sec"),
-      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("s")).show(3)
+    val r = graft.engine.Similarity.qAnnRecall(spark, dir)
+    r.agg(avg("recall_lsh"), avg("recall_ivf"), avg("recall_fused"))
+      .show(false)
     spark.stop()
   }
 }

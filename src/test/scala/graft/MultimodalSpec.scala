@@ -158,6 +158,26 @@ class MultimodalSpec extends SparkSpec {
     val ok = Multimodal.videoFromBytes(Array.fill(10)(1.toByte))
     assert(Multimodal.decodeVideo(5L, ok.dropRight(1)).isEmpty)
     assert(Multimodal.decodeVideo(6L, ok ++ Array[Byte](0, 0)).isEmpty)
+    // declared chunk sizes near Int.MaxValue: the bound check must run
+    // in Long (off + 8 + size would wrap negative in Int and pass the
+    // guard, then index the array at a negative offset) → None
+    def patchLe32(a: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val b = a.clone()
+      b(off) = (v & 0xFF).toByte
+      b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte
+      b(off + 3) = ((v >> 24) & 0xFF).toByte
+      b
+    }
+    // top-level: the hdrl LIST header sits at offset 12, size at 16
+    assert(new String(ok.slice(12, 16), "US-ASCII") == "LIST")
+    assert(Multimodal.decodeVideo(7L,
+      patchLe32(ok, 16, Int.MaxValue - 7)).isEmpty)
+    // frame-level: first 00dc chunk inside movi, size right after it
+    val dc = ok.indices.find(i => i + 4 <= ok.length &&
+      new String(ok.slice(i, i + 4), "US-ASCII") == "00dc").get
+    assert(Multimodal.decodeVideo(8L,
+      patchLe32(ok, dc + 4, Int.MaxValue - 7)).isEmpty)
   }
 
   test("binaryFile source: one row per file, typed media, exact bytes") {
