@@ -129,8 +129,18 @@ object Bench {
     val total =
       if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The stdout line carries MEDIANS ONLY — the per-sample arrays
+    // made it long enough that artifact capture truncated it mid-JSON
+    // (machine-unreadable two rounds running). The full sample matrix
+    // still matters for diagnosing contaminated passes, so it goes to
+    // a sidecar file instead, and the stdout line names it.
+    val samplesFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES",
+      "bench_samples.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(samplesFile),
+      s"""{"reps":$reps,"sf":"$sfDir","samples":$sjson}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$qjson,"samples":$sjson,"failed":$failedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$qjson,"failed":$failedJson,"samples_file":"$samplesFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

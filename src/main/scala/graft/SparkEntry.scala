@@ -107,11 +107,21 @@ object SparkEntry {
     "q_ann_lsh_expr" -> ((s, d) => { lshOracleGuard(s, d)
       Similarity.qAnnLshExpr(s, d) }),
     "q_ann_ivf_lit" -> Similarity.qAnnIvfLit _,
-    // reciprocal-rank fusion of the two ANN lists
-    "q_ann_fused" -> Similarity.qAnnFused _,
+    // rows-only by design (the Lloyd-fitted quantizer is an iterative
+    // fixpoint, no SQL oracle — the q_embed_cluster precedent; the
+    // spec re-derives the full ranked list driver-side instead)
+    "q_ann_ivf_km" -> Similarity.qAnnIvfKm _,
+    // reciprocal-rank fusion of the two ANN lists — duckAnnLsh rides
+    // inside this oracle (and the recall audit's) as a CTE, so both
+    // carry the same width guard as the direct LSH queries: past the
+    // embedded plane count they must fail fast with the regrow
+    // instruction, not silently hash-mismatch
+    "q_ann_fused" -> ((s, d) => { lshOracleGuard(s, d)
+      Similarity.qAnnFused(s, d) }),
     // recall@3 of all three ANN paths vs exact ground truth — the
     // metric that makes "approximate" a measured claim
-    "q_ann_recall" -> Similarity.qAnnRecall _,
+    "q_ann_recall" -> ((s, d) => { lshOracleGuard(s, d)
+      Similarity.qAnnRecall(s, d) }),
     // per-label centroids — the oracle for the decimal vector-mean
     // arithmetic the (rows-only) k-means fixpoint reuses
     "q_label_centroids" -> Similarity.qLabelCentroids _,

@@ -205,13 +205,14 @@ object Dedup {
     * happens OUTSIDE the lock (analysis + file listing can take
     * seconds on remote storage); a lost race costs one redundant
     * plan build, first-put wins. */
-  // sized for TWO concurrent sfDirs' full working sets (9 keys each:
+  // sized for TWO concurrent sfDirs' full working sets (12 keys each:
   // sigs, bench shingles, tfidf-tf, unigram-tf, hh summary, LSH
-  // buckets, IVF cells, and the two ranked ANN lists) — below that,
-  // every access would evict a still-hot corpus-scale entry and
-  // silently recompute it per query. MemoPolicySpec pins the
-  // eviction/unpersist contract against this cap.
-  private[engine] val sigSetMemoCap = 18
+  // buckets + ranked list, IVF cells + ranked list for BOTH
+  // quantizers, and the recall truth list) — below that, every access
+  // would evict a still-hot corpus-scale entry and silently recompute
+  // it per query. MemoPolicySpec pins the eviction/unpersist contract
+  // against this cap.
+  private[engine] val sigSetMemoCap = 24
   private val sigSetMemo =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String),
       DataFrame]

@@ -95,13 +95,21 @@ object Similarity {
     * recall = |hits|/3. All four inputs are deterministic, so the
     * DuckDB oracle composes the same CTEs and the recall numbers
     * hash-check exactly. */
+  /** The recall audit's window: queries = vec_id < 50 (the ANN
+    * queries' shared query-set contract) at recall@3 — named so the
+    * truth-list memo key can encode them. */
+  private val recallMaxQid = 50L
+  private val recallK = 3
+
   def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
     // the exact truth list joins the session working sets like the
-    // ranked ANN lists do — it is a pure function of the corpus, and
-    // without the memo every audit run re-paid the full brute-force
-    // scan (the single most expensive stage of the query)
-    val truth = Dedup.memoizedPersisted(spark, s"truthlist|$sfDir")(
-      exactTopK(corpus(spark, sfDir), maxQid = 50, k = 3)
+    // ranked ANN lists do — it is a pure function of the corpus AND
+    // the (maxQid, k) audit window, so both parameters ride in the
+    // memo key: a future caller with a different window must miss,
+    // not be served a stale list
+    val truth = Dedup.memoizedPersisted(spark,
+      s"truthlist|$sfDir|q$recallMaxQid|k$recallK")(
+      exactTopK(corpus(spark, sfDir), maxQid = recallMaxQid, k = recallK)
         .select(col("qid"), col("nid")))
     // each ANN list is ≤ 3·|queries| rows — broadcast EXPLICITLY: the
     // memoized lists carry no stats before materialization, so the
@@ -114,9 +122,12 @@ object Similarity {
       .join(flag(qAnnIvf(spark, sfDir), "hi"), Seq("qid", "nid"), "left")
       .join(flag(qAnnFused(spark, sfDir), "hf"), Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
-      .agg((sum(coalesce(col("hl"), lit(0L))) / 3.0).as("recall_lsh"),
-        (sum(coalesce(col("hi"), lit(0L))) / 3.0).as("recall_ivf"),
-        (sum(coalesce(col("hf"), lit(0L))) / 3.0).as("recall_fused"))
+      .agg((sum(coalesce(col("hl"), lit(0L))) / recallK.toDouble)
+          .as("recall_lsh"),
+        (sum(coalesce(col("hi"), lit(0L))) / recallK.toDouble)
+          .as("recall_ivf"),
+        (sum(coalesce(col("hf"), lit(0L))) / recallK.toDouble)
+          .as("recall_fused"))
       .orderBy(col("qid"))
   }
 
@@ -304,16 +315,17 @@ object Similarity {
     * independent of k. Both paths: strict sequential double dots,
     * interchangeable row-for-row. */
   private[graft] def ivfCellCol(cent: IndexedSeq[(Long, IndexedSeq[Double])],
-      forceExpr: Boolean = false, forceLit: Boolean = false): Column =
+      forceExpr: Boolean = false, forceLit: Boolean = false,
+      v: Column = col("v")): Column =
     if (forceLit || (!forceExpr && cent.length <= literalArgminMaxK))
       -array_max(array(cent.map { case (cid, cv) =>
-        struct(dot(col("v"), typedLit(cv)).as("ip"), lit(-cid).as("ncid"))
+        struct(dot(v, typedLit(cv)).as("ip"), lit(-cid).as("ncid"))
       }: _*)).getField("ncid")
     else
       cellIdOf(cent.map(_._1),
         element_at(org.apache.spark.sql.GraftBridge.column(
           graft.functions.TopCells(
-            org.apache.spark.sql.GraftBridge.expression(col("v")),
+            org.apache.spark.sql.GraftBridge.expression(v),
             cent.map(_._2.toSeq), 1)), 1))
 
   /** Query-side IVF probe: the `nprobe` best cells by inner product,
@@ -321,19 +333,38 @@ object Similarity {
     * [[ivfCellCol]]. */
   private[graft] def ivfProbeCol(cent: IndexedSeq[(Long, IndexedSeq[Double])],
       nprobe: Int, forceExpr: Boolean = false,
-      forceLit: Boolean = false): Column =
+      forceLit: Boolean = false, v: Column = col("v")): Column =
     if (forceLit || (!forceExpr && cent.length <= literalArgminMaxK))
       transform(
         slice(reverse(sort_array(array(cent.map { case (cid, cv) =>
-          struct(dot(col("v"), typedLit(cv)).as("ip"), lit(-cid).as("ncid"))
+          struct(dot(v, typedLit(cv)).as("ip"), lit(-cid).as("ncid"))
         }: _*))), 1, nprobe),
         s => -s.getField("ncid"))
     else
       transform(org.apache.spark.sql.GraftBridge.column(
         graft.functions.TopCells(
-          org.apache.spark.sql.GraftBridge.expression(col("v")),
+          org.apache.spark.sql.GraftBridge.expression(v),
           cent.map(_._2.toSeq), nprobe)),
         idx => cellIdOf(cent.map(_._1), idx))
+
+  /** The constant-coordinate reduction that lets the INNER-PRODUCT
+    * argmax machinery ([[ivfCellCol]]/[[ivfProbeCol]]/`TopCells`)
+    * compute a SQUARED-DISTANCE argmin unchanged: with x' = [x, 1]
+    * and c' = [c, −|c|²/2], x'·c' = x·c − |c|²/2, and
+    * argmin_c |x−c|² = argmax_c (x·c − |c|²/2) since the |x|² term is
+    * shared. Both tie rules (IP argmax → lowest cid, L2 argmin →
+    * lowest cid) coincide under the reduction. Cell ids are the
+    * centroid INDEXES (Lloyd centroids are synthetic means, not
+    * corpus rows, so there is no vec_id to borrow). */
+  private[graft] def augmentCentroids(cent: IndexedSeq[IndexedSeq[Double]])
+      : IndexedSeq[(Long, IndexedSeq[Double])] =
+    cent.zipWithIndex.map { case (cv, i) =>
+      (i.toLong, cv :+ (-0.5 * cv.map(x => x * x).sum))
+    }
+
+  /** The vector side of [[augmentCentroids]]'s reduction. */
+  private[graft] def augmentVec(v: Column): Column =
+    concat(v, array(lit(1.0)))
 
   /** The deterministic first-⌈√n⌉-vectors coarse quantizer, memoized
     * per (session, sfDir). */
@@ -376,7 +407,6 @@ object Similarity {
 
   private def annIvfImpl(spark: SparkSession, sfDir: String,
       fixedK: Option[Int]): DataFrame = {
-    val nprobe = 2
     val forceLit = fixedK.isDefined
     val e = corpus(spark, sfDir)
     val k = ivfCells(corpusCount(spark, sfDir))
@@ -392,19 +422,58 @@ object Similarity {
     // memo stays keyed by corpus alone.
     val cent = fixedK.fold(ivfCentroids(spark, sfDir, e, k))(fk =>
       ivfCentroids(spark, sfDir, e, k).take(fk))
+    annIvfRank(spark, e, cent, forceLit = forceLit,
+      memoSuffix = if (forceLit) None else Some(s"|$sfDir"))
+  }
+
+  /** IVF with the coarse quantizer LLOYD-FITTED by the shared k-means
+    * machinery ([[kmeansCentroidsCached]], 3 iterations, k = ⌈√n⌉) —
+    * the production quantizer next to [[qAnnIvf]]'s deterministic
+    * first-k seeding. First-k keeps the relational oracle (centroids
+    * are corpus rows DuckDB can select); its price, measured by
+    * [[graft.tools.AnnScale]], is quantizer skew — the max cell ran
+    * 4.26·√n at 1M vectors because the first ⌈√n⌉ vectors are an
+    * arbitrary, unfitted codebook. Fitting the same cell count with
+    * Lloyd balances the cells (the per-query probe cost constant)
+    * while the ENTIRE retrieval dataflow — assignment expression,
+    * probe fan, candidate equi-join, cosine re-rank — is shared code:
+    * the [[augmentCentroids]] reduction routes the L2 argmin through
+    * the same `TopCells` inner-product machinery. The Lloyd fixpoint
+    * is iterative (no SQL oracle — the `q_embed_cluster` precedent),
+    * so this registers rows-only and [[SimilaritySpec]] re-derives
+    * the full ranked list driver-side and asserts exact equality. */
+  def qAnnIvfKm(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = corpus(spark, sfDir)
+    val k = ivfCells(corpusCount(spark, sfDir))
+    val cent = augmentCentroids(
+      kmeansCentroidsCached(spark, sfDir, k, iters = 3, e))
+    annIvfRank(spark, e, cent, forceLit = false,
+      memoSuffix = Some(s"km|$sfDir"), vec = augmentVec(col("v")))
+  }
+
+  /** The shared IVF retrieval tail: assign every corpus vector to its
+    * cell, probe each query's 2 best cells, exact-cosine re-rank the
+    * candidate union to top-3. `vec` is the ASSIGNMENT-SPACE vector
+    * (raw for inner-product cells, [[augmentVec]]'d for L2 cells);
+    * scoring always uses the raw vectors. `memoSuffix = None` runs
+    * un-memoized (the forced-literal verification twin). */
+  private def annIvfRank(spark: SparkSession, e: DataFrame,
+      cent: IndexedSeq[(Long, IndexedSeq[Double])], forceLit: Boolean,
+      memoSuffix: Option[String], vec: Column = col("v")): DataFrame = {
+    val nprobe = 2
     // the cell-assigned corpus IS the IVF index — session-memoized
     // like the LSH buckets (the coarse quantizer is deterministic, so
     // the assignment is a pure function of the corpus). The forced-
     // literal verification twin computes un-memoized.
     val assignPlan =
       e.select(col("vec_id"), col("v"),
-        ivfCellCol(cent, forceLit = forceLit).as("cid"))
-    val assigned =
-      if (forceLit) assignPlan
-      else Dedup.memoizedPersisted(spark, s"ivfassigned|$sfDir")(assignPlan)
+        ivfCellCol(cent, forceLit = forceLit, v = vec).as("cid"))
+    val assigned = memoSuffix.fold(assignPlan)(sfx =>
+      Dedup.memoizedPersisted(spark, s"ivfassigned$sfx")(assignPlan))
     val probes = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(ivfProbeCol(cent, nprobe, forceLit = forceLit)).as("cid"))
+        explode(ivfProbeCol(cent, nprobe, forceLit = forceLit, v = vec))
+          .as("cid"))
     // each corpus vector lives in exactly one cell → (qid, nid) unique
     val cand = broadcast(probes).join(assigned, "cid")
       .filter(col("vec_id") =!= col("qid"))
@@ -420,8 +489,8 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("nid"), col("rank"), col("score"))
-    (if (forceLit) ranked
-     else Dedup.memoizedPersisted(spark, s"ivflist|$sfDir")(ranked))
+    memoSuffix.fold(ranked)(sfx =>
+      Dedup.memoizedPersisted(spark, s"ivflist$sfx")(ranked))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -466,11 +535,14 @@ object Similarity {
     * table), built driver-side from the n-derived width (Lv et al.,
     * "Multi-Probe LSH", VLDB'07). Shared by the retrieval path and
     * the scale harness so the measured probe fraction is the shipped
-    * fan. */
-  private[graft] def lshProbeFan(bits: Int): Column =
+    * fan. `sig` is the signature column to fan over; the default
+    * reads a column literally named `sig` (the bucketed-index layout
+    * both callers produce) — pass the column explicitly from any
+    * frame that names it differently. */
+  private[graft] def lshProbeFan(bits: Int, sig: Column = col("sig")): Column =
     array((0 to bits).map { j =>
-      if (j == 0) col("sig")
-      else col("sig").bitwiseXOR(lit(1L << (j - 1)))
+      if (j == 0) sig
+      else sig.bitwiseXOR(lit(1L << (j - 1)))
     }: _*)
 
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame =

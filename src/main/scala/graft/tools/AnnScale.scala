@@ -127,6 +127,46 @@ object AnnScale {
       f"fitAssign=$ivfSecs%.1fs probe=$ivfProbeSecs%.1fs")
     assigned.unpersist()
 
+    // ---- IVF-KM: the same ⌈√n⌉ cells LLOYD-FITTED (the shipped
+    // qAnnIvfKm quantizer — kmeansCentroidsFrom, 3 iterations, L2
+    // assignment via the augmentCentroids reduction through the same
+    // TopCells path). The first-k audit above measures the oracle
+    // quantizer's skew; this one measures what fitting buys back.
+    t0 = System.nanoTime()
+    val centKm = Similarity.augmentCentroids(
+      Similarity.kmeansCentroidsFrom(
+        e.select(col("vec_id"), col("v")), k, iters = 3))
+    val va = Similarity.augmentVec(col("v"))
+    val assignedKm = e.select(col("vec_id"), col("v"),
+        Similarity.ivfCellCol(centKm, v = va).as("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellSizesKm = assignedKm.groupBy("cid").count()
+      .select(col("count")).as[Long].collect()
+    val ivfKmSecs = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val probesKm = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        explode(Similarity.ivfProbeCol(centKm, nprobe = 2, v = va))
+          .as("cid"))
+    val ivfKmCand = probesKm.join(assignedKm, "cid").count()
+    val ivfKmProbeSecs = (System.nanoTime() - t0) / 1e9
+    val pProbesKm = assignedKm
+      .filter(col("vec_id") % 10 === 9 && col("vec_id") < plantedCap)
+      .select(col("vec_id").as("qid"),
+        explode(Similarity.ivfProbeCol(centKm, nprobe = 2, v = va))
+          .as("cid"))
+    val ivfKmHits = pProbesKm
+      .join(assignedKm.select(col("vec_id").as("nid"), col("cid")), "cid")
+      .filter(col("nid") === col("qid") - 1)
+      .select("qid").distinct().count()
+    println(f"AnnScale IVF-KM n=$n k=$k cells=${cellSizesKm.length} " +
+      f"maxCell=${cellSizesKm.max} (${cellSizesKm.max / sqrtN}%.2f·sqrt(n)) " +
+      f"candPerQuery=${ivfKmCand / nQueries} " +
+      f"(${100.0 * ivfKmCand / nQueries / n}%.3f%% of corpus) " +
+      f"plantedRecall=${ivfKmHits / nPlanted}%.2f " +
+      f"fitAssign=$ivfKmSecs%.1fs probe=$ivfKmProbeSecs%.1fs")
+    assignedKm.unpersist()
+
     // ---- LSH: n-derived width, shared table count, Hamming-1
     // multi-probe — the knobs are the SHIPPED ones (Similarity.lshTables
     // / lshProbeFan), so the measured probe fraction is the real fan

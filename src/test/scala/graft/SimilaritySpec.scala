@@ -157,6 +157,44 @@ class SimilaritySpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("km-quantized IVF list equals an independent driver-side re-derivation") {
+    val out = Similarity.qAnnIvfKm(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val k = Similarity.ivfCells(vecs.length.toLong)
+    val cent = Similarity.kmeansCentroids(spark, sf0001, k, iters = 3)
+    // the engine's strict left-to-right double sum — scores must match
+    // BIT-exactly, not approximately
+    def seqDot(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).foldLeft(0.0)(_ + _)
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      seqDot(a, b) / (math.sqrt(seqDot(a, a)) * math.sqrt(seqDot(b, b)))
+    // the constant-coordinate reduction, recomputed independently:
+    // score(v, c) = [v, 1]·[c, −|c|²/2]; argmax ⇔ L2 argmin
+    val aug = cent.map(cv => cv :+ (-0.5 * cv.map(x => x * x).sum))
+    def cellScores(v: Seq[Double]): IndexedSeq[Double] =
+      aug.map(c => seqDot(v :+ 1.0, c))
+    val cellOf = vecs.map { case (id, v) =>
+      val s = cellScores(v)
+      id -> s.indexOf(s.max) // first max = lowest cid on ties
+    }.toMap
+    val expected = vecs.filter(_._1 < 50).flatMap { case (qid, qv) =>
+      val s = cellScores(qv)
+      val probes = s.zipWithIndex
+        .sortBy { case (sc, i) => (-sc, i) }.take(2).map(_._2).toSet
+      vecs.filter { case (nid, _) => nid != qid && probes(cellOf(nid)) }
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, sc) => (-sc, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, sc), i) => (qid, nid, i + 1L, sc) }
+    }.sortBy(t => (t._1, t._3))
+    assert(out == expected)
+  }
+
   test("int8 quantization: codes bounded, reconstruction within scale/2") {
     val out = Similarity.qEmbedQuantize(spark, sf0001)
       .as[(Long, Double, Long, Int, Int)].collect()
