@@ -35,10 +35,15 @@ object Similarity {
     * is a single row group — without this every dot-product stage
     * runs as one task; on a multi-split lake the condition is false
     * and no shuffle happens). The parallelism probe is memoized per
-    * input file set ([[Tables.spread]]), not re-planned per call. */
+    * input file set ([[Tables.spread]]), not re-planned per call.
+    * The frame itself joins the session working sets ("cache the hot
+    * table"): every similarity operator starts from this exact scan +
+    * cast + spread, and a cold `q_ann_recall` was paying it THREE
+    * times (LSH index, IVF index, exact truth) before the memo. */
   private def corpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.spread(Tables(spark, sfDir, "embeddings"))
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    Dedup.memoizedPersisted(spark, s"corpus|$sfDir")(
+      Tables.spread(Tables(spark, sfDir, "embeddings"))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
 
   /** Sequential-sum dot product of two double arrays, via the native
     * codegen'd [[graft.functions.DotProduct]] expression (bit-identical
@@ -111,23 +116,27 @@ object Similarity {
       s"truthlist|$sfDir|q$recallMaxQid|k$recallK")(
       exactTopK(corpus(spark, sfDir), maxQid = recallMaxQid, k = recallK)
         .select(col("qid"), col("nid")))
-    // each ANN list is ≤ 3·|queries| rows — broadcast EXPLICITLY: the
-    // memoized lists carry no stats before materialization, so the
-    // planner's initial pick is a sort-merge join that would shuffle
-    // the truth side three times
-    def flag(m: DataFrame, nm: String): DataFrame =
-      broadcast(m.select(col("qid"), col("nid"), lit(1L).as(nm)))
+    // ONE tagged union of the three ranked lists (the UNSORTED
+    // memoized frames — a sorted consumer would drag a global-sort
+    // exchange into each branch), ONE broadcast left join against the
+    // truth list, and conditional sums per index. The earlier shape —
+    // three separate flag joins — paid three broadcast
+    // materializations and three join stages for the same ≤ 450 flag
+    // rows; broadcast stays EXPLICIT because the memoized lists carry
+    // no stats before materialization and the planner's initial pick
+    // is a sort-merge join that would shuffle the truth side.
+    def tag(m: DataFrame, ix: String): DataFrame =
+      m.select(col("qid"), col("nid"), lit(ix).as("ix"))
+    val flags = tag(lshList(spark, sfDir), "l")
+      .union(tag(ivfList(spark, sfDir), "i"))
+      .union(tag(fusedList(spark, sfDir), "f"))
+    def hits(ix: String): Column =
+      sum(when(col("ix") === ix, 1L).otherwise(0L)) / recallK.toDouble
     truth
-      .join(flag(qAnnLsh(spark, sfDir), "hl"), Seq("qid", "nid"), "left")
-      .join(flag(qAnnIvf(spark, sfDir), "hi"), Seq("qid", "nid"), "left")
-      .join(flag(qAnnFused(spark, sfDir), "hf"), Seq("qid", "nid"), "left")
+      .join(broadcast(flags), Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
-      .agg((sum(coalesce(col("hl"), lit(0L))) / recallK.toDouble)
-          .as("recall_lsh"),
-        (sum(coalesce(col("hi"), lit(0L))) / recallK.toDouble)
-          .as("recall_ivf"),
-        (sum(coalesce(col("hf"), lit(0L))) / recallK.toDouble)
-          .as("recall_fused"))
+      .agg(hits("l").as("recall_lsh"), hits("i").as("recall_ivf"),
+        hits("f").as("recall_fused"))
       .orderBy(col("qid"))
   }
 
@@ -390,6 +399,10 @@ object Similarity {
   }
 
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    ivfList(spark, sfDir).orderBy(col("qid"), col("rank"))
+
+  /** The memoized UNSORTED IVF ranked list — see [[lshList]]. */
+  private def ivfList(spark: SparkSession, sfDir: String): DataFrame =
     annIvfImpl(spark, sfDir, fixedK = None)
 
   /** The IVF retrieval at a FIXED 16-cell quantizer — the
@@ -404,6 +417,7 @@ object Similarity {
     * the wrong quantizer's results. */
   def qAnnIvfLit(spark: SparkSession, sfDir: String): DataFrame =
     annIvfImpl(spark, sfDir, fixedK = Some(literalArgminMaxK))
+      .orderBy(col("qid"), col("rank"))
 
   private def annIvfImpl(spark: SparkSession, sfDir: String,
       fixedK: Option[Int]): DataFrame = {
@@ -449,6 +463,7 @@ object Similarity {
       kmeansCentroidsCached(spark, sfDir, k, iters = 3, e))
     annIvfRank(spark, e, cent, forceLit = false,
       memoSuffix = Some(s"km|$sfDir"), vec = augmentVec(col("v")))
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** The shared IVF retrieval tail: assign every corpus vector to its
@@ -491,7 +506,6 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("score"))
     memoSuffix.fold(ranked)(sfx =>
       Dedup.memoizedPersisted(spark, s"ivflist$sfx")(ranked))
-      .orderBy(col("qid"), col("rank"))
   }
 
   /** LSH signature width for an n-vector corpus: the smallest b with
@@ -546,6 +560,12 @@ object Similarity {
     }: _*)
 
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame =
+    lshList(spark, sfDir).orderBy(col("qid"), col("rank"))
+
+  /** The memoized UNSORTED LSH ranked list — internal consumers (the
+    * RRF fusion, the recall audit) take this frame so the public
+    * query's global sort is not re-planned into every branch. */
+  private def lshList(spark: SparkSession, sfDir: String): DataFrame =
     annLshImpl(spark, sfDir, forceExpr = false)
 
   /** The same LSH retrieval FORCED through the loop-codegen
@@ -558,6 +578,7 @@ object Similarity {
     * silently serve the literal path's results. */
   def qAnnLshExpr(spark: SparkSession, sfDir: String): DataFrame =
     annLshImpl(spark, sfDir, forceExpr = true)
+      .orderBy(col("qid"), col("rank"))
 
   private def annLshImpl(spark: SparkSession, sfDir: String,
       forceExpr: Boolean): DataFrame = {
@@ -583,29 +604,41 @@ object Similarity {
       if (forceExpr) bucketPlan
       else Dedup.memoizedPersisted(spark, s"lshbuckets|$sfDir")(bucketPlan)
     val probeFan = lshProbeFan(bits)
-    val q = bucketed.filter(col("vec_id") < 50)
+    // the query side computes its signatures DIRECTLY from the ≤ 50
+    // query vectors — not by filtering the full bucketed index: the
+    // broadcast build must stay a 50-row job, while deriving it from
+    // the index frame serialized the whole index materialization
+    // under the broadcast exchange before the probe join could start
+    val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("tbl"), explode(probeFan).as("sig"))
+        posexplode(sigArr).as(Seq("tbl", "sig")))
+      .select(col("qid"), col("qv"), col("tbl"),
+        explode(probeFan).as("sig"))
     // score BEFORE the (qid, nid) dedup: the score is a deterministic
     // function of the pair, so duplicates across tables/probes carry
     // identical doubles and the dedup shuffles 16-byte rows instead of
     // dragging both 64-dim vectors through a sort-based aggregate
-    // (array buffers force SortAggregate; a double keeps it hash)
-    val cand = bucketed.join(q, Seq("tbl", "sig"))
+    // (array buffers force SortAggregate; a double keeps it hash).
+    // The probe side is tables·(bits+1)·|queries| rows — broadcast
+    // EXPLICITLY: the persisted index carries no stats before
+    // materialization, so the planner's initial pick is a sort-merge
+    // join that would shuffle the full bucketed corpus (at 10⁹
+    // vectors, 8·n rows) for a few thousand probe rows
+    val cand = bucketed.join(broadcast(q), Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v")).as("score"))
       .dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid"))
-    // ranked list memoized like the IVF one — see annIvfImpl
+    // ranked list memoized like the IVF one — see annIvfRank; sorting
+    // is the PUBLIC query's concern ([[qAnnLsh]])
     val ranked = cand
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("nid"), col("rank"), col("score"))
-    (if (forceExpr) ranked
-     else Dedup.memoizedPersisted(spark, s"lshlist|$sfDir")(ranked))
-      .orderBy(col("qid"), col("rank"))
+    if (forceExpr) ranked
+    else Dedup.memoizedPersisted(spark, s"lshlist|$sfDir")(ranked)
   }
 
   /** Reciprocal-rank fusion of the two ANN indexes — the standard
@@ -617,19 +650,28 @@ object Similarity {
     * oracle that composes the two ANN oracles as CTEs. Cost is the
     * two index probes (each already sublinear) plus a candidate-sized
     * agg — no new corpus scan shape. */
-  def qAnnFused(spark: SparkSession, sfDir: String): DataFrame = {
-    val lsh = qAnnLsh(spark, sfDir).select(col("qid"), col("nid"), col("rank"))
-    val ivf = qAnnIvf(spark, sfDir).select(col("qid"), col("nid"), col("rank"))
-    val scored = lsh.union(ivf)
-      .groupBy(col("qid"), col("nid"))
-      .agg(sum(lit(1.0) / (col("rank") + lit(60))).as("rrf"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("rrf").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("nid"), col("rank"), col("rrf"))
-      .orderBy(col("qid"), col("rank"))
-  }
+  def qAnnFused(spark: SparkSession, sfDir: String): DataFrame =
+    fusedList(spark, sfDir).orderBy(col("qid"), col("rank"))
+
+  /** The memoized UNSORTED fused list — like the two single-index
+    * lists it joins the session working sets (the recall audit
+    * re-consumes it, and before the memo every audit run re-ran the
+    * RRF agg+window on top of the memoized inputs). */
+  private def fusedList(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.memoizedPersisted(spark, s"fusedlist|$sfDir") {
+      val lsh = lshList(spark, sfDir)
+        .select(col("qid"), col("nid"), col("rank"))
+      val ivf = ivfList(spark, sfDir)
+        .select(col("qid"), col("nid"), col("rank"))
+      val scored = lsh.union(ivf)
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(lit(1.0) / (col("rank") + lit(60))).as("rrf"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("nid"), col("rank"), col("rrf"))
+    }
 
   /** Embedding-table vector width (FIXTURES.md §B). */
   private val embDim = 64

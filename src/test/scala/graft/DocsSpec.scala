@@ -21,11 +21,13 @@ class DocsSpec extends AnyFunSuite {
     // rows-only queries are a deliberate, enumerated exception — a new
     // query silently missing its oracle must fail here, not pass with
     // a weaker rows-only check. Current exceptions: the HLL sketch
-    // (hash-dependent) and the two k-means-derived ops (iterative
+    // (hash-dependent) and the three k-means-derived ops (iterative
     // fixpoint — not a relational expression; SimilaritySpec pins
-    // their semantics, the semdedup one by exact re-derivation).
+    // their semantics, the semdedup and km-IVF ones by exact
+    // re-derivation).
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-      == Set("q_approx_distinct", "q_embed_cluster", "q_semdedup_keep"))
+      == Set("q_approx_distinct", "q_embed_cluster", "q_semdedup_keep",
+        "q_ann_ivf_km"))
   }
 
   test("README query counts match SparkEntry") {

@@ -5,12 +5,11 @@ import org.apache.spark.storage.StorageLevel
 
 /** The session working-set memo's eviction CONTRACT
   * ([[Dedup.memoizedPersisted]]): the LRU bound is sized for two
-  * concurrent sfDirs' full working sets (9 keys each — sigs, bench
-  * shingles, tfidf-tf, unigram-tf, hh summary, LSH buckets, IVF
-  * cells, two ranked ANN lists); this spec guards the policy for
-  * whoever adds a 10th working set or a 3rd concurrent dir. Written
-  * against [[Dedup.sigSetMemoCap]] itself so a resize keeps the
-  * contract checked, not the constants. */
+  * concurrent sfDirs' full working sets (cap/2 keys each — the
+  * inventory is enumerated at the cap's declaration); this spec
+  * guards the policy for whoever adds a working set or a 3rd
+  * concurrent dir. Written against [[Dedup.sigSetMemoCap]] itself so
+  * a resize keeps the contract checked, not the constants. */
 class MemoPolicySpec extends SparkSpec {
   import spark.implicits._
 
@@ -40,12 +39,14 @@ class MemoPolicySpec extends SparkSpec {
   }
 
   test("three sfDirs' worth of keys cannot thrash the hot tail") {
-    // 3 dirs × 9 keys = 27 > cap: verify the policy degrades as an
-    // LRU should — the LAST `cap` touched stay persisted, so a
-    // verify / bench driver iterating dir-by-dir (not interleaving)
-    // always finds its CURRENT dir's whole working set hot
+    // 3 dirs × (cap/2) keys = 1.5·cap > cap: verify the policy
+    // degrades as an LRU should — the LAST `cap` touched stay
+    // persisted, so a verify / bench driver iterating dir-by-dir (not
+    // interleaving) always finds its CURRENT dir's whole working set
+    // hot. perDir tracks the cap's sizing contract (cap = 2 dirs'
+    // working sets) so a resize keeps this spec meaningful.
     val dirs = Seq("dA", "dB", "dC")
-    val perDir = 9
+    val perDir = cap / 2
     val byDir = dirs.map { d =>
       d -> (0 until perDir).map(i => ws(s"$d|k$i"))
     }.toMap
