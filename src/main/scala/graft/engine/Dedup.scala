@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — exact,
@@ -423,13 +424,17 @@ object Dedup {
   /** One large-star round over a canonically-oriented (src > dst)
     * distinct edge set: every node u connects each STRICTLY LARGER
     * neighbor to m(u) = min(Γ(u) ∪ {u}). Output is canonical again
-    * (emitted edges (v, m) have v > u ≥ m). */
+    * (emitted edges (v, m) have v > u ≥ m). m(u) rides in as a WINDOW
+    * min over the symmetrized edges — one exchange instead of the
+    * groupBy + re-shuffled self-join formulation (each star round's
+    * cost is exchange-count × fixed stage latency at fixture scale,
+    * and pure shuffle volume at corpus scale — both argue for the
+    * window). */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-      .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
-    sym.join(mins, sym("src") === col("u"))
-      .filter(col("dst") > sym("src"))
+    val w = Window.partitionBy(col("src"))
+    sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
+      .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .distinct()
   }
@@ -437,12 +442,16 @@ object Dedup {
   /** One small-star round: every node u connects its smaller
     * neighbors Γ⁻(u) — and itself — to m(u) = min(Γ⁻(u)). Input and
     * output both canonical (src > dst); the v = m self-edge is
-    * dropped. */
+    * dropped. Window-min like [[largeStar]]; the per-src (u, m) row
+    * rides along as a second exploded struct per edge (duplicates
+    * collapse in the distinct that every round ends with anyway). */
   private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
-    e.join(mins, "src")
-      .select(col("dst").as("src"), col("m").as("dst"))
-      .union(mins.select(col("src"), col("m").as("dst")))
+    val w = Window.partitionBy(col("src"))
+    e.withColumn("m", min(col("dst")).over(w))
+      .select(explode(array(
+        struct(col("dst").as("src"), col("m").as("dst")),
+        struct(col("src"), col("m").as("dst")))).as("x"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
@@ -457,24 +466,31 @@ object Dedup {
     *
     * Mechanics: each round is one large-star (hook every larger
     * neighbor to the local minimum) then one small-star (contract
-    * smaller neighbors onto it). Both are a groupBy + join over the
+    * smaller neighbors onto it). Both are a window-min over the
     * current edge set — O(|E|) shuffle per round, no driver state.
-    * A fixed point is exactly a star forest rooted at each
-    * component's min id; convergence is detected by edge-SET
-    * equality with the previous round, decided in two tiers: each
-    * round's ONE aggregate job returns (count, order-independent
-    * xxhash64-XOR fingerprint) over the fresh checkpoint — a
-    * fingerprint or count mismatch proves inequality with no further
-    * job, and only a full match falls through to the exact left-anti
-    * ⊆ check (both sides already distinct), which then runs ONCE, on
-    * the converged round, rather than on every count plateau. The
-    * checkpoint is lazy, so materialization rides inside that same
-    * aggregate job; `localCheckpoint` per round keeps the plan
-    * from growing. Unconverged after `maxIter` throws — partial
-    * labels silently under-dedup. Measured ([[graft.tools.CCScale]]):
-    * chains — the worst case, where min-label needs diameter rounds —
-    * converge in 14 alternating rounds at 100k hops and 17 at 1M
-    * (textbook log n), labels exact.
+    * A fixed point is exactly a STAR FOREST rooted at each
+    * component's min id, and that is tested DIRECTLY, one aggregate
+    * job per round: canonical edges are a star forest iff no node is
+    * the src of two edges and no node is both a src and a dst —
+    * checkable from per-id (src-degree, dst-degree) sums, no
+    * edge-set comparison with the previous round. Testing the
+    * fixpoint property instead of set-equality saves the one FULL
+    * extra round (plus exact anti-join) the old detection spent
+    * discovering that the last round changed nothing. The star test
+    * runs on entry too, so an input that is already a star forest
+    * (pre-contracted edges) does zero rounds. The checkpoint is
+    * lazy, so materialization rides inside the test's aggregate job;
+    * `localCheckpoint` per round keeps the plan from growing.
+    * Unconverged after `maxIter` throws — partial labels silently
+    * under-dedup. Measured ([[graft.tools.CCScale]]): chains — the
+    * worst case, where min-label needs diameter rounds — converge in
+    * 13 alternating rounds at 100k hops and 16 at 1M (textbook
+    * log n), labels exact.
+    *
+    * Why the root of a converged star is its component's minimum: a
+    * star forest's components ARE its stars, the canonical
+    * orientation (src > dst) puts every leaf above the root, so the
+    * root is the least id in the star.
     *
     * Input: any (ida, idb) pair DataFrame (self-loops/duplicates
     * fine). Returns (labels: id → component-min label for every
@@ -489,37 +505,26 @@ object Dedup {
     val vertices = pairs.select(col("ida").as("id"))
       .union(pairs.select(col("idb").as("id"))).distinct()
       .localCheckpoint()
-    // (count, commutative xxhash64 XOR fingerprint) in ONE aggregate
-    // job — the lazy checkpoint materializes under it, so each round
-    // costs a single job until the sets actually match. XOR (not sum:
-    // ANSI mode makes a long sum overflow-throw) is order-independent
-    // and collision-safe here because both edge sets are DISTINCT —
-    // no even-multiplicity cancellation exists to exploit.
-    def summarize(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        bit_xor(xxhash64(col("src"), col("dst")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
+    // star-forest test: per id, (times-a-src, times-a-dst) — a
+    // violation is a doubly-parented node (ns > 1) or a node that is
+    // both parent and child (ns > 0 ∧ nd > 0). One union + one
+    // map-side-combined aggregate; the isEmpty short-circuits on the
+    // first violating partition.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("src").as("id"), lit(1L).as("s"), lit(0L).as("d"))
+        .union(e.select(col("dst").as("id"), lit(0L).as("s"),
+          lit(1L).as("d")))
+        .groupBy(col("id"))
+        .agg(sum(col("s")).as("ns"), sum(col("d")).as("nd"))
+        .filter(col("ns") > 1 || (col("ns") > 0 && col("nd") > 0))
+        .isEmpty
     var edges = canon.localCheckpoint(false)
-    var (nEdges, fpEdges) = summarize(edges)
     var rounds = 0
-    var done = false
+    var done = isStarForest(edges)
     while (!done && rounds < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      // carry (count, fingerprint) across rounds — recounting the
-      // previous checkpoint would add a redundant job per round, and
-      // fixed job latency dominates the loop at small SF
-      val (nNext, fpNext) = summarize(next)
-      // fingerprint/count mismatch ⇒ sets differ, skip the join; on a
-      // full match the exact anti-join (next ⊆ edges, both distinct ⟹
-      // equality) confirms — collisions can only cost one extra job,
-      // never a wrong convergence
-      done = nNext == nEdges && fpNext == fpEdges &&
-        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
-      edges = next
-      nEdges = nNext
-      fpEdges = fpNext
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
       rounds += 1
+      done = isStarForest(edges)
     }
     if (!done) throw new IllegalStateException(
       s"connectedComponents: not converged after $maxIter " +
