@@ -68,10 +68,12 @@ case class DecodedAudio(
   * All three media types decode GENUINELY with JDK-only codecs:
   * images through `javax.imageio` PNG ([[decodePng]]), audio through
   * `javax.sound.sampled` WAV ([[decodeWav]]), and video as a REAL
-  * RIFF-AVI container with the MPNG (PNG-per-frame) codec, walked
-  * and decoded frame-by-frame ([[decodeVideo]] — the JDK ships no
-  * video BITSTREAM codec, so the fixture uses the one AVI codec
-  * whose frames the JDK can decode). The
+  * RIFF-AVI container walked and decoded frame-by-frame
+  * ([[decodeVideo]]) under either the MPNG (PNG-per-frame, lossless
+  * — the oracle-checked fixture codec) or MJPG (Motion-JPEG, lossy
+  * — the standard-ecosystem codec) frame coder; the JDK ships no
+  * video BITSTREAM codec, so these two per-frame codecs are exactly
+  * what `javax.imageio` can encode AND decode. The
   * byte-histogram [[decodeStub]] remains only as the codec-agnostic
   * featurizer seam; the surrounding plumbing — schema,
   * `Dataset[MediaRecord]` encoders, partition-wise batch iteration
@@ -175,7 +177,18 @@ object Multimodal {
     * PNG is lossless, so the decoded raster reproduces the input
     * bytes exactly; that reversibility is what lets the REAL codec
     * path below be hash-checked by a relational oracle. */
-  def pngFromBytes(bytes: Array[Byte], width: Int): Array[Byte] = {
+  def pngFromBytes(bytes: Array[Byte], width: Int): Array[Byte] =
+    encodeGray(bytes, width, "png")
+
+  /** The JPEG twin of [[pngFromBytes]] — same gray raster, the JDK's
+    * `javax.imageio` JPEG encoder. JPEG is LOSSY: decoded samples
+    * only approximate the input bytes, so JPEG-framed media verifies
+    * by geometry + bounded error, never by exact byte stats. */
+  def jpegFromBytes(bytes: Array[Byte], width: Int): Array[Byte] =
+    encodeGray(bytes, width, "jpg")
+
+  private def encodeGray(bytes: Array[Byte], width: Int,
+      format: String): Array[Byte] = {
     imageIoMemCached
     val h = math.max(1, (bytes.length + width - 1) / width)
     val img = new java.awt.image.BufferedImage(width, h,
@@ -188,7 +201,7 @@ object Multimodal {
       i += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 
@@ -281,22 +294,29 @@ object Multimodal {
   private def fourcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
     out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
-  /** Encode raw bytes as a REAL RIFF-AVI video with the MPNG
-    * (PNG-per-frame) codec — a genuine, ffmpeg-readable container
-    * built from JDK-only parts: the payload is sliced into
-    * [[videoFrameBytes]]-byte chunks (≥ 1 — an empty payload is one
-    * empty frame), each chunk rendered and PNG-encoded via
-    * [[pngFromBytes]], and the frames are laid out as `00dc` chunks
-    * in a `movi` LIST under the standard `hdrl` (avih + strh 'vids'/
-    * 'MPNG' + strf BITMAPINFOHEADER) headers. Gray PNG is lossless
-    * per frame, so the whole video stays relationally verifiable. */
+  /** Encode raw bytes as a REAL RIFF-AVI video — a genuine,
+    * ffmpeg-readable container built from JDK-only parts: the payload
+    * is sliced into [[videoFrameBytes]]-byte chunks (≥ 1 — an empty
+    * payload is one empty frame), each chunk rendered and encoded per
+    * frame, and the frames are laid out as `00dc` chunks in a `movi`
+    * LIST under the standard `hdrl` (avih + strh 'vids' + strf
+    * BITMAPINFOHEADER) headers. Two codecs, both with JDK frame
+    * coders: `MPNG` (PNG per frame — LOSSLESS, so the video stays
+    * relationally verifiable; the oracle-checked default) and `MJPG`
+    * (Motion-JPEG, the standard-codec AVI the wider tool ecosystem
+    * reads — LOSSY, verified by geometry + bounded pixel error in
+    * [[graft.MultimodalSpec]]). */
   def videoFromBytes(bytes: Array[Byte],
-      frameBytes: Int = videoFrameBytes, width: Int = 16): Array[Byte] = {
+      frameBytes: Int = videoFrameBytes, width: Int = 16,
+      codec: String = "MPNG"): Array[Byte] = {
+    require(codec == "MPNG" || codec == "MJPG", s"unsupported codec $codec")
+    val encode: Array[Byte] => Array[Byte] =
+      if (codec == "MJPG") jpegFromBytes(_, width) else pngFromBytes(_, width)
     val nFrames = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
     val frames = (0 until nFrames).map { f =>
       val from = f * frameBytes
       val until = math.min(from + frameBytes, bytes.length)
-      pngFromBytes(java.util.Arrays.copyOfRange(bytes, from, until), width)
+      encode(java.util.Arrays.copyOfRange(bytes, from, until))
     }
     val height = math.max(1, (math.min(frameBytes, math.max(bytes.length, 1))
       + width - 1) / width)
@@ -319,9 +339,9 @@ object Multimodal {
       le32(o, width); le32(o, height); (0 until 4).foreach(_ => le32(o, 0))
       chunk("avih", o.toByteArray)
     }
-    val strh = { // stream header: 'vids' handled by 'MPNG'
+    val strh = { // stream header: 'vids' handled by the frame codec
       val o = new java.io.ByteArrayOutputStream()
-      fourcc(o, "vids"); fourcc(o, "MPNG")
+      fourcc(o, "vids"); fourcc(o, codec)
       le32(o, 0); le32(o, 0); le32(o, 0)      // flags, prio+lang, initial
       le32(o, 1); le32(o, 10)                 // scale, rate → 10 fps
       le32(o, 0); le32(o, nFrames); le32(o, 0) // start, length, bufsize
@@ -329,11 +349,11 @@ object Multimodal {
       le32(o, 0); le32(o, (height << 16) | width) // rcFrame
       chunk("strh", o.toByteArray)
     }
-    val strf = { // BITMAPINFOHEADER with biCompression = 'MPNG'
+    val strf = { // BITMAPINFOHEADER with biCompression = the codec
       val o = new java.io.ByteArrayOutputStream()
       le32(o, 40); le32(o, width); le32(o, height)
       le32(o, (8 << 16) | 1) // planes=1, bitcount=8
-      fourcc(o, "MPNG")
+      fourcc(o, codec)
       le32(o, width * height); le32(o, 0); le32(o, 0); le32(o, 0); le32(o, 0)
       chunk("strf", o.toByteArray)
     }
@@ -355,9 +375,10 @@ object Multimodal {
 
   /** REAL video decode — walks the RIFF-AVI structure (header check,
     * LIST traversal to `movi`, per-`00dc`-chunk iteration with RIFF
-    * even-padding) and decodes every frame through the genuine PNG
-    * codec ([[decodePng]]), accumulating frame count and raster
-    * stats. Truncated or malformed containers, trailing junk past
+    * even-padding) and decodes every frame through [[decodePng]] —
+    * whose `ImageIO.read` sniffs the frame CONTENT, so both MPNG
+    * (PNG) and MJPG (JPEG) frames decode genuinely — accumulating
+    * frame count and raster stats. Truncated or malformed containers, trailing junk past
     * the declared RIFF size, or any undecodable frame → None
     * (drop-malformed, like the image/audio paths — a video with one
     * bad frame is a bad video, not a partial one). */

@@ -180,6 +180,33 @@ class MultimodalSpec extends SparkSpec {
       patchLe32(ok, dc + 4, Int.MaxValue - 7)).isEmpty)
   }
 
+  test("real video decode: MJPG (JPEG-frame) variant decodes end-to-end") {
+    // the standard-codec AVI next to the oracle-checked MPNG twin:
+    // same container walk, JPEG frames — ImageIO sniffs frame content
+    // so decodeVideo needs no codec switch. JPEG is LOSSY, so the
+    // geometry checks stay exact while pixel stats get an error bound
+    // instead of equality.
+    val bytes = Array.tabulate(150)(i => (i % 251).toByte)
+    val avi = Multimodal.videoFromBytes(bytes, codec = "MJPG")
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+    // the stream header + BITMAPINFOHEADER both carry the MJPG fourcc
+    assert(new String(avi, "ISO-8859-1").contains("MJPG"))
+    assert(!new String(avi, "ISO-8859-1").contains("MPNG"))
+    val v = Multimodal.decodeVideo(10L, avi).get
+    assert(v.n_frames == 3L)
+    assert(v.n_pixels == 64 + 64 + 32) // 16×4, 16×4, 16×2 — exact
+    val trueMean = bytes.map(_ & 0xFF).map(_.toLong).sum
+      .toDouble / v.n_pixels
+    assert(math.abs(v.mean_px - trueMean) < 16.0,
+      s"JPEG mean drifted: ${v.mean_px} vs $trueMean")
+    // container strictness is codec-independent: truncation → None
+    assert(Multimodal.decodeVideo(11L, avi.dropRight(1)).isEmpty)
+    // unsupported codec fourccs are rejected at ENCODE time
+    intercept[IllegalArgumentException] {
+      Multimodal.videoFromBytes(bytes, codec = "H264")
+    }
+  }
+
   test("binaryFile source: one row per file, typed media, exact bytes") {
     val dir = tmpDir("media")
     val payloads = Map(
