@@ -538,10 +538,10 @@ object Similarity {
     * neighbor missed by one table's split is caught by another, and
     * the per-neighbor miss probability decays geometrically in the
     * table count while candidate volume grows only linearly
-    * (tables · (bits+1) · targetBucket per query — 0.36% of a
+    * (tables · (bits+1) · targetBucket per query — 0.350% of a
     * 1M-vector corpus at 8 tables, measured by
     * [[graft.tools.AnnScale]]). 4→8 lifted measured recall@3 at sf0.1
-    * from 0.58 to ≥ the 0.75 bar (BASELINE.md). */
+    * from 0.58 to 0.853 (fused 0.907 — BASELINE.md records both). */
   private[graft] val lshTables = 8
 
   /** Multi-probe fan over a bucket signature: the exact bucket plus

@@ -24,16 +24,20 @@ import org.apache.spark.sql.functions._
   * the ⌈√n⌉ quantizer. Usage:
   *   sbt "runMain graft.tools.AnnScale [nVecs]"   # default 1000000
   *
-  * Measured (local[32], n = 1M): IVF k=1000, quantize+assign 5.3 s,
-  * max cell 4.3·√n, avg candidates/query 2261 = 0.23% of the corpus
-  * (a fixed 16-cell quantizer would probe 12.5%), planted-neighbor
-  * candidate recall 100/100; LSH bits=16, 4 tables, index 1.9 s
-  * (278 s before the [[graft.functions.HyperplaneSig]] loop
-  * expression — the 1024 inlined literal doubles per table degraded
-  * codegen), mean bucket 15.6 ≈ the 16 target, multi-probe
-  * candidates/query 1819 = 0.18%, planted recall 100/100. Probe
-  * fractions SHRINK as n grows while the planted near-neighbors stay
-  * retrievable — the index property the fixture constants lacked. */
+  * Measured (local[32], n = 1M, round-10 run): IVF first-k quantizer
+  * k=1000, quantize+assign 5.7 s, max cell 4.26·√n, avg
+  * candidates/query 2261 = 0.226% of the corpus (a fixed 16-cell
+  * quantizer would probe 12.5%), planted-neighbor candidate recall
+  * 100/100; IVF-KM (the Lloyd-fitted `qAnnIvfKm` quantizer, 3
+  * iterations) max cell 1.16·√n, 0.198% probed, fit+assign 41.7 s —
+  * what fitting buys back from first-k's skew; LSH bits=16 at the
+  * shipped 8 tables, index 6.1 s (278 s before the
+  * [[graft.functions.HyperplaneSig]] loop expression — the 1024
+  * inlined literal doubles per table degraded codegen), mean bucket
+  * 15.6 ≈ the 16 target, multi-probe candidates/query 3501 = 0.350%,
+  * planted recall 100/100. Probe fractions SHRINK as n grows while
+  * the planted near-neighbors stay retrievable — the index property
+  * the fixture constants lacked. */
 object AnnScale {
   private val dim = 64
 

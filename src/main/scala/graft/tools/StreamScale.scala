@@ -130,7 +130,103 @@ object StreamScale {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").json(dir)
 
+  /** SUSTAINED-RATE mode — the reference's actual serving posture:
+    * an always-on job consuming an unbounded source at a steady input
+    * rate, where the health signal is not batch throughput but
+    * whether processing KEEPS UP — watermark lag bounded, batch
+    * duration under the trigger interval — over minutes, not one
+    * drain. The built-in `rate` source feeds the full document
+    * pipeline (features + quality floor + watermarked dedup state) at
+    * `rowsPerSec` under a fixed `Trigger.ProcessingTime`; progress
+    * events are accumulated by a listener (recentProgress caps at
+    * ~100) and the steady-state window (first 20% dropped) reports
+    * sustained rows/s, batch-duration percentiles, and watermark lag
+    * (trigger wall-clock − watermark; bounded lag = keeping up, a
+    * growing tail = falling behind). Usage:
+    *   sbt "runMain graft.tools.StreamScale sustained [rowsPerSec] [seconds]"
+    */
+  private def sustained(spark: SparkSession, rate: Long, secs: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StreamingQueryListener,
+      StreamingQueryProgress}
+    val triggerMs = 5000L
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate.toString)
+      .option("numPartitions", "8").load()
+    val docs = src.as[(java.sql.Timestamp, Long)]
+      .map { case (ts, id) => (id, textOf(id), ts) }
+      .toDF("doc_id", "text", "event_time")
+    val progress =
+      scala.collection.mutable.ArrayBuffer.empty[StreamingQueryProgress]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        progress.synchronized { progress += e.progress }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    // a 10 s watermark delay (vs the pipeline's 10 min default) makes
+    // the lag figure interpretable: steady lag ≈ delay + one trigger's
+    // processing means the operator keeps up; a growing tail means it
+    // is falling behind
+    val wmDelayMs = 10000L
+    val q = StreamingOps.docPipeline(docs,
+        watermarkDelay = s"$wmDelayMs milliseconds")
+      .writeStream.format("noop")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ssck").toString)
+      .start()
+    Thread.sleep(secs * 1000L)
+    q.stop(); q.awaitTermination()
+    spark.streams.removeListener(listener)
+    val ps = progress.synchronized(progress.toVector)
+      .filter(_.numInputRows > 0)
+    val steady = ps.drop(ps.size / 5)
+    require(steady.size >= 5, s"only ${steady.size} steady batches")
+    def tMs(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+    val span = (tMs(steady.last.timestamp) - tMs(steady.head.timestamp) +
+      steady.last.durationMs.get("triggerExecution")) / 1000.0
+    val rows = steady.map(_.numInputRows).sum
+    val durs = steady.map(_.durationMs.get("triggerExecution").toDouble)
+    val lags = steady.flatMap(p => Option(p.eventTime.get("watermark"))
+      .map(w => tMs(p.timestamp) - tMs(w)))
+    println(s"""{"metric":"stream_sustained_rows_per_sec"""" +
+      f""","value":${rows / span}%.0f,"unit":"rows/s"""" +
+      s""","input_rate":$rate,"trigger_ms":$triggerMs""" +
+      s""","watermark_delay_ms":$wmDelayMs""" +
+      s""","duration_sec":$secs,"batches":${steady.size}""" +
+      f""","batch_ms_p50":${percentile(durs, 0.5)}%.0f""" +
+      f""","batch_ms_p95":${percentile(durs, 0.95)}%.0f""" +
+      f""","batch_ms_max":${durs.max}%.0f""" +
+      s""","watermark_lag_ms_max":${if (lags.isEmpty) -1 else lags.max}""" +
+      s""","watermark_lag_ms_last":${lags.lastOption.getOrElse(-1L)}""" +
+      s""","kept_up":${durs.max <= 2 * triggerMs}}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sustained")) {
+      val rate = args.lift(1).map(_.toLong).getOrElse(10000L)
+      val secs = args.lift(2).map(_.toInt).getOrElse(150)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark0 = SparkSession.builder()
+        .master(s"local[$cpus0]")
+        .appName("graft-stream-sustained")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark0.sparkContext.setLogLevel("ERROR")
+      Tables.tune(spark0)
+      sustained(spark0, rate, secs)
+      spark0.stop()
+      return
+    }
     val nDocs = args.lift(0).map(_.toLong).getOrElse(120000L)
     val nEvents = args.lift(1).map(_.toLong).getOrElse(400000L)
     val nBatch = 8
