@@ -101,11 +101,13 @@ object SparkEntry {
       Similarity.qAnnLsh(s, d) }),
     "q_ann_ivf" -> Similarity.qAnnIvf _,
     // one oracle, both codegen paths per index (the q_kmeans_assign
-    // pattern): the LSH twin forces the loop-expression signature the
-    // fixture widths don't reach; the IVF twin forces the literal
-    // argmax the n-derived cell counts skip
-    "q_ann_lsh_expr" -> ((s, d) => { lshOracleGuard(s, d)
-      Similarity.qAnnLshExpr(s, d) }),
+    // pattern): the LSH twin forces the unrolled literal-plane
+    // signature the shipped index no longer selects (the loop
+    // expression is the default at every width since r10 — see
+    // lshSignature); the IVF twin forces the literal argmax the
+    // n-derived cell counts skip
+    "q_ann_lsh_lit" -> ((s, d) => { lshOracleGuard(s, d)
+      Similarity.qAnnLshLit(s, d) }),
     "q_ann_ivf_lit" -> Similarity.qAnnIvfLit _,
     // rows-only by design (the Lloyd-fitted quantizer is an iterative
     // fixpoint, no SQL oracle — the q_embed_cluster precedent; the
@@ -1074,7 +1076,7 @@ object SparkEntry {
     // against the SAME oracle (identical bits is the point); the IVF
     // one pins k=16 — the literal branch's own domain — so its oracle
     // fixes the same k instead of deriving it
-    "q_ann_lsh_expr" -> duckAnnLsh,
+    "q_ann_lsh_lit" -> duckAnnLsh,
     "q_ann_ivf_lit" -> duckAnnIvf16,
     // RRF fusion of the two ANN lists: both oracles ride along as
     // CTEs, the fused score is the identically-computed double

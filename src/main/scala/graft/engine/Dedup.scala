@@ -206,10 +206,10 @@ object Dedup {
     * happens OUTSIDE the lock (analysis + file listing can take
     * seconds on remote storage); a lost race costs one redundant
     * plan build, first-put wins. */
-  // sized for TWO concurrent sfDirs' full working sets (14 keys each:
+  // sized for TWO concurrent sfDirs' full working sets (13 keys each:
   // sigs, bench shingles, tfidf-tf, unigram-tf, hh summary, the
-  // embeddings corpus, LSH buckets + ranked list, IVF cells + ranked
-  // list for BOTH quantizers, the fused list, and the recall truth
+  // embeddings corpus, the fused ANN index, the Lloyd-quantizer cell
+  // frame, ranked LSH/IVF/IVF-km/fused lists, and the recall truth
   // list) — below that, every access would evict a still-hot
   // corpus-scale entry and silently recompute it per query.
   // MemoPolicySpec pins the eviction/unpersist contract against this

@@ -19,8 +19,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * The buffer is a sorted List (insertion into ≤ k elements) — for
   * the small k this targets (top-3/top-10/top-100) that beats heap
   * bookkeeping and keeps the Encoder trivial.
-  */
-class TopKAgg(k: Int)
+  *
+  * `distinct = true` collapses EXACT duplicate (score, id) pairs —
+  * the multi-table LSH candidate stream surfaces the same neighbor
+  * from several tables/probes with bit-identical scores, and a
+  * bounded buffer must drop the copies or a duplicated pair would
+  * crowd a distinct neighbor out of the top-k. Equality is the
+  * pair's own (so only bit-identical duplicates collapse), and the
+  * skip keeps `merge` associative/commutative over the same total
+  * order. */
+class TopKAgg(k: Int, distinct: Boolean = false)
     extends Aggregator[(Double, Long), List[(Double, Long)],
       Seq[(Double, Long)]] {
 
@@ -30,8 +38,11 @@ class TopKAgg(k: Int)
   private def insert(buf: List[(Double, Long)],
       x: (Double, Long)): List[(Double, Long)] = {
     val (ahead, behind) = buf.span(better(_, x))
-    val merged = ahead ::: x :: behind
-    if (merged.length > k) merged.init else merged
+    if (distinct && behind.headOption.contains(x)) buf
+    else {
+      val merged = ahead ::: x :: behind
+      if (merged.length > k) merged.init else merged
+    }
   }
 
   override def zero: List[(Double, Long)] = Nil

@@ -55,17 +55,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("xxhash64(h"), p)
   }
 
-  test("IVF: cell assignment is a projection — no Window before the probe join") {
+  test("IVF: cell assignment is a projection, ranking is the bounded agg — no Window at all") {
     val p = plan(graft.engine.Similarity.qAnnIvf(spark, sf0001))
-    // the only Window allowed is the final per-query top-3 rank
-    // (row_number partitioned by qid); counted BY KIND, not by
-    // occurrence — a materialized InMemoryRelation prints its cached
-    // plan twice, so a fixed count is suite-order-dependent
-    val wins = "Window \\[".r.findAllIn(p).size
-    val rankWins =
-      "Window \\[row_number\\(\\) windowspecdefinition\\(qid".r
-        .findAllIn(p).size
-    assert(wins >= 1 && wins == rankWins, p)
+    // the r10 tail: per-query top-3 via the bounded distinct TopKAgg
+    // (ObjectHashAggregate, ≤3-element partial buffers) — a Window
+    // anywhere in this plan means the candidate-volume sort shuffle
+    // is back; so would a dedup (the aggregator owns it now)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 

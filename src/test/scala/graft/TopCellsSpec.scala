@@ -159,13 +159,14 @@ class TopCellsSpec extends SparkSpec {
 
   test("wide LSH signature: loop expression equals the literal path bit-for-bit") {
     val e = corpus
-    // 8 bits: both paths available (boundary value of literalSigMaxBits)
+    // 8 bits, both paths: the loop expression is the default at every
+    // width (r10); the literal formulation survives under forceLit
     val lit8 = e.select(col("vec_id"),
-        Similarity.lshSignature(col("v"), 8, 64, firstPlane = 64).as("s"))
+        Similarity.lshSignature(col("v"), 8, 64, firstPlane = 64,
+          forceLit = true).as("s"))
       .as[(Long, Long)].collect().toSeq
     val expr8 = e.select(col("vec_id"),
-        Similarity.lshSignature(col("v"), 8, 64, firstPlane = 64,
-          forceExpr = true).as("s"))
+        Similarity.lshSignature(col("v"), 8, 64, firstPlane = 64).as("s"))
       .as[(Long, Long)].collect().toSeq
     assert(lit8 == expr8)
     // 20 bits auto-routes to the expression and stays codegen'd
