@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Numeric contract: every dot product is computed over the
   * float→double-cast elements with strict left-to-right summation
-  * (`aggregate` over `zip_with`), which is bit-identical to DuckDB's
-  * `list_inner_product(a::DOUBLE[], b::DOUBLE[])` — so cosine scores
-  * hash-match the oracle exactly, no rounding tricks needed.
+  * (the codegen [[graft.functions.DotProduct]] expression — the
+  * semantics of `aggregate` over `zip_with`), which is bit-identical
+  * to DuckDB's `list_inner_product(a::DOUBLE[], b::DOUBLE[])` — so
+  * cosine scores hash-match the oracle exactly, no rounding tricks
+  * needed.
   *
   * Scale design: brute-force top-k broadcasts the (tiny) query set
   * against the full corpus — linear scan, no shuffle of the corpus,
@@ -22,8 +24,13 @@ import org.apache.spark.sql.functions._
   * signatures (expected bucket population ≈ 16 at any n, Hamming-1
   * multi-probe for recall), IVF quantizes into [[ivfCells]](n) = ⌈√n⌉
   * cells — so per-query probe cost tracks √n / log n instead of a
-  * fixed corpus fraction. [[qAnnRecall]] measures what "approximate"
-  * costs in recall@3 against exact ground truth.
+  * fixed corpus fraction. Both structures live in the ONE fused
+  * index frame ([[annIndex]]: vector + per-table signatures + cell
+  * id, built in a single corpus scan, ~1.15× corpus storage); probe
+  * views explode it lazily, and per-query ranking is the bounded
+  * distinct top-k aggregate ([[topkRank]]), not a window sort.
+  * [[qAnnRecall]] measures what "approximate" costs in recall@3
+  * against exact ground truth.
   */
 object Similarity {
 

@@ -66,6 +66,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("LSH: probe side broadcasts, ranking is the bounded agg — no Window, no dedup exchange") {
+    val p = plan(graft.engine.Similarity.qAnnLsh(spark, sf0001))
+    // the multi-table/multi-probe duplicates collapse INSIDE the
+    // distinct TopKAgg's ≤3-element buffers — a Window or a separate
+    // (qid, nid) dedup aggregate would re-grow the tail to two
+    // exchanges over the full candidate volume; the tiny probe fan
+    // must broadcast, never shuffle the exploded index
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("video decode: one mapPartitions pass — frames never shuffle") {
     val p = plan(graft.engine.Multimodal.qMediaVideo(spark, sf0001))
     // the container walk + per-frame PNG decode is split-local; the
