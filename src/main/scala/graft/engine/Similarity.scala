@@ -108,10 +108,12 @@ object Similarity {
     val scored = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v")).as("score"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // the |queries|·n scored stream ranks through the same bounded
+    // top-k aggregate as the ANN tails ([[topkRank]]) — the former
+    // window formulation shuffled and sorted the WHOLE scored stream
+    // (at 100 TB: |q|·n rows through one exchange) where the partial
+    // buffers ship ≤ k pairs per query per map task
+    topkRank(scored, k)
   }
 
   /** Driver-resident ANN query batch: the query vectors
@@ -731,28 +733,34 @@ object Similarity {
     else Dedup.memoizedPersisted(spark, s"lshlist|$sfDir")(ranked)
   }
 
-  /** Shared ANN ranking tail: per-query top-3 of the scored candidate
-    * stream via the bounded DISTINCT top-k aggregator
+  /** Shared similarity ranking tail: per-query top-k of the scored
+    * candidate stream via the bounded DISTINCT top-k aggregator
     * ([[graft.functions.TopKAgg]]) — ONE exchange whose partial
-    * buffers carry at most 3 (score, nid) pairs per query per map
+    * buffers carry at most k (score, nid) pairs per query per map
     * task, replacing the former dedup shuffle plus full window sort
     * (two exchanges moving the whole candidate volume). Exact
     * duplicates (the same neighbor surfacing from several LSH
     * tables/probes with bit-identical scores) collapse inside the
-    * buffers, and the aggregator's (score DESC, nid ASC) total order
-    * is the window formulation's ordering — results are identical
+    * buffers (a no-op for the exact paths, whose pairs are unique),
+    * and the aggregator's (score DESC, nid ASC) total order is the
+    * window formulation's ordering — results are identical
     * row-for-row, partitioning-independent, and the rank is the
-    * post-sort array position. */
-  private val annTop3 =
-    udaf(new graft.functions.TopKAgg(3, distinct = true))
-  private def topkRank(cand: DataFrame): DataFrame =
+    * post-sort array position. One udaf instance per k: the Column
+    * wrapper is reusable across plans, and registering it lazily
+    * per-width keeps the Encoder machinery out of class init. */
+  private val topKAggs = scala.collection.concurrent.TrieMap
+    .empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
+  private def topkRank(cand: DataFrame, k: Int = 3): DataFrame = {
+    val agg = topKAggs.getOrElseUpdate(k,
+      udaf(new graft.functions.TopKAgg(k, distinct = true)))
     cand.groupBy(col("qid"))
-      .agg(annTop3(col("score"), col("nid")).as("top"))
+      .agg(agg(col("score"), col("nid")).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("i", "p")))
       .select(col("qid"), col("p._2").as("nid"),
         (col("i") + 1).cast("long").as("rank"),
         col("p._1").as("score"))
       .select(col("qid"), col("nid"), col("rank"), col("score"))
+  }
 
   /** Reciprocal-rank fusion of the two ANN indexes — the standard
     * serving-side merge when multiple retrieval structures answer the
