@@ -53,6 +53,17 @@ class TopKAggSpec extends SparkSpec {
         .foldLeft(agg.zero)(agg.merge)
       assert(agg.finish(merged) == expected,
         s"xs=$xs k=$k parts=$parts")
+      // distinct mode: bit-identical duplicate pairs collapse (the
+      // multi-table LSH candidate stream), same total order — the
+      // small value domains above make duplicate pairs the common
+      // case, and the property must hold on every partitioning
+      val dAgg = new TopKAgg(k, distinct = true)
+      val dExpected = xs.distinct.sortBy { case (s, id) => (-s, id) }.take(k)
+      val dMerged = parts
+        .map(p => p.foldLeft(dAgg.zero)(dAgg.reduce))
+        .foldLeft(dAgg.zero)(dAgg.merge)
+      assert(dAgg.finish(dMerged) == dExpected,
+        s"distinct xs=$xs k=$k parts=$parts")
     }
   }
 }
