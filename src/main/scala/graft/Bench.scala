@@ -134,10 +134,17 @@ object Bench {
     // (machine-unreadable two rounds running). The full sample matrix
     // still matters for diagnosing contaminated passes, so it goes to
     // a sidecar file instead, and the stdout line names it.
+    // Default sidecar name carries the run's (sf, reps) identity so
+    // back-to-back or concurrent runs at different configs don't
+    // clobber each other's sample matrices; the failed list rides in
+    // the sidecar too, so a failed pass that overwrites a same-config
+    // file is self-flagging rather than silently replacing good data.
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     val samplesFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES",
-      "bench_samples.json")
+      s"bench_samples_${sfTag}_r$reps.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(samplesFile),
-      s"""{"reps":$reps,"sf":"$sfDir","samples":$sjson}"""
+      s"""{"reps":$reps,"sf":"$sfDir","failed":$failedJson,"samples":$sjson}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$qjson,"failed":$failedJson,"samples_file":"$samplesFile","sf":"$sfDir"}""")

@@ -264,6 +264,25 @@ object Dedup {
     }
   }
 
+  /** Drop and unpersist every memoized working set belonging to
+    * `spark` — the cold-measurement reset. `clearCache()` alone
+    * unpersists the frames but the memo keeps returning the SAME
+    * now-uncached DataFrames, which are only re-persisted on their
+    * next memo ACCESS — a query that reaches a shared subtree through
+    * a non-memo path re-executes it once per consumer, overstating
+    * cold cost vs a genuine first run (ADVICE r10). Tools measuring
+    * cold paths call this (plus [[Similarity.clearMemos]] /
+    * [[Tables.clearMemos]]) instead. */
+  private[graft] def clearMemos(spark: SparkSession): Unit =
+    sigSetMemo.synchronized {
+      val keys = sigSetMemo.keys.filter(_._1 eq spark).toList
+      keys.foreach { k =>
+        sigSetMemo.remove(k).foreach { v =>
+          if (!spark.sparkContext.isStopped) v.unpersist(true)
+        }
+      }
+    }
+
   private def cachedSigSets(spark: SparkSession, sfDir: String,
       n: Int, k: Int): DataFrame =
     memoizedPersisted(spark, s"sigs|$sfDir|$n|$k")(

@@ -132,7 +132,14 @@ object Similarity {
   private val queryVecMemoCap = 8
   private def queryVecs(spark: SparkSession, sfDir: String,
       maxQid: Long): DataFrame = {
-    val key = (spark, s"$sfDir|$maxQid")
+    // Keyed by the RESOLVED file set (as Tables.spread keys its
+    // probe), not the directory string: collected rows are a hard
+    // snapshot — unlike the DataFrame memos they never re-read files
+    // on recompute, so a swapped-out parquet under the same sfDir
+    // must MISS here or query batches silently diverge from the
+    // corpus the other operators scan.
+    val files = corpusPlan(spark, sfDir).inputFiles.sorted.mkString("\n")
+    val key = (spark, s"$files|$maxQid")
     val hit = queryVecMemo.synchronized {
       queryVecMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
       queryVecMemo.remove(key).map { v => queryVecMemo.put(key, v); v }
@@ -889,6 +896,24 @@ object Similarity {
           kmeansCentMemo.remove(kmeansCentMemo.head._1)
       }
       c
+    }
+  }
+
+  /** Drop every driver-side memo belonging to `spark` (query
+    * batches, IVF/k-means centroids) — the cold-measurement reset,
+    * paired with [[Dedup.clearMemos]]. These hold collected VALUES,
+    * not DataFrames, so `clearCache()` never touches them and a
+    * "cold" rep would otherwise skip the centroid fit / query
+    * collect a real first run pays. */
+  private[graft] def clearMemos(spark: SparkSession): Unit = {
+    queryVecMemo.synchronized {
+      queryVecMemo.filterInPlace((k, _) => k._1 ne spark)
+    }
+    ivfCentMemo.synchronized {
+      ivfCentMemo.filterInPlace((k, _) => k._1 ne spark)
+    }
+    kmeansCentMemo.synchronized {
+      kmeansCentMemo.filterInPlace((k, _) => k._1 ne spark)
     }
   }
 

@@ -108,6 +108,19 @@ object Tables {
     }
   }
 
+  /** Drop the per-session count/spread probes — completes the
+    * cold-measurement reset ([[Dedup.clearMemos]],
+    * [[Similarity.clearMemos]]): a genuine first run pays the count
+    * job and the partition probe too. */
+  private[graft] def clearMemos(spark: SparkSession): Unit = {
+    countMemo.synchronized {
+      countMemo.filterInPlace((k, _) => k._1 ne spark)
+    }
+    spreadMemo.synchronized {
+      spreadMemo.filterInPlace((k, _) => k._1 ne spark)
+    }
+  }
+
   // Keyed per SparkSession (identity), not JVM-global: if the harness
   // stops a session and builds a new one in the same JVM, the new
   // session must be re-tuned (it would otherwise miss nanosAsLong and

@@ -24,21 +24,38 @@ import org.apache.spark.sql.expressions.Aggregator
   * the multi-table LSH candidate stream surfaces the same neighbor
   * from several tables/probes with bit-identical scores, and a
   * bounded buffer must drop the copies or a duplicated pair would
-  * crowd a distinct neighbor out of the top-k. Equality is the
-  * pair's own (so only bit-identical duplicates collapse), and the
-  * skip keeps `merge` associative/commutative over the same total
-  * order. */
+  * crowd a distinct neighbor out of the top-k. Equality is
+  * canonical-score (Double.compare == 0) + id — NaN-reflexive,
+  * unlike IEEE `==` — and the skip keeps `merge`
+  * associative/commutative over the same total order. */
 class TopKAgg(k: Int, distinct: Boolean = false)
     extends Aggregator[(Double, Long), List[(Double, Long)],
       Seq[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // Score order via java.lang.Double.compare, NOT primitive >/==:
+  // NaN compares false to everything under IEEE operators, so a NaN
+  // score (e.g. cosine of a zero-norm vector) would make insertion
+  // position arrival-order-dependent and merge lose associativity —
+  // the window formulation this replaces used Spark's NaN-greatest
+  // total order, and compare preserves that (NaN sorts above +Inf,
+  // identical NaNs tie and fall through to the id tiebreak).
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
+  // Duplicate test for `distinct` mode — canonical-score equality
+  // (compare == 0), not tuple `==`: Scala's `==` on Double is IEEE
+  // (NaN != NaN), so a duplicated NaN-scored pair would never
+  // collapse and could crowd a distinct neighbor out of the top-k,
+  // the exact failure distinct mode exists to prevent.
+  private def dup(a: (Double, Long), b: (Double, Long)): Boolean =
+    java.lang.Double.compare(a._1, b._1) == 0 && a._2 == b._2
 
   private def insert(buf: List[(Double, Long)],
       x: (Double, Long)): List[(Double, Long)] = {
     val (ahead, behind) = buf.span(better(_, x))
-    if (distinct && behind.headOption.contains(x)) buf
+    if (distinct && behind.headOption.exists(dup(_, x))) buf
     else {
       val merged = ahead ::: x :: behind
       if (merged.length > k) merged.init else merged

@@ -66,6 +66,47 @@ class TopKAggSpec extends SparkSpec {
         s"distinct xs=$xs k=$k parts=$parts")
     }
   }
+
+  test("TopKAgg: NaN scores keep a total order on every partitioning") {
+    // NaN compares false to everything under IEEE >/==, so a naive
+    // `better` loses associativity the moment a NaN score (cosine of
+    // a zero-norm vector) enters the stream — insertion position
+    // then depends on arrival order (ADVICE r10). The aggregator
+    // orders via java.lang.Double.compare (NaN greatest, matching
+    // the Window formulation's Spark sort it replaced); reference
+    // ordering here is the same NaN-total comparator.
+    val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // score DESC
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    def score(): Double = rnd.nextInt(6) match {
+      case 0 => Double.NaN
+      case 1 => Double.PositiveInfinity
+      case _ => rnd.nextInt(4).toDouble
+    }
+    (1 to 200).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(30))((score(), rnd.nextInt(8).toLong))
+      val k = 1 + rnd.nextInt(4)
+      val nParts = 1 + rnd.nextInt(4)
+      val parts = rnd.shuffle(xs).grouped(
+        math.max(1, (xs.size + nParts - 1) / nParts)).toSeq
+      Seq(false, true).foreach { distinct =>
+        val agg = new TopKAgg(k, distinct)
+        val base = if (distinct) xs.distinct else xs
+        val expected = base.sorted(ord).take(k)
+        val merged = parts
+          .map(p => p.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+        // compare through the same total order (== on NaN tuples is
+        // boxed-equals, which is already NaN-reflexive)
+        assert(agg.finish(merged) == expected,
+          s"distinct=$distinct xs=$xs k=$k parts=$parts")
+      }
+    }
+  }
 }
 
 /** Window-formulation reference used by the equality test. */
