@@ -64,8 +64,18 @@ object Similarity {
     * routing it through the corpus cache would stack a second
     * vector-bearing materialization under every cold index build). */
   private def corpusPlan(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.spread(Tables(spark, sfDir, "embeddings"))
+    // fan-out floored at [[vecRowsPerTask]] rows/task: per-row vector
+    // work is a few µs, so near-empty tasks cost more than they
+    // compute (Tables.spreadTarget documents the measurement)
+    Tables.spread(Tables(spark, sfDir, "embeddings"),
+      rows = corpusCount(spark, sfDir), minRowsPerTask = vecRowsPerTask)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** Minimum embedding rows per task before another partition pays
+    * for itself — per-row cost here is ~100 dot products of
+    * [[embDim]] doubles (≈ tens of µs), so a task under a few
+    * hundred rows is dominated by its fixed launch + setup cost. */
+  private[graft] val vecRowsPerTask = 512
 
   /** Sequential-sum dot product of two double arrays, via the native
     * codegen'd [[graft.functions.DotProduct]] expression (bit-identical
@@ -794,11 +804,15 @@ object Similarity {
       val scored = lsh.union(ivf)
         .groupBy(col("qid"), col("nid"))
         .agg(sum(lit(1.0) / (col("rank") + lit(60))).as("rrf"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("rrf").desc, col("nid"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("nid"), col("rank"), col("rrf"))
+      // rank through the shared bounded top-k tail ([[topkRank]]) —
+      // its (score DESC, nid ASC) total order IS the former window's
+      // (rrf DESC, nid) ordering, so rows are identical while the
+      // window's partition-sort exchange disappears; (qid, nid) is
+      // unique post-agg so the aggregator's distinct is a no-op
+      topkRank(scored.select(col("qid"), col("nid"),
+          col("rrf").as("score")))
+        .select(col("qid"), col("nid"), col("rank"),
+          col("score").as("rrf"))
     }
 
   /** Embedding-table vector width (FIXTURES.md §B). */
@@ -1097,7 +1111,8 @@ object Similarity {
     * hash-checks against DuckDB here). One map-side-combined shuffle
     * of |labels|×(8+1) decimal sums — scale-free. */
   def qLabelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"),
+        rows = corpusCount(spark, sfDir), minRowsPerTask = vecRowsPerTask)
       .select(col("label"), asDouble(col("embedding")).as("v"))
     val dims = 8
     val aggs = count(lit(1)).as("n") +:

@@ -53,9 +53,29 @@ object Tables {
     scala.collection.mutable.LinkedHashMap.empty[
       (SparkSession, String, Int), Int]
   private val spreadMemoCap = 64
-  private[engine] def spread(df: DataFrame): DataFrame = {
+
+  /** Fan-out target: all cores, floored so each task holds at least
+    * `minRowsPerTask` rows (when the caller knows the cardinality).
+    * Over-splitting is NOT free: measured on the 32-core bench box,
+    * a stage of 32 near-empty vector tasks burns ~150-200 ms CPU
+    * PER TASK (scheduler + per-task setup contention — ~10× the
+    * per-task cost of the same stage run 8-wide), so spreading 2k
+    * embedding rows across 32 cores triples the ANN stack's cold
+    * wall time. This is the same sizing rule Spark's own
+    * `files.maxPartitionBytes` applies to scans — partition count
+    * follows data volume, not cluster width; at lake scale
+    * rows/minRowsPerTask ≫ cores and the floor never binds. */
+  private[graft] def spreadTarget(p: Int, rows: Long,
+      minRowsPerTask: Int): Int =
+    if (rows < 0) p
+    else math.max(1L, math.min(p.toLong,
+      (rows + minRowsPerTask - 1) / minRowsPerTask)).toInt
+
+  private[engine] def spread(df: DataFrame, rows: Long = -1L,
+      minRowsPerTask: Int = 1): DataFrame = {
     val spark = df.sparkSession
-    val p = spark.sparkContext.defaultParallelism
+    val p = spreadTarget(
+      spark.sparkContext.defaultParallelism, rows, minRowsPerTask)
     val files = df.inputFiles
     val parts =
       if (files.isEmpty) df.rdd.getNumPartitions

@@ -73,4 +73,21 @@ class ScaleSpec extends SparkSpec {
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), s"nested loop survived:\n$plan")
   }
+
+  test("spreadTarget: fan-out follows data volume, not cluster width") {
+    val p = 32
+    // unknown cardinality → old behavior, all cores
+    assert(Tables.spreadTarget(p, -1L, 512) == p)
+    // empty/tiny input never fans below one task
+    assert(Tables.spreadTarget(p, 0L, 512) == 1)
+    assert(Tables.spreadTarget(p, 1L, 512) == 1)
+    // the sf0.1 embeddings corpus: 2000 rows / 512 → 4 tasks
+    assert(Tables.spreadTarget(p, 2000L, 512) == 4)
+    // exact multiples don't round up an extra partition
+    assert(Tables.spreadTarget(p, 1024L, 512) == 2)
+    // at scale the floor never binds: 1M rows → all cores
+    assert(Tables.spreadTarget(p, 1000000L, 512) == p)
+    // a wider cluster IS used once rows cover it
+    assert(Tables.spreadTarget(1000, 1000000L, 512) == 1000)
+  }
 }

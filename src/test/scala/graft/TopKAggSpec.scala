@@ -87,6 +87,14 @@ class TopKAggSpec extends SparkSpec {
       case 1 => Double.PositiveInfinity
       case _ => rnd.nextInt(4).toDouble
     }
+    // Canonical pair identity for both the reference dedup and the
+    // assertion: doubleToLongBits collapses every NaN to one bit
+    // pattern, so (NaN, id) equals (NaN, id) — Scala tuple `==`
+    // keeps IEEE NaN semantics (non-reflexive), which would both
+    // leave phantom duplicates in the reference's `distinct` AND
+    // fail the assertion on a correct NaN-topped result.
+    def canon(x: (Double, Long)): (Long, Long) =
+      (java.lang.Double.doubleToLongBits(x._1), x._2)
     (1 to 200).foreach { _ =>
       val xs = Seq.fill(rnd.nextInt(30))((score(), rnd.nextInt(8).toLong))
       val k = 1 + rnd.nextInt(4)
@@ -95,15 +103,14 @@ class TopKAggSpec extends SparkSpec {
         math.max(1, (xs.size + nParts - 1) / nParts)).toSeq
       Seq(false, true).foreach { distinct =>
         val agg = new TopKAgg(k, distinct)
-        val base = if (distinct) xs.distinct else xs
+        val base = if (distinct) xs.distinctBy(canon) else xs
         val expected = base.sorted(ord).take(k)
         val merged = parts
           .map(p => p.foldLeft(agg.zero)(agg.reduce))
           .foldLeft(agg.zero)(agg.merge)
-        // compare through the same total order (== on NaN tuples is
-        // boxed-equals, which is already NaN-reflexive)
-        assert(agg.finish(merged) == expected,
-          s"distinct=$distinct xs=$xs k=$k parts=$parts")
+        assert(agg.finish(merged).map(canon) == expected.map(canon),
+          s"distinct=$distinct got=${agg.finish(merged)} " +
+            s"want=$expected xs=$xs k=$k parts=$parts")
       }
     }
   }
