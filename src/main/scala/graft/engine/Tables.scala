@@ -74,13 +74,21 @@ object Tables {
   private[engine] def spread(df: DataFrame, rows: Long = -1L,
       minRowsPerTask: Int = 1): DataFrame = {
     val spark = df.sparkSession
+    val files = df.inputFiles
+    val fileKey = if (files.isEmpty) "" else files.sorted.mkString("\n")
+    // No floor for callers without a cardinality (rows < 0): the
+    // document-text entry points carry real per-row work (shingling,
+    // minhash, winnowing — hundreds of µs/doc), so full fan-out wins
+    // there even on the small fixtures (A/B-measured; a bytes-based
+    // floor made q_unigram_score ~1.5-2× slower). The floor is for
+    // cheap-per-row vector stages whose corpora the caller has
+    // already counted.
     val p = spreadTarget(
       spark.sparkContext.defaultParallelism, rows, minRowsPerTask)
-    val files = df.inputFiles
     val parts =
       if (files.isEmpty) df.rdd.getNumPartitions
       else {
-        val key = (spark, files.sorted.mkString("\n"), p)
+        val key = (spark, fileKey, p)
         val hit = spreadMemo.synchronized {
           spreadMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
           spreadMemo.remove(key).map { v => spreadMemo.put(key, v); v }
