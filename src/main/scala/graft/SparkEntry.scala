@@ -97,6 +97,11 @@ object SparkEntry {
     // §2.9 north-star: embedding similarity
     "q_cosine_topk" -> Similarity.qCosineTopK _,
     "q_embed_neardup" -> Similarity.qEmbedNearDup _,
+    // the candidate-generation twin: LSH-bucket collisions + exact
+    // verify — the near-dup path that scales past the all-pairs join
+    // (guarded like every oracle that embeds the plane literals)
+    "q_embed_neardup_ann" -> ((s, d) => { lshOracleGuard(s, d)
+      Similarity.qEmbedNearDupAnn(s, d) }),
     "q_ann_lsh" -> ((s, d) => { lshOracleGuard(s, d)
       Similarity.qAnnLsh(s, d) }),
     "q_ann_ivf" -> Similarity.qAnnIvf _,
@@ -293,7 +298,13 @@ object SparkEntry {
         "generated plane list (SparkEntry.lshOracleMaxBits)")
   }
 
-  private val duckAnnLsh: String = {
+  /** The LSH index rebuilt relationally — CTEs (e, w, sg, b):
+    * embeddings as double vectors, the n-derived signature width,
+    * per-table signatures from the embedded plane literals, and the
+    * exploded (vec_id, tbl, sig) bucket rows. Shared prefix of every
+    * LSH-derived oracle ([[duckAnnLsh]], the near-dup candidate
+    * twin) so the index definition cannot drift between them. */
+  private val duckLshIndexCtes: String = {
     val oracleMaxBits = lshOracleMaxBits
     val tables = Similarity.lshTables
     val dim = 64
@@ -314,7 +325,11 @@ object SparkEntry {
        |w AS (SELECT least(63, greatest(4,
        |         length(bin((count(*) - 1) // 16)))) AS bits FROM e),
        |sg AS (SELECT vec_id, $sigExprs FROM e CROSS JOIN w),
-       |b AS ($bandRows),
+       |b AS ($bandRows)""".stripMargin
+  }
+
+  private val duckAnnLsh: String =
+    s"""$duckLshIndexCtes,
        |q AS (SELECT vec_id AS qid, tbl,
        |        unnest(list_prepend(sig, list_transform(range(w.bits),
        |          j -> xor(sig, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))))
@@ -337,7 +352,31 @@ object SparkEntry {
        |SELECT qid, nid, rank, score FROM r
        |WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
-  }
+
+  /** LSH-candidate near-dup oracle: pairs within Hamming distance 1
+    * in any table (exact bucket + single-bit probe fan on one side),
+    * exact cosine, the shared [[Similarity.nearDupCosFloor]] cut —
+    * the same index CTEs as [[duckAnnLsh]]. */
+  private val duckEmbedNearDupAnn: String =
+    s"""$duckLshIndexCtes,
+       |pb AS (SELECT vec_id, tbl,
+       |        unnest(list_prepend(sig, list_transform(range(w.bits),
+       |          j -> xor(sig, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))))
+       |          AS psig
+       |       FROM b CROSS JOIN w),
+       |cand AS (SELECT DISTINCT x.vec_id AS ida, pb.vec_id AS idb
+       |         FROM b x JOIN pb ON x.tbl = pb.tbl AND x.sig = pb.psig
+       |                         AND x.vec_id < pb.vec_id),
+       |s AS (SELECT ida, idb,
+       |        list_inner_product(ea.v, eb.v)
+       |          / (sqrt(list_inner_product(ea.v, ea.v))
+       |             * sqrt(list_inner_product(eb.v, eb.v))) AS cos
+       |      FROM cand
+       |      JOIN e ea ON ea.vec_id = ida
+       |      JOIN e eb ON eb.vec_id = idb)
+       |SELECT ida, idb, cos FROM s
+       |WHERE cos >= ${Similarity.nearDupCosFloor}
+       |ORDER BY ida, idb""".stripMargin
 
   /** ANN-IVF oracle (shared with the RRF fusion oracle). The cell
     * count is n-derived — ⌈√n⌉, floor 16 ([[Similarity.ivfCells]]) —
@@ -440,6 +479,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_simhash_pairs" -> duckSimhash,
     "q_ann_lsh" -> duckAnnLsh,
+    "q_embed_neardup_ann" -> duckEmbedNearDupAnn,
     "q_media_features" -> duckMediaFeatures,
     // the real-codec round-trip: a 16-wide zero-padded grayscale PNG
     // is lossless, so decoded raster stats ≡ payload byte stats —

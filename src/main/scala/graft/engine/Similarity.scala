@@ -285,7 +285,53 @@ object Similarity {
       .select(least(col("id_a"), col("id_b")).as("ida"),
         greatest(col("id_a"), col("id_b")).as("idb"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= nearDupCosFloor)
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** Cosine floor shared by the exact all-pairs near-dup and its
+    * ANN-candidate twin — one knob, so the spec's recall comparison
+    * and the two oracles always speak about the same pair set. */
+  private[graft] val nearDupCosFloor = 0.4
+
+  /** Embedding near-dup via the LSH index — the CANDIDATE-GENERATION
+    * path that replaces the exact all-pairs self-join at corpus
+    * scale: a pair is a candidate iff its signatures land within
+    * Hamming distance 1 in SOME table of the fused index (the exact
+    * bucket plus the [[lshProbeFan]] single-bit flips — the same
+    * multi-probe recall lever the retrieval path uses, fanned over
+    * ONE join side; bit-flip collision is symmetric, so the
+    * ida < idb orientation still meets every pair once). Every
+    * candidate is verified with the exact cosine before the
+    * [[nearDupCosFloor]] cut, so precision is 1 by construction and
+    * the only approximation is recall (pairs no table co-buckets
+    * within one flip are never scored; measured against
+    * [[qEmbedNearDup]]'s exact pair set in `SimilaritySpec`). This
+    * is the embedding-space analog of the MinHash band join over
+    * text shingles ([[Dedup]]): candidate volume is
+    * O(n · tables · (bits+1) · bucket) — ~16-row expected buckets at
+    * ANY corpus size ([[lshBits]]), so O(n log n) total — versus the
+    * exact path's O(n²) comparisons, and the join is a plain
+    * equi-join on the bucket key: no cartesian, no nested loop, no
+    * per-block vector replication. Collisions repeat across
+    * tables/probes; each is scored in the join's map stage
+    * (bit-identical doubles for identical pairs) and the 24-byte
+    * (ida, idb, cos) rows dedup in ONE exchange — the vectors
+    * themselves never shuffle. */
+  def qEmbedNearDupAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val bits = lshBits(corpusCount(spark, sfDir))
+    val b = annIndex(spark, sfDir).select(col("vec_id"), col("v"),
+      posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    val x = b.select(col("tbl"), col("sig"),
+      col("vec_id").as("ida"), col("v").as("va"))
+    val y = b.select(col("tbl"), col("vec_id").as("idb"),
+      col("v").as("vb"), explode(lshProbeFan(bits)).as("sig"))
+    x.join(y, Seq("tbl", "sig"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= nearDupCosFloor)
+      .distinct()
       .orderBy(col("ida"), col("idb"))
   }
 

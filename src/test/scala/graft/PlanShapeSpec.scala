@@ -126,6 +126,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ANN near-dup: bucket-key equi-join — never BNLJ or cartesian") {
+    // same 100 TB contract as the blocked exact path: candidates come
+    // from a plain equi-join on (tbl, sig); at fixture size either
+    // hash-join side may broadcast, but a nested loop or cartesian
+    // would mean the bucket key fell out of the join condition
+    val p = plan(graft.engine.Similarity.qEmbedNearDupAnn(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tf-idf: the document-frequency side of the term join is never hint-broadcast") {
     // the df aggregate is the FULL corpus vocabulary — billions of
     // terms at 100 TB. A broadcast HINT would pin it to the driver and
