@@ -44,6 +44,7 @@ object Bench {
     "q_unigram_score",    // vocabulary join + per-doc agg (r6)
     "q_range_join",       // non-equi join via bucketed equi-join
     "q_cosine_topk",      // brute-force similarity
+    "q_embed_neardup_ann", // LSH band join + exact verify (r12)
     "q_ann_ivf",          // cell-probe ANN (n-derived cells, r8)
     "q_ann_recall",       // full ANN serving stack + exact truth (r8)
     "q_embed_cluster",    // iterative k-means (3 assignment scans, r6)

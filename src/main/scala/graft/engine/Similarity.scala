@@ -590,7 +590,8 @@ object Similarity {
     val e = annCorpus(spark, sfDir)
     val k = ivfCells(corpusCount(spark, sfDir))
     val cent = augmentCentroids(
-      kmeansCentroidsCached(spark, sfDir, k, iters = 3, e))
+      kmeansCentroidsCached(spark, sfDir, k, iters = 3, e,
+        corpusCount(spark, sfDir)))
     // the Lloyd quantizer's cells differ from the fused index's
     // first-k cells, so this path memoizes its OWN assignment frame
     val assigned = Dedup.memoizedPersisted(spark, s"ivfassignedkm|$sfDir")(
@@ -929,7 +930,35 @@ object Similarity {
     * broadcast-sized by construction. */
   def kmeansCentroids(spark: SparkSession, sfDir: String, k: Int,
       iters: Int): IndexedSeq[IndexedSeq[Double]] =
-    kmeansCentroidsCached(spark, sfDir, k, iters, corpus(spark, sfDir))
+    kmeansCentroidsCached(spark, sfDir, k, iters, corpus(spark, sfDir),
+      corpusCount(spark, sfDir))
+
+  /** Lloyd FIT input: a deterministic hash-spaced sample of
+    * ~[[kmeansFitPerCentroid]]·k vectors when the corpus is larger —
+    * the standard offline-fit posture (quantizer codebooks are fit on
+    * tens-to-hundreds of points per centroid; more adds cost, not
+    * balance — 64 vs 128 per centroid measured identical planted
+    * recall at 1M, 128 the better max-cell, so 128 ships).
+    * Assignment always runs the FULL corpus — only the iterative fit
+    * reads the sample, which turns the fit's per-iteration cost from
+    * O(n·k) into O(k²·128): at 1M vectors and k = 1000 the fit reads
+    * 128k rows instead of 1M per iteration (measured: IVF-KM
+    * fit+assign 41.7 s → 13.5 s, max cell 1.16·√n → 1.20·√n,
+    * planted recall 1.00 → 0.96 — the boundary-pair price of a
+    * codebook fit on a sample, constant across sample sizes).
+    * The sample is a pure function of (corpus ids, k): keep every
+    * vector whose id-hash lands on the stride, so it is reproducible
+    * across runs, partitionings and cluster sizes, and below the
+    * threshold (every fixture SF: n ≤ 64·⌈√n⌉ ⟺ n ≤ 4096) the
+    * sample IS the corpus — fixture results are unchanged and the
+    * driver-side spec re-derivations stay exact. */
+  private[graft] val kmeansFitPerCentroid = 128L
+  private[graft] def kmeansFitSample(e: DataFrame, k: Int,
+      n: Long): DataFrame = {
+    val target = kmeansFitPerCentroid * k
+    if (n <= target) e
+    else e.filter(pmod(xxhash64(col("vec_id")), lit(n / target)) === 0)
+  }
 
   /** Driver-side memo for the Lloyd fixpoint over a FIXTURE corpus —
     * the centroids are a deterministic pure function of
@@ -942,14 +971,15 @@ object Similarity {
     .empty[(SparkSession, String), IndexedSeq[IndexedSeq[Double]]]
   private val kmeansCentMemoCap = 8
   private def kmeansCentroidsCached(spark: SparkSession, sfDir: String,
-      k: Int, iters: Int, e: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
+      k: Int, iters: Int, e: DataFrame,
+      n: Long): IndexedSeq[IndexedSeq[Double]] = {
     val key = (spark, s"$sfDir|$k|$iters")
     val hit = kmeansCentMemo.synchronized {
       kmeansCentMemo.filterInPlace((kk, _) => !kk._1.sparkContext.isStopped)
       kmeansCentMemo.remove(key).map { v => kmeansCentMemo.put(key, v); v }
     }
     hit.getOrElse {
-      val c = kmeansCentroidsFrom(e, k, iters)
+      val c = kmeansCentroidsFrom(kmeansFitSample(e, k, n), k, iters)
       kmeansCentMemo.synchronized {
         kmeansCentMemo.put(key, c)
         while (kmeansCentMemo.size > kmeansCentMemoCap)
@@ -1041,7 +1071,8 @@ object Similarity {
     val e = corpus(spark, sfDir)
     val k = semdedupCells(corpusCount(spark, sfDir))
     semdedupKeepWithCentroids(e, threshold = 0.4,
-      kmeansCentroidsCached(spark, sfDir, k, iters = 3, e))
+      kmeansCentroidsCached(spark, sfDir, k, iters = 3, e,
+        corpusCount(spark, sfDir)))
   }
 
   /** The keep-list given already-fit centroids — lets a caller that

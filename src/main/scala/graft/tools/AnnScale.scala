@@ -17,21 +17,33 @@ import org.apache.spark.sql.functions._
   *    16-cell quantizer would drag in.
   *  - LSH: bits = [[Similarity.lshBits]](n) (16 at 1M → 65k buckets/
   *    table); checks mean bucket occupancy ≈ targetBucket and the
-  *    multi-probe candidate fraction per query.
+  *    multi-probe candidate fraction per query. The same two numbers
+  *    are the scale evidence for the ANN near-dup band join
+  *    ([[Similarity.qEmbedNearDupAnn]], r12): its candidate pairs per
+  *    vector ARE the multi-probe fan's bucket mates (same
+  *    bucketed ⋈ probe-fanned-bucketed dataflow), so per-vector
+  *    candidate volume is the measured ~0.35% of the corpus — vs the
+  *    50% an all-pairs join scores — and the planted near-copies
+  *    (cos ≈ 0.995, the production near-dup regime) co-bucket within
+  *    one probe 100/100.
   *
   * Generation is executor-side (same splitmix64 noise as
   * [[SemScale]] — avalanche is load-bearing); the driver holds only
   * the ⌈√n⌉ quantizer. Usage:
   *   sbt "runMain graft.tools.AnnScale [nVecs]"   # default 1000000
   *
-  * Measured (local[32], n = 1M, round-10 run): IVF first-k quantizer
-  * k=1000, quantize+assign 5.7 s, max cell 4.26·√n, avg
+  * Measured (local[32], n = 1M, round-12 run): IVF first-k quantizer
+  * k=1000, quantize+assign 5.0 s, max cell 4.26·√n, avg
   * candidates/query 2261 = 0.226% of the corpus (a fixed 16-cell
   * quantizer would probe 12.5%), planted-neighbor candidate recall
   * 100/100; IVF-KM (the Lloyd-fitted `qAnnIvfKm` quantizer, 3
-  * iterations) max cell 1.16·√n, 0.198% probed, fit+assign 41.7 s —
-  * what fitting buys back from first-k's skew; LSH bits=16 at the
-  * shipped 8 tables, index 6.1 s (278 s before the
+  * iterations over the [[Similarity.kmeansFitSample]] 128-per-
+  * centroid hash sample) max cell 1.20·√n, 0.202% probed, fit+assign
+  * 13.5 s (41.7 s when fit on the full corpus, for 1.16·√n and
+  * 100/100 — the sampled codebook trades 4 boundary pairs of 100
+  * planted for the 3× fit cut, identically at 64 and 128 per
+  * centroid) — what fitting buys back from first-k's skew; LSH
+  * bits=16 at the shipped 8 tables, index 8.1 s (278 s before the
   * [[graft.functions.HyperplaneSig]] loop expression — the 1024
   * inlined literal doubles per table degraded codegen), mean bucket
   * 15.6 ≈ the 16 target, multi-probe candidates/query 3501 = 0.350%,
@@ -139,7 +151,8 @@ object AnnScale {
     t0 = System.nanoTime()
     val centKm = Similarity.augmentCentroids(
       Similarity.kmeansCentroidsFrom(
-        e.select(col("vec_id"), col("v")), k, iters = 3))
+        Similarity.kmeansFitSample(
+          e.select(col("vec_id"), col("v")), k, n), k, iters = 3))
     val va = Similarity.augmentVec(col("v"))
     val assignedKm = e.select(col("vec_id"), col("v"),
         Similarity.ivfCellCol(centKm, v = va).as("cid"))

@@ -162,6 +162,29 @@ class SimilaritySpec extends SparkSpec {
       s"recall $recall (${ann.size}/${exact.size})")
   }
 
+  test("k-means fit sample: identity at fixture sizes, deterministic stride above") {
+    val mk = (n: Int) => (0L until n.toLong)
+      .map(i => (i, Seq(i.toDouble))).toDF("vec_id", "v")
+    // below 64·k the sample IS the input — fixture results unchanged
+    val small = mk(500)
+    assert(Similarity.kmeansFitSample(small, k = 22, n = 500) eq small)
+    // above: ~64·k rows in expectation, ≥ k (the seed requirement),
+    // and the same rows on every call (pure function of ids)
+    val big = mk(50000)
+    val s1 = Similarity.kmeansFitSample(big, k = 10, n = 50000)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val s2 = Similarity.kmeansFitSample(mk(50000), k = 10, n = 50000)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2)
+    assert(s1.size >= 10, s"sample ${s1.size} < k")
+    // hash-uniform stride: within 2x of the per-centroid target
+    // (expected size overshoots the target by up to the integer-
+    // division slack in n/target, so the bound is inclusive-loose)
+    val target = Similarity.kmeansFitPerCentroid * 10
+    assert(s1.size > target / 2 && s1.size < target * 2,
+      s"sample size ${s1.size} vs target $target")
+  }
+
   test("RRF fusion equals a driver-side recompute from the two ANN lists") {
     val lsh = Similarity.qAnnLsh(spark, sf0001)
       .select("qid", "nid", "rank").as[(Long, Long, Long)].collect()
