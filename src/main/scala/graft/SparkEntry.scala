@@ -83,6 +83,8 @@ object SparkEntry {
     "q_embed_quantize" -> Similarity.qEmbedQuantize _,
     // §2.9 north-star: deduplication
     "q_dedup_exact" -> Dedup.qDedupExact _,
+    // incremental ingest: new batch vs historical corpus, Bloom-pruned
+    "q_dedup_incremental" -> Dedup.qDedupIncremental _,
     "q_jaccard_pairs" -> Dedup.qJaccardPairs _,
     "q_dedup_minhash" -> Dedup.qDedupMinhash _,
     "q_dedup_clusters" -> Dedup.qDedupClusters _,
@@ -962,6 +964,15 @@ object SparkEntry {
       s"""SELECT md5($duckNorm) AS fp, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents
+        |GROUP BY fp
+        |ORDER BY keep_id""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH b AS (SELECT doc_id, md5($duckNorm) AS fp
+        |           FROM documents WHERE source = 'src0'),
+        |h AS (SELECT DISTINCT md5($duckNorm) AS fp
+        |      FROM documents WHERE source <> 'src0')
+        |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_batch_copies
+        |FROM b ANTI JOIN h USING (fp)
         |GROUP BY fp
         |ORDER BY keep_id""".stripMargin,
     "q_jaccard_pairs" -> duckShingleCte,

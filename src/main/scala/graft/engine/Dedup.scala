@@ -700,6 +700,61 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental ingest dedup — the production posture every
+    * whole-corpus dedup above eventually runs in: a NEW batch (here
+    * the `source = src0` slice — in production the day's crawl)
+    * arrives against an immutable HISTORY (every other source), and
+    * only batch documents whose canonical fingerprint
+    * ([[TextOps.fingerprint]]) is unseen in history survive, deduped
+    * within the batch to the min doc_id. The scale shape inverts
+    * [[qContaminationBloom]]'s: history is the huge side (the
+    * accumulated corpus), the batch is small, so the Bloom sketch is
+    * built over the BATCH fingerprints (distributed build, only the
+    * ~MB bit array reaches the driver), broadcast, and applied to
+    * history BEFORE the join — history shrinks to
+    * O(true dupes + fpp·|history|) rows instead of shuffling every
+    * historical fingerprint into the anti-join, and the exact
+    * anti-join on the survivors removes the false positives so the
+    * approximation never reaches the output. (The probe UDF is the
+    * same documented no-UDF-rule exception as the contamination
+    * pass: a narrow filter over a broadcast sketch, never in an
+    * agg/join hot path.) */
+  def qDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val batchSource = "src0"
+    // the batch participates three times (sketch sizing, sketch
+    // build, anti-join) — memoized like the other shared working sets
+    val batch = memoizedPersisted(spark, s"incrBatch|$sfDir")(
+      d.filter(col("source") === batchSource)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")))
+    val history = d.filter(col("source") =!= batchSource)
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+    incrementalKeep(batch, history)
+  }
+
+  /** The incremental-dedup core over prepared frames — `batch` is
+    * (doc_id, fp) (persisted by the caller: it feeds sketch sizing,
+    * the sketch build and the anti-join), `history` is (fp). Split
+    * from the query so the spec can drive it with planted duplicate
+    * structure the no-exact-dupe fixture corpus lacks. */
+  private[graft] def incrementalKeep(batch: DataFrame,
+      history: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val nBatch = batch.count()
+    val bf = batch.stat.bloomFilter("fp",
+      expectedNumItems = math.max(nBatch, 1000L), fpp = 0.001)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((fp: String) => bfB.value.mightContainString(fp))
+    val seen = history
+      .filter(mightContain(col("fp")))
+      .distinct()
+    batch.join(seen, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_batch_copies"))
+      .orderBy(col("keep_id"))
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
     * Signature bit b = sign of Σ_tokens (bit b of md5(token)'s leading
     * 8 bytes ? +1 : −1). Candidates via 4×16-bit chunk equality

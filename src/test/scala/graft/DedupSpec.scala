@@ -152,4 +152,20 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out(0)._2 == 1L && out(0)._3 == 2L) // case/space-insensitive dup
   }
+
+  test("incremental dedup: history hits dropped, batch deduped, no Bloom losses") {
+    // planted structure the fixture corpus lacks (it has no exact
+    // dupes): fp "a" seen in history, "b" duplicated within the
+    // batch, "c"/"d" genuinely new, plus 5k history distractors to
+    // give Bloom false positives room to appear (the exact anti-join
+    // must absorb them)
+    val batch = Seq((10L, "a"), (11L, "b"), (12L, "b"), (13L, "c"),
+      (14L, "d")).toDF("doc_id", "fp").persist()
+    val history = (Seq("a") ++ (0 until 5000).map(i => s"h$i"))
+      .toDF("fp")
+    val out = Dedup.incrementalKeep(batch, history)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("b", 11L, 2L), ("c", 13L, 1L), ("d", 14L, 1L)))
+    batch.unpersist()
+  }
 }

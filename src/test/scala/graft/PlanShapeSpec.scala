@@ -246,6 +246,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(semiAt >= 0 && probeAt > semiAt, p)
   }
 
+  test("incremental dedup: batch bloom probe below the history anti-join") {
+    // the scale inversion of the contamination pass: history is the
+    // huge side, so the batch-built sketch must prune it BEFORE the
+    // anti-join — a probe above the join would shuffle every
+    // historical fingerprint
+    val p = plan(graft.engine.Dedup.qDedupIncremental(spark, sf0001))
+    val antiAt = p.indexOf("LeftAnti")
+    // CollapseProject inlines the fp projection, so the probe prints
+    // as UDF(md5(...)) inside the history scan's filter — below the
+    // anti-join in the tree (history prints after the join node)
+    val probeAt = p.indexOf("UDF(")
+    assert(antiAt >= 0 && probeAt > antiAt, p)
+  }
+
   test("scalar sweeps: scans pruned to exactly the referenced columns") {
     // the §2.7 function sweeps are pure projections — a scan that
     // reads more than the referenced columns means pruning broke
