@@ -168,4 +168,29 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(("b", 11L, 2L), ("c", 13L, 1L), ("d", 14L, 1L)))
     batch.unpersist()
   }
+
+  test("incremental dedup: equals the naive anti-join on random batch/history splits") {
+    // the Bloom prune is an OPTIMIZATION — for any overlap structure
+    // the output must equal the plain (batch minus history) grouped
+    // result; small fingerprint alphabets make collisions (intra-
+    // batch dupes, history hits) the common case
+    val rnd = new scala.util.Random(31)
+    (1 to 5).foreach { trial =>
+      val alphabet = (0 until 8 + rnd.nextInt(24)).map(i => s"f$i")
+      val batch = (0 until 1 + rnd.nextInt(40)).map(i =>
+        (i.toLong, alphabet(rnd.nextInt(alphabet.size))))
+      val history = (0 until rnd.nextInt(60)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.size)))
+      val bdf = batch.toDF("doc_id", "fp").persist()
+      val out = Dedup.incrementalKeep(bdf, history.toDF("fp"))
+        .as[(String, Long, Long)].collect().toSeq
+      bdf.unpersist()
+      val hist = history.toSet
+      val expected = batch.filterNot(b => hist(b._2))
+        .groupBy(_._2).map { case (fp, rows) =>
+          (fp, rows.map(_._1).min, rows.size.toLong)
+        }.toSeq.sortBy(_._2)
+      assert(out == expected, s"trial $trial: $out vs $expected")
+    }
+  }
 }

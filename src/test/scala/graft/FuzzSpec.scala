@@ -164,4 +164,5 @@ class FuzzSpec extends AnyFunSuite {
       }
     }
   }
+
 }
