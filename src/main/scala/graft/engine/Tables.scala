@@ -18,19 +18,31 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tune(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // The events table stores TIMESTAMP(NANOS) which Spark's parquet
-    // reader rejects natively; with nanosAsLong (set in tune) it
-    // arrives as LongType nanos. Truncate to micros with *integer*
-    // division — epoch nanos (~1.7e18) exceed double's exact integer
-    // range, so `/ 1000` through DOUBLE would corrupt timestamps.
-    // Truncation (not rounding) matches DuckDB's ns→µs behavior.
-    df.schema.fields.find(f => f.name == "ts"
-        && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    // The events table's `ts` arrives in one of two physical forms
+    // depending on how the fixture was written, and both normalize to
+    // session-zoned TimestampType so downstream code (epoch casts,
+    // windows) sees ONE type:
+    //  - TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    //    natively; with nanosAsLong (set in tune) it arrives as
+    //    LongType nanos. Truncate to micros with *integer* division —
+    //    epoch nanos (~1.7e18) exceed double's exact integer range,
+    //    so `/ 1000` through DOUBLE would corrupt timestamps.
+    //    Truncation (not rounding) matches DuckDB's ns→µs behavior.
+    //  - TIMESTAMP(MICROS) without timezone metadata, which arrives
+    //    as TimestampNTZType. NTZ forbids numeric casts (the r12
+    //    silent breakage: `ts.cast("long")` became an analysis error
+    //    in the as-of join and sessionization), so cast it to the
+    //    session-zoned type — the session is pinned UTC everywhere,
+    //    making the two forms bit-equivalent.
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", df("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 

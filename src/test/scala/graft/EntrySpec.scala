@@ -1,0 +1,27 @@
+package graft
+
+/** Every registered query must at least ANALYZE and physically plan
+  * against the fixture tables. `Verify` logs per-query failures to
+  * stderr and carries on, and the driver's correctness compare only
+  * scores queries that produced a dump — so a query whose
+  * construction throws (the r12 find: a fixture-schema drift turned
+  * `ts.cast("long")` into an analysis error in the as-of join and
+  * sessionization) can vanish from the gate without any test going
+  * red. This spec closes that class: resolution + optimization +
+  * physical planning for all of `SparkEntry.queries`, no execution. */
+class EntrySpec extends SparkSpec {
+
+  test("every registered query analyzes and plans at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          fn(spark, sf0001).queryExecution.executedPlan
+          None
+        } catch { case e: Throwable =>
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(300)}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail to plan:\n${failures.mkString("\n")}")
+  }
+}
