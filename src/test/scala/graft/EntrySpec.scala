@@ -24,4 +24,8 @@ class EntrySpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} queries fail to plan:\n${failures.mkString("\n")}")
   }
+
+  test("the flagship entry returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L)
+  }
 }
