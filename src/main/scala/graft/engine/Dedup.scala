@@ -452,10 +452,15 @@ object Dedup {
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val w = Window.partitionBy(col("src"))
+    // NO distinct here (r12): the consumer is [[smallStar]]'s
+    // window-min, which duplicates cannot perturb, and the round's
+    // canonical edge set is re-established by smallStar's final
+    // distinct anyway — dropping the dedup exchange saves one of the
+    // round's shuffles for at most 2|E| duplicated rows riding into
+    // the next window (bounded: each symmetrized row emits ≤ 1).
     sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** One small-star round: every node u connects its smaller
