@@ -174,6 +174,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(junkQ < 0.25)
   }
 
+  test("incremental doc pipeline: history-Bloom hits dropped, stream dedup intact") {
+    import org.apache.spark.sql.functions.col
+    import graft.engine.{TextOps, TimeOps}
+    val seen = "this document was already ingested last month and " +
+      "sits in the historical corpus with all of its words intact"
+    val fresh = "a brand new document arrives on the stream today and " +
+      "must survive both the history probe and the quality floor"
+    val fresh2 = "another new arrival with different content that the " +
+      "history sketch has never seen before in any batch"
+    val dir = tmpDir("incrdocs")
+    def row(id: Long, text: String, ts: Long) =
+      s"""{"doc_id":$id,"text":"$text","ts":$ts}"""
+    Files.write(Paths.get(dir, "in.jsonl"), Seq(
+      row(1, seen, T0),             // in history → dropped by the probe
+      row(2, fresh, T0 + 1000),
+      row(3, fresh, T0 + 2000),     // in-stream dup → watermark dedup
+      row(4, fresh2, T0 + 3000))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the history sketch, built exactly as the batch side builds it
+    val hist = Seq(seen).toDF("text")
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+      .stat.bloomFilter("fp", 1000L, 0.001)
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING, ts LONG").json(dir)
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("ts")))
+    val out = runToMemory(
+      StreamingOps.incrementalDocPipeline(docs, hist), "incr_pipe")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 4L))
+  }
+
   test("trending terms: a window's over-threshold terms emit exactly once") {
     import org.apache.spark.sql.functions.col
     import graft.engine.TimeOps
