@@ -39,6 +39,7 @@ object Bench {
     "q_dedup_minhash",    // MinHash+LSH + verify (dedup)
     "q_dedup_clusters",   // connected components (driver union-find)
     "q_dedup_clusters_dist", // same via distributed star contraction
+    "q_dedup_incremental", // batch-Bloom-pruned historical anti-join (r12)
     "q_repetition_stats", // per-doc n-gram repetition (text, r6)
     "q_passage_dedup",    // passage explode + keep-first window (r6)
     "q_unigram_score",    // vocabulary join + per-doc agg (r6)
