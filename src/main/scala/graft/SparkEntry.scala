@@ -358,12 +358,19 @@ object SparkEntry {
   /** LSH-candidate near-dup oracle: pairs within Hamming distance 1
     * in any table (exact bucket + single-bit probe fan on one side),
     * exact cosine, the shared [[Similarity.nearDupCosFloor]] cut —
-    * the same index CTEs as [[duckAnnLsh]]. */
+    * the same index CTEs as [[duckAnnLsh]]. The fan is the near-dup
+    * Hamming-≤2 one ([[Similarity.lshNearDupFan]]): exact bucket,
+    * every single-bit flip, every two-bit flip (j > k). */
   private val duckEmbedNearDupAnn: String =
     s"""$duckLshIndexCtes,
        |pb AS (SELECT vec_id, tbl,
-       |        unnest(list_prepend(sig, list_transform(range(w.bits),
-       |          j -> xor(sig, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))))
+       |        unnest(list_concat(list_prepend(sig,
+       |          list_transform(range(w.bits),
+       |            j -> xor(sig, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))),
+       |          flatten(list_transform(range(1, w.bits), j ->
+       |            list_transform(range(j), k ->
+       |              xor(sig, (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+       |                       | (CAST(1 AS BIGINT) << CAST(k AS INTEGER))))))))
        |          AS psig
        |       FROM b CROSS JOIN w),
        |cand AS (SELECT DISTINCT x.vec_id AS ida, pb.vec_id AS idb

@@ -50,7 +50,7 @@ object Dedup {
   /** FNV-1a 64-bit over the UTF-8 bytes of the tokens joined with a
     * NUL separator — the shingle identity used by the dedup pipeline.
     * Any 64-bit mix works; FNV keeps it dependency-free and portable. */
-  private def fnv1a(tokens: Array[String], from: Int, n: Int): Long = {
+  private[engine] def fnv1a(tokens: Array[String], from: Int, n: Int): Long = {
     var h = 0xCBF29CE484222325L
     var t = from
     while (t < from + n) {

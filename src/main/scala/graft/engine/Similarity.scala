@@ -297,41 +297,51 @@ object Similarity {
   /** Embedding near-dup via the LSH index — the CANDIDATE-GENERATION
     * path that replaces the exact all-pairs self-join at corpus
     * scale: a pair is a candidate iff its signatures land within
-    * Hamming distance 1 in SOME table of the fused index (the exact
-    * bucket plus the [[lshProbeFan]] single-bit flips — the same
-    * multi-probe recall lever the retrieval path uses, fanned over
-    * ONE join side; bit-flip collision is symmetric, so the
-    * ida < idb orientation still meets every pair once). Every
-    * candidate is verified with the exact cosine before the
-    * [[nearDupCosFloor]] cut, so precision is 1 by construction and
-    * the only approximation is recall (pairs no table co-buckets
-    * within one flip are never scored; measured against
-    * [[qEmbedNearDup]]'s exact pair set in `SimilaritySpec`). This
-    * is the embedding-space analog of the MinHash band join over
-    * text shingles ([[Dedup]]): candidate volume is
-    * O(n · tables · (bits+1) · bucket) — ~16-row expected buckets at
-    * ANY corpus size ([[lshBits]]), so O(n log n) total — versus the
-    * exact path's O(n²) comparisons, and the join is a plain
+    * Hamming distance 2 in SOME table of the fused index (the exact
+    * bucket plus [[lshNearDupFan]]'s one- and two-bit flips, fanned
+    * over ONE join side; bit-flip collision is symmetric, so the
+    * ida < idb orientation still meets every pair once — the ≤2 fan
+    * is the near-dup-only recall lever: retrieval keeps the cheaper
+    * ≤1 [[lshProbeFan]], but a dedup pass that silently drops ~15%
+    * of true near-dup pairs, r12's measured 0.852 recall at sf0.1,
+    * is below what production dedup accepts). Every candidate is
+    * verified with the exact cosine before the [[nearDupCosFloor]]
+    * cut, so precision is 1 by construction and the only
+    * approximation is recall (pairs no table co-buckets within two
+    * flips are never scored; measured against [[qEmbedNearDup]]'s
+    * exact pair set in `SimilaritySpec`). This is the
+    * embedding-space analog of the MinHash band join over text
+    * shingles ([[Dedup]]): candidate volume is
+    * O(n · tables · bits² · bucket) — ~16-row expected buckets at
+    * ANY corpus size ([[lshBits]]), so O(n log² n) total — versus
+    * the exact path's O(n²) comparisons, and the join is a plain
     * equi-join on the bucket key: no cartesian, no nested loop, no
-    * per-block vector replication. Collisions repeat across
-    * tables/probes; each is scored in the join's map stage
-    * (bit-identical doubles for identical pairs) and the 24-byte
-    * (ida, idb, cos) rows dedup in ONE exchange — the vectors
-    * themselves never shuffle. */
+    * per-block vector replication. The bucket join carries IDS ONLY
+    * (tbl, sig, vec_id — 24-byte rows; the r12 formulation shipped
+    * both full vectors through it, ~136 replicas of every vector at
+    * 1M with the fan): collisions repeating across tables/probes
+    * dedup in ONE pair-sized exchange, and the vectors join back
+    * exactly once per side to score — the same
+    * candidates-then-verify shape as [[Dedup]]'s MinHash band join
+    * and this oracle's own CTE chain. */
   def qEmbedNearDupAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val bits = lshBits(corpusCount(spark, sfDir))
-    val b = annIndex(spark, sfDir).select(col("vec_id"), col("v"),
+    val b = annIndex(spark, sfDir).select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("tbl", "sig")))
-    val x = b.select(col("tbl"), col("sig"),
-      col("vec_id").as("ida"), col("v").as("va"))
+    val x = b.select(col("tbl"), col("sig"), col("vec_id").as("ida"))
     val y = b.select(col("tbl"), col("vec_id").as("idb"),
-      col("v").as("vb"), explode(lshProbeFan(bits)).as("sig"))
-    x.join(y, Seq("tbl", "sig"))
+      explode(lshNearDupFan(bits)).as("sig"))
+    val cand = x.join(y, Seq("tbl", "sig"))
       .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"))
+      .distinct()
+    val e = annCorpus(spark, sfDir)
+    cand
+      .join(e.select(col("vec_id").as("ida"), col("v").as("va")), Seq("ida"))
+      .join(e.select(col("vec_id").as("idb"), col("v").as("vb")), Seq("idb"))
       .select(col("ida"), col("idb"),
         cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= nearDupCosFloor)
-      .distinct()
       .orderBy(col("ida"), col("idb"))
   }
 
@@ -728,6 +738,24 @@ object Similarity {
       if (j == 0) sig
       else sig.bitwiseXOR(lit(1L << (j - 1)))
     }: _*)
+
+  /** The near-dup candidate fan: the exact bucket plus every one-
+    * AND two-bit flip — 1 + bits + C(bits,2) probe signatures, so a
+    * pair collides iff some table puts it within Hamming distance 2.
+    * Near-dup-only (retrieval keeps the ≤1 [[lshProbeFan]]): a
+    * missed neighbor costs retrieval one of k results, but costs a
+    * dedup pass a duplicate KEPT — r12's ≤1 fan measured 0.852
+    * recall at sf0.1, and the ≤2 fan is the standard multi-probe
+    * step-out (Lv et al.) that buys the tail without growing the
+    * index. The fan rides the id-only side of the bucket join
+    * (~24-byte rows), so the widened replication is pairs-cheap —
+    * the vectors never see it. */
+  private[graft] def lshNearDupFan(bits: Int, sig: Column = col("sig")): Column = {
+    val singles = (0 until bits).map(j => sig.bitwiseXOR(lit(1L << j)))
+    val doubles = for { j <- 1 until bits; k <- 0 until j }
+      yield sig.bitwiseXOR(lit((1L << j) | (1L << k)))
+    array((sig +: (singles ++ doubles)): _*)
+  }
 
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame =
     lshList(spark, sfDir).orderBy(col("qid"), col("rank"))

@@ -187,6 +187,13 @@ object Tables {
       // events.parquet stores TIMESTAMP(NANOS,false) which the vectorized
       // reader rejects ([PARQUET_TYPE_ILLEGAL]); read as Long and convert.
       c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The NTZ->TimestampType normalization in `table` above is only
+      // bit-equivalent to the nanos path when the session zone is UTC.
+      // Each entry point (Bench/Verify/tests) sets it too, but the
+      // invariant belongs at the same choke point as nanosAsLong so a
+      // session built elsewhere can't silently shift every event
+      // timestamp relative to the DuckDB oracle.
+      c.set("spark.sql.session.timeZone", "UTC")
       // native functions (SQL name graft_dot); cluster deployments can
       // instead set spark.sql.extensions=graft.functions.GraftExtensions
       graft.functions.GraftFunctions.register(spark)

@@ -651,6 +651,113 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokens per duplicated-substring window for [[qSubstringDedup]] —
+    * the Lee et al. ≥50-token bar ("Deduplicating Training Data Makes
+    * Language Models Better", ACL'22: substrings of 50+ tokens
+    * repeated verbatim are memorization fuel and carry no second-copy
+    * training signal). */
+  val substrLen = 50
+
+  /** EXACT substring-level dedup with document reassembly — the
+    * suffix-array ExactSubstr operator re-expressed for a shuffle
+    * engine. [[passageDedup]] removes repeated fixed-aligned CHUNKS;
+    * this removes repeated ≥[[substrLen]]-token spans at ARBITRARY
+    * token offsets: every sliding [[substrLen]]-token window of every
+    * document is keyed globally, a window instance that is not the
+    * first occurrence of its content in (doc_id, pos) order marks its
+    * whole span for removal, and per-document span union (overlapping
+    * duplicated windows merge — a duplicated 60-token run is 11
+    * duplicated windows whose union is exactly the run) removes the
+    * covered tokens before reassembly. A token survives iff no
+    * non-first duplicated window covers it, so the kept text is the
+    * corpus with every later copy of every ≥50-token repeated span
+    * cut out — first occurrences stay intact, same keep-first
+    * discipline as [[passageDedup]] and exact doc dedup.
+    *
+    * Equivalence note: the union of duplicated W-windows equals the
+    * union of maximal duplicated runs of length ≥ W, so marking
+    * windows reproduces span-level ExactSubstr removal without ever
+    * materializing variable-length spans. For a run shared by
+    * documents A < B, every window of the run orders A first, so the
+    * keep side is consistent per run — never a half-kept copy.
+    *
+    * Scale shape: window hashing is one imperative mapPartitions pass
+    * (the [[Dedup.shingleHashSets]] no-inlining seam — tokenize once
+    * per document, emit (doc_id, pos, fnv1a) per window, ~one narrow
+    * 20-byte row per corpus token, the same O(corpus tokens) work
+    * profile as the suffix-array build it replaces); dup detection is
+    * ONE shuffle keyed by the 64-bit window hash (row_number keeps
+    * the global first; hot windows skew their partition — AQE skew
+    * handling applies, as in [[passageDedup]]); removal positions
+    * aggregate per document (rows bounded by DUPLICATED instances
+    * only, not corpus size) and join back doc-keyed — the small side
+    * is dup-bearing docs, broadcast-eligible under AQE; reassembly
+    * re-tokenizes in a second mapPartitions walk (re-tokenizing costs
+    * less than shuffling every token array through the join). The
+    * cleaned text leaves the executors only as an md5, as in
+    * [[passageDedup]]. 64-bit window-hash collisions: P ≈ n²/2⁶⁴ —
+    * the same vanishing bound the whole dedup pipeline documents, so
+    * the DuckDB string-window oracle hash-matches.
+    *
+    * Reference scope note: the reference (emr-flink-example) ships no
+    * dedup surface at all; this operator is part of the LLM-pipeline
+    * brief (SURVEY §2.9). */
+  def qSubstringDedup(spark: SparkSession, sfDir: String): DataFrame =
+    substringDedup(Tables(spark, sfDir, "documents"))
+
+  /** The dataflow behind [[qSubstringDedup]], over any (doc_id, text)
+    * frame — also driven by [[graft.tools.SubstrScale]] on synthetic
+    * corpora far beyond the SF fixtures. */
+  def substringDedup(d: DataFrame, w: Int = substrLen): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val docs = Tables.spread(d).select(col("doc_id"), col("text"))
+    val wins = docs.as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val tk = Dedup.tokensOf(text)
+        (0 to tk.length - w).iterator
+          .map(i => (id, i, Dedup.fnv1a(tk, i, w)))
+      }
+    }.toDF("doc_id", "pos", "h")
+    val keepFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val rem = wins
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("rems"))
+    docs.join(rem, Seq("doc_id"), "left")
+      .as[(Long, String, Option[Seq[Int]])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text, remOpt) =>
+          val tk = Dedup.tokensOf(text)
+          if (tk.isEmpty) None // zero-token docs vanish, as in passageDedup
+          else {
+            val removed = new Array[Boolean](tk.length)
+            remOpt.foreach(_.foreach { p =>
+              var j = p
+              while (j < p + w && j < tk.length) { removed(j) = true; j += 1 }
+            })
+            val kept = new StringBuilder
+            var nRemoved = 0L
+            var j = 0
+            while (j < tk.length) {
+              if (removed(j)) nRemoved += 1
+              else { if (kept.nonEmpty) kept.append(' '); kept.append(tk(j)) }
+              j += 1
+            }
+            md.reset()
+            val fp = md.digest(kept.result()
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            Some((id, tk.length.toLong, nRemoved, fp))
+          }
+        }
+      }.toDF("doc_id", "n_tokens", "n_removed", "clean_fp")
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-mix sampling: per-SOURCE keep rates applied through the
     * same md5(doc_id) bucketing as [[qHoldoutSplit]] — the "weight
     * your sources" step of assembling a training mix (upsample

@@ -25,6 +25,16 @@ class EntrySpec extends SparkSpec {
       s"${failures.size} queries fail to plan:\n${failures.mkString("\n")}")
   }
 
+  test("the query registry never shrinks (bump the floor when adding queries)") {
+    // EntrySpec above catches queries that fail to *construct*; this
+    // catches accidental deregistration — together they close the r11
+    // silent-shrink class (92 -> 90 with no red test).
+    assert(SparkEntry.queries.size >= 94,
+      s"query registry shrank: ${SparkEntry.queries.size} < 94")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      "oracleSql keys must all be registered queries")
+  }
+
   test("the flagship entry returns rows (the driver's smoke check)") {
     assert(SparkEntry.entry(spark).limit(1).count() == 1L)
   }

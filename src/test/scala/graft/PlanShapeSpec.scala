@@ -250,14 +250,30 @@ class PlanShapeSpec extends SparkSpec {
     // the scale inversion of the contamination pass: history is the
     // huge side, so the batch-built sketch must prune it BEFORE the
     // anti-join — a probe above the join would shuffle every
-    // historical fingerprint
-    val p = plan(graft.engine.Dedup.qDedupIncremental(spark, sf0001))
-    val antiAt = p.indexOf("LeftAnti")
-    // CollapseProject inlines the fp projection, so the probe prints
-    // as UDF(md5(...)) inside the history scan's filter — below the
-    // anti-join in the tree (history prints after the join node)
-    val probeAt = p.indexOf("UDF(")
-    assert(antiAt >= 0 && probeAt > antiAt, p)
+    // historical fingerprint. Walk the tree (not the plan text: a
+    // flat indexOf("UDF(") matched ANY udf anywhere after the join
+    // marker) and pin the ScalaUDF filter inside the anti-join's
+    // RIGHT child — the history scan subtree — and nowhere else.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => BJ}
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec leaf that tree-collect can't see through
+    val exec = graft.engine.Dedup.qDedupIncremental(spark, sf0001)
+      .queryExecution.sparkPlan
+    def probes(p: SparkPlan): Int = p.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])
+        => f
+    }.size
+    val anti = exec.collect {
+      case j: BJ if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(anti.size == 1, s"expected one anti-join:\n$exec")
+    assert(probes(anti.head.right) == 1,
+      s"bloom probe filter must sit on the history (right/build) subtree:\n$exec")
+    assert(probes(anti.head.left) == 0,
+      s"no udf probe belongs on the batch side:\n$exec")
   }
 
   test("scalar sweeps: scans pruned to exactly the referenced columns") {

@@ -153,12 +153,30 @@ class SimilaritySpec extends SparkSpec {
       assert(exactMap.get((a, b)).contains(c),
         s"ANN pair ($a,$b,$c) not in the exact pair set")
     }
-    // deterministic fixture recall — 8 tables × Hamming-1 probes at
-    // the ~0.4-cosine band: measured 1.0 here and at sf0.01, 0.852
-    // at sf0.1 (2000 vectors, 7-bit signatures). A drop below the
-    // floor means the index/probe definition changed, not noise.
+    // deterministic fixture recall — 8 tables × Hamming-≤2 probes at
+    // the ~0.4-cosine band: measured 1.0 here and at sf0.01. A drop
+    // below the floor means the index/probe definition changed, not
+    // noise.
     val recall = ann.size.toDouble / exact.size
-    assert(exact.nonEmpty && recall >= 0.9,
+    assert(exact.nonEmpty && recall >= 0.99,
+      s"recall $recall (${ann.size}/${exact.size})")
+  }
+
+  test("ANN near-dup: recall >= 0.95 at sf0.1 (the production-dedup bar)") {
+    // the widest fixture (2000 vectors, 7-bit signatures) is where
+    // the ≤1 fan degraded: r12 measured 0.852 — a dedup pass keeping
+    // ~15% of true near-dups. The ≤2 fan must clear 0.95 here; both
+    // paths are deterministic, so this is a fixed number, not a
+    // flaky bound.
+    val sf01 = "/root/testdata/sf0.1"
+    val exact = Similarity.qEmbedNearDup(spark, sf01)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val ann = Similarity.qEmbedNearDupAnn(spark, sf01)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(ann.subsetOf(exact), s"ANN invented ${(ann -- exact).take(5)}")
+    val recall = ann.size.toDouble / exact.size
+    info(s"sf0.1 near-dup recall: $recall (${ann.size}/${exact.size})")
+    assert(exact.nonEmpty && recall >= 0.95,
       s"recall $recall (${ann.size}/${exact.size})")
   }
 
