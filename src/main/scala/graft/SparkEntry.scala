@@ -161,6 +161,7 @@ object SparkEntry {
     "q_quality_filter" -> TextOps.qQualityFilter _,
     "q_repetition_stats" -> TextOps.qRepetitionStats _,
     "q_passage_dedup" -> TextOps.qPassageDedup _,
+    "q_substring_dedup" -> TextOps.qSubstringDedup _,
     "q_unigram_score" -> TextOps.qUnigramScore _,
     "q_train_mix" -> TextOps.qTrainMix _,
     "q_window_pct" -> Relational.qWindowPct _,
@@ -1330,6 +1331,38 @@ object SparkEntry {
         |  md5(coalesce(string_agg(passage, ' ' ORDER BY pos)
         |        FILTER (WHERE keep), '')) AS clean_fp
         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Exact substring dedup: sliding 50-token windows (vs the chunked
+    // passage oracle above), keep-first by (doc_id, pos) over the
+    // window STRING (Spark groups by the fnv1a hash — identical up to
+    // the vanishing 64-bit collision bound), non-first instances mark
+    // [pos, pos+50) for removal, tokens surviving the span union
+    // reassemble per doc. coalesce('') matches Spark's md5 of the
+    // empty string for fully-removed docs.
+    "q_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |n AS (SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) > 0),
+        |w AS (SELECT doc_id, tk, unnest(range(nt - 49)) AS pos
+        |      FROM n WHERE nt >= 50),
+        |w2 AS (SELECT doc_id, pos,
+        |         array_to_string(tk[pos+1:pos+50], ' ') AS win FROM w),
+        |mk AS (SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY win
+        |                            ORDER BY doc_id, pos) AS rn
+        |       FROM w2),
+        |rem AS (SELECT doc_id, pos FROM mk WHERE rn > 1),
+        |tok AS (SELECT doc_id, nt, tk[j+1] AS tkn, j
+        |        FROM (SELECT doc_id, nt, tk, unnest(range(nt)) AS j FROM n)),
+        |marked AS (SELECT tok.doc_id, tok.nt, tok.tkn, tok.j,
+        |         EXISTS (SELECT 1 FROM rem
+        |                 WHERE rem.doc_id = tok.doc_id
+        |                   AND rem.pos <= tok.j AND tok.j < rem.pos + 50)
+        |           AS removed
+        |       FROM tok)
+        |SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(tkn, ' ' ORDER BY j)
+        |        FILTER (WHERE NOT removed), '')) AS clean_fp
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Commonness score: integer corpus-frequency sums, one double
     // division at the end — no transcendentals, so hash-exact.
     "q_unigram_score" ->

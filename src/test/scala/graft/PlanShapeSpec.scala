@@ -227,6 +227,19 @@ class PlanShapeSpec extends SparkSpec {
       .r.findAllIn(p).isEmpty, p)
   }
 
+  test("substring dedup: mapPartitions windows, one hash shuffle, doc-keyed rem join") {
+    val p = plan(graft.engine.TextOps.qSubstringDedup(spark, sf0001))
+    // windows come from the imperative pass — an explode (Generate)
+    // would mean the tokenize expression got inlined per element
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("Generate"), p)
+    // the removal-position join is the only join, keyed by doc_id —
+    // never a nested loop or cartesian over the corpus
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Join".r.findAllIn(p).size <= 2, p) // one join (+AQE reprint slack)
+  }
+
   test("k-means assignment: a pure projection — no join, window, or agg") {
     // the iterative centroid jobs run eagerly at build time; the
     // RETURNED plan is the corpus-wide assignment, which must stay a

@@ -169,6 +169,40 @@ class TextOpsSpec extends SparkSpec {
     assert(out.exists { case (_, n, k, _) => k < n })
   }
 
+  test("substring dedup: sequential-walk recompute, span union, keep-first") {
+    val w = TextOps.substrLen
+    val out = TextOps.qSubstringDedup(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.nonEmpty)
+    // independent recomputation: sequential corpus walk — first
+    // occurrence of each w-token window (by string, not the engine's
+    // fnv1a hash) recorded in a seen-map; later instances mark their
+    // spans; removal is the per-doc span union
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    def tok(t: String) = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val expect = docs.toSeq.flatMap { case (id, text) =>
+      val tk = tok(text)
+      if (tk.isEmpty) None
+      else {
+        val removed = new Array[Boolean](tk.length)
+        (0 to tk.length - w).foreach { i =>
+          val win = tk.slice(i, i + w).mkString(" ")
+          if (!seen.add(win)) (i until i + w).foreach(removed(_) = true)
+        }
+        val kept = tk.indices.filterNot(removed).map(tk)
+        Some((id, tk.length.toLong, removed.count(identity).toLong,
+          md5hex(kept.mkString(" "))))
+      }
+    }
+    assert(out == expect)
+    // the fixture's planted duplicates actually exercise removal
+    assert(out.exists(_._3 > 0))
+    // and partially: some doc keeps some tokens while losing others
+    assert(out.exists(o => o._3 > 0 && o._3 < o._2))
+  }
+
   test("unigram score: mean corpus token frequency, exact arithmetic") {
     val out = TextOps.qUnigramScore(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSeq
