@@ -162,6 +162,11 @@ object SparkEntry {
     "q_repetition_stats" -> TextOps.qRepetitionStats _,
     "q_passage_dedup" -> TextOps.qPassageDedup _,
     "q_substring_dedup" -> TextOps.qSubstringDedup _,
+    // real pinned-merge-table BPE (vs the roughBpeCount regex proxy):
+    // subword counts + stream fingerprint, and the packing twin that
+    // re-runs sequence packing on the real tokenizer arithmetic
+    "q_bpe_tokens" -> TextOps.qBpeTokens _,
+    "q_pack_bpe" -> TextOps.qPackBpe _,
     "q_unigram_score" -> TextOps.qUnigramScore _,
     "q_train_mix" -> TextOps.qTrainMix _,
     "q_window_pct" -> Relational.qWindowPct _,
@@ -175,6 +180,47 @@ object SparkEntry {
     "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
   private val duckNorm =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  /** The pinned BPE merge table as a VALUES list — generated from
+    * [[TextOps.bpeMerges]] so the oracle can never drift from the
+    * engine's table. */
+  private val duckBpeMergeRows = TextOps.bpeMerges.zipWithIndex
+    .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
+  /** Shared CTE chain recomputing the BPE encode in pure SQL: each
+    * word becomes a chr(31)-delimited symbol string, and a recursive
+    * CTE walks the merge table in rank order, replacing the current
+    * rule's delimited pair until it no longer occurs (CASE keeps the
+    * rank while `contains`, advances when exhausted — DuckDB's
+    * `replace` only rewrites non-overlapping occurrences left to
+    * right, so repeating to fixpoint is what equals the engine's
+    * left-to-right merge pass). Rows exit the recursion when their
+    * rank passes the table's end; the finished state per word is the
+    * row at rank n+1. */
+  private val duckBpeCte =
+    s"""m(r, a, b) AS (VALUES $duckBpeMergeRows),
+      |t AS (SELECT doc_id, source, $duckTokens AS tk FROM documents),
+      |tok AS (SELECT doc_id, source, unnest(tk) AS word,
+      |          unnest(range(len(tk))) AS j
+      |        FROM t WHERE len(tk) > 0),
+      |v AS (SELECT DISTINCT word FROM tok),
+      |enc(word, s, r) AS (
+      |  SELECT word,
+      |    chr(31) || regexp_replace(word, '(.)', concat('\\1', chr(31)), 'g'),
+      |    1
+      |  FROM v
+      |  UNION ALL
+      |  SELECT e.word,
+      |    CASE WHEN contains(e.s, chr(31)||m.a||chr(31)||m.b||chr(31))
+      |         THEN replace(e.s, chr(31)||m.a||chr(31)||m.b||chr(31),
+      |                      chr(31)||m.a||m.b||chr(31))
+      |         ELSE e.s END,
+      |    CASE WHEN contains(e.s, chr(31)||m.a||chr(31)||m.b||chr(31))
+      |         THEN e.r ELSE e.r + 1 END
+      |  FROM enc e JOIN m ON m.r = e.r),
+      |wb AS (SELECT word,
+      |         replace(substring(s, 2, length(s) - 2), chr(31), ' ')
+      |           AS bpe_str,
+      |         length(s) - length(replace(s, chr(31), '')) - 1 AS n_bpe
+      |       FROM enc WHERE r = ${TextOps.bpeMerges.length + 1})""".stripMargin
   /** The TextOps.qualityScore formula over (text, tk) — kept verbatim
     * in both oracles that use it. */
   private val duckQuality =
@@ -1363,6 +1409,34 @@ object SparkEntry {
         |  md5(coalesce(string_agg(tkn, ' ' ORDER BY j)
         |        FILTER (WHERE NOT removed), '')) AS clean_fp
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Real BPE over the pinned merge table: the shared recursive CTE
+    // re-derives every word's merge sequence in pure SQL; the md5 of
+    // the space-joined subword stream pins the SEQUENCE, not just the
+    // count.
+    "q_bpe_tokens" ->
+      s"""WITH RECURSIVE $duckBpeCte,
+        |per AS (SELECT tok.doc_id, tok.j, wb.n_bpe, wb.bpe_str
+        |        FROM tok JOIN wb USING (word))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+        |  md5(string_agg(bpe_str, ' ' ORDER BY j)) AS bpe_fp
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The packing twin on BPE arithmetic — same shard-local window and
+    // integer // as q_pack_sequences, counts from the recursive CTE.
+    "q_pack_bpe" ->
+      s"""WITH RECURSIVE $duckBpeCte,
+        |per AS (SELECT tok.doc_id, tok.source,
+        |          CAST(sum(wb.n_bpe) AS BIGINT) AS ntk
+        |        FROM tok JOIN wb USING (word)
+        |        GROUP BY tok.doc_id, tok.source),
+        |c AS (SELECT doc_id, source, ntk,
+        |        CAST(SUM(ntk) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        |      FROM per)
+        |SELECT doc_id, source, ntk, end_off - ntk AS start_off,
+        |  (end_off - ntk) // 512 AS seq_id
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
     // Commonness score: integer corpus-frequency sums, one double
     // division at the end — no transcendentals, so hash-exact.
     "q_unigram_score" ->

@@ -500,16 +500,25 @@ object Dedup {
     * edge-set comparison with the previous round. Testing the
     * fixpoint property instead of set-equality saves the one FULL
     * extra round (plus exact anti-join) the old detection spent
-    * discovering that the last round changed nothing. The star test
-    * runs on entry too, so an input that is already a star forest
-    * (pre-contracted edges) does zero rounds. The checkpoint is
-    * lazy, so materialization rides inside the test's aggregate job;
-    * `localCheckpoint` per round keeps the plan from growing.
-    * Unconverged after `maxIter` throws — partial labels silently
-    * under-dedup. Measured ([[graft.tools.CCScale]]): chains — the
-    * worst case, where min-label needs diameter rounds — converge in
-    * 13 alternating rounds at 100k hops and 16 at 1M (textbook
-    * log n), labels exact.
+    * discovering that the last round changed nothing. The checkpoint
+    * is lazy, so materialization rides inside the test's aggregate
+    * job; `localCheckpoint` per round keeps the plan from growing.
+    *
+    * The loop is do-while — round first, test after — because both
+    * star operators are IDEMPOTENT on a canonical star forest (each
+    * leaf re-hooks to its root, the root's window-min is itself), so
+    * an already-converged input pays one no-op round instead of a
+    * dedicated entry-test job, and every non-converged input (the
+    * common case) saves that job outright. Total fixture jobs per
+    * call: one per round (round shuffles + test aggregate fused by
+    * the lazy checkpoint) — nothing else; at fixture edge counts the
+    * loop's cost IS its job count, at corpus scale the O(|E|)
+    * shuffles dominate either way. Unconverged after `maxIter`
+    * throws — partial labels silently under-dedup. Measured
+    * ([[graft.tools.CCScale]]): chains — the worst case, where
+    * min-label needs diameter rounds — converge in 13 alternating
+    * rounds at 100k hops and 16 at 1M (textbook log n), labels
+    * exact.
     *
     * Why the root of a converged star is its component's minimum: a
     * star forest's components ARE its stars, the canonical
@@ -521,14 +530,19 @@ object Dedup {
     * endpoint, rounds used). */
   private[graft] def connectedComponents(pairs: DataFrame,
       maxIter: Int = 64): (DataFrame, Int) = {
+    // ONE canonical frame, self-loops KEPT: both the edge set (loops
+    // filtered) and the vertex set (src ∪ dst — the loop row is what
+    // keeps a self-loop-only vertex present) derive from this single
+    // lazily-checkpointed scan, so `pairs` is read exactly once and
+    // there is no separate eager vertex-materialization job. The
+    // checkpoint materializes inside round 1's test aggregate and
+    // truncates lineage, so callers may unpersist `pairs` as soon as
+    // this returns.
     val canon = pairs
       .select(greatest(col("ida"), col("idb")).as("src"),
         least(col("ida"), col("idb")).as("dst"))
-      .filter(col("src") =!= col("dst"))
       .distinct()
-    val vertices = pairs.select(col("ida").as("id"))
-      .union(pairs.select(col("idb").as("id"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // star-forest test: per id, (times-a-src, times-a-dst) — a
     // violation is a doubly-parented node (ns > 1) or a node that is
     // both parent and child (ns > 0 ∧ nd > 0). One union + one
@@ -542,9 +556,9 @@ object Dedup {
         .agg(sum(col("s")).as("ns"), sum(col("d")).as("nd"))
         .filter(col("ns") > 1 || (col("ns") > 0 && col("nd") > 0))
         .isEmpty
-    var edges = canon.localCheckpoint(false)
+    var edges = canon.filter(col("src") =!= col("dst"))
     var rounds = 0
-    var done = isStarForest(edges)
+    var done = false
     while (!done && rounds < maxIter) {
       edges = smallStar(largeStar(edges)).localCheckpoint(false)
       rounds += 1
@@ -553,6 +567,8 @@ object Dedup {
     if (!done) throw new IllegalStateException(
       s"connectedComponents: not converged after $maxIter " +
         "large/small-star rounds — raise maxIter")
+    val vertices = canon.select(col("src").as("id"))
+      .union(canon.select(col("dst").as("id"))).distinct()
     val labels = vertices
       .join(edges.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("dst"), col("id")).as("label"))
@@ -594,11 +610,17 @@ object Dedup {
     * same judgment call as a broadcast join), alternating-star rounds
     * otherwise. Unpersisting before the result is consumed is safe on
     * both branches: the union-find result is driver-local, and
-    * [[connectedComponents]] eagerly localCheckpoints. */
+    * [[connectedComponents]]' convergence tests materialize its
+    * lineage-truncating checkpoints before it returns. */
   private[engine] def labelComponents(pairs: DataFrame,
       driverEdgeLimit: Long): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // Forced-distributed (negative limit): there is no branch decision
+    // to make, so no persist+count job either — connectedComponents'
+    // canonical checkpoint is the single consumer of `pairs` and scans
+    // it exactly once.
+    if (driverEdgeLimit < 0L) return connectedComponents(pairs)._1
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = p.count()
     val labeled: DataFrame =

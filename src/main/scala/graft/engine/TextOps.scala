@@ -758,6 +758,142 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The pinned BPE merge table — 48 ranked merges over lowercase
+    * base characters, ordered like a learned English table (frequent
+    * digraphs first, then suffixes and closed-class words). Pinning
+    * the table (instead of learning it per-corpus) is what production
+    * token accounting does too: the tokenizer that will cut the
+    * training sequences is FIXED before the pipeline runs, and every
+    * engine that recounts tokens must reproduce it byte-for-byte —
+    * so the table is data, not a fit.
+    *
+    * Invariant (checked by `TextOpsSpec`): every rule's inputs are
+    * single base characters or the OUTPUT of a strictly earlier rule.
+    * Classic BPE encoding re-picks the lowest-ranked applicable merge
+    * after every single merge; under this invariant, applying each
+    * rule exhaustively in rank order is equivalent (a merge can only
+    * create pairs involving its output token, and every rule
+    * consuming that output sits later in the table), which is what
+    * both [[bpeEncode]] and the DuckDB oracle's iterated
+    * delimiter-string `replace` compute. */
+  private[graft] val bpeMerges: IndexedSeq[(String, String)] = IndexedSeq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "r" -> "e",
+    "o" -> "n", "e" -> "r", "a" -> "t", "e" -> "n", "o" -> "u",
+    "o" -> "r", "e" -> "s", "s" -> "t", "a" -> "r", "a" -> "l",
+    "in" -> "g", "i" -> "t", "i" -> "s", "l" -> "e", "an" -> "d",
+    "s" -> "e", "c" -> "h", "o" -> "f", "t" -> "o", "r" -> "o",
+    "l" -> "l", "e" -> "d", "d" -> "e", "h" -> "i", "g" -> "h",
+    "c" -> "o", "m" -> "e", "n" -> "o", "u" -> "s", "m" -> "a",
+    "w" -> "h", "l" -> "i", "b" -> "e", "h" -> "a", "u" -> "r",
+    "w" -> "i", "th" -> "at", "wi" -> "th", "f" -> "or", "a" -> "s",
+    "w" -> "as", "i" -> "on", "t" -> "ion")
+
+  /** BPE-encode one word against [[bpeMerges]]: start from single
+    * characters, apply each merge rule in rank order with one
+    * left-to-right pass (merging in place never creates an occurrence
+    * of the CURRENT pair earlier than the scan point — the merged
+    * token differs from both inputs — so one pass per rule reaches
+    * that rule's fixpoint). Deterministic, allocation-light; words
+    * are short, so the walk is O(len × rules) with tiny constants. */
+  private[graft] def bpeEncode(word: String): IndexedSeq[String] = {
+    val syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var ci = 0
+    while (ci < word.length) { syms += word.substring(ci, ci + 1); ci += 1 }
+    var mi = 0
+    while (mi < bpeMerges.length) {
+      val (a, b) = bpeMerges(mi)
+      var i = 0
+      while (i < syms.length - 1) {
+        if (syms(i) == a && syms(i + 1) == b) {
+          syms(i) = a + b
+          syms.remove(i + 1)
+        } else i += 1
+      }
+      mi += 1
+    }
+    syms.toIndexedSeq
+  }
+
+  /** Per-document BPE accounting: (doc_id, source, whitespace-token
+    * count, BPE token count, space-joined BPE token stream). The
+    * shared dataflow behind [[qBpeTokens]] and [[qPackBpe]].
+    *
+    * Scale shape: a pure mapPartitions projection — ZERO shuffles.
+    * The encode cost is paid once per distinct word PER PARTITION via
+    * a local memo (Zipf makes the per-partition vocabulary a small
+    * multiple of the global one, and the memo is vocabulary-bounded,
+    * not corpus-bounded); the alternative — global distinct-word
+    * vocab + re-join by word — costs two corpus-token shuffles to
+    * save re-encodes the memo already makes negligible, so the
+    * narrow form wins at every scale. Zero-token docs are dropped,
+    * matching the oracle's unnest (same convention as
+    * [[passageDedup]]). */
+  private def bpePerDoc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.spread(Tables(spark, sfDir, "documents"))
+    d.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, (Int, String)]
+        it.flatMap { case (id, src, text) =>
+          val tk = Dedup.tokensOf(text)
+          if (tk.isEmpty) None
+          else {
+            var nBpe = 0L
+            val sb = new StringBuilder
+            tk.foreach { w =>
+              val (c, s) = memo.getOrElseUpdate(w, {
+                val e = bpeEncode(w); (e.length, e.mkString(" "))
+              })
+              if (sb.nonEmpty) sb.append(' ')
+              sb.append(s)
+              nBpe += c
+            }
+            Some((id, src, tk.length.toLong, nBpe, sb.toString))
+          }
+        }
+      }.toDF("doc_id", "source", "n_tokens", "n_bpe_tokens", "bpe_text")
+  }
+
+  /** Real-BPE token accounting (vs [[roughBpeCount]]'s regex proxy):
+    * per document, the whitespace-token count, the BPE token count
+    * under the pinned [[bpeMerges]] table, and the md5 of the full
+    * BPE token stream — the fingerprint proves the SEQUENCE is right,
+    * not just the count, and keeps the output narrow (the stream
+    * leaves the executors only as a hash, the [[passageDedup]]
+    * discipline). This is the token arithmetic that sequence packing
+    * and token histograms should run on when training uses a subword
+    * tokenizer: whitespace counts undercount by the subword split
+    * factor, and the two diverge most exactly where packing cares
+    * (long rare words). */
+  def qBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    bpePerDoc(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe_tokens"),
+        md5(col("bpe_text")).as("bpe_fp"))
+      .orderBy(col("doc_id"))
+
+  /** [[qPackSequences]] re-run on REAL tokenizer arithmetic: greedy
+    * contiguous packing of BPE token counts into 512-token training
+    * sequences, shard-local offsets keyed by `source` exactly as the
+    * whitespace twin (same window, same integer `div` discipline —
+    * see [[qPackSequences]] for why both matter at corpus scale).
+    * The mapPartitions encode composes with the window because the
+    * per-doc frame is still a narrow projection: one shuffle total,
+    * keyed by shard. */
+  def qPackBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bpePerDoc(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_bpe_tokens").as("ntk"))
+      .withColumn("end_off", sum(col("ntk")).over(w))
+      .select(col("doc_id"), col("source"), col("ntk"),
+        (col("end_off") - col("ntk")).as("start_off"),
+        expr("(end_off - ntk) div 512").as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-mix sampling: per-SOURCE keep rates applied through the
     * same md5(doc_id) bucketing as [[qHoldoutSplit]] — the "weight
     * your sources" step of assembling a training mix (upsample

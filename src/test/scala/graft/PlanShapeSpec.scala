@@ -240,6 +240,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("Join".r.findAllIn(p).size <= 2, p) // one join (+AQE reprint slack)
   }
 
+  test("bpe tokens: pure mapPartitions projection — no hash shuffle, join, or agg") {
+    val p = plan(graft.engine.TextOps.qBpeTokens(spark, sf0001))
+    assert(p.contains("MapPartitions"), p)
+    // the per-word encode must stay imperative — a vocab-join
+    // formulation would shuffle the corpus tokens twice
+    assert("(?i)join|aggregate|window".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("pack bpe: exactly one hash shuffle — the shard-keyed window") {
+    val p = plan(graft.engine.TextOps.qPackBpe(spark, sf0001))
+    assert(p.contains("MapPartitions"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("(?i)join|aggregate".r.findAllIn(p).isEmpty, p)
+  }
+
   test("k-means assignment: a pure projection — no join, window, or agg") {
     // the iterative centroid jobs run eagerly at build time; the
     // RETURNED plan is the corpus-wide assignment, which must stay a

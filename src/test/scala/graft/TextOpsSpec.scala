@@ -203,6 +203,82 @@ class TextOpsSpec extends SparkSpec {
     assert(out.exists(o => o._3 > 0 && o._3 < o._2))
   }
 
+  test("BPE merge table: inputs are base chars or outputs of earlier rules") {
+    // the invariant that makes exhaustive-in-rank-order application
+    // equal classic lowest-rank-first BPE (see bpeMerges doc)
+    val outputs = scala.collection.mutable.Set.empty[String]
+    TextOps.bpeMerges.foreach { case (a, b) =>
+      Seq(a, b).foreach { in =>
+        assert(in.length == 1 || outputs(in),
+          s"merge input '$in' is neither a base char nor an earlier output")
+      }
+      assert(outputs.add(a + b), s"duplicate merged token '${a + b}'")
+    }
+  }
+
+  test("bpeEncode equals classic lowest-rank-first BPE") {
+    // reference implementation: repeatedly merge the LEFTMOST
+    // occurrence of the lowest-ranked adjacent pair — the textbook
+    // encode loop, deliberately different code from the shipped
+    // one-pass-per-rule walk
+    val rank = TextOps.bpeMerges.zipWithIndex.toMap
+    def classic(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toVector
+      var done = false
+      while (!done) {
+        val pairs = syms.indices.dropRight(1).map(i => (syms(i), syms(i + 1)))
+        pairs.filter(rank.contains).sortBy(rank).headOption match {
+          case None => done = true
+          case Some(p) =>
+            val i = pairs.indexOf(p)
+            syms = (syms.take(i) :+ (p._1 + p._2)) ++ syms.drop(i + 2)
+        }
+      }
+      syms
+    }
+    val known = Seq("the", "that", "with", "for", "was", "nation",
+      "testing", "another", "whither", "aaa", "inging", "x", "")
+    val rnd = new scala.util.Random(3L)
+    val alpha = "ethanriosw" // chars dense in the merge table
+    val fuzz = Seq.fill(300)(
+      (0 until (1 + rnd.nextInt(12)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    (known ++ fuzz).foreach { w =>
+      assert(TextOps.bpeEncode(w) == classic(w), s"word '$w'")
+    }
+    // spot-pin a few encodings so a merge-table edit is a visible diff
+    assert(TextOps.bpeEncode("the") == Seq("the"))
+    assert(TextOps.bpeEncode("that") == Seq("that"))
+    assert(TextOps.bpeEncode("nation") == Seq("n", "at", "ion"))
+  }
+
+  test("qBpeTokens: sequential driver recompute at sf0.001") {
+    import org.apache.spark.sql.functions.col
+    val out = TextOps.qBpeTokens(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.toSeq.flatMap { case (id, text) =>
+      val tk = text.toLowerCase(java.util.Locale.ROOT).trim
+        .split("\\s+").filter(_.nonEmpty)
+      if (tk.isEmpty) None
+      else {
+        val enc = tk.map(TextOps.bpeEncode)
+        md.reset()
+        val fp = md.digest(enc.map(_.mkString(" ")).mkString(" ")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        Some((id, tk.length.toLong, enc.map(_.length.toLong).sum, fp))
+      }
+    }.sortBy(_._1)
+    assert(out == expected)
+    // BPE splits subwords: counts must be >= whitespace counts, and
+    // strictly greater somewhere (else the table never fired)
+    assert(out.forall { case (_, ntk, nbpe, _) => nbpe >= ntk })
+    assert(out.exists { case (_, ntk, nbpe, _) => nbpe > ntk })
+  }
+
   test("unigram score: mean corpus token frequency, exact arithmetic") {
     val out = TextOps.qUnigramScore(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSeq
