@@ -661,13 +661,39 @@ object Similarity {
     * rows instead of 8n. */
   private def annIndex(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.memoizedPersisted(spark, s"annindex|$sfDir") {
-      val e = corpusPlan(spark, sfDir)
-      val n = corpusCount(spark, sfDir)
-      val cent = ivfCentroids(spark, sfDir, e, ivfCells(n))
-      e.select(col("vec_id"), col("v"),
-        annSigs(lshBits(n), forceLit = false).as("sigs"),
-        ivfCellCol(cent).as("cid"))
+      val (cent, bits) = annIndexParams(spark, sfDir)
+      corpusPlan(spark, sfDir).select(indexProjection(cent, bits): _*)
     }
+
+  /** The fused index's FROZEN parameters for a corpus: the coarse
+    * quantizer centroids and the n-derived signature width. Frozen is
+    * the point — an incremental maintainer
+    * ([[StreamingOps.annIndexAppend]]) must stamp new vectors with
+    * the SAME planes/centroids the batch build used, or the appended
+    * rows land in a different bucket space; growth re-derives both
+    * only at the periodic batch REBUILD (where [[lshBits]]/
+    * [[ivfCells]] re-read the new corpus size), exactly like any
+    * production IVF/LSH index. */
+  private[graft] def annIndexParams(spark: SparkSession, sfDir: String)
+      : (IndexedSeq[(Long, IndexedSeq[Double])], Int) = {
+    val n = corpusCount(spark, sfDir)
+    (ivfCentroids(spark, sfDir, corpusPlan(spark, sfDir), ivfCells(n)),
+      lshBits(n))
+  }
+
+  /** The fused-index ROW as a projection — (vec_id, v, per-table
+    * signatures, IVF cell) from a (vec_id, v) frame. The one
+    * definition of "index a vector", shared by the batch build
+    * ([[annIndex]]) and the streaming appender
+    * ([[StreamingOps.annIndexAppend]]), so the two can never drift:
+    * a pure, stateless, codegen'd projection of the input row given
+    * frozen (centroids, bits). */
+  private[graft] def indexProjection(
+      cent: IndexedSeq[(Long, IndexedSeq[Double])], bits: Int)
+      : Seq[Column] =
+    Seq(col("vec_id"), col("v"),
+      annSigs(bits, forceLit = false).as("sigs"),
+      ivfCellCol(cent).as("cid"))
 
   /** The ANN stack's vector source: the fused index IS the vector
     * store (as in any production IVF/LSH index — cells carry their

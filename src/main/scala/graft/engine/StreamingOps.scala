@@ -173,6 +173,58 @@ object StreamingOps {
       .select(col("uuid"), col("ad_type"), col("imp_time"), col("clk_time"))
   }
 
+  /** STREAMING ANN-INDEX MAINTENANCE: append-stamp arriving vectors
+    * into the fused IVF+LSH index layout ([[Similarity.annIndex]]'s
+    * row shape) with FROZEN parameters — the incremental-ingest
+    * posture for retrieval, completing the triangle with
+    * [[incrementalDocPipeline]] (dedup) and the batch rebuild.
+    *
+    * Design: indexing a vector is a pure projection of its row
+    * (signatures are hyperplane signs, the cell is an argmax against
+    * driver-resident centroids — [[Similarity.indexProjection]], the
+    * SAME column expressions the batch build plans), so the stream
+    * needs no state store at all: each micro-batch is a stateless
+    * codegen'd map appended to the index files. The parquet file
+    * sink's transaction log gives exactly-once appends across
+    * restarts; `partitionBy(cid)` lays rows out as IVF posting lists
+    * (a probe reads only its cells' directories — partition pruning
+    * is the serving-side payoff), and the micro-batch small-files
+    * grind is the exact problem the reference-side Hive sink's
+    * auto-compaction already solves ([[Sinks]] K5) — run it per cell
+    * directory on the same schedule.
+    *
+    * The parameters are FROZEN by contract ([[Similarity
+    * .annIndexParams]]): stamping with the live corpus size would
+    * silently re-bucket the stream away from the index it extends.
+    * Growth is absorbed by bucket occupancy (recall unaffected —
+    * tables and probes are unchanged; per-bucket cost degrades
+    * gradually as n outgrows the frozen width) until the periodic
+    * batch rebuild re-derives (centroids, bits) at the new n. */
+  def annIndexAppend(vecs: DataFrame,
+      cent: IndexedSeq[(Long, IndexedSeq[Double])], bits: Int,
+      outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.select(Similarity.indexProjection(cent, bits): _*)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("cid")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** Read an [[annIndexAppend]]-maintained index back in the batch
+    * build's canonical schema. `cid` rides the directory layout, so
+    * the reader re-casts it (partition-value inference narrows to
+    * int) and restores the canonical column order. */
+  def loadAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("sigs"),
+        col("cid").cast("long").as("cid"))
+
   /** Arbitrary keyed state: sessionization with an event-time timeout.
     * Per uuid, accumulate (count, min ts, max ts); when the watermark
     * passes last-seen + gap, the session closes and one summary row is

@@ -205,6 +205,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == Set(2L, 4L))
   }
 
+  test("ANN index maintenance: incrementally-appended index equals the batch build") {
+    import org.apache.spark.sql.functions.col
+    import graft.engine.Similarity
+    // frozen parameters: what the batch build derived for this corpus
+    val (cent, bits) = Similarity.annIndexParams(spark, sf0001)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    // arrival order: three slices landing as separate files, processed
+    // one per micro-batch (maxFilesPerTrigger) — the incremental path
+    val srcDir = tmpDir("annsrc")
+    emb.filter(col("vec_id") % 3 === 0).coalesce(1)
+      .write.parquet(s"$srcDir/s0")
+    emb.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.parquet(s"$srcDir/s1")
+    emb.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.parquet(s"$srcDir/s2")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val outDir = tmpDir("annidx")
+    val q = graft.engine.StreamingOps.annIndexAppend(
+      stream, cent, bits, s"$outDir/index", s"$outDir/ckpt")
+    q.awaitTermination()
+    val got = graft.engine.StreamingOps
+      .loadAnnIndex(spark, s"$outDir/index")
+      .as[(Long, Seq[Double], Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    val expected = emb.select(Similarity.indexProjection(cent, bits): _*)
+      .as[(Long, Seq[Double], Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got == expected)
+    // and the layout really is posting lists: one directory per cell
+    val cells = new java.io.File(s"$outDir/index").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cid="))
+    assert(cells.nonEmpty)
+    assert(cells.toSet == expected.map(r => s"cid=${r._4}").toSet)
+  }
+
   test("trending terms: a window's over-threshold terms emit exactly once") {
     import org.apache.spark.sql.functions.col
     import graft.engine.TimeOps
