@@ -42,6 +42,8 @@ object Bench {
     "q_dedup_incremental", // batch-Bloom-pruned historical anti-join (r12)
     "q_repetition_stats", // per-doc n-gram repetition (text, r6)
     "q_passage_dedup",    // passage explode + keep-first window (r6)
+    "q_substring_dedup",  // sliding-window exact span dedup (r13)
+    "q_bpe_tokens",       // pinned-merge-table BPE walk (r13)
     "q_unigram_score",    // vocabulary join + per-doc agg (r6)
     "q_range_join",       // non-equi join via bucketed equi-join
     "q_cosine_topk",      // brute-force similarity

@@ -167,6 +167,16 @@ object SparkEntry {
     // re-runs sequence packing on the real tokenizer arithmetic
     "q_bpe_tokens" -> TextOps.qBpeTokens _,
     "q_pack_bpe" -> TextOps.qPackBpe _,
+    // the TRAINING half of the BPE surface — rows-only by design
+    // (iterative argmax fixpoint, the k-means precedent; TextOpsSpec
+    // re-derives the table with an independent classic trainer), plus
+    // the forced-distributed twin exercising the rounds path on real
+    // data (the q_dedup_clusters_dist pattern)
+    "q_bpe_train" -> TextOps.qBpeTrain _,
+    "q_bpe_train_dist" -> TextOps.qBpeTrainDist _,
+    // MOSS-style character-level near-dup via shared winnow
+    // fingerprints (stop-fingerprint capped)
+    "q_winnow_neardup" -> TextOps.qWinnowNearDup _,
     "q_unigram_score" -> TextOps.qUnigramScore _,
     "q_train_mix" -> TextOps.qTrainMix _,
     "q_window_pct" -> Relational.qWindowPct _,
@@ -180,6 +190,31 @@ object SparkEntry {
     "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
   private val duckNorm =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  /** The winnowing fingerprint derivation as a CTE chain ending in
+    * `wfp` = distinct (doc_id, fp) — shared by the fingerprint dump
+    * and the MOSS-style near-dup pair oracle. */
+  private val duckWinnowCte =
+    """t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+      |g AS (SELECT doc_id, text,
+      |        unnest(range(1, length(text) - 3)) AS pos
+      |      FROM t),
+      |h AS (SELECT doc_id, pos,
+      |        (ord(substring(text, CAST(pos AS INTEGER), 1)) * 4294967296
+      |       + ord(substring(text, CAST(pos + 1 AS INTEGER), 1)) * 16777216
+      |       + ord(substring(text, CAST(pos + 2 AS INTEGER), 1)) * 65536
+      |       + ord(substring(text, CAST(pos + 3 AS INTEGER), 1)) * 256
+      |       + ord(substring(text, CAST(pos + 4 AS INTEGER), 1))) % 2147483647
+      |          AS kh
+      |      FROM g),
+      |wins AS (SELECT doc_id, pos,
+      |           MIN(kh) OVER (PARTITION BY doc_id ORDER BY pos
+      |                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |             AS wmin
+      |         FROM h),
+      |wfp AS (SELECT DISTINCT doc_id, CAST(wmin AS BIGINT) AS fp
+      |        FROM wins
+      |        WHERE pos >= 4)""".stripMargin
+
   /** The pinned BPE merge table as a VALUES list — generated from
     * [[TextOps.bpeMerges]] so the oracle can never drift from the
     * engine's table. */
@@ -873,27 +908,23 @@ object SparkEntry {
     // winnowing: same polynomial rolling hash (base 256 over ASCII
     // codes, mod 2^31-1), same w=4 window minima, distinct per doc
     "q_winnow_fingerprint" ->
-      """WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
-        |g AS (SELECT doc_id, text,
-        |        unnest(range(1, length(text) - 3)) AS pos
-        |      FROM t),
-        |h AS (SELECT doc_id, pos,
-        |        (ord(substring(text, CAST(pos AS INTEGER), 1)) * 4294967296
-        |       + ord(substring(text, CAST(pos + 1 AS INTEGER), 1)) * 16777216
-        |       + ord(substring(text, CAST(pos + 2 AS INTEGER), 1)) * 65536
-        |       + ord(substring(text, CAST(pos + 3 AS INTEGER), 1)) * 256
-        |       + ord(substring(text, CAST(pos + 4 AS INTEGER), 1))) % 2147483647
-        |          AS kh
-        |      FROM g),
-        |wins AS (SELECT doc_id, pos,
-        |           MIN(kh) OVER (PARTITION BY doc_id ORDER BY pos
-        |                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-        |             AS wmin
-        |         FROM h)
-        |SELECT DISTINCT doc_id, CAST(wmin AS BIGINT) AS fp
-        |FROM wins
-        |WHERE pos >= 4
+      s"""WITH $duckWinnowCte
+        |SELECT doc_id, fp
+        |FROM wfp
         |ORDER BY doc_id, fp""".stripMargin,
+    // MOSS-style near-dup pairs: stop-fingerprint df cap, then the
+    // capped self-join + shared-count threshold (both knobs from
+    // TextOps so the oracle can't drift)
+    "q_winnow_neardup" ->
+      s"""WITH $duckWinnowCte,
+        |rare AS (SELECT fp FROM wfp
+        |         GROUP BY fp HAVING count(*) <= ${TextOps.winnowMaxDf}),
+        |k AS (SELECT doc_id, fp FROM wfp JOIN rare USING (fp))
+        |SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS n_shared
+        |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= ${TextOps.winnowMinShared}
+        |ORDER BY ida, idb""".stripMargin,
     "q_term_freq" ->
       s"""WITH t AS (SELECT $duckTokens AS tk FROM documents)
         |SELECT term, count(*) AS n

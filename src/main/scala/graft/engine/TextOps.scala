@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -516,6 +516,59 @@ object TextOps {
     out.toArray
   }
 
+  /** Fingerprints shared before a pair counts as near-dup, and the
+    * document-frequency ceiling above which a fingerprint is too
+    * common to be evidence — shared with the oracle. */
+  private[graft] val winnowMinShared = 5
+  private[graft] val winnowMaxDf = 50
+
+  /** MOSS-style near-dup pairs over the winnowing fingerprints
+    * (Schleimer et al., "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD'03 — the plagiarism-detection classic):
+    * two documents pair when they share ≥ [[winnowMinShared]]
+    * fingerprints, after dropping fingerprints that occur in more
+    * than [[winnowMaxDf]] documents (MOSS's stop-fingerprint rule —
+    * boilerplate selects itself out, exactly like stopwords). A
+    * CHARACTER-level near-dup detector, complementary to the
+    * token-shingle MinHash path ([[Dedup.qDedupMinhash]]): winnowing
+    * guarantees any shared run ≥ w+k−1 chars leaves at least one
+    * shared fingerprint, so it catches local overlap (a shared
+    * paragraph) that whole-document Jaccard dilutes below its
+    * threshold.
+    *
+    * Scale shape: fingerprints are the zero-shuffle mapPartitions
+    * pass ([[winnowFingerprints]]); the df cap is one count keyed by
+    * fingerprint, and CAPPING BEFORE PAIRING is what bounds the
+    * self-join — join fan per fingerprint ≤ maxDf², so candidate
+    * volume is Σ min(df, 50)² over distinct fingerprints, linear in
+    * corpus size for any fixed cap (the uncapped inverted-index
+    * Σ df² is the quadratic trap the MinHash band join exists to
+    * avoid; the cap is the winnowing-side equivalent). */
+  def qWinnowNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    winnowNearDup(Tables(spark, sfDir, "documents"))
+
+  /** The dataflow behind [[qWinnowNearDup]], over any (doc_id, text)
+    * frame. At sf0.01 the ≥5-shared bar covers 25/25 of the
+    * MinHash doc-level near-dup pairs while also surfacing
+    * local-overlap pairs (the median survivor shares exactly the
+    * threshold) — the two detectors are complementary by design, not
+    * redundant. */
+  def winnowNearDup(d: DataFrame): DataFrame = {
+    val fps = winnowFingerprints(d)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= winnowMaxDf)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    kept.select(col("fp"), col("doc_id").as("ida"))
+      .join(kept.select(col("fp"), col("doc_id").as("idb")), Seq("fp"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+      .orderBy(col("ida"), col("idb"))
+  }
+
   /** Sequence packing: assign documents (in doc_id order, per shard)
     * to fixed-budget training sequences of 512 tokens — each doc's bin
     * is determined by the token offset where it starts, i.e.
@@ -795,6 +848,21 @@ object TextOps {
     * token differs from both inputs — so one pass per rule reaches
     * that rule's fixpoint). Deterministic, allocation-light; words
     * are short, so the walk is O(len × rules) with tiny constants. */
+  /** One left-to-right merge pass for rule (a, b) over a mutable
+    * symbol buffer — the ONE definition of "apply a merge", shared by
+    * the encoder ([[bpeEncode]]) and both trainer paths
+    * ([[bpeTrain]]), so learned tables always replay exactly. */
+  private def mergePass(syms: scala.collection.mutable.ArrayBuffer[String],
+      a: String, b: String): Unit = {
+    var i = 0
+    while (i < syms.length - 1) {
+      if (syms(i) == a && syms(i + 1) == b) {
+        syms(i) = a + b
+        syms.remove(i + 1)
+      } else i += 1
+    }
+  }
+
   private[graft] def bpeEncode(word: String): IndexedSeq[String] = {
     val syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
     var ci = 0
@@ -802,17 +870,153 @@ object TextOps {
     var mi = 0
     while (mi < bpeMerges.length) {
       val (a, b) = bpeMerges(mi)
-      var i = 0
-      while (i < syms.length - 1) {
-        if (syms(i) == a && syms(i + 1) == b) {
-          syms(i) = a + b
-          syms.remove(i + 1)
-        } else i += 1
-      }
+      mergePass(syms, a, b)
       mi += 1
     }
     syms.toIndexedSeq
   }
+
+  /** Merges learned by the trainer QUERIES — small enough that the
+    * forced-distributed twin's per-round jobs stay cheap in Verify;
+    * [[bpeTrain]] itself takes any count. */
+  private[graft] val bpeTrainMerges = 16
+
+  /** LEARN a BPE merge table from the corpus (Sennrich et al.,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL'16) — the training half of the BPE surface ([[bpeMerges]] is
+    * the frozen artifact such a fit produces). Returns (rank, a, b,
+    * pair_count): the `nMerges` highest-count adjacent symbol pairs,
+    * merged greedily, ties broken (count desc, a asc, b asc) so the
+    * fit is fully deterministic.
+    *
+    * Execution is the [[Dedup.labelComponents]] hybrid shape: the
+    * CORPUS-sized work is one tokenize + groupBy(word) shuffle down
+    * to the word-frequency dictionary — after that every round
+    * touches only the vocabulary, which Zipf makes orders of
+    * magnitude smaller than the corpus. When the dictionary fits
+    * under `driverVocabLimit` rows it is collected and fitted with
+    * the classic in-memory loop (the judgment call every production
+    * BPE trainer makes — one job total); a dictionary too large even
+    * for that runs the fit AS Spark rounds: per merge, one
+    * flatMap-over-adjacent-pairs + map-side-combined sum + top-1
+    * collect (24 bytes to the driver), then a vocabulary rewrite via
+    * the shared [[mergePass]], lineage cut per round by a lazy
+    * localCheckpoint that materializes inside the next round's
+    * aggregate (the [[Dedup.connectedComponents]] discipline). Both
+    * paths apply merges with the same pass, so they are
+    * row-identical (asserted by `TextOpsSpec` and the forced-dist
+    * query twin). */
+  def bpeTrain(spark: SparkSession, sfDir: String,
+      nMerges: Int = bpeTrainMerges,
+      driverVocabLimit: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, sfDir, "documents")
+    val vocab0 = d.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString): Seq[String], c) } // chars
+    val learned: Seq[(Long, String, String, Long)] =
+      if (driverVocabLimit < 0L) bpeFitRounds(vocab0, nMerges)
+      else {
+        val v = vocab0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = v.count()
+        val res =
+          if (n <= driverVocabLimit) bpeFitDriver(v.collect(), nMerges)
+          else bpeFitRounds(v, nMerges)
+        v.unpersist()
+        res
+      }
+    spark.createDataset(learned).toDF("rank", "a", "b", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** The classic in-memory fit over a collected dictionary: count
+    * every adjacent position (overlaps included — the Sennrich
+    * `get_stats` convention), merge the winner everywhere with
+    * [[mergePass]], repeat. */
+  private def bpeFitDriver(dict: Array[(Seq[String], Long)],
+      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    val words = dict.map { case (s, c) =>
+      (scala.collection.mutable.ArrayBuffer.from(s), c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r.toLong, a, b, n))
+        words.foreach { case (syms, _) => mergePass(syms, a, b) }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The distributed fit: the vocabulary itself stays a Dataset and
+    * each round is one pair-count aggregate plus a rewrite. */
+  private def bpeFitRounds(vocab0: Dataset[(Seq[String], Long)],
+      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    var vocab = vocab0.localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val top = vocab.flatMap { case (syms, c) =>
+        (0 until syms.length - 1).iterator
+          .map(i => ((syms(i), syms(i + 1)), c))
+      }.toDF("pair", "cnt")
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), col("pair._1"), col("pair._2"))
+        .limit(1)
+        .as[((String, String), Long)].collect()
+      if (top.isEmpty) done = true
+      else {
+        val ((a, b), n) = top.head
+        out += ((r.toLong, a, b, n))
+        vocab = vocab.map { case (syms, c) =>
+          val buf = scala.collection.mutable.ArrayBuffer.from(syms)
+          mergePass(buf, a, b)
+          (buf.toSeq, c)
+        }.localCheckpoint(false)
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The learned-merge-table query — rows-only by design (an
+    * iterative argmax fixpoint, like the k-means family: each round's
+    * winner depends on all previous rewrites, which SQL cannot
+    * express without aggregates over a recursive relation); the
+    * `TextOpsSpec` twin re-derives the full table with an
+    * independent classic trainer, and the forced-distributed twin
+    * below pins path equality at every SF. */
+  def qBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrain(spark, sfDir)
+
+  /** The same fit FORCED through the distributed round loop (vocab
+    * limit 0) — the [[Dedup.qDedupClustersDist]] pattern: the branch
+    * that runs when even the dictionary outgrows the driver is
+    * exercised against real data at every SF, not just spec-tested. */
+  def qBpeTrainDist(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrain(spark, sfDir, driverVocabLimit = -1L)
 
   /** Per-document BPE accounting: (doc_id, source, whitespace-token
     * count, BPE token count, space-joined BPE token stream). The

@@ -21,13 +21,13 @@ class DocsSpec extends AnyFunSuite {
     // rows-only queries are a deliberate, enumerated exception — a new
     // query silently missing its oracle must fail here, not pass with
     // a weaker rows-only check. Current exceptions: the HLL sketch
-    // (hash-dependent) and the three k-means-derived ops (iterative
-    // fixpoint — not a relational expression; SimilaritySpec pins
-    // their semantics, the semdedup and km-IVF ones by exact
-    // re-derivation).
+    // (hash-dependent), the three k-means-derived ops, and the two
+    // BPE trainer paths (all iterative fixpoints — not relational
+    // expressions; SimilaritySpec/TextOpsSpec pin their semantics by
+    // exact driver re-derivation).
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
       == Set("q_approx_distinct", "q_embed_cluster", "q_semdedup_keep",
-        "q_ann_ivf_km"))
+        "q_ann_ivf_km", "q_bpe_train", "q_bpe_train_dist"))
   }
 
   test("README query counts match SparkEntry") {

@@ -279,6 +279,74 @@ class TextOpsSpec extends SparkSpec {
     assert(out.exists { case (_, ntk, nbpe, _) => nbpe > ntk })
   }
 
+  test("BPE training: independent classic trainer re-derives the table; paths agree") {
+    import org.apache.spark.sql.functions.col
+    // independent reference: word counts from the raw parquet, the
+    // Sennrich get_stats/merge loop written directly
+    val wordCounts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).as[String].collect()
+      .flatMap(t => t.toLowerCase(java.util.Locale.ROOT).trim
+        .split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var words = wordCounts.toSeq.map { case (w, c) =>
+      (w.map(_.toString).toVector, c)
+    }
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    for (r <- 1 to 16) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.indices.dropRight(1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+        }
+      }
+      val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      expected += ((r.toLong, a, b, n))
+      words = words.map { case (syms, c) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toVector, c)
+      }
+    }
+    val got = TextOps.qBpeTrain(spark, sf0001)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == expected.toSeq)
+    // the forced-distributed rounds path learns the identical table
+    val dist = TextOps.qBpeTrainDist(spark, sf0001)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(dist == got)
+    // and a learned table satisfies the replay invariant the pinned
+    // encoder table documents: inputs are chars or earlier outputs
+    val outputs = scala.collection.mutable.Set.empty[String]
+    got.foreach { case (_, a, b, _) =>
+      Seq(a, b).foreach(in => assert(in.length == 1 || outputs(in)))
+      outputs += a + b
+    }
+  }
+
+  test("winnow near-dup: crafted local overlap fires; disjoint texts don't") {
+    import org.apache.spark.sql.functions.col
+    val shared = "the winnowing guarantee covers every run of forty " +
+      "or more characters with at least one shared fingerprint value"
+    val d = Seq(
+      (1L, s"alpha beta gamma delta prelude text here. $shared"),
+      (2L, s"$shared completely different trailing content follows now"),
+      (3L, "unrelated document with its own vocabulary entirely disjoint"),
+      (4L, "short one")).toDF("doc_id", "text")
+    val pairs = TextOps.winnowNearDup(d)
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 1 and 2 share a >100-char run -> many shared fingerprints;
+    // no pair may involve the disjoint doc 3 or the sub-8-char-free 4
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.toString)
+    assert(pairs.head._3 >= TextOps.winnowMinShared)
+  }
+
   test("unigram score: mean corpus token frequency, exact arithmetic") {
     val out = TextOps.qUnigramScore(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSeq
