@@ -1032,9 +1032,15 @@ object TextOps {
     * narrow form wins at every scale. Zero-token docs are dropped,
     * matching the oracle's unnest (same convention as
     * [[passageDedup]]). */
-  private def bpePerDoc(spark: SparkSession, sfDir: String): DataFrame = {
+  private def bpePerDoc(spark: SparkSession, sfDir: String): DataFrame =
+    bpeAccounting(Tables.spread(Tables(spark, sfDir, "documents")))
+
+  /** [[bpePerDoc]] over any (doc_id, source, text) frame — the seam
+    * [[graft.tools.BpeScale]] drives on synthetic corpora far beyond
+    * the SF fixtures. */
+  private[graft] def bpeAccounting(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
     import spark.implicits._
-    val d = Tables.spread(Tables(spark, sfDir, "documents"))
     d.select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>

