@@ -81,6 +81,8 @@ object SparkEntry {
     "q_chunk" -> TextOps.qChunk _,
     // per-vector symmetric int8 embedding quantization
     "q_embed_quantize" -> Similarity.qEmbedQuantize _,
+    // JL random projection 64 -> 16 (cheap similarity pre-filter)
+    "q_embed_project" -> Similarity.qEmbedProject _,
     // §2.9 north-star: deduplication
     "q_dedup_exact" -> Dedup.qDedupExact _,
     // incremental ingest: new batch vs historical corpus, Bloom-pruned
@@ -388,14 +390,16 @@ object SparkEntry {
     * exploded (vec_id, tbl, sig) bucket rows. Shared prefix of every
     * LSH-derived oracle ([[duckAnnLsh]], the near-dup candidate
     * twin) so the index definition cannot drift between them. */
+  /** One [[Similarity.planeVals]] hyperplane as a DuckDB literal. */
+  private def duckPlaneLit(j: Int): String =
+    graft.engine.Similarity.planeVals(j, 64)
+      .mkString("[", ", ", "]::DOUBLE[]")
+
   private val duckLshIndexCtes: String = {
     val oracleMaxBits = lshOracleMaxBits
     val tables = Similarity.lshTables
-    val dim = 64
     val stride = graft.engine.Similarity.lshPlaneStride
-    def planeLit(j: Int): String =
-      graft.engine.Similarity.planeVals(j, dim)
-        .mkString("[", ", ", "]::DOUBLE[]")
+    def planeLit(j: Int): String = duckPlaneLit(j)
     val sigExprs = (0 until tables).map { t =>
       "CAST(" + (0 until oracleMaxBits).map { j =>
         s"CASE WHEN $j < w.bits AND " +
@@ -1497,6 +1501,21 @@ object SparkEntry {
         |SELECT qid, nid, rank, score FROM r
         |WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // JL projection: each component re-derived against the same
+    // embedded plane literals the LSH oracles use; the sqrt(3/k)
+    // scale embeds via Double.toString (shortest round-trip, so both
+    // engines parse the identical double)
+    "q_embed_project" -> {
+      val s = math.sqrt(3.0 / Similarity.projDim)
+      val comps = (0 until Similarity.projDim).map(i =>
+        s"list_inner_product(v, ${duckPlaneLit(Similarity.projPlaneBase + i)}) * $s AS p$i")
+        .mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id,
+        |  $comps
+        |FROM e
+        |ORDER BY vec_id""".stripMargin
+    },
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS ida, b.vec_id AS idb,

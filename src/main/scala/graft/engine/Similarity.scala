@@ -1203,6 +1203,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Projected dimensionality and the plane-id base for
+    * [[qEmbedProject]] — the base keeps the projection's plane
+    * identities disjoint from every LSH table's stride range
+    * (tables use [t·64, t·64+bits), t < 8), so the two draws are
+    * independent in the [[planeVals]] hash family. Shared with the
+    * oracle generator. */
+  private[graft] val projDim = 16
+  private[graft] val projPlaneBase = 100000
+
+  /** Johnson–Lindenstrauss random projection: 64 → [[projDim]]
+    * dimensions via [[projDim]] deterministic pseudo-random
+    * hyperplanes (the [[planeVals]] family the LSH index already
+    * draws from — entries uniform in [−1, 1], variance 1/3, so the
+    * √(3/k) scale makes the map an isometry in expectation:
+    * E[|Px|²] = |x|²). The standard cheap pre-filter for similarity
+    * pipelines — 4× less memory/bandwidth per vector before exact
+    * re-scoring in full dimension, the dim-reduction analog of
+    * [[qEmbedQuantize]]'s precision cut. A pure zero-shuffle
+    * codegen'd projection (each output coordinate is one native
+    * [[dot]] against a literal plane); components emit as scalar
+    * columns p0..p15, the [[qLabelCentroids]] flattening convention.
+    * `SimilaritySpec` pins the measured isometry ratio and the
+    * near-dup-pair separation on the fixture (deterministic planes —
+    * the numbers are fixed properties, not samples). Honesty note:
+    * at k=16 the JL distortion ε ≈ √(ln n / k) is LARGE — the
+    * projection separates true near-dup pairs distributionally
+    * (fixture: mean projected cos 0.37 vs −0.00 background), not
+    * per-pair; production picks k from the JL bound for its target
+    * ε and re-scores survivors in full dimension, which is why this
+    * is a PRE-filter, never the verdict. */
+  def qEmbedProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = corpus(spark, sfDir)
+    val s = math.sqrt(3.0 / projDim)
+    val cols = (0 until projDim).map { i =>
+      (dot(col("v"), typedLit(planeVals(projPlaneBase + i, embDim))) * lit(s))
+        .as(s"p$i")
+    }
+    e.select((col("vec_id") +: cols): _*).orderBy(col("vec_id"))
+  }
+
   /** Per-vector symmetric int8 quantization — the standard 4×
     * memory/bandwidth cut for embedding storage and ANN serving:
     * scale = max|vᵢ|/127, qᵢ = ⌊vᵢ/scale + 0.5⌋ ∈ [−127, 127]
