@@ -256,6 +256,31 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)join|aggregate".r.findAllIn(p).isEmpty, p)
   }
 
+  test("JL projection: a pure projection — no join, window, agg, or hash shuffle") {
+    val p = plan(graft.engine.Similarity.qEmbedProject(spark, sf0001))
+    assert("(?i)join|window|aggregate".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("winnow near-dup: stop-fingerprint cap applies BELOW the pair join") {
+    // the scale property: df <= cap filters each side BEFORE the
+    // self-join, bounding fan to min(df,cap)² per fingerprint — a
+    // formulation that pairs first and filters after is quadratic in
+    // the hot fingerprints' document frequency
+    val df = graft.engine.TextOps.qWinnowNearDup(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the df-cap filter must sit on the aggregate BELOW the joins:
+    // in the printed tree every join header appears before (above)
+    // the capped aggregate's filter line
+    val capAt = p.indexOf(s"<= ${graft.engine.TextOps.winnowMaxDf}")
+    assert(capAt >= 0, p)
+    val lastJoinAt = "(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin".r
+      .findAllMatchIn(p).map(_.start).toSeq
+    assert(lastJoinAt.nonEmpty && lastJoinAt.exists(_ < capAt), p)
+  }
+
   test("k-means assignment: a pure projection — no join, window, or agg") {
     // the iterative centroid jobs run eagerly at build time; the
     // RETURNED plan is the corpus-wide assignment, which must stay a
