@@ -231,7 +231,11 @@ object SparkEntry {
     * right, so repeating to fixpoint is what equals the engine's
     * left-to-right merge pass). Rows exit the recursion when their
     * rank passes the table's end; the finished state per word is the
-    * row at rank n+1. */
+    * row at rank n+1. Domain note: the chr(31) delimiter assumes
+    * U+001F never appears inside a token — true of the printable-
+    * ASCII fixture corpus (the same assumption the sha256/substring
+    * oracles document); the ENGINE has no such restriction (it
+    * treats U+001F as an ordinary symbol). */
   private val duckBpeCte =
     s"""m(r, a, b) AS (VALUES $duckBpeMergeRows),
       |t AS (SELECT doc_id, source, $duckTokens AS tk FROM documents),
@@ -1412,20 +1416,24 @@ object SparkEntry {
         |  md5(coalesce(string_agg(passage, ' ' ORDER BY pos)
         |        FILTER (WHERE keep), '')) AS clean_fp
         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // Exact substring dedup: sliding 50-token windows (vs the chunked
-    // passage oracle above), keep-first by (doc_id, pos) over the
-    // window STRING (Spark groups by the fnv1a hash — identical up to
-    // the vanishing 64-bit collision bound), non-first instances mark
-    // [pos, pos+50) for removal, tokens surviving the span union
+    // Exact substring dedup: sliding substrLen-token windows (vs the
+    // chunked passage oracle above), keep-first by (doc_id, pos) over
+    // the window STRING (Spark groups by the fnv1a hash — identical
+    // up to the vanishing 64-bit collision bound), non-first instances
+    // mark [pos, pos+W) for removal, tokens surviving the span union
     // reassemble per doc. coalesce('') matches Spark's md5 of the
-    // empty string for fully-removed docs.
+    // empty string for fully-removed docs. The width interpolates
+    // from TextOps.substrLen (the engine's tunable) so the oracle
+    // cannot drift from it.
     "q_substring_dedup" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
         |n AS (SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) > 0),
-        |w AS (SELECT doc_id, tk, unnest(range(nt - 49)) AS pos
-        |      FROM n WHERE nt >= 50),
+        |w AS (SELECT doc_id, tk, unnest(range(nt - ${TextOps.substrLen - 1}))
+        |        AS pos
+        |      FROM n WHERE nt >= ${TextOps.substrLen}),
         |w2 AS (SELECT doc_id, pos,
-        |         array_to_string(tk[pos+1:pos+50], ' ') AS win FROM w),
+        |         array_to_string(tk[pos+1:pos+${TextOps.substrLen}], ' ')
+        |           AS win FROM w),
         |mk AS (SELECT doc_id, pos,
         |         row_number() OVER (PARTITION BY win
         |                            ORDER BY doc_id, pos) AS rn
@@ -1436,7 +1444,8 @@ object SparkEntry {
         |marked AS (SELECT tok.doc_id, tok.nt, tok.tkn, tok.j,
         |         EXISTS (SELECT 1 FROM rem
         |                 WHERE rem.doc_id = tok.doc_id
-        |                   AND rem.pos <= tok.j AND tok.j < rem.pos + 50)
+        |                   AND rem.pos <= tok.j
+        |                   AND tok.j < rem.pos + ${TextOps.substrLen})
         |           AS removed
         |       FROM tok)
         |SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_tokens,

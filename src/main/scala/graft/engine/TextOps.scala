@@ -863,10 +863,26 @@ object TextOps {
     }
   }
 
-  private[graft] def bpeEncode(word: String): IndexedSeq[String] = {
+  /** Base symbols of a word: one per CODE POINT, not UTF-16 unit —
+    * the repo-wide convention ([[winnowFpsOf]] documents it): Spark,
+    * the JVM driver loop, and DuckDB's `(.)` regex all agree on code
+    * points, while a char split would shear an astral character into
+    * two lone surrogates (diverging from the oracle AND mangling
+    * under UTF-8 round-trips in the distributed trainer). */
+  private def codePointSyms(word: String)
+      : scala.collection.mutable.ArrayBuffer[String] = {
     val syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
     var ci = 0
-    while (ci < word.length) { syms += word.substring(ci, ci + 1); ci += 1 }
+    while (ci < word.length) {
+      val n = Character.charCount(word.codePointAt(ci))
+      syms += word.substring(ci, ci + n)
+      ci += n
+    }
+    syms
+  }
+
+  private[graft] def bpeEncode(word: String): IndexedSeq[String] = {
+    val syms = codePointSyms(word)
     var mi = 0
     while (mi < bpeMerges.length) {
       val (a, b) = bpeMerges(mi)
@@ -914,7 +930,7 @@ object TextOps {
     val vocab0 = d.select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString): Seq[String], c) } // chars
+      .map { case (w, c) => (codePointSyms(w).toSeq, c) }
     val learned: Seq[(Long, String, String, Long)] =
       if (driverVocabLimit < 0L) bpeFitRounds(vocab0, nMerges)
       else {

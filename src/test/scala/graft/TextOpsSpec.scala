@@ -223,7 +223,10 @@ class TextOpsSpec extends SparkSpec {
     // one-pass-per-rule walk
     val rank = TextOps.bpeMerges.zipWithIndex.toMap
     def classic(word: String): Seq[String] = {
-      var syms = word.map(_.toString).toVector
+      // code-point base symbols, matching the engine (and the
+      // oracle's per-code-point regex split)
+      var syms = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector
       var done = false
       while (!done) {
         val pairs = syms.indices.dropRight(1).map(i => (syms(i), syms(i + 1)))
@@ -250,6 +253,11 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bpeEncode("the") == Seq("the"))
     assert(TextOps.bpeEncode("that") == Seq("that"))
     assert(TextOps.bpeEncode("nation") == Seq("n", "at", "ion"))
+    // an astral (non-BMP) character is ONE base symbol, never two
+    // lone surrogates — the code-point convention the oracle's (.)
+    // regex also follows
+    assert(TextOps.bpeEncode("a𝄞b")
+      == Seq("a", "𝄞", "b"))
   }
 
   test("qBpeTokens: sequential driver recompute at sf0.001") {
@@ -289,7 +297,8 @@ class TextOpsSpec extends SparkSpec {
         .split("\\s+").filter(_.nonEmpty))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     var words = wordCounts.toSeq.map { case (w, c) =>
-      (w.map(_.toString).toVector, c)
+      (w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector, c)
     }
     val expected = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
