@@ -924,9 +924,15 @@ object TextOps {
     * query twin). */
   def bpeTrain(spark: SparkSession, sfDir: String,
       nMerges: Int = bpeTrainMerges,
-      driverVocabLimit: Long = 1000000L): DataFrame = {
+      driverVocabLimit: Long = 1000000L): DataFrame =
+    bpeTrainOn(Tables(spark, sfDir, "documents"), nMerges, driverVocabLimit)
+
+  /** [[bpeTrain]] over any (text) frame — the seam
+    * [[graft.tools.BpeScale]] drives on synthetic corpora. */
+  private[graft] def bpeTrainOn(d: DataFrame, nMerges: Int,
+      driverVocabLimit: Long): DataFrame = {
+    val spark = d.sparkSession
     import spark.implicits._
-    val d = Tables(spark, sfDir, "documents")
     val vocab0 = d.select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]

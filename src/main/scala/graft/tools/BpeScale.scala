@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.tools.BpeScale [nDocs]"   # default 100000
   *
   * Measured (local[32]): nDocs=1,000,000 → 100,000,000 corpus tokens
-  * encoded to 530,000,000 subwords in 8.0 s (≈12.5M tokens/s),
+  * encoded to 530,000,000 subwords in 6.3–8.0 s (≈12.5M tokens/s+),
   * totals exactly equal to the closed form; nDocs=100,000 → 3.3 s.
+  * Trainer at the same scale (16 merges over the corpus): the
+  * forced-distributed round loop learns the IDENTICAL table to the
+  * driver classic fit — 12.0 s vs 3.1 s, which is exactly why the
+  * hybrid prefers the driver path whenever the dictionary fits.
   */
 object BpeScale {
   private val vocabSize = 10000
@@ -91,6 +95,23 @@ object BpeScale {
       f"bpe=${agg.getLong(1)} expected=($expTok, $expBpe) " +
       f"exact=$ok secs=$secs%.1f")
     if (!ok) sys.exit(1)
+
+    // trainer evidence at the same scale: the distributed round loop
+    // (the even-the-dictionary-overflows branch) must learn the exact
+    // table the driver classic fit learns on the full corpus
+    val t1 = System.nanoTime()
+    val dist = TextOps.bpeTrainOn(docs, nMerges = 16, driverVocabLimit = -1L)
+      .collect().map(_.toSeq).toSeq
+    val distSecs = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val drv = TextOps.bpeTrainOn(docs, nMerges = 16,
+        driverVocabLimit = Long.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    val drvSecs = (System.nanoTime() - t2) / 1e9
+    val tOk = dist == drv
+    println(f"BpeScale train nDocs=$nDocs 16 merges: dist=$distSecs%.1f s " +
+      f"driver=$drvSecs%.1f s identical=$tOk")
+    if (!tOk) sys.exit(1)
     spark.stop()
   }
 }
