@@ -131,6 +131,36 @@ object Dedup {
     * explode-shingles → groupBy(doc_id).agg(64 × min) formulation
     * shuffled |corpus-shingles| rows just to regroup what was already
     * row-local). Documents with no shingles get an empty signature. */
+  /** The MinHash signature of one shingle-hash set against the k
+    * affine coefficients — the ONE definition of the signature,
+    * shared by the batch pass below and the streaming near-dup
+    * filter ([[StreamingOps.nearDupStream]]), so the two can never
+    * bucket differently. */
+  private[engine] def minhashSigOf(sh: Array[Long], k: Int,
+      ab: Array[(Long, Long)]): Array[Long] =
+    if (sh.isEmpty) Array.empty[Long]
+    else {
+      val s = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      while (j < sh.length) {
+        val h31 = sh(j) & 0x7FFFFFFFL
+        var i = 0
+        while (i < k) {
+          val v = (h31 * ab(i)._1 + ab(i)._2) % minhashP
+          if (v < s(i)) s(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      s
+    }
+
+  private[engine] def minhashCoeffsFor(k: Int): Array[(Long, Long)] =
+    minhashCoeffs(k)
+
+  private[engine] def shingleHashesOfText(text: String,
+      n: Int): Array[Long] = shingleHashesOf(text, n)
+
   def shingleSigSets(docs: DataFrame, n: Int = 3, k: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -140,24 +170,7 @@ object Dedup {
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val sh = shingleHashesOf(text, n)
-          val sig =
-            if (sh.isEmpty) Array.empty[Long]
-            else {
-              val s = Array.fill(k)(Long.MaxValue)
-              var j = 0
-              while (j < sh.length) {
-                val h31 = sh(j) & 0x7FFFFFFFL
-                var i = 0
-                while (i < k) {
-                  val v = (h31 * ab(i)._1 + ab(i)._2) % minhashP
-                  if (v < s(i)) s(i) = v
-                  i += 1
-                }
-                j += 1
-              }
-              s
-            }
-          (id, sh, sig)
+          (id, sh, minhashSigOf(sh, k, ab))
         }
       }
       .toDF("doc_id", "sh", "sig")
@@ -398,6 +411,17 @@ object Dedup {
   def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(spark, sfDir).orderBy(col("ida"), col("idb"))
 
+  /** Per-band LSH bucket keys over a k-wide `sig` array column: band
+    * b's key is (b, xxhash64 of the 2-row signature slice) — the ONE
+    * banding definition, shared by the batch pair join and the
+    * streaming near-dup filter so both bucket identically. */
+  private[engine] def bandKeyCols(bands: Int,
+      sig: Column = col("sig")): Seq[Column] =
+    (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(element_at(sig, 2 * b + 1),
+          element_at(sig, 2 * b + 2)).as("sig")))
+
   /** The verified near-dup pair set (unordered) — shared by
     * [[qDedupMinhash]] and the clustering pass [[qDedupClusters]]. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
@@ -415,12 +439,9 @@ object Dedup {
     val withSh = cachedSigSets(spark, sfDir, n = 3, k = k)
     // bands: hash the 2-row slice of the signature into one bucket key
     // per band; docs with no shingles can never reach J ≥ 0.8 → skip
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        xxhash64(element_at(col("sig"), 2 * b + 1),
-          element_at(col("sig"), 2 * b + 2)).as("sig")))
     val buckets = withSh.filter(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"),
+        explode(array(bandKeyCols(bands): _*)).as("bk"))
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))

@@ -173,6 +173,71 @@ object StreamingOps {
       .select(col("uuid"), col("ad_type"), col("imp_time"), col("clk_time"))
   }
 
+  /** STREAMING MinHash NEAR-dup filter: the candidate-generation half
+    * of [[Dedup.qDedupMinhash]] run ON the stream — a document is
+    * kept iff NONE of its 32 LSH band buckets was claimed by an
+    * earlier in-horizon document. Signatures come from the exact
+    * batch recipe (shared [[Dedup.minhashSigOf]] + the shared
+    * [[Dedup.bandKeyCols]] banding, so stream and batch bucket
+    * identically); `dropDuplicatesWithinWatermark` keyed on
+    * (band, sig) keeps each bucket's first claimant, and a doc
+    * surviving on ALL of its bands introduced every one of them —
+    * i.e. collided with nobody. The per-doc count is a watermarked
+    * streaming agg, so a verdict emits once the watermark passes the
+    * doc's event time (the same latency trade every append-mode agg
+    * makes). Docs too short to shingle can never be near-dup
+    * candidates (the batch path's rule) and pass through the
+    * stateless branch immediately, flagged `n_bands = 0`.
+    *
+    * Honesty: this is the CANDIDATE filter only — no exact-Jaccard
+    * verify on the stream, so a band collision below the 0.8
+    * threshold drops a genuinely-new doc (the banding's false-
+    * positive rate); arrival order, not min doc_id, picks the kept
+    * copy; collisions straddling the watermark horizon are missed;
+    * and two near-dups landing in the SAME micro-batch can split
+    * their buckets (`dropDuplicatesWithinWatermark` has no
+    * within-trigger order) so that neither reaches a full band
+    * count — over-deletion, never under. All four are the documented
+    * price of the always-on path — the periodic batch
+    * [[Dedup.qDedupMinhash]] + [[Dedup.qDedupClusters]] pass is the
+    * exact reconciliation, precisely the [[incrementalDocPipeline]]
+    * posture at near-dup rather than exact-dup granularity. State:
+    * 32 band keys + one count per in-horizon doc, watermark-evicted.
+    *
+    * Input must carry (doc_id, text, event_time). Output: kept docs
+    * (doc_id, event_time, n_bands). */
+  def nearDupStream(docs: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = 64
+    val bands = 32
+    val ab = Dedup.minhashCoeffsFor(k)
+    val sigs = docs.select(col("doc_id"), col("event_time"), col("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        it.map { case (id, ts, text) =>
+          val sh = Dedup.shingleHashesOfText(text, 3)
+          (id, ts, Dedup.minhashSigOf(sh, k, ab))
+        }
+      }
+      .toDF("doc_id", "event_time", "sig")
+    val shingled = sigs.filter(size(col("sig")) > 0)
+    val kept = shingled
+      .select(col("doc_id"), col("event_time"),
+        explode(array(Dedup.bandKeyCols(bands): _*)).as("bk"))
+      .select(col("doc_id"), col("event_time"),
+        col("bk.band").as("band"), col("bk.sig").as("bsig"))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("band", "bsig")
+      .groupBy(col("doc_id"), col("event_time"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") === bands)
+    val passthrough = sigs.filter(size(col("sig")) === 0)
+      .select(col("doc_id"), col("event_time"), lit(0L).as("n_bands"))
+    kept.union(passthrough)
+  }
+
   /** STREAMING ANN-INDEX MAINTENANCE: append-stamp arriving vectors
     * into the fused IVF+LSH index layout ([[Similarity.annIndex]]'s
     * row shape) with FROZEN parameters — the incremental-ingest

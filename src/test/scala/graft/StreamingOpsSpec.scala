@@ -205,6 +205,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == Set(2L, 4L))
   }
 
+  test("streaming near-dup: later copy loses every band; short docs pass through") {
+    import org.apache.spark.sql.functions.col
+    import graft.engine.TimeOps
+    val textA = "the quick brown fox jumps over the lazy dog and runs " +
+      "to the hills with a friend of mine that is nice today"
+    val other = "a completely different document about engines and " +
+      "pipelines that shares no shingles with the fox at all"
+    val flush = "this late flusher advances the watermark far enough " +
+      "for every earlier verdict to emit from the stateful count"
+    val dir = tmpDir("neardup")
+    def row(id: Long, text: String, ts: Long) =
+      s"""{"doc_id":$id,"text":"$text","ts":$ts}"""
+    // two FILES processed one per micro-batch: the copy arrives a
+    // trigger later, so the original's bucket claims are already
+    // state (same-trigger copies may split buckets — scaladoc'd)
+    Files.write(Paths.get(dir, "a_first.jsonl"), Seq(
+      row(1, textA, T0), row(3, other, T0 + 1000),
+      row(4, "two tokens", T0 + 2000)) // < 3 tokens → no shingles
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "b_second.jsonl"), Seq(
+      row(2, textA, T0 + 3000), // identical content → all bands lost
+      row(9, flush, T0 + 30 * 60000L))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING, ts LONG")
+      .option("maxFilesPerTrigger", "1").json(dir)
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("ts")))
+    val out = runToMemory(StreamingOps.nearDupStream(docs), "neardup_stream")
+      .select("doc_id", "n_bands").as[(Long, Long)].collect().toMap
+    // 1 kept (all 32 bands), 3 kept, 4 passthrough (0 bands); the
+    // copy 2 dropped; the flusher's own verdict is still pending
+    assert(out == Map(1L -> 32L, 3L -> 32L, 4L -> 0L))
+  }
+
   test("ANN index maintenance: incrementally-appended index equals the batch build") {
     import org.apache.spark.sql.functions.col
     import graft.engine.Similarity
