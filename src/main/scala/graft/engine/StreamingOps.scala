@@ -283,12 +283,37 @@ object StreamingOps {
   /** Read an [[annIndexAppend]]-maintained index back in the batch
     * build's canonical schema. `cid` rides the directory layout, so
     * the reader re-casts it (partition-value inference narrows to
-    * int) and restores the canonical column order. */
+    * int) and restores the canonical column order. Plain-path reads
+    * are the PRE-CATALOG access; once [[registerAnnIndexTable]] has
+    * run (and especially once a cell has been compacted, which flips
+    * that partition's location to a sibling directory), the table is
+    * the canonical reader. */
   def loadAnnIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     spark.read.parquet(dir)
       .select(col("vec_id"), col("v"), col("sigs"),
         col("cid").cast("long").as("cid"))
+
+  /** Register an [[annIndexAppend]] directory as a cid-partitioned
+    * EXTERNAL catalog table — the step that makes the reference-side
+    * maintenance machinery apply to the ANN index verbatim: each
+    * posting list (cell) is a catalog partition, so
+    * [[Sinks.compactTablePartition]] compacts a cell's micro-batch
+    * file grind with the SAME atomic location-flip protocol the Hive
+    * event sink uses (and [[Sinks.reconcileLatePartition]] recovers
+    * post-compaction appends the same way). Partition discovery
+    * ignores the sink's `_spark_metadata`; re-running after more
+    * cells appear just recovers the new partitions. */
+  def registerAnnIndexTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE EXTERNAL TABLE $table
+         |(vec_id BIGINT, v ARRAY<DOUBLE>, sigs ARRAY<BIGINT>)
+         |PARTITIONED BY (cid BIGINT)
+         |STORED AS PARQUET LOCATION '$dir'""".stripMargin)
+    spark.catalog.recoverPartitions(table)
+  }
 
   /** Arbitrary keyed state: sessionization with an event-time timeout.
     * Per uuid, accumulate (count, min ts, max ts); when the watermark

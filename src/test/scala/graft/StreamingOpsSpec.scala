@@ -276,6 +276,52 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cells.toSet == expected.map(r => s"cid=${r._4}").toSet)
   }
 
+  test("ANN index as a catalog table: per-cell compaction preserves rows, cuts files") {
+    import org.apache.spark.sql.functions.col
+    import graft.engine.Similarity
+    val (cent, bits) = Similarity.annIndexParams(spark, sf0001)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    // three micro-batches → up to three files per touched cell: the
+    // small-file grind the compactor exists for
+    val srcDir = tmpDir("annctsrc")
+    (0 to 2).foreach { m =>
+      emb.filter(col("vec_id") % 3 === m).coalesce(1)
+        .write.parquet(s"$srcDir/s$m")
+    }
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val outDir = tmpDir("annct")
+    graft.engine.StreamingOps.annIndexAppend(
+      stream, cent, bits, s"$outDir/index", s"$outDir/ckpt")
+      .awaitTermination()
+    graft.engine.StreamingOps.registerAnnIndexTable(
+      spark, s"$outDir/index", "ann_idx_t")
+    try {
+      val before = spark.table("ann_idx_t")
+        .as[(Long, Seq[Double], Seq[Long], Long)].collect().toSeq
+        .sortBy(_._1)
+      assert(before.nonEmpty)
+      // pick a cell that actually accumulated multiple files
+      val cells = new java.io.File(s"$outDir/index").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cid="))
+      val multi = cells.filter(
+        _.listFiles().count(_.getName.endsWith(".parquet")) >= 2)
+      assert(multi.nonEmpty, "fixture produced no multi-file cell")
+      val cid = multi.head.getName.stripPrefix("cid=")
+      val (nBefore, nAfter) = graft.engine.Sinks.compactTablePartition(
+        spark, "ann_idx_t", Seq("cid" -> cid))
+      assert(nBefore >= 2 && nAfter < nBefore, s"$nBefore -> $nAfter")
+      // the flip is invisible to readers: identical rows via the table
+      val after = spark.table("ann_idx_t")
+        .as[(Long, Seq[Double], Seq[Long], Long)].collect().toSeq
+        .sortBy(_._1)
+      assert(after == before)
+    } finally spark.sql("DROP TABLE IF EXISTS ann_idx_t")
+  }
+
   test("trending terms: a window's over-threshold terms emit exactly once") {
     import org.apache.spark.sql.functions.col
     import graft.engine.TimeOps
