@@ -181,6 +181,14 @@ object SparkEntry {
     "q_winnow_neardup" -> TextOps.qWinnowNearDup _,
     "q_unigram_score" -> TextOps.qUnigramScore _,
     "q_train_mix" -> TextOps.qTrainMix _,
+    // exact-quota per-source sampling (eval-set builder)
+    "q_sample_stratified" -> TextOps.qSampleStratified _,
+    // per-source percent_rank calibration of the quality score
+    "q_quality_calibrated" -> TextOps.qQualityCalibrated _,
+    // per-doc unique-shingle ratio (dedup triage / boilerplate rank)
+    "q_ngram_novelty" -> Dedup.qNgramNovelty _,
+    // CDC MERGE: update/insert/keep via the Delta-style decomposition
+    "q_merge_upsert" -> Relational.qMergeUpsert _,
     "q_window_pct" -> Relational.qWindowPct _,
     "q_date_funcs" -> Relational.qDateFuncs _,
     "q_string_funcs" -> Relational.qStringFuncs _,
@@ -1497,6 +1505,88 @@ object SparkEntry {
     // P <= (1-0.64)^32 ~= 5e-15 — so the oracle is the same exact
     // inverted-index Jaccard SQL.
     "q_dedup_minhash" -> duckShingleCte,
+    // md5-hex ordering is identical in both engines (lowercase hex
+    // string compare), so the per-source permutation and its first
+    // `stratifiedQuota` rows are too
+    "q_sample_stratified" ->
+      s"""WITH h AS (SELECT doc_id, source,
+        |             md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY hx, doc_id) AS rn
+        |      FROM h)
+        |SELECT doc_id, source, rn FROM r
+        |WHERE rn <= ${TextOps.stratifiedQuota}
+        |ORDER BY doc_id""".stripMargin,
+    // percent_rank = (rank-1)/(n-1): exact rational arithmetic; ties
+    // on q share a rank, so no tie-break column is needed
+    "q_quality_calibrated" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $duckTokens AS tk
+        |           FROM documents),
+        |qs AS (SELECT doc_id, source,
+        |$duckQuality
+        |    AS q
+        |       FROM t),
+        |p AS (SELECT doc_id, source, q,
+        |        percent_rank() OVER (PARTITION BY source ORDER BY q) AS pct
+        |      FROM qs)
+        |SELECT doc_id, source, q, pct FROM p
+        |WHERE pct >= ${TextOps.calibratedCut}
+        |ORDER BY doc_id""".stripMargin,
+    // string-shingle df rebuilt from scratch; the Spark side counts
+    // the same sets under the 64-bit FNV hash identity (collision
+    // odds ~n²/2⁻⁶⁴ — the q_jaccard_pairs convention)
+    "q_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |        range(1, len(tk)-1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |      FROM t WHERE len(tk) >= 3),
+        |idx AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |dfs AS (SELECT shingle, count(*) AS df FROM idx GROUP BY shingle),
+        |j AS (SELECT i.doc_id, d.df
+        |      FROM idx i JOIN dfs d ON i.shingle = d.shingle)
+        |SELECT doc_id, count(*) AS n_sh,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS novelty
+        |FROM j GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // the same 4-hex-digit md5 bucket as q_holdout_split selects the
+    // change rows; double ×1.1/×0.5 are single IEEE multiplies, so
+    // both engines produce the identical repriced values
+    "q_merge_upsert" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |           FROM orders),
+        |h AS (SELECT o_orderkey,
+        |        ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100
+        |          AS bucket
+        |      FROM (SELECT o_orderkey,
+        |              md5(CAST(o_orderkey AS VARCHAR)) AS hx FROM b)),
+        |u AS (SELECT b.o_orderkey, b.o_custkey AS c_custkey,
+        |        'U' AS c_status, b.o_totalprice * 1.1 AS c_price
+        |      FROM b JOIN h USING (o_orderkey) WHERE bucket < 10),
+        |i AS (SELECT -b.o_orderkey AS o_orderkey, b.o_custkey AS c_custkey,
+        |        'N' AS c_status, b.o_totalprice * 0.5 AS c_price
+        |      FROM b JOIN h USING (o_orderkey) WHERE bucket >= 95),
+        |c AS (SELECT * FROM u UNION ALL SELECT * FROM i),
+        |mk AS (SELECT b.o_orderkey, b.o_custkey,
+        |         coalesce(c.c_status, b.o_orderstatus) AS status,
+        |         coalesce(c.c_price, b.o_totalprice) AS price,
+        |         CASE WHEN c.c_price IS NOT NULL
+        |              THEN 'update' ELSE 'keep' END AS op
+        |       FROM b LEFT JOIN c ON b.o_orderkey = c.o_orderkey),
+        |nm AS (SELECT c.o_orderkey, c.c_custkey AS o_custkey,
+        |         c.c_status AS status, c.c_price AS price, 'insert' AS op
+        |       FROM c WHERE NOT EXISTS
+        |         (SELECT 1 FROM b WHERE b.o_orderkey = c.o_orderkey))
+        |SELECT o_orderkey, o_custkey, status, price, op FROM mk
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, status, price, op FROM nm
+        |ORDER BY o_orderkey""".stripMargin,
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

@@ -400,6 +400,35 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Per-document n-gram novelty — the dedup-triage / decontamination
+    * ranking view: for each doc, its distinct word-3-gram count, how
+    * many of those shingles appear in NO other document (corpus
+    * df = 1), and the novelty ratio unique/total. High-novelty docs
+    * are safe unique content; low-novelty docs are template/boilerplate
+    * candidates the pair-level dedup queries then resolve exactly.
+    * Integer counts + one final IEEE division, so the oracle matches
+    * bit-exactly (the [[qJaccardPairs]] arithmetic convention).
+    *
+    * Scale shape: shingle sets ride the same persisted zero-shuffle
+    * `mapPartitions` working set as the minhash family; then ONE
+    * hash-agg builds the shingle df table and ONE shuffle join scores
+    * instances against it — deliberately UNHINTED, like the
+    * `q_unigram_score` vocab join: a 100 TB corpus's shingle table is
+    * itself huge, and pinning it broadcast would OOM the driver (AQE
+    * may still choose broadcast where it actually fits). */
+  def qNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = cachedSigSets(spark, sfDir, n = 3, k = 64)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val df = idx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    idx.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_sh"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_sh")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash+LSH near-dup pairs, exact-verified: 64 per-shingle
     * re-hashes, per-doc signature = columnwise min, 32 bands of 2 →
     * candidate pairs from band-bucket self-join → exact Jaccard

@@ -556,6 +556,61 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** CDC MERGE (upsert): apply a change batch to a base table with
+    * MERGE semantics — WHEN MATCHED update, WHEN NOT MATCHED insert,
+    * untouched rows kept — without a table format's transaction log.
+    * The change batch is derived deterministically from the base
+    * (md5-bucket < 10 → price/status updates; bucket ≥ 95 → new rows
+    * under negated keys) so the oracle can rebuild it; `op` tags each
+    * output row update/insert/keep.
+    *
+    * Scale shape — the Delta/Iceberg MERGE decomposition, not a
+    * full-outer join: a full-outer on the key shuffles the ENTIRE
+    * 100 TB base; instead (a) matched-or-kept rows come from base
+    * LEFT JOIN broadcast(changes) — the base never shuffles, the
+    * change batch (bounded: one CDC interval) broadcasts; (b) the
+    * NOT-MATCHED set is changes ANTI JOIN base's key column — the
+    * base side is pruned to its 8-byte key at the scan
+    * (`ReadSchema`-guarded), the minimal possible consultation of the
+    * base, and a key-bucketed base table makes even that co-located.
+    * The union of (a) and (b) is the merged table. */
+  def qMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    def base(s: SparkSession) = Tables(s, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val bucket = pmod(
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("int"), lit(100))
+    val src = base(spark).withColumn("bucket", bucket)
+    // matched updates: reprice + flag
+    val updates = src.filter(col("bucket") < 10)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        lit("U").as("c_status"),
+        (col("o_totalprice") * 1.1).as("c_price"))
+    // unmatched inserts: negated keys are disjoint from the base by
+    // construction, but the merge does NOT rely on that — membership
+    // is decided by the joins below, as MERGE semantics demand
+    val inserts = src.filter(col("bucket") >= 95)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        col("o_custkey").as("c_custkey"),
+        lit("N").as("c_status"),
+        (col("o_totalprice") * 0.5).as("c_price"))
+    val changes = updates.unionByName(inserts)
+    val matchedOrKept = base(spark)
+      .join(broadcast(changes), Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("c_price"), col("o_totalprice")).as("price"),
+        when(col("c_price").isNotNull, "update").otherwise("keep").as("op"))
+    val notMatched = changes
+      .join(base(spark).select(col("o_orderkey")), Seq("o_orderkey"),
+        "left_anti")
+      .select(col("o_orderkey"), col("c_custkey").as("o_custkey"),
+        col("c_status").as("status"), col("c_price").as("price"),
+        lit("insert").as("op"))
+    matchedOrKept.unionByName(notMatched).orderBy(col("o_orderkey"))
+  }
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def qCaseBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables(spark, sfDir, "orders")

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -1185,6 +1186,64 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         (col("sum_c").cast("double") / (col("n_tokens") * col("total")))
           .as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic exact-quota stratified sample: the first
+    * [[stratifiedQuota]] documents per source, ordered by
+    * md5(doc_id) — a seedless permutation any engine reproduces, vs
+    * `TABLESAMPLE`/`rand()` whose output is engine- and
+    * partitioning-dependent. The eval-set builder: every source is
+    * represented by exactly min(|source|, quota) docs no matter how
+    * skewed the corpus mix is (a global uniform sample of a 100 TB
+    * crawl can miss a small curated source entirely).
+    *
+    * Scale shape: ONE shuffle on source. The rank-≤-quota filter
+    * triggers `WindowGroupLimit` (plan-guarded), so each map task
+    * pre-prunes to its local top-quota rows BEFORE the exchange —
+    * the shuffle carries O(tasks × quota) rows, never the corpus. */
+  val stratifiedQuota = 10
+
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val w = Window.partitionBy(col("source")).orderBy(col("hx"), col("doc_id"))
+    d.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= stratifiedQuota)
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source quality calibration: percent_rank of the
+    * [[qualityScore]] WITHIN each source, keeping docs above the
+    * bottom [[calibratedCut]] fraction of their own source — the
+    * per-source thresholding CCNet applies to its LM scores. A single
+    * global cutoff on the raw score would empty the weakest source
+    * and keep all of the strongest; ranking within the stratum drops
+    * the same fraction everywhere. percent_rank = (rank−1)/(n−1) is
+    * exact rational arithmetic (one IEEE division), and ties on the
+    * score share a rank, so the output is reproducible without a
+    * tie-break column.
+    *
+    * Scale shape: one narrow scoring projection (the quality terms
+    * are codegen'd count arithmetic, no UDF) + ONE shuffle on
+    * source. Sources are few and large → per-source skew is real:
+    * AQE's skew handling cannot split a window partition, so at
+    * 100 TB the per-source rank would instead be computed as a
+    * two-pass quantile cut (score histogram per source, then a
+    * narrow filter) — documented here, exercised at fixture scale by
+    * the exact window. */
+  val calibratedCut = 0.2
+
+  def qQualityCalibrated(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val w = Window.partitionBy(col("source")).orderBy(col("q"))
+    d.select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("q"))
+      .withColumn("pct", percent_rank().over(w))
+      .filter(col("pct") >= calibratedCut)
+      .select(col("doc_id"), col("source"), col("q"), col("pct"))
       .orderBy(col("doc_id"))
   }
 }

@@ -193,4 +193,29 @@ class DedupSpec extends SparkSpec {
       assert(out == expected, s"trial $trial: $out vs $expected")
     }
   }
+
+  test("ngram novelty: equal to a full driver-side string-shingle recompute") {
+    val out = Dedup.qNgramNovelty(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // independent recompute on SHINGLE STRINGS (the oracle identity),
+    // not the engine's FNV hashes — catches both arithmetic drift and
+    // hash-identity drift
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def sh(t: String): Set[String] = {
+      val tk = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => (id, sh(t)) }.filter(_._2.nonEmpty)
+    val df = sets.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val expect = sets.map { case (id, s) =>
+      val uniq = s.count(df(_) == 1).toLong
+      (id, s.size.toLong, uniq, uniq.toDouble / s.size)
+    }.sortBy(_._1)
+    assert(out == expect)
+    // the fixture's planted exact duplicates make the signal non-vacuous:
+    // some docs share every shingle (novelty 0), some are fully unique
+    assert(out.exists(_._4 == 0.0) && out.exists(_._4 > 0.5))
+  }
 }

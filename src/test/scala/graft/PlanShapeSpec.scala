@@ -368,4 +368,48 @@ class PlanShapeSpec extends SparkSpec {
       || f.contains("GreaterThanOrEqual(doc_id")) >= 2, s)
     assert("LeftSemi".r.findAllIn(s).nonEmpty, s)
   }
+
+  test("stratified sample: rank<=quota prunes map-side via WindowGroupLimit") {
+    // the shuffle must carry O(tasks × quota) rows, not the corpus:
+    // the filter on row_number() has to reach the pre-shuffle
+    // WindowGroupLimit, like the q_window_rank guard
+    val p = plan(graft.engine.TextOps.qSampleStratified(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("merge upsert: base never shuffles to match; anti-join consults only the key column") {
+    // (a) the matched/kept branch joins the broadcast change batch —
+    // a SortMergeJoin here means the full base shuffled on the key
+    val p = plan(Relational.qMergeUpsert(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // (b) the NOT-MATCHED anti-join reads the base pruned to its
+    // 8-byte key — one scan with ReadSchema of exactly o_orderkey
+    val s = Relational.qMergeUpsert(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(reads.exists(_ == "o_orderkey:bigint"), s)
+  }
+
+  test("ngram novelty: the shingle-df side of the join is never hint-broadcast") {
+    // the q_unigram_score reasoning: the df table is the corpus's
+    // full shingle vocabulary — only AQE may pick broadcast when the
+    // small-SF aggregate genuinely fits, never a pinned hint
+    val lp = graft.engine.Dedup.qNgramNovelty(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert("(?i)broadcast".r.findAllIn(lp).isEmpty, lp)
+  }
+
+  test("quality calibration: one narrow scoring pass — no UDF, scan pruned to 3 columns") {
+    val df = graft.engine.TextOps.qQualityCalibrated(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("UDF"), p)
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(s).get.group(1)
+    assert(read.split(",").length <= 3, read) // doc_id, source, text
+  }
 }

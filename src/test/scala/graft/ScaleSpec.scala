@@ -90,4 +90,40 @@ class ScaleSpec extends SparkSpec {
     // a wider cluster IS used once rows cover it
     assert(Tables.spreadTarget(1000, 1000000L, 512) == 1000)
   }
+
+  test("merge upsert: decomposition equals the canonical full-outer MERGE") {
+    // the shipped plan avoids shuffling the base (left join broadcast
+    // changes + key-pruned anti-join); this re-derives the result via
+    // the textbook full-outer formulation and demands equality
+    val got = graft.engine.Relational.qMergeUpsert(spark, sf0001)
+      .as[(Long, Long, String, Double, String)].collect().toSeq
+    val base = Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val bucket = pmod(
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("int"), lit(100))
+    val src = base.withColumn("bucket", bucket)
+    val changes = src.filter(col("bucket") < 10)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        lit("U").as("c_status"), (col("o_totalprice") * 1.1).as("c_price"))
+      .unionByName(src.filter(col("bucket") >= 95)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          col("o_custkey").as("c_custkey"), lit("N").as("c_status"),
+          (col("o_totalprice") * 0.5).as("c_price")))
+    val expect = base.join(changes, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("o_custkey"), col("c_custkey")).as("o_custkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("c_price"), col("o_totalprice")).as("price"),
+        when(col("o_orderstatus").isNull, "insert")
+          .when(col("c_price").isNotNull, "update")
+          .otherwise("keep").as("op"))
+      .orderBy(col("o_orderkey"))
+      .as[(Long, Long, String, Double, String)].collect().toSeq
+    assert(got == expect)
+    // all three ops occur (non-vacuous)
+    assert(Set("update", "insert", "keep")
+      .subsetOf(got.map(_._5).toSet))
+  }
 }

@@ -375,4 +375,45 @@ class TextOpsSpec extends SparkSpec {
     // integer sums + a single double division → bit-exact equality
     assert(out == expect)
   }
+
+  test("stratified sample: exactly min(|source|, quota) docs per source, first by md5 order") {
+    val out = TextOps.qSampleStratified(spark, sf0001)
+      .as[(Long, String, Int)].collect().toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.map { case (id, _) => (md5hex(id.toString), id) }.sorted
+        .take(TextOps.stratifiedQuota).zipWithIndex
+        .map { case ((_, id), i) => (id, src, i + 1) }
+    }.sortBy(_._1)
+    assert(out == expect)
+    // quota binds on at least one source at this SF, or the test is vacuous
+    assert(docs.groupBy(_._2).exists(_._2.size > TextOps.stratifiedQuota))
+  }
+
+  test("quality calibration: kept set equals a driver-side percent_rank recompute") {
+    import org.apache.spark.sql.functions.col
+    val out = TextOps.qQualityCalibrated(spark, sf0001)
+      .as[(Long, String, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // the q values themselves are oracle-covered; re-derive only the
+    // window arithmetic from them
+    val scored = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("q"))
+      .as[(Long, String, Double)].collect().toSeq
+    val expect = scored.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val n = rows.size
+      rows.map { case (id, _, q) =>
+        val rank = 1 + rows.count(_._3 < q) // ties share the rank
+        val pct = if (n == 1) 0.0 else (rank - 1).toDouble / (n - 1)
+        (id, src, q, pct)
+      }.filter(_._4 >= TextOps.calibratedCut)
+    }.sortBy(_._1)
+    assert(out == expect)
+    // the cut actually drops rows per source (non-vacuous)
+    assert(out.size < scored.size)
+  }
 }
