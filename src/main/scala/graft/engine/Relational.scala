@@ -556,6 +556,43 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Generic MERGE application — the engine primitive under
+    * [[qMergeUpsert]] and the streaming upsert sink
+    * ([[StreamingOps.upsertSink]]). Contract: `base` and `changes`
+    * share a schema (`keyCol` + value columns); a matched base row is
+    * REPLACED by its change row (whole-row upsert, the common CDC
+    * contract — a change row's null is a real null, not "keep old"),
+    * unmatched change rows insert, untouched base rows keep; `op`
+    * tags every output row update/insert/keep.
+    *
+    * Scale shape (the Delta/Iceberg MERGE decomposition): matched/
+    * kept = base LEFT JOIN broadcast(changes) — the base never
+    * shuffles, the bounded change batch broadcasts; not-matched =
+    * changes ANTI JOIN base projected to its key column — the
+    * minimal consultation of the base (8 bytes/row at the scan), and
+    * a key-bucketed base makes even that co-located. */
+  def mergeApply(base: DataFrame, changes: DataFrame,
+      keyCol: String): DataFrame = {
+    val valCols = base.columns.filter(_ != keyCol).toSeq
+    // presence marker instead of testing a value column: a change row
+    // may legitimately carry nulls
+    val c = valCols.foldLeft(
+        changes.withColumn("__c_present", lit(true)))(
+      (d, n) => d.withColumnRenamed(n, s"__c_$n"))
+    val matchedOrKept = base.join(broadcast(c), Seq(keyCol), "left")
+      .select(col(keyCol) +:
+        valCols.map(n =>
+          when(col("__c_present").isNotNull, col(s"__c_$n"))
+            .otherwise(col(n)).as(n)) :+
+        when(col("__c_present").isNotNull, "update")
+          .otherwise("keep").as("op"): _*)
+    val notMatched = c
+      .join(base.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(col(keyCol) +: valCols.map(n => col(s"__c_$n").as(n)) :+
+        lit("insert").as("op"): _*)
+    matchedOrKept.unionByName(notMatched)
+  }
+
   /** CDC MERGE (upsert): apply a change batch to a base table with
     * MERGE semantics — WHEN MATCHED update, WHEN NOT MATCHED insert,
     * untouched rows kept — without a table format's transaction log.
@@ -584,31 +621,23 @@ object Relational {
     val src = base(spark).withColumn("bucket", bucket)
     // matched updates: reprice + flag
     val updates = src.filter(col("bucket") < 10)
-      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
-        lit("U").as("c_status"),
-        (col("o_totalprice") * 1.1).as("c_price"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"))
     // unmatched inserts: negated keys are disjoint from the base by
     // construction, but the merge does NOT rely on that — membership
-    // is decided by the joins below, as MERGE semantics demand
+    // is decided by the joins inside mergeApply, as MERGE semantics
+    // demand
     val inserts = src.filter(col("bucket") >= 95)
       .select((-col("o_orderkey")).as("o_orderkey"),
-        col("o_custkey").as("c_custkey"),
-        lit("N").as("c_status"),
-        (col("o_totalprice") * 0.5).as("c_price"))
-    val changes = updates.unionByName(inserts)
-    val matchedOrKept = base(spark)
-      .join(broadcast(changes), Seq("o_orderkey"), "left")
+        col("o_custkey"),
+        lit("N").as("o_orderstatus"),
+        (col("o_totalprice") * 0.5).as("o_totalprice"))
+    mergeApply(base(spark), updates.unionByName(inserts), "o_orderkey")
       .select(col("o_orderkey"), col("o_custkey"),
-        coalesce(col("c_status"), col("o_orderstatus")).as("status"),
-        coalesce(col("c_price"), col("o_totalprice")).as("price"),
-        when(col("c_price").isNotNull, "update").otherwise("keep").as("op"))
-    val notMatched = changes
-      .join(base(spark).select(col("o_orderkey")), Seq("o_orderkey"),
-        "left_anti")
-      .select(col("o_orderkey"), col("c_custkey").as("o_custkey"),
-        col("c_status").as("status"), col("c_price").as("price"),
-        lit("insert").as("op"))
-    matchedOrKept.unionByName(notMatched).orderBy(col("o_orderkey"))
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"), col("op"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** CASE WHEN bucketing + conditional aggregation. */

@@ -315,6 +315,83 @@ object StreamingOps {
     spark.catalog.recoverPartitions(table)
   }
 
+  /** Apply ONE change batch to a key-bucketed parquet state table
+    * with MERGE semantics — the unit of work under [[upsertSink]],
+    * callable directly for batch backfills. The base lives at
+    * `baseDir` partitioned by `kb = pmod(xxhash64(key), nb)`; change
+    * rows carry the base's schema plus a `seq` column (within-batch
+    * ordering: the HIGHEST seq per key wins, then seq is dropped).
+    *
+    * Scale shape: only the buckets the batch's keys hash to are read
+    * (partition-pruned scan over ≤ nb of the base's directories),
+    * merged via [[Relational.mergeApply]] (base side of the merge
+    * never shuffles; change batch broadcasts), and swapped in as
+    * whole replacement directories — the other (100 TB − ε) of the
+    * state is never touched. The local-FS dir swap stands in for the
+    * catalog-partition location flip ([[Sinks.compactTablePartition]]'s
+    * S3A-safe protocol) a metastore-backed deployment would use. */
+  def applyUpsertBatch(batch: DataFrame, baseDir: String,
+      nb: Int = 16, keyCol: String = "key"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    // last change per key wins within the batch
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("seq").desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "seq")
+    val kb = pmod(xxhash64(col(keyCol)), lit(nb.toLong))
+    val touched = latest.select(kb.as("kb")).distinct()
+      .as[Long].collect().sorted // bounded by nb — never the corpus
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = basePath.getFileSystem(conf)
+    val existing = touched.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(basePath, s"kb=$b")))
+    val cur =
+      if (existing.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], latest.schema)
+      else spark.read.parquet(baseDir)
+        .where(col("kb").isin(existing: _*)) // partition-pruned
+        .drop("kb")
+    val staging = new org.apache.hadoop.fs.Path(
+      basePath.getParent, s".${basePath.getName}-staging")
+    fs.delete(staging, true)
+    Relational.mergeApply(cur, latest, keyCol).drop("op")
+      .withColumn("kb", pmod(xxhash64(col(keyCol)), lit(nb.toLong)))
+      .write.partitionBy("kb").parquet(staging.toString)
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(basePath, s"kb=$b")
+      fs.delete(live, true)
+      fs.mkdirs(basePath)
+      fs.rename(new org.apache.hadoop.fs.Path(staging, s"kb=$b"), live)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Streaming CDC upsert sink: apply a stream of change rows to the
+    * [[applyUpsertBatch]] state table, one merge per micro-batch —
+    * the `foreachBatch` pattern that stands in for MERGE INTO when
+    * the sink is plain parquet. Re-running a failed batch re-applies
+    * the SAME merge to the already-merged buckets, and MERGE is
+    * idempotent (matched rows re-take the same values, inserts are
+    * then matches) — so the sink is effectively-once without a
+    * transaction log, on top of the checkpoint's at-least-once. */
+  def upsertSink(changes: DataFrame, baseDir: String,
+      checkpointDir: String, nb: Int = 16, keyCol: String = "key",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        applyUpsertBatch(b, baseDir, nb, keyCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Arbitrary keyed state: sessionization with an event-time timeout.
     * Per uuid, accumulate (count, min ts, max ts); when the watermark
     * passes last-seen + gap, the session closes and one summary row is

@@ -345,4 +345,68 @@ class StreamingOpsSpec extends SparkSpec {
     val w2323 = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(T0 - T0 % 60000))
     assert(out == Set((w2323, "spark", 3L)))
   }
+
+  test("streaming upsert sink: micro-batch merges reach the sequential end state; untouched buckets never rewritten; re-apply is a no-op") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val nb = 8
+    val baseDir = tmpDir("ups") + "/state"
+    // seed state: keys 1..40 inserted as one batch backfill
+    val seed = (1L to 40L).map(k => (k, "A", k * 1.0, 0L))
+      .toDF("key", "status", "price", "seq")
+    StreamingOps.applyUpsertBatch(seed, baseDir, nb)
+    // key → bucket under the sink's own hash (computed via Spark;
+    // xxhash64 has no convenient JVM-side twin here)
+    val kb = (1L to 60L).toDF("key")
+      .select(col("key"), pmod(xxhash64(col("key")), lit(nb.toLong)).as("kb"))
+      .as[(Long, Long)].collect().toMap
+    // two change files = two micro-batches (maxFilesPerTrigger=1,
+    // mtimes pinned so the file source replays them in order); key 5
+    // is updated in BOTH (seq 1 then 2), key 41 inserted then updated
+    val b1 = Seq((1L, "B", 101.0, 1L), (5L, "B", 105.0, 1L),
+      (41L, "N", 41.0, 1L))
+    val b2 = Seq((5L, "C", 205.0, 2L), (41L, "C", 141.0, 2L),
+      (46L, "N", 46.0, 2L))
+    val inDir = tmpDir("ups-in")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val f = new java.io.File(inDir, s"batch$i.json")
+      val lines = b.map { case (k, s, p, q) =>
+        s"""{"key":$k,"status":"$s","price":$p,"seq":$q}"""
+      }
+      java.nio.file.Files.write(f.toPath,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    // an existing bucket no change key hashes to must survive
+    // BYTE-identical — the partition-pruning claim as an observable
+    val changedKb = (b1 ++ b2).map(r => kb(r._1)).toSet
+    val quietKb = (0L until nb).find(b => !changedKb.contains(b)
+      && kb.exists { case (k, v) => v == b && k <= 40 }).get
+    def bucketState(b: Long): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(new java.net.URI(
+        s"file:$baseDir/kb=$b"))
+      d.listFiles.toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sorted
+    }
+    val quietBefore = bucketState(quietKb)
+    val stream = spark.readStream
+      .schema("key LONG, status STRING, price DOUBLE, seq LONG")
+      .option("maxFilesPerTrigger", 1).json(inDir)
+    val q = StreamingOps.upsertSink(stream, baseDir, tmpDir("ups-ckpt"), nb)
+    q.awaitTermination()
+    // sequential driver re-derivation of the final state
+    var state = (1L to 40L).map(k => k -> (("A", k * 1.0))).toMap
+    (b1 ++ b2).sortBy(_._4).foreach { case (k, s, p, _) =>
+      state += k -> ((s, p))
+    }
+    val expect = state.toSeq.map { case (k, (s, p)) => (k, s, p) }.sorted
+    def readState() = spark.read.parquet(baseDir)
+      .select("key", "status", "price")
+      .as[(Long, String, Double)].collect().toSeq.sorted
+    assert(readState() == expect)
+    assert(bucketState(quietKb) == quietBefore)
+    // effectively-once: re-applying the last batch changes nothing
+    StreamingOps.applyUpsertBatch(
+      b2.toDF("key", "status", "price", "seq"), baseDir, nb)
+    assert(readState() == expect)
+  }
 }
