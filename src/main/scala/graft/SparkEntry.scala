@@ -79,6 +79,8 @@ object SparkEntry {
     "q_redact" -> TextOps.qRedact _,
     // overlapping token-window chunking (retrieval/context windows)
     "q_chunk" -> TextOps.qChunk _,
+    // content-defined chunking (rolling-window md5 boundary rule)
+    "q_cdc_chunk" -> TextOps.qCdcChunk _,
     // per-vector symmetric int8 embedding quantization
     "q_embed_quantize" -> Similarity.qEmbedQuantize _,
     // JL random projection 64 -> 16 (cheap similarity pre-filter)
@@ -1505,6 +1507,30 @@ object SparkEntry {
     // P <= (1-0.64)^32 ~= 5e-15 — so the oracle is the same exact
     // inverted-index Jaccard SQL.
     "q_dedup_minhash" -> duckShingleCte,
+    // boundary rule re-derived from md5 over the same 4-token window
+    // strings; chunk id = running count of earlier boundaries
+    "q_cdc_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |tt AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+        |p AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos
+        |      FROM tt),
+        |b AS (SELECT doc_id, pos, tk[pos] AS tok,
+        |        CASE WHEN pos >= 4 AND substring(md5(
+        |            tk[pos-3] || ' ' || tk[pos-2] || ' ' ||
+        |            tk[pos-1] || ' ' || tk[pos]), 32, 1) = '0'
+        |          THEN 1 ELSE 0 END AS brk
+        |      FROM p),
+        |c AS (SELECT doc_id, pos, tok,
+        |        COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cid
+        |      FROM b)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |  CAST(min(pos) AS BIGINT) AS start_tok,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+        |FROM c GROUP BY doc_id, cid
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // md5-hex ordering is identical in both engines (lowercase hex
     // string compare), so the per-source permutation and its first
     // `stratifiedQuota` rows are too

@@ -1189,6 +1189,64 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunk walk over one doc's tokens: cut AFTER
+    * position i (1-based) when md5 of the 4-token window ending at i
+    * ends in hex '0' (p = 1/16 → mean chunk ≈ 16 tokens). Windows
+    * roll over the WHOLE doc, not per chunk — the standard CDC
+    * formulation, so a boundary decision never depends on earlier
+    * cuts. Returns (chunk_id from 0, start_tok 1-based, n_tokens,
+    * md5 of the space-joined chunk). */
+  private[graft] def cdcChunksOf(tk: Array[String])
+      : Seq[(Long, Long, Long, String)] = {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    var start = 0 // 0-based inclusive
+    var cid = 0L
+    def emit(endExcl: Int): Unit = {
+      out += ((cid, start + 1L, (endExcl - start).toLong,
+        md5hex(tk.slice(start, endExcl).mkString(" "))))
+      cid += 1; start = endExcl
+    }
+    var i = 4 // 1-based window end
+    while (i <= tk.length) {
+      if (md5hex(tk.slice(i - 4, i).mkString(" ")).last == '0') emit(i)
+      i += 1
+    }
+    if (start < tk.length) emit(tk.length)
+    out.toSeq
+  }
+
+  /** Content-defined chunking — the rsync/LBFS boundary rule over
+    * word tokens. Unlike the fixed-stride [[qChunk]], a boundary is a
+    * function of local CONTENT: inserting tokens near the start of a
+    * doc shifts every fixed window but only the chunks up to the
+    * first boundary past the edit, so exact-chunk dedup
+    * (`chunk_fp` groupBy) still matches the unshifted remainder —
+    * the invariant storage-level corpus dedup relies on
+    * (spec-pinned: [[TextOpsSpec]] edits a doc and demands the tail
+    * chunks survive fingerprint-identical).
+    *
+    * Scale shape: ZERO shuffle — one `mapPartitions` walk per split
+    * (the §7.4 HOF-inlining hazard rules out the Column form), ~one
+    * md5 per token; the only exchange is the oracle dump's sort.
+    * Downstream chunk-level dedup is then [[Dedup.qDedupExact]]'s
+    * one 16-byte-fingerprint shuffle on `chunk_fp`. */
+  def qCdcChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    import spark.implicits._
+    Dedup.spread(d.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        cdcChunksOf(Dedup.tokensOf(text)).iterator.map {
+          case (cid, start, n, fp) => (id, cid, start, n, fp)
+        }
+      })
+      .toDF("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_fp")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Deterministic exact-quota stratified sample: the first
     * [[stratifiedQuota]] documents per source, ordered by
     * md5(doc_id) — a seedless permutation any engine reproduces, vs

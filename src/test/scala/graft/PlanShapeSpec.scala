@@ -369,6 +369,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("LeftSemi".r.findAllIn(s).nonEmpty, s)
   }
 
+  test("CDC chunking: one mapPartitions walk — no join, window, or agg") {
+    val p = plan(graft.engine.TextOps.qCdcChunk(spark, sf0001))
+    assert(p.contains("MapPartitions"), p)
+    assert("(?i)join|window|aggregate".r.findAllIn(p).isEmpty, p)
+  }
+
   test("stratified sample: rank<=quota prunes map-side via WindowGroupLimit") {
     // the shuffle must carry O(tasks × quota) rows, not the corpus:
     // the filter on row_number() has to reach the pre-shuffle

@@ -376,6 +376,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("CDC chunking: boundaries survive a prefix edit (the rsync/LBFS invariant)") {
+    // a deterministic 200-token doc, then the same doc with 3 tokens
+    // inserted at the front — the edit that breaks every FIXED-stride
+    // chunk (all windows shift) but only the local CDC chunks
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(200)(s"w${rnd.nextInt(50)}")
+    val edited = Array("ins1", "ins2", "ins3") ++ base
+    val a = TextOps.cdcChunksOf(base)
+    val b = TextOps.cdcChunksOf(edited)
+    // chunks are a partition of the tokens, in order
+    assert(a.map(_._3).sum == base.length)
+    assert(a.head._2 == 1 && a.map(c => c._2 + c._3).dropRight(1) ==
+      a.map(_._2).drop(1))
+    // past the first boundary after the edit, every chunk fingerprint
+    // reappears — content-addressed dedup still matches the tail
+    val fa = a.map(_._4)
+    val fb = b.map(_._4).toSet
+    val survivors = fa.count(fb.contains)
+    assert(survivors >= fa.size - 2,
+      s"only $survivors of ${fa.size} chunks survived a 3-token prefix edit")
+    // and the doc actually chunks (the boundary rule fires)
+    assert(a.size >= 5, a.toString)
+  }
+
   test("stratified sample: exactly min(|source|, quota) docs per source, first by md5 order") {
     val out = TextOps.qSampleStratified(spark, sf0001)
       .as[(Long, String, Int)].collect().toSeq
