@@ -189,6 +189,9 @@ object SparkEntry {
     "q_quality_calibrated" -> TextOps.qQualityCalibrated _,
     // per-doc unique-shingle ratio (dedup triage / boilerplate rank)
     "q_ngram_novelty" -> Dedup.qNgramNovelty _,
+    // integer-scaled PageRank over the near-dup graph (3 unrolled
+    // iterations — hash-exact where a double fixpoint would drift)
+    "q_pagerank" -> Dedup.qPagerank _,
     // CDC MERGE: update/insert/keep via the Delta-style decomposition
     "q_merge_upsert" -> Relational.qMergeUpsert _,
     "q_window_pct" -> Relational.qWindowPct _,
@@ -329,6 +332,37 @@ object SparkEntry {
        |SELECT a AS doc_id, MIN(b) AS cluster_id
        |FROM reach GROUP BY a
        |ORDER BY doc_id""".stripMargin
+
+  /** Integer-scaled PageRank oracle: the same verified near-dup pairs
+    * (shared CTE chain), then [[Dedup.pagerankIters]] UNROLLED
+    * iterations of the micro-unit recurrence — every operation an
+    * integer floor division or integer sum, so the fixpoint steps are
+    * engine-exact (DuckDB `//` = Spark `div` on positive BIGINTs; the
+    * HUGEINT widening of DuckDB's SUM never overflows the values, and
+    * the final cast restores the BIGINT schema). */
+  private val duckPagerank: String = {
+    val s = Dedup.pagerankScale
+    def iter(t: Int): String =
+      s"""c$t AS (SELECT u.b AS node, SUM(r${t - 1}.r // d.deg) AS s
+         |        FROM und u JOIN r${t - 1} ON u.a = r${t - 1}.node
+         |        JOIN deg d ON d.node = u.a GROUP BY u.b),
+         |r$t AS (SELECT nodes.node,
+         |          (15 * ($s // nn.n)) // 100
+         |            + (85 * COALESCE(c$t.s, 0)) // 100 AS r
+         |        FROM nodes CROSS JOIN nn
+         |        LEFT JOIN c$t ON c$t.node = nodes.node)""".stripMargin
+    s"""WITH $duckShingleBody,
+       |und AS (SELECT ida AS a, idb AS b FROM pairs
+       |        UNION ALL SELECT idb, ida FROM pairs),
+       |deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY a),
+       |nodes AS (SELECT DISTINCT a AS node FROM und),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $s // nn.n AS r FROM nodes CROSS JOIN nn),
+       |${(1 to Dedup.pagerankIters).map(iter).mkString(",\n")}
+       |SELECT node AS doc_id, CAST(r AS BIGINT) AS pr
+       |FROM r${Dedup.pagerankIters}
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** SimHash oracle: rebuild the 4 × 16-bit chunk signatures from
     * substrings of md5(token) — the exact hash the Spark side uses
@@ -1097,6 +1131,7 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     "q_dedup_clusters" -> duckClusters,
+    "q_pagerank" -> duckPagerank,
     // same oracle — the distributed large-star/small-star branch must
     // produce byte-identical labels to the driver union-find branch
     "q_dedup_clusters_dist" -> duckClusters,

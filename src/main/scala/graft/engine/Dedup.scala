@@ -400,6 +400,64 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** PageRank micro-unit scale: ranks are BIGINTs in units of 1e−12.
+    * Integer arithmetic end-to-end (floor division, integer sums) is
+    * what makes an ITERATIVE fixpoint hash-exact across engines and
+    * partitionings — a double formulation drifts with aggregation
+    * order, which is why the k-means family is rows-only while this
+    * is oracle-checked. */
+  private[graft] val pagerankScale = 1000000000000L
+  private[graft] val pagerankIters = 3
+
+  /** PageRank (damping 0.85, [[pagerankIters]] unrolled iterations)
+    * over the verified near-dup graph — the iterative graph-analytics
+    * representative next to the connected-components pass: CC says
+    * which docs form a duplicate cluster, PageRank ranks how CENTRAL
+    * each doc is inside the near-dup topology (the canonical-
+    * representative choice a dedup keep-list can use instead of
+    * min-id). Undirected: each verified pair contributes both
+    * directed edges; every node has deg ≥ 1 by construction, so there
+    * is no dangling mass. rank_0 = ⌊S/n⌋ micro-units,
+    * rank_{t+1} = ⌊15·⌊S/n⌋/100⌋ + ⌊85·Σ_{u→v}⌊rank_t(u)/deg(u)⌋/100⌋
+    * — all floor divisions on BIGINTs, reproduced verbatim by the
+    * oracle's unrolled CTE chain.
+    *
+    * Scale shape: per iteration ONE shuffle keyed by dst for the
+    * contribution sum plus the node-keyed rank join — O(edges)
+    * rows/iteration, the standard distributed-PageRank cost; the
+    * near-dup edge list is pairs-sized (≪ corpus), and the generic
+    * contract is any (src, dst) edge frame. The edge set is built
+    * once and session-persisted (deg + every iteration re-reads it);
+    * the 1-row node count rides a broadcast cross join (the
+    * `q_unigram_score` pattern), never a collect. */
+  def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).select(col("ida"), col("idb"))
+    val e = memoizedPersisted(spark, s"pr-edges|$sfDir")(
+      pairs.select(col("ida").as("src"), col("idb").as("dst"))
+        .unionByName(pairs.select(col("idb").as("src"), col("ida").as("dst"))))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("dst").as("node")).distinct()
+    val nDf = nodes.agg(count(lit(1)).as("n"))
+    // r0 = S div n, carried per node so each iteration's teleport term
+    // needs no second count job
+    val nodesBase = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), expr(s"$pagerankScale div n").as("r0"))
+    var r = nodesBase.select(col("node"), col("r0").as("r"))
+    for (_ <- 1 to pagerankIters) {
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodesBase.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (expr("15 * r0 div 100") +
+            expr("85 * coalesce(s, 0L) div 100")).as("r"))
+    }
+    r.select(col("node").as("doc_id"), col("r").as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document n-gram novelty — the dedup-triage / decontamination
     * ranking view: for each doc, its distinct word-3-gram count, how
     * many of those shingles appear in NO other document (corpus

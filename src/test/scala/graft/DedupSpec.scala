@@ -194,6 +194,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: equal to a driver-side integer-recurrence recompute") {
+    val out = Dedup.qPagerank(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // independent recompute from the EXACT pair set (qJaccardPairs ==
+    // the minhash pair set by the banding bound)
+    val pairs = Dedup.qJaccardPairs(spark, sf0001)
+      .select("ida", "idb").as[(Long, Long)].collect().toSeq
+    val und = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = und.map(_._1).distinct.sorted
+    val n = nodes.size
+    val s = Dedup.pagerankScale
+    var r = nodes.map(v => v -> s / n).toMap
+    (1 to Dedup.pagerankIters).foreach { _ =>
+      val sums = und.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (15 * (s / n) / 100 + 85 * sums.getOrElse(v, 0L) / 100)).toMap
+    }
+    assert(out == nodes.map(v => (v, r(v))))
+    // mass conservation sanity: floor dust only (≤ ~2 units/node/iter)
+    val total = out.map(_._2).sum
+    assert(total <= s && total > s - 300L * n, s"total=$total n=$n")
+  }
+
   test("ngram novelty: equal to a full driver-side string-shingle recompute") {
     val out = Dedup.qNgramNovelty(spark, sf0001)
       .as[(Long, Long, Long, Double)].collect().toSeq
