@@ -335,12 +335,14 @@ object StreamingOps {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
-    // last change per key wins within the batch
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("seq").desc)
-    val latest = batch
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "seq")
+    // last change per key wins within the batch — max_by, not a
+    // row_number window: the partial (map-side) aggregate means the
+    // dedup shuffle carries one row per key per task, where a window
+    // must shuffle the whole batch to sort it
+    val valCols = batch.columns.filter(c => c != keyCol && c != "seq").toSeq
+    val latest = batch.groupBy(col(keyCol))
+      .agg(max_by(struct(valCols.map(col): _*), col("seq")).as("__w"))
+      .select(col(keyCol) +: valCols.map(n => col(s"__w.$n").as(n)): _*)
     val kb = pmod(xxhash64(col(keyCol)), lit(nb.toLong))
     val touched = latest.select(kb.as("kb")).distinct()
       .as[Long].collect().sorted // bounded by nb — never the corpus
@@ -359,8 +361,21 @@ object StreamingOps {
     val staging = new org.apache.hadoop.fs.Path(
       basePath.getParent, s".${basePath.getName}-staging")
     fs.delete(staging, true)
-    Relational.mergeApply(cur, latest, keyCol).drop("op")
+    // bootstrap fast path: with no existing buckets the merge is a
+    // pure insert — skipping mergeApply matters because it BROADCASTS
+    // the change side (right for a bounded CDC interval, wrong for a
+    // multi-GB initial load)
+    val merged =
+      if (existing.isEmpty) latest
+      else Relational.mergeApply(cur, latest, keyCol).drop("op")
+    // repartition ON kb before the partitioned write: without it every
+    // upstream task holds rows of every bucket and the write emits
+    // tasks × buckets files (measured 32 × 1024 at the MergeScale
+    // bootstrap); keyed repartition gives each bucket ONE file — the
+    // file-count hygiene the reference's rolling policy exists for
+    merged
       .withColumn("kb", pmod(xxhash64(col(keyCol)), lit(nb.toLong)))
+      .repartition(nb, col("kb"))
       .write.partitionBy("kb").parquet(staging.toString)
     touched.foreach { b =>
       val live = new org.apache.hadoop.fs.Path(basePath, s"kb=$b")
