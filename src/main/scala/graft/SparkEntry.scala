@@ -182,6 +182,8 @@ object SparkEntry {
     // fingerprints (stop-fingerprint capped)
     "q_winnow_neardup" -> TextOps.qWinnowNearDup _,
     "q_unigram_score" -> TextOps.qUnigramScore _,
+    // DSIR-style target-vs-raw importance weight (data selection)
+    "q_importance_ratio" -> TextOps.qImportanceRatio _,
     "q_train_mix" -> TextOps.qTrainMix _,
     // exact-quota per-source sampling (eval-set builder)
     "q_sample_stratified" -> TextOps.qSampleStratified _,
@@ -1542,6 +1544,28 @@ object SparkEntry {
     // P <= (1-0.64)^32 ~= 5e-15 — so the oracle is the same exact
     // inverted-index Jaccard SQL.
     "q_dedup_minhash" -> duckShingleCte,
+    // integer frequency sums; exactly three IEEE divisions at the end
+    // (the q_unigram_score convention), so the double hash-matches
+    "q_importance_ratio" ->
+      s"""WITH tk AS (SELECT doc_id, source, unnest($duckTokens) AS term
+        |           FROM documents),
+        |tfr AS (SELECT term, count(*) AS cr FROM tk GROUP BY term),
+        |tft AS (SELECT term, count(*) AS ct FROM tk
+        |        WHERE source = '${TextOps.importanceTargetSource}'
+        |        GROUP BY term),
+        |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM tfr) AS tr,
+        |               (SELECT CAST(sum(ct) AS BIGINT) FROM tft) AS tt),
+        |p AS (SELECT tk.doc_id, count(*) AS n_tokens,
+        |        CAST(sum(tfr.cr) AS BIGINT) AS sum_cr,
+        |        CAST(sum(COALESCE(tft.ct, 0)) AS BIGINT) AS sum_ct
+        |      FROM tk JOIN tfr USING (term)
+        |      LEFT JOIN tft ON tft.term = tk.term
+        |      GROUP BY tk.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  (CAST(sum_ct AS DOUBLE) / tt) / (CAST(sum_cr AS DOUBLE) / tr)
+        |    AS w
+        |FROM p CROSS JOIN tot
+        |ORDER BY doc_id""".stripMargin,
     // boundary rule re-derived from md5 over the same 4-token window
     // strings; chunk id = running count of earlier boundaries
     "q_cdc_chunk" ->

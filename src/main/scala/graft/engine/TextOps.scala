@@ -1189,6 +1189,54 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The curated-subset proxy for [[qImportanceRatio]]: docs from
+    * this source play the TARGET distribution. */
+  val importanceTargetSource = "src0"
+
+  /** DSIR-style importance weight (Xie et al., "Data Selection via
+    * Importance Resampling"): score every corpus doc by how much its
+    * token distribution looks like a small CURATED target set versus
+    * the raw corpus — the standard pretraining data-selection signal.
+    * The faithful exact-rational form (the [[qUnigramScore]]
+    * convention — no per-feature log products, whose libm evaluation
+    * an oracle can't reproduce bit-exactly): per doc,
+    * w = (Σ c_target(t) / T_target) / (Σ c_raw(t) / T_raw) — mean
+    * target frequency of the doc's tokens over mean raw frequency.
+    * Integer sums throughout; exactly three IEEE divisions at the
+    * end, each correctly rounded, so both engines print the same
+    * double. Tokens unseen in the target contribute 0 (sums need no
+    * smoothing, unlike the log form).
+    *
+    * Scale shape: ONE tokenize scan feeds both frequency tables
+    * (raw = full hash-agg, target = filtered hash-agg — the filter
+    * is a pushed source predicate); per-doc scoring is the instance
+    * join against the raw table (UNHINTED: corpus vocabulary, the
+    * `q_unigram_score` posture) with the target counts left-joined
+    * (also unhinted — a curated set can still be vocabulary-huge);
+    * the two 1-row totals ride broadcast cross joins. */
+  def qImportanceRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val toks = Dedup.memoizedPersisted(spark, s"imp-toks|$sfDir")(
+      d.select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("term")))
+    val tfRaw = toks.groupBy(col("term")).agg(count(lit(1)).as("cr"))
+    val tfTgt = toks.filter(col("source") === importanceTargetSource)
+      .groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    val totals = tfRaw.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tfTgt.agg(sum(col("ct")).as("tt")))
+    toks.join(tfRaw, Seq("term"))
+      .join(tfTgt, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cr")).as("sum_cr"),
+        sum(coalesce(col("ct"), lit(0L))).as("sum_ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("sum_ct").cast("double") / col("tt")) /
+          (col("sum_cr").cast("double") / col("tr"))).as("w"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content-defined chunk walk over one doc's tokens: cut AFTER
     * position i (1-based) when md5 of the 4-token window ending at i
     * ends in hex '0' (p = 1/16 → mean chunk ≈ 16 tokens). Windows

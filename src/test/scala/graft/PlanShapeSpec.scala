@@ -369,6 +369,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("LeftSemi".r.findAllIn(s).nonEmpty, s)
   }
 
+  test("importance ratio: neither frequency table is hint-broadcast") {
+    // the q_unigram_score posture, twice over: both the raw and the
+    // target vocabulary tables are corpus-scale objects — only the
+    // two 1-row totals may ride hinted broadcasts
+    val lp = graft.engine.TextOps.qImportanceRatio(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val hints = "(?i)broadcast".r.findAllIn(lp).size
+    assert(hints <= 1, lp) // the single crossJoin(broadcast(totals))
+  }
+
   test("CDC chunking: one mapPartitions walk — no join, window, or agg") {
     val p = plan(graft.engine.TextOps.qCdcChunk(spark, sf0001))
     assert(p.contains("MapPartitions"), p)

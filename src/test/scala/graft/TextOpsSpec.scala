@@ -376,6 +376,40 @@ class TextOpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("importance ratio: exact arithmetic vs a driver recompute; target docs rank high") {
+    val out = TextOps.qImportanceRatio(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    def tok(t: String) = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val all = docs.flatMap(d => tok(d._3))
+    val cr = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tgt = docs.filter(_._2 == TextOps.importanceTargetSource)
+      .flatMap(d => tok(d._3))
+    val ct = tgt.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (tr, tt) = (all.size.toLong, tgt.size.toLong)
+    val expect = docs.flatMap { case (id, _, text) =>
+      val tk = tok(text)
+      if (tk.isEmpty) None
+      else {
+        val sct = tk.map(t => ct.getOrElse(t, 0L)).sum
+        val scr = tk.map(cr).sum
+        Some((id, tk.length.toLong,
+          (sct.toDouble / tt) / (scr.toDouble / tr)))
+      }
+    }.sortBy(_._1)
+    assert(out == expect)
+    // the signal is non-vacuous: target-source docs average a higher
+    // weight than the rest (their tokens ARE the target distribution)
+    val bySrc = docs.map(d => d._1 -> d._2).toMap
+    val (inT, outT) = out.partition(r =>
+      bySrc(r._1) == TextOps.importanceTargetSource)
+    assert(inT.nonEmpty && outT.nonEmpty)
+    assert(inT.map(_._3).sum / inT.size > outT.map(_._3).sum / outT.size)
+  }
+
   test("CDC chunking: boundaries survive a prefix edit (the rsync/LBFS invariant)") {
     // a deterministic 200-token doc, then the same doc with 3 tokens
     // inserted at the front — the edit that breaks every FIXED-stride
