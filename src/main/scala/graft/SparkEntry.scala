@@ -75,6 +75,8 @@ object SparkEntry {
     "q_tfidf_topterms" -> TextOps.qTfidfTopTerms _,
     // sketch-candidates + exact-verify frequent terms
     "q_heavy_hitters" -> TextOps.qHeavyHitters _,
+    // Count-Min point-query bound over the exact top-30 terms
+    "q_cms_err" -> TextOps.qCmsErr _,
     // PII-style two-pass redaction (emails, long digit runs)
     "q_redact" -> TextOps.qRedact _,
     // overlapping token-window chunking (retrieval/context windows)
@@ -1544,6 +1546,15 @@ object SparkEntry {
     // P <= (1-0.64)^32 ~= 5e-15 — so the oracle is the same exact
     // inverted-index Jaccard SQL.
     "q_dedup_minhash" -> duckShingleCte,
+    // the CMS bound oracle is the exact top-30 with TRUE per row —
+    // the q_approx_err pattern: a sketch over- or under-count at any
+    // term flips a boolean and breaks the hash
+    "q_cms_err" ->
+      s"""WITH tk AS (SELECT unnest($duckTokens) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS exact FROM tk GROUP BY term
+        |      ORDER BY exact DESC, term LIMIT 30)
+        |SELECT term, exact, TRUE AS within_bound FROM c
+        |ORDER BY term""".stripMargin,
     // integer frequency sums; exactly three IEEE divisions at the end
     // (the q_unigram_score convention), so the double hash-matches
     "q_importance_ratio" ->

@@ -1189,6 +1189,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-Min-Sketch point-query error bound, hash-checked — the
+    * third sketch in the approximate family next to HLL
+    * (`q_approx_err`) and GK percentiles (`q_approx_pct`), same
+    * bound-query pattern: the sketch VALUE is implementation-defined
+    * and never leaves the query; what IS portable is the CMS
+    * guarantee — estimates never undercount, and overcount by at most
+    * ε·N (here ε = 1/2000, δ = 1%) — asserted per term over the
+    * exact top-30, so the oracle expects `true` rows and a sketch
+    * regression breaks the hash. The sketch builds DISTRIBUTEDLY
+    * (per-partition sketches, additive counter merge — order-
+    * independent, so the estimate is partition-count-invariant) and
+    * only the ~w·d counter array reaches the driver, the Bloom-
+    * sketch pattern; the probe UDF is a broadcast driver-value
+    * lookup, the documented Bloom-probe exception class. */
+  def qCmsErr(spark: SparkSession, sfDir: String): DataFrame = {
+    val eps = 1.0 / 2000
+    val d = Tables(spark, sfDir, "documents")
+    val toks = d.select(explode(tokens(col("text"))).as("term"))
+    val cms = toks.stat.countMinSketch("term", eps, 0.99, 42)
+    val n = cms.totalCount()
+    val bound = math.ceil(eps * n).toLong
+    val bc = spark.sparkContext.broadcast(cms)
+    val est = udf((t: String) => bc.value.estimateCount(t))
+    toks.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("term")).limit(30)
+      .select(col("term"), col("exact"),
+        (est(col("term")) >= col("exact") &&
+          est(col("term")) <= col("exact") + bound).as("within_bound"))
+      .orderBy(col("term"))
+  }
+
   /** The curated-subset proxy for [[qImportanceRatio]]: docs from
     * this source play the TARGET distribution. */
   val importanceTargetSource = "src0"

@@ -376,6 +376,15 @@ class TextOpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("cms bound: estimates for the exact top-30 all sit inside [exact, exact + eps*N]") {
+    val out = TextOps.qCmsErr(spark, sf0001)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(out.size == 30)
+    assert(out.forall(_._3), out.filterNot(_._3).toString)
+    // non-vacuous: these are real heavy terms, not singletons
+    assert(out.map(_._2).max > 50)
+  }
+
   test("importance ratio: exact arithmetic vs a driver recompute; target docs rank high") {
     val out = TextOps.qImportanceRatio(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSeq
