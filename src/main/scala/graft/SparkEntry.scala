@@ -164,6 +164,10 @@ object SparkEntry {
     // REAL per-frame video round-trip (RIFF-AVI/MPNG container,
     // every frame a genuine javax.imageio encode+decode)
     "q_media_video" -> Multimodal.qMediaVideo _,
+    // aHash perceptual hash over the real PNG round-trip, and the
+    // image near-dup pairs it feeds (pigeonhole + exact Hamming)
+    "q_media_phash" -> Multimodal.qMediaPhash _,
+    "q_media_phash_pairs" -> Multimodal.qMediaPhashPairs _,
     "q_quality_filter" -> TextOps.qQualityFilter _,
     "q_repetition_stats" -> TextOps.qRepetitionStats _,
     "q_passage_dedup" -> TextOps.qPassageDedup _,
@@ -366,6 +370,60 @@ object SparkEntry {
        |SELECT node AS doc_id, CAST(r AS BIGINT) AS pr
        |FROM r${Dedup.pagerankIters}
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Perceptual-hash (aHash) oracle CTEs ending in
+    * `s` = (doc_id, c0..c3): gray-PNG losslessness means decoded
+    * pixels ≡ payload bytes (zero-padded to the 16-wide raster), so
+    * every 8×8-pool cell sum is an `ord(substring(...))` window sum,
+    * and each bit is the integer cross-multiplied mean comparison
+    * ([[Multimodal.ahashChunks]]) — 64 generated cell expressions,
+    * the `duckSimhash` build pattern. */
+  private val duckPhashCtes: String = {
+    def o(k: String) =
+      s"(CASE WHEN $k <= nb THEN ord(substring(text, CAST($k AS INTEGER), 1)) ELSE 0 END)"
+    def cellBit(i: Int, j: Int): String = {
+      val r0 = s"($i * ht) // 8"
+      val r1 = s"(${i + 1} * ht) // 8"
+      val sm = s"COALESCE(list_sum(list_transform(range($r0, $r1), " +
+        s"r -> ${o(s"r*16+${2 * j + 1}")} + ${o(s"r*16+${2 * j + 2}")})), 0)"
+      s"CASE WHEN $sm * np > psum * ((($r1) - ($r0)) * 2) THEN 1 ELSE 0 END"
+    }
+    val chunkExprs = (0 until 4).map { k =>
+      "CAST((" + (0 until 16).map { b =>
+        val idx = 16 * k + b
+        s"(${cellBit(idx / 8, idx % 8)}) * ${1 << b}"
+      }.mkString("\n         + ") + s") AS INTEGER) AS c$k"
+    }.mkString(",\n       ")
+    s"""m AS (SELECT doc_id, text, length(text) AS nb,
+       |        greatest(1, CAST(ceil(length(text) / 16.0) AS BIGINT)) AS ht,
+       |        16 * greatest(1, CAST(ceil(length(text) / 16.0) AS BIGINT))
+       |          AS np,
+       |        COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+       |          i -> ord(substring(text, CAST(i AS INTEGER), 1)))), 0)
+       |          AS psum
+       |      FROM documents WHERE doc_id % 3 = 0),
+       |s AS (SELECT doc_id, $chunkExprs FROM m)""".stripMargin
+  }
+
+  private val duckMediaPhash: String =
+    s"""WITH $duckPhashCtes
+       |SELECT doc_id, c0, c1, c2, c3 FROM s ORDER BY doc_id""".stripMargin
+
+  private val duckMediaPhashPairs: String = {
+    val bandRows = (0 until 4).map(k =>
+      s"SELECT doc_id, $k AS ck, c$k AS cv FROM s").mkString("\n       UNION ALL ")
+    val hamming = (0 until 4).map(k =>
+      s"bit_count(xor(sa.c$k, sb.c$k))").mkString(" + ")
+    s"""WITH $duckPhashCtes,
+       |b AS ($bandRows),
+       |p AS (SELECT DISTINCT a.doc_id AS ida, b2.doc_id AS idb
+       |      FROM b a JOIN b b2
+       |        ON a.ck = b2.ck AND a.cv = b2.cv AND a.doc_id < b2.doc_id)
+       |SELECT ida, idb, CAST($hamming AS BIGINT) AS hamming
+       |FROM p JOIN s sa ON sa.doc_id = ida JOIN s sb ON sb.doc_id = idb
+       |WHERE $hamming <= 3
+       |ORDER BY ida, idb""".stripMargin
   }
 
   /** SimHash oracle: rebuild the 4 × 16-bit chunk signatures from
@@ -668,6 +726,8 @@ object SparkEntry {
         |  CAST(psum AS BIGINT) AS pixel_sum,
         |  CAST(psum AS DOUBLE) / np AS mean_px
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_media_phash" -> duckMediaPhash,
+    "q_media_phash_pairs" -> duckMediaPhashPairs,
     "q_ingest_partition" ->
       """SELECT event_id, user_id, event_type, value,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

@@ -540,6 +540,127 @@ object Multimodal {
     * double), so the result hash-matches a DuckDB oracle that
     * recomputes byte stats with `ord()` over the (pure-ASCII)
     * payloads. */
+  /** aHash (average-hash) of a gray raster as 4 × 16-bit chunks: the
+    * image is average-pooled onto an 8×8 grid (cell (i,j) spans rows
+    * [⌊i·h/8⌋, ⌊(i+1)·h/8⌋) × cols [⌊j·w/8⌋, ⌊(j+1)·w/8⌋)) and bit
+    * (i·8+j) is set iff the cell mean EXCEEDS the global pixel mean —
+    * compared by integer cross-multiplication (cellSum·nPixels >
+    * totalSum·cellArea), so there is no division and the oracle
+    * reproduces every bit exactly. Degenerate cells (h < 8 rows →
+    * zero-row cells) get bit 0 via the strict inequality. Chunked
+    * 16-bit (not one packed 64-bit value) because the pigeonhole
+    * pair join keys on chunks anyway and bit 63 would overflow a
+    * signed BIGINT shift in the oracle. */
+  private[graft] def ahashChunks(px: Array[Int], w: Int, h: Int)
+      : Array[Int] = {
+    var total = 0L
+    var t = 0
+    while (t < px.length) { total += px(t); t += 1 }
+    val np = w.toLong * h
+    val chunks = new Array[Int](4)
+    var i = 0
+    while (i < 8) {
+      val r0 = i * h / 8; val r1 = (i + 1) * h / 8
+      var j = 0
+      while (j < 8) {
+        val c0 = j * w / 8; val c1 = (j + 1) * w / 8
+        var s = 0L
+        var rr = r0
+        while (rr < r1) {
+          var cc = c0
+          while (cc < c1) { s += px(rr * w + cc); cc += 1 }
+          rr += 1
+        }
+        val area = (r1 - r0).toLong * (c1 - c0)
+        if (s * np > total * area) {
+          val idx = i * 8 + j
+          chunks(idx / 16) |= (1 << (idx % 16))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    chunks
+  }
+
+  /** Full-raster REAL decode — the pixel-array sibling of
+    * [[decodePng]] (which returns stats only), same drop-malformed
+    * posture. */
+  private def decodePixels(png: Array[Byte])
+      : Option[(Array[Int], Int, Int)] = try {
+    imageIoMemCached
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    if (img == null) None
+    else {
+      val r = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      Some((px, w, h))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-image perceptual hash over the REAL codec round-trip: encode
+    * the payload as an actual 16-wide gray PNG, decode it back, and
+    * aHash the decoded raster ([[ahashChunks]]). One zero-shuffle
+    * `mapPartitions` pass — payload bytes never leave their split. */
+  def qMediaPhash(spark: SparkSession, sfDir: String): DataFrame =
+    phashFrame(spark, sfDir).orderBy(col("doc_id"))
+
+  private def phashFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, sfDir).as[MediaRecord]
+      .filter(_.media_type == "image")
+      .mapPartitions(_.flatMap { r =>
+        val p = if (r.payload == null) Array.empty[Byte] else r.payload
+        decodePixels(pngFromBytes(p, width = 16)).map { case (px, w, h) =>
+          val c = ahashChunks(px, w, h)
+          (r.doc_id, c(0), c(1), c(2), c(3))
+        }
+      })
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+  }
+
+  /** Image near-dup via perceptual hash — the multimodal member of
+    * the dedup family: candidates from a SimHash-style pigeonhole
+    * (hamming ≤ 3 over 64 bits ⇒ at least one of the 4 chunks equal
+    * — a plain equi-join on (chunk index, chunk value), never a
+    * cross join), then exact Hamming verification over the full
+    * hash. Catches byte-identical images at distance 0 and
+    * brightness/padding-level perturbations within the bit budget —
+    * the image analog of [[Dedup.qSimhashPairs]], sharing its scale
+    * shape: per-image hashing is split-local, the join carries
+    * 20-byte rows, hot chunk values (blank images) are AQE
+    * skew-join targets. */
+  def qMediaPhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ph = Dedup.memoizedPersisted(spark, s"phash|$sfDir")(
+      phashFrame(spark, sfDir))
+    val ex = ph.select(col("doc_id"), posexplode(
+      array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("ck", "cv")))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    val l = ph.select(col("doc_id").as("ida"), col("c0").as("a0"),
+      col("c1").as("a1"), col("c2").as("a2"), col("c3").as("a3"))
+    val r = ph.select(col("doc_id").as("idb"), col("c0").as("b0"),
+      col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"))
+    val hamming = (0 until 4)
+      .map(k => expr(s"bit_count(a$k ^ b$k)"))
+      .reduce(_ + _)
+    cand.join(l, Seq("ida")).join(r, Seq("idb"))
+      .select(col("ida"), col("idb"), hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("ida"), col("idb"))
+  }
+
   def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = mediaFromDocuments(spark, sfDir).as[MediaRecord]

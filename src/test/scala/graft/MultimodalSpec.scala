@@ -238,4 +238,58 @@ class MultimodalSpec extends SparkSpec {
         .as[MediaRecord]).collect()
     assert(feats.length == 1 && feats(0).n_bytes == 3 && feats(0).byte_sum == 6)
   }
+
+  test("aHash: invariances on crafted rasters") {
+    // identical rasters → identical chunks
+    val a = Array.tabulate(16 * 32)(i => (i * 37) % 251)
+    assert(Multimodal.ahashChunks(a, 16, 32).toSeq ==
+      Multimodal.ahashChunks(a.clone(), 16, 32).toSeq)
+    // a one-pixel nudge flips at most its own cell's bit
+    val b = a.clone(); b(0) = 255
+    val d = Multimodal.ahashChunks(a, 16, 32)
+      .zip(Multimodal.ahashChunks(b, 16, 32))
+      .map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(d <= 1, s"one-pixel edit flipped $d bits")
+    // a global brightness SHIFT preserves every bit (mean comparison
+    // is translation-covariant on means, and cross-multiplied
+    // integer compare keeps the strictness): +10 on every pixel
+    val c = a.map(_ + 10)
+    assert(Multimodal.ahashChunks(a, 16, 32).toSeq ==
+      Multimodal.ahashChunks(c, 16, 32).toSeq)
+    // constant raster → all bits 0 (no cell strictly above the mean)
+    assert(Multimodal.ahashChunks(Array.fill(16 * 8)(7), 16, 8).toSeq ==
+      Seq(0, 0, 0, 0))
+  }
+
+  test("phash queries: equal to a codec-free driver recompute from the payload bytes") {
+    import spark.implicits._
+    // recompute hashes straight from the TEXT BYTES (zero-padded
+    // 16-wide raster) — no ImageIO in the loop, so a codec change
+    // that stops being lossless breaks this, not just the oracle
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._1 % 3 == 0).sortBy(_._1)
+    val expectHash = docs.map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val h = math.max(1, (bytes.length + 15) / 16)
+      val px = Array.tabulate(16 * h)(i =>
+        if (i < bytes.length) bytes(i) & 0xFF else 0)
+      id -> Multimodal.ahashChunks(px, 16, h).toSeq
+    }
+    val gotHash = Multimodal.qMediaPhash(spark, sf0001)
+      .as[(Long, Int, Int, Int, Int)].collect().toSeq
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5))
+    assert(gotHash == expectHash.toSeq)
+    // pairs = ALL image pairs within hamming <= 3, from the recompute
+    val hm = expectHash.toMap
+    val ids = expectHash.map(_._1)
+    val expectPairs = (for {
+      i <- ids; j <- ids if i < j
+      d = hm(i).zip(hm(j)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (i, j, d.toLong)).toSeq.sorted
+    val gotPairs = Multimodal.qMediaPhashPairs(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(gotPairs == expectPairs)
+  }
 }
