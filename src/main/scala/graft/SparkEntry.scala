@@ -168,6 +168,10 @@ object SparkEntry {
     // image near-dup pairs it feeds (pigeonhole + exact Hamming)
     "q_media_phash" -> Multimodal.qMediaPhash _,
     "q_media_phash_pairs" -> Multimodal.qMediaPhashPairs _,
+    // audio envelope fingerprint over the real WAV round-trip, and
+    // the audio near-dup pairs it feeds
+    "q_media_afp" -> Multimodal.qMediaAfp _,
+    "q_media_afp_pairs" -> Multimodal.qMediaAfpPairs _,
     "q_quality_filter" -> TextOps.qQualityFilter _,
     "q_repetition_stats" -> TextOps.qRepetitionStats _,
     "q_passage_dedup" -> TextOps.qPassageDedup _,
@@ -410,12 +414,16 @@ object SparkEntry {
     s"""WITH $duckPhashCtes
        |SELECT doc_id, c0, c1, c2, c3 FROM s ORDER BY doc_id""".stripMargin
 
-  private val duckMediaPhashPairs: String = {
+  /** Shared pigeonhole + exact-Hamming pair tail over any CTE chain
+    * ending in `s` = (doc_id, c0..c3) — consumed by the image-aHash
+    * and audio-envelope near-dup oracles (and structurally identical
+    * to the simhash oracle's own tail). */
+  private def duckChunkPairs(ctes: String): String = {
     val bandRows = (0 until 4).map(k =>
       s"SELECT doc_id, $k AS ck, c$k AS cv FROM s").mkString("\n       UNION ALL ")
     val hamming = (0 until 4).map(k =>
       s"bit_count(xor(sa.c$k, sb.c$k))").mkString(" + ")
-    s"""WITH $duckPhashCtes,
+    s"""WITH $ctes,
        |b AS ($bandRows),
        |p AS (SELECT DISTINCT a.doc_id AS ida, b2.doc_id AS idb
        |      FROM b a JOIN b b2
@@ -425,6 +433,41 @@ object SparkEntry {
        |WHERE $hamming <= 3
        |ORDER BY ida, idb""".stripMargin
   }
+
+  private val duckMediaPhashPairs: String = duckChunkPairs(duckPhashCtes)
+
+  /** Audio envelope-fingerprint oracle CTEs ending in
+    * `s` = (doc_id, c0..c3): 8-bit PCM WAV is lossless, so decoded
+    * samples ≡ payload bytes with NO padding (n = nb) and each of
+    * the 64 window sums is a 1-D `ord(substring(...))` range sum;
+    * bits by the same integer cross-multiplied mean comparison
+    * ([[Multimodal.afpChunks]]). */
+  private val duckAfpCtes: String = {
+    def winBit(w: Int): String = {
+      val a = s"($w * nb) // 64"
+      val b = s"(${w + 1} * nb) // 64"
+      val sm = s"COALESCE(list_sum(list_transform(range($a, $b), " +
+        "i -> ord(substring(text, CAST(i + 1 AS INTEGER), 1)))), 0)"
+      s"CASE WHEN $sm * nb > psum * (($b) - ($a)) THEN 1 ELSE 0 END"
+    }
+    val chunkExprs = (0 until 4).map { k =>
+      "CAST((" + (0 until 16).map { b =>
+        s"(${winBit(16 * k + b)}) * ${1 << b}"
+      }.mkString("\n         + ") + s") AS INTEGER) AS c$k"
+    }.mkString(",\n       ")
+    s"""m AS (SELECT doc_id, text, length(text) AS nb,
+       |        COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+       |          i -> ord(substring(text, CAST(i AS INTEGER), 1)))), 0)
+       |          AS psum
+       |      FROM documents WHERE doc_id % 3 = 1),
+       |s AS (SELECT doc_id, $chunkExprs FROM m)""".stripMargin
+  }
+
+  private val duckMediaAfp: String =
+    s"""WITH $duckAfpCtes
+       |SELECT doc_id, c0, c1, c2, c3 FROM s ORDER BY doc_id""".stripMargin
+
+  private val duckMediaAfpPairs: String = duckChunkPairs(duckAfpCtes)
 
   /** SimHash oracle: rebuild the 4 × 16-bit chunk signatures from
     * substrings of md5(token) — the exact hash the Spark side uses
@@ -728,6 +771,8 @@ object SparkEntry {
         |FROM p ORDER BY doc_id""".stripMargin,
     "q_media_phash" -> duckMediaPhash,
     "q_media_phash_pairs" -> duckMediaPhashPairs,
+    "q_media_afp" -> duckMediaAfp,
+    "q_media_afp_pairs" -> duckMediaAfpPairs,
     "q_ingest_partition" ->
       """SELECT event_id, user_id, event_type, value,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

@@ -627,20 +627,86 @@ object Multimodal {
       .toDF("doc_id", "c0", "c1", "c2", "c3")
   }
 
-  /** Image near-dup via perceptual hash — the multimodal member of
-    * the dedup family: candidates from a SimHash-style pigeonhole
-    * (hamming ≤ 3 over 64 bits ⇒ at least one of the 4 chunks equal
-    * — a plain equi-join on (chunk index, chunk value), never a
-    * cross join), then exact Hamming verification over the full
-    * hash. Catches byte-identical images at distance 0 and
-    * brightness/padding-level perturbations within the bit budget —
-    * the image analog of [[Dedup.qSimhashPairs]], sharing its scale
-    * shape: per-image hashing is split-local, the join carries
-    * 20-byte rows, hot chunk values (blank images) are AQE
-    * skew-join targets. */
-  def qMediaPhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val ph = Dedup.memoizedPersisted(spark, s"phash|$sfDir")(
-      phashFrame(spark, sfDir))
+  /** Energy-envelope fingerprint of a 1-D sample stream as 4 × 16-bit
+    * chunks — the audio analog of [[ahashChunks]]: 64 contiguous
+    * windows (window w spans samples [⌊w·n/64⌋, ⌊(w+1)·n/64⌋)), bit w
+    * set iff the window mean EXCEEDS the global mean, compared by
+    * integer cross-multiplication. Loudness-profile shaped: two
+    * clips with the same energy envelope at different gains hash
+    * close (the mean comparison is scale-covariant), which is what
+    * an audio DEDUP pass wants. */
+  private[graft] def afpChunks(samples: Array[Int]): Array[Int] = {
+    val n = samples.length
+    var total = 0L
+    var t = 0
+    while (t < n) { total += samples(t); t += 1 }
+    val chunks = new Array[Int](4)
+    var w = 0
+    while (w < 64) {
+      val a = w * n / 64; val b = (w + 1) * n / 64
+      var s = 0L
+      var i = a
+      while (i < b) { s += samples(i); i += 1 }
+      if (s * n > total * (b - a)) chunks(w / 16) |= (1 << (w % 16))
+      w += 1
+    }
+    chunks
+  }
+
+  /** Full-sample REAL WAV decode — the sample-array sibling of
+    * [[decodeWav]] (which returns stats only). */
+  private def decodeWavSamples(wav: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val out = new scala.collection.mutable.ArrayBuffer[Int]()
+      val buf = new Array[Byte](8192)
+      var read = ais.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) { out += (buf(i) & 0xFF); i += 1 }
+        read = ais.read(buf)
+      }
+      Some(out.toArray)
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Per-clip audio fingerprint over the REAL codec round-trip:
+    * payload bytes wrapped as 8-bit PCM, encoded to an actual WAV,
+    * decoded back, envelope-hashed ([[afpChunks]]). Split-local, one
+    * `mapPartitions`. */
+  def qMediaAfp(spark: SparkSession, sfDir: String): DataFrame =
+    afpFrame(spark, sfDir).orderBy(col("doc_id"))
+
+  private def afpFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, sfDir).as[MediaRecord]
+      .filter(_.media_type == "audio")
+      .mapPartitions(_.flatMap { r =>
+        val p = if (r.payload == null) Array.empty[Byte] else r.payload
+        decodeWavSamples(wavFromBytes(p)).map { s =>
+          val c = afpChunks(s)
+          (r.doc_id, c(0), c(1), c(2), c(3))
+        }
+      })
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+  }
+
+  /** Audio near-dup via the envelope fingerprint — completing the
+    * per-modality dedup family (text MinHash/SimHash, embedding
+    * LSH, image aHash): the same pigeonhole candidate join + exact
+    * Hamming ≤ 3 verification as [[qMediaPhashPairs]]. */
+  def qMediaAfpPairs(spark: SparkSession, sfDir: String): DataFrame =
+    chunkHammingPairs(Dedup.memoizedPersisted(spark, s"afp|$sfDir")(
+      afpFrame(spark, sfDir)))
+
+  /** Shared pigeonhole-plus-verify over a (doc_id, c0..c3) chunked
+    * 64-bit hash frame: hamming ≤ 3 ⇒ at least one chunk equal, so
+    * candidates come from a plain equi-join on (chunk index, value)
+    * and the exact Hamming filter runs only on candidates. */
+  private def chunkHammingPairs(ph: DataFrame): DataFrame = {
     val ex = ph.select(col("doc_id"), posexplode(
       array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("ck", "cv")))
     val cand = ex.as("a").join(ex.as("b"),
@@ -660,6 +726,21 @@ object Multimodal {
       .filter(col("hamming") <= 3)
       .orderBy(col("ida"), col("idb"))
   }
+
+  /** Image near-dup via perceptual hash — the multimodal member of
+    * the dedup family: candidates from a SimHash-style pigeonhole
+    * (hamming ≤ 3 over 64 bits ⇒ at least one of the 4 chunks equal
+    * — a plain equi-join on (chunk index, chunk value), never a
+    * cross join), then exact Hamming verification over the full
+    * hash. Catches byte-identical images at distance 0 and
+    * brightness/padding-level perturbations within the bit budget —
+    * the image analog of [[Dedup.qSimhashPairs]], sharing its scale
+    * shape: per-image hashing is split-local, the join carries
+    * 20-byte rows, hot chunk values (blank images) are AQE
+    * skew-join targets. */
+  def qMediaPhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    chunkHammingPairs(Dedup.memoizedPersisted(spark, s"phash|$sfDir")(
+      phashFrame(spark, sfDir)))
 
   def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -261,6 +261,31 @@ class MultimodalSpec extends SparkSpec {
       Seq(0, 0, 0, 0))
   }
 
+  test("audio fingerprint: codec-free recompute; gain invariance") {
+    import spark.implicits._
+    // envelope hash recomputed straight from the text bytes (PCM is
+    // lossless and unpadded: samples == payload)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._1 % 3 == 1).sortBy(_._1)
+    val expect = docs.map { case (id, text) =>
+      id -> Multimodal.afpChunks(
+        text.getBytes("UTF-8").map(_ & 0xFF)).toSeq
+    }.toSeq
+    val got = Multimodal.qMediaAfp(spark, sf0001)
+      .as[(Long, Int, Int, Int, Int)].collect().toSeq
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5))
+    assert(got == expect)
+    // doubling every sample preserves every bit (the mean comparison
+    // is scale-covariant) — the gain-invariance an audio dedup wants
+    val s = Array.tabulate(400)(i => (i * 13) % 97)
+    assert(Multimodal.afpChunks(s).toSeq ==
+      Multimodal.afpChunks(s.map(_ * 2)).toSeq)
+    // constant signal → all bits 0
+    assert(Multimodal.afpChunks(Array.fill(100)(42)).toSeq ==
+      Seq(0, 0, 0, 0))
+  }
+
   test("phash queries: equal to a codec-free driver recompute from the payload bytes") {
     import spark.implicits._
     // recompute hashes straight from the TEXT BYTES (zero-padded
