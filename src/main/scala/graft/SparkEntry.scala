@@ -49,6 +49,9 @@ object SparkEntry {
     "q_sessionize_batch" -> Relational.qSessionizeBatch _,
     "q_funnel" -> Relational.qFunnel _,
     "q_time_bucket" -> Relational.qTimeBucket _,
+    // materialized-view maintenance: stored partials + new batch
+    // merge-agg ≡ the full recompute (the oracle IS the full pass)
+    "q_agg_incremental" -> Relational.qAggIncremental _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -967,6 +970,16 @@ object SparkEntry {
     // ns→µs-truncated timestamps on both sides (same contract as
     // q_sessionize_batch)
     "q_time_bucket" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
+    // the MV-merge must equal the FULL single-pass rollup — that
+    // equality IS the view-maintenance correctness claim, so the
+    // oracle is deliberately the full pass, not a partials rebuild
+    "q_agg_incremental" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS bucket,
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

@@ -485,6 +485,42 @@ object Relational {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Incremental aggregation maintenance (materialized-view merge):
+    * update an hourly rollup with a NEW event interval by combining
+    * the STORED partial aggregates with the batch's partials —
+    * counts and exact-decimal sums form a commutative monoid, so
+    * agg(history) ⊎ agg(batch) ≡ agg(history ∪ batch), and the
+    * 100 TB history is never rescanned: in production the stored
+    * side IS the materialized rollup table (here it is derived by
+    * aggregating the md5-bucket history split of the same fixture,
+    * the [[qMergeUpsert]] derivation convention, so the oracle can
+    * rebuild it); the batch side is one narrow pass over the new
+    * interval, and the merge agg touches only O(groups) rows. The
+    * oracle is the FULL single-pass aggregation — equality with it
+    * is exactly the view-maintenance correctness claim. Decimal
+    * partials are what make the merge EXACT: double partial sums
+    * would make the combined result depend on the history/batch cut
+    * point. */
+  def qAggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val bucket = pmod(
+      conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int"), lit(100))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,4)")).as("psum"))
+    val stored = partials(ev.filter(bucket < 90)) // the MV, in reality on disk
+    val arriving = partials(ev.filter(bucket >= 90))
+    stored.unionByName(arriving)
+      .groupBy(col("w"), col("event_type"))
+      .agg(sum(col("pn")).cast("long").as("n"),
+        sum(col("psum")).cast("double").as("sum_value"))
+      .select(col("w.start").cast("string").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** One-pass column profile (ANALYZE-style data quality report): per
     * column — row count, null count, exact distinct count, min/max —
     * the pre-training profiling pass every pipeline runs before

@@ -91,6 +91,24 @@ class ScaleSpec extends SparkSpec {
     assert(Tables.spreadTarget(1000, 1000000L, 512) == 1000)
   }
 
+  test("MV merge: stored-partials + batch combine equals the full rollup") {
+    // the monoid claim behind incremental view maintenance — and the
+    // oracle cross-checks the same equality against DuckDB's full pass
+    val inc = graft.engine.Relational.qAggIncremental(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val full = graft.engine.Relational.qTimeBucket(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(inc == full && inc.nonEmpty)
+    // both splits are non-empty — the merge genuinely combined two
+    // partial aggregates rather than degenerating to one side
+    val ev = Tables(spark, sf0001, "events")
+    val bucket = pmod(
+      conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int"), lit(100))
+    assert(ev.filter(bucket < 90).limit(1).count() == 1)
+    assert(ev.filter(bucket >= 90).limit(1).count() == 1)
+  }
+
   test("merge upsert: decomposition equals the canonical full-outer MERGE") {
     // the shipped plan avoids shuffling the base (left join broadcast
     // changes + key-pruned anti-join); this re-derives the result via
