@@ -432,16 +432,30 @@ object Dedup {
     * `q_unigram_score` pattern), never a collect. */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).select(col("ida"), col("idb"))
-    val e = memoizedPersisted(spark, s"pr-edges|$sfDir")(
+    val e0 = memoizedPersisted(spark, s"pr-edges|$sfDir")(
       pairs.select(col("ida").as("src"), col("idb").as("dst"))
         .unionByName(pairs.select(col("idb").as("src"), col("ida").as("dst"))))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("dst").as("node")).distinct()
-    val nDf = nodes.agg(count(lit(1)).as("n"))
+    // fan-out follows edge volume, not cluster width (the
+    // Tables.spreadTarget rule): the near-dup edge list is pairs-sized
+    // — at fixture scale a few hundred rows spread over 32 band-join
+    // partitions made every iteration stage pay 32-task setup for
+    // sub-kB splits; count on the PERSISTED frame is ~ms, and a
+    // 1M-edge graph still fans to every core
+    val e = e0.coalesce(math.max(1, Tables.spreadTarget(
+      spark.sparkContext.defaultParallelism, e0.count(), 512)))
+    // deg and the node base are ITERATION-INVARIANT — persisted, or
+    // every iteration re-plans their aggregates over e (measured: the
+    // un-persisted form spent ~2× the query's own work re-running the
+    // deg/count aggs and their exchanges three times each)
+    val deg = memoizedPersisted(spark, s"pr-deg|$sfDir")(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     // r0 = S div n, carried per node so each iteration's teleport term
     // needs no second count job
-    val nodesBase = nodes.crossJoin(broadcast(nDf))
-      .select(col("node"), expr(s"$pagerankScale div n").as("r0"))
+    val nodesBase = memoizedPersisted(spark, s"pr-nodes|$sfDir")({
+      val nodes = e.select(col("dst").as("node")).distinct()
+      nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+        .select(col("node"), expr(s"$pagerankScale div n").as("r0"))
+    })
     var r = nodesBase.select(col("node"), col("r0").as("r"))
     for (_ <- 1 to pagerankIters) {
       val contrib = e

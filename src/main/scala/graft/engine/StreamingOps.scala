@@ -386,6 +386,93 @@ object StreamingOps {
     fs.delete(staging, true)
   }
 
+  /** Apply ONE batch of rollup PARTIALS (gk, pn, psum) to a
+    * kb-bucketed aggregate state table — the aggregation twin of
+    * [[applyUpsertBatch]] and the streaming half of
+    * [[Relational.qAggIncremental]]'s monoid claim: counts and
+    * exact-decimal sums merge associatively, so stored ⊎ batch ≡ the
+    * full recompute at every trigger, with only the touched buckets
+    * read and rewritten.
+    *
+    * Unlike the upsert (whole-row replace, naturally idempotent),
+    * ADDING partials twice double-counts — so replay protection is
+    * explicit: a `_last_batch` marker records the highest applied
+    * batch id and stale re-deliveries are skipped. foreachBatch
+    * replays only the last uncommitted batch with a monotonic id, so
+    * the marker gives effectively-once on top of the checkpoint's
+    * at-least-once — the standard idempotent-foreachBatch recipe a
+    * transaction log would otherwise provide. */
+  def applyRollupBatch(partials: DataFrame, baseDir: String,
+      batchId: Long, nb: Int = 16): Unit = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = basePath.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(basePath, "_last_batch")
+    val lastApplied: Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    if (batchId <= lastApplied) return // replayed batch — already in
+    if (partials.isEmpty) return
+    val kb = pmod(xxhash64(col("gk")), lit(nb.toLong))
+    val touched = partials.select(kb.as("kb")).distinct()
+      .as[Long].collect().sorted
+    val existing = touched.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(basePath, s"kb=$b")))
+    val cur =
+      if (existing.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], partials.schema)
+      else spark.read.parquet(baseDir)
+        .where(col("kb").isin(existing: _*)) // partition-pruned
+        .drop("kb")
+    val staging = new org.apache.hadoop.fs.Path(
+      basePath.getParent, s".${basePath.getName}-rollup-staging")
+    fs.delete(staging, true)
+    cur.unionByName(partials)
+      .groupBy(col("gk"))
+      .agg(sum(col("pn")).cast("long").as("pn"),
+        sum(col("psum")).cast("decimal(18,4)").as("psum"))
+      .withColumn("kb", pmod(xxhash64(col("gk")), lit(nb.toLong)))
+      .repartition(nb, col("kb"))
+      .write.partitionBy("kb").parquet(staging.toString)
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(basePath, s"kb=$b")
+      fs.delete(live, true)
+      fs.mkdirs(basePath)
+      fs.rename(new org.apache.hadoop.fs.Path(staging, s"kb=$b"), live)
+    }
+    fs.delete(staging, true)
+    val out = fs.create(marker, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Streaming rollup maintenance: keep a materialized aggregate
+    * continuously up to date from the event stream — one
+    * [[applyRollupBatch]] merge per micro-batch, where `partials`
+    * reduces a raw micro-batch to (gk, pn, psum) partial-aggregate
+    * rows (the batch side of the monoid). The Kappa-style
+    * materialized view: the stored table is always the full-history
+    * rollup, no history rescan, no unbounded state store — state
+    * lives in the table itself. */
+  def rollupSink(stream: DataFrame, partials: DataFrame => DataFrame,
+      baseDir: String, checkpointDir: String, nb: Int = 16,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyRollupBatch(partials(b), baseDir, id, nb)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming CDC upsert sink: apply a stream of change rows to the
     * [[applyUpsertBatch]] state table, one merge per micro-batch —
     * the `foreachBatch` pattern that stands in for MERGE INTO when

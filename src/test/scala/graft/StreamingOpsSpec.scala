@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{Ingest, StreamingOps}
+import graft.engine.{Ingest, StreamingOps, TimeOps}
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.{Files, Paths}
 
@@ -344,6 +344,56 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(java.sql.Timestamp, String, Long)].collect().toSet
     val w2323 = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(T0 - T0 % 60000))
     assert(out == Set((w2323, "spark", 3L)))
+  }
+
+  test("streaming rollup sink: per-trigger MV merges equal the one-shot batch rollup; stale batch ids are skipped") {
+    import org.apache.spark.sql.functions.{col, concat_ws, count, lit, sum, window}
+    val baseDir = tmpDir("roll") + "/state"
+    // raw events in two files = two micro-batches
+    val rows1 = (0 until 60).map(i =>
+      (i.toLong, T0 + (i % 3) * 3600000L, s"t${i % 2}", i * 1.25))
+    val rows2 = (60 until 100).map(i =>
+      (i.toLong, T0 + (i % 4) * 3600000L, s"t${i % 2}", i * 0.5))
+    val inDir = tmpDir("roll-in")
+    Seq(rows1, rows2).zipWithIndex.foreach { case (rs, i) =>
+      val f = new java.io.File(inDir, s"ev$i.json")
+      java.nio.file.Files.write(f.toPath, rs.map { case (id, ts, et, v) =>
+        s"""{"event_id":$id,"ts":$ts,"event_type":"$et","value":$v}"""
+      }.mkString("", "\n", "\n").getBytes("UTF-8"))
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    def partials(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("ts")))
+      .groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,4)")).as("psum"))
+      .select(concat_ws("|", col("w.start").cast("string"),
+        col("event_type")).as("gk"), col("pn"), col("psum"))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(inDir)
+    val q = StreamingOps.rollupSink(stream, partials, baseDir,
+      tmpDir("roll-ckpt"), nb = 8)
+    q.awaitTermination()
+    def state() = spark.read.parquet(baseDir)
+      .select("gk", "pn", "psum")
+      .as[(String, Long, java.math.BigDecimal)].collect().toSeq
+      .map(r => (r._1, r._2, r._3.toPlainString)).sorted
+    // one-shot batch rollup over ALL events — the monoid claim
+    val all = spark.read
+      .schema("event_id LONG, ts LONG, event_type STRING, value DOUBLE")
+      .json(inDir)
+    val expect = partials(all)
+      .as[(String, Long, java.math.BigDecimal)].collect().toSeq
+      .map(r => (r._1, r._2, r._3.toPlainString)).sorted
+    assert(state() == expect && expect.nonEmpty)
+    // replay protection: re-applying an already-applied batch id is
+    // skipped (adding partials twice would double-count)
+    StreamingOps.applyRollupBatch(partials(all), baseDir, batchId = 1, nb = 8)
+    assert(state() == expect)
+    // a NEW batch id does apply
+    StreamingOps.applyRollupBatch(partials(all), baseDir, batchId = 2, nb = 8)
+    assert(state().map(_._2).sum == 2 * expect.map(_._2).sum)
   }
 
   test("streaming upsert sink: micro-batch merges reach the sequential end state; untouched buckets never rewritten; re-apply is a no-op") {
