@@ -52,6 +52,9 @@ object SparkEntry {
     // materialized-view maintenance: stored partials + new batch
     // merge-agg ≡ the full recompute (the oracle IS the full pass)
     "q_agg_incremental" -> Relational.qAggIncremental _,
+    // the sketch member of the MV family: COUNT(DISTINCT) maintained
+    // by HLL-sketch union, 3% bound asserted vs the exact count
+    "q_distinct_incremental" -> Relational.qDistinctIncremental _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -976,6 +979,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    // the bound-query convention: exact distinct counts + TRUE — a
+    // sketch-union regression breaks the hash
+    "q_distinct_incremental" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS nd_users,
+        |  TRUE AS within_3pct
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // the MV-merge must equal the FULL single-pass rollup — that
     // equality IS the view-maintenance correctness claim, so the
     // oracle is deliberately the full pass, not a partials rebuild

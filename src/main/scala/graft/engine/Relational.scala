@@ -521,6 +521,40 @@ object Relational {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Incremental DISTINCT-count maintenance — the sketch member of
+    * the MV-merge family: exact counts and sums merge as a monoid
+    * ([[qAggIncremental]]), but COUNT(DISTINCT) does NOT — the only
+    * way to update a distinct-count rollup without rescanning the
+    * 100 TB history is to store a MERGEABLE sketch per group
+    * (Datasketches HLL: register-wise max is associative,
+    * commutative, idempotent, so union-of-sketches ≡
+    * sketch-of-union) and union the new interval in. Output per
+    * event_type: the exact distinct user count and whether the
+    * history⊎batch merged-sketch estimate lands within 3% — the
+    * `q_approx_err` bound pattern (sketch bytes are implementation-
+    * defined; the published error bound is the portable contract,
+    * and the split-point independence is spec'd exactly). */
+  def qDistinctIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val bucket = pmod(
+      conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int"), lit(100))
+    def sketch(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val stored = sketch(ev.filter(bucket < 90)) // the MV sketch column
+    val arriving = sketch(ev.filter(bucket >= 90))
+    val merged = stored.unionByName(arriving)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd_users"))
+      .join(merged, Seq("event_type"))
+      .select(col("event_type"), col("nd_users"),
+        (abs(col("est") - col("nd_users")) <= col("nd_users") * 0.03)
+          .as("within_3pct"))
+      .orderBy(col("event_type"))
+  }
+
   /** One-pass column profile (ANALYZE-style data quality report): per
     * column — row count, null count, exact distinct count, min/max —
     * the pre-training profiling pass every pipeline runs before

@@ -109,6 +109,31 @@ class ScaleSpec extends SparkSpec {
     assert(ev.filter(bucket >= 90).limit(1).count() == 1)
   }
 
+  test("HLL MV merge: sketch union is split-point independent") {
+    // register-wise max is associative/commutative/idempotent, so the
+    // merged estimate must not depend on WHERE history ends and the
+    // batch begins — the distinct-count view-maintenance claim
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables(spark, sf0001, "events")
+    val bucket = pmod(
+      conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int"), lit(100))
+    def mergedEst(cut: Int): Seq[(String, Double)] = {
+      def sk(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      sk(ev.filter(bucket < cut)).unionByName(sk(ev.filter(bucket >= cut)))
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .as[(String, Double)].collect().toSeq.sorted
+    }
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .as[(String, Double)].collect().toSeq.sorted
+    assert(mergedEst(90) == direct)
+    assert(mergedEst(50) == direct)
+    assert(mergedEst(10) == direct)
+  }
+
   test("merge upsert: decomposition equals the canonical full-outer MERGE") {
     // the shipped plan avoids shuffling the base (left join broadcast
     // changes + key-pruned anti-join); this re-derives the result via
