@@ -613,19 +613,23 @@ object Multimodal {
   def qMediaPhash(spark: SparkSession, sfDir: String): DataFrame =
     phashFrame(spark, sfDir).orderBy(col("doc_id"))
 
-  private def phashFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    mediaFromDocuments(spark, sfDir).as[MediaRecord]
-      .filter(_.media_type == "image")
-      .mapPartitions(_.flatMap { r =>
-        val p = if (r.payload == null) Array.empty[Byte] else r.payload
-        decodePixels(pngFromBytes(p, width = 16)).map { case (px, w, h) =>
-          val c = ahashChunks(px, w, h)
-          (r.doc_id, c(0), c(1), c(2), c(3))
-        }
-      })
-      .toDF("doc_id", "c0", "c1", "c2", "c3")
-  }
+  // memoized INSIDE the frame builder so the hash dump and the pairs
+  // query share one codec-round-trip pass per session — the encode +
+  // decode walk is the expensive per-row work in this family
+  private def phashFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.memoizedPersisted(spark, s"phash|$sfDir") {
+      import spark.implicits._
+      mediaFromDocuments(spark, sfDir).as[MediaRecord]
+        .filter(_.media_type == "image")
+        .mapPartitions(_.flatMap { r =>
+          val p = if (r.payload == null) Array.empty[Byte] else r.payload
+          decodePixels(pngFromBytes(p, width = 16)).map { case (px, w, h) =>
+            val c = ahashChunks(px, w, h)
+            (r.doc_id, c(0), c(1), c(2), c(3))
+          }
+        })
+        .toDF("doc_id", "c0", "c1", "c2", "c3")
+    }
 
   /** Energy-envelope fingerprint of a 1-D sample stream as 4 × 16-bit
     * chunks — the audio analog of [[ahashChunks]]: 64 contiguous
@@ -680,27 +684,28 @@ object Multimodal {
   def qMediaAfp(spark: SparkSession, sfDir: String): DataFrame =
     afpFrame(spark, sfDir).orderBy(col("doc_id"))
 
-  private def afpFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    mediaFromDocuments(spark, sfDir).as[MediaRecord]
-      .filter(_.media_type == "audio")
-      .mapPartitions(_.flatMap { r =>
-        val p = if (r.payload == null) Array.empty[Byte] else r.payload
-        decodeWavSamples(wavFromBytes(p)).map { s =>
-          val c = afpChunks(s)
-          (r.doc_id, c(0), c(1), c(2), c(3))
-        }
-      })
-      .toDF("doc_id", "c0", "c1", "c2", "c3")
-  }
+  // memoized for the same hash-dump/pairs sharing as [[phashFrame]]
+  private def afpFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.memoizedPersisted(spark, s"afp|$sfDir") {
+      import spark.implicits._
+      mediaFromDocuments(spark, sfDir).as[MediaRecord]
+        .filter(_.media_type == "audio")
+        .mapPartitions(_.flatMap { r =>
+          val p = if (r.payload == null) Array.empty[Byte] else r.payload
+          decodeWavSamples(wavFromBytes(p)).map { s =>
+            val c = afpChunks(s)
+            (r.doc_id, c(0), c(1), c(2), c(3))
+          }
+        })
+        .toDF("doc_id", "c0", "c1", "c2", "c3")
+    }
 
   /** Audio near-dup via the envelope fingerprint — completing the
     * per-modality dedup family (text MinHash/SimHash, embedding
     * LSH, image aHash): the same pigeonhole candidate join + exact
     * Hamming ≤ 3 verification as [[qMediaPhashPairs]]. */
   def qMediaAfpPairs(spark: SparkSession, sfDir: String): DataFrame =
-    chunkHammingPairs(Dedup.memoizedPersisted(spark, s"afp|$sfDir")(
-      afpFrame(spark, sfDir)))
+    chunkHammingPairs(afpFrame(spark, sfDir))
 
   /** Shared pigeonhole-plus-verify over a (doc_id, c0..c3) chunked
     * 64-bit hash frame: hamming ≤ 3 ⇒ at least one chunk equal, so
@@ -739,8 +744,7 @@ object Multimodal {
     * 20-byte rows, hot chunk values (blank images) are AQE
     * skew-join targets. */
   def qMediaPhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    chunkHammingPairs(Dedup.memoizedPersisted(spark, s"phash|$sfDir")(
-      phashFrame(spark, sfDir)))
+    chunkHammingPairs(phashFrame(spark, sfDir))
 
   def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -503,9 +503,7 @@ object Relational {
     * point. */
   def qAggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables(spark, sfDir, "events")
-    val bucket = pmod(
-      conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
-        .cast("int"), lit(100))
+    val bucket = Tables.md5Bucket(col("event_id"))
     def partials(df: DataFrame): DataFrame = df
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("pn"),
@@ -536,9 +534,7 @@ object Relational {
     * and the split-point independence is spec'd exactly). */
   def qDistinctIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables(spark, sfDir, "events")
-    val bucket = pmod(
-      conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
-        .cast("int"), lit(100))
+    val bucket = Tables.md5Bucket(col("event_id"))
     def sketch(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     val stored = sketch(ev.filter(bucket < 90)) // the MV sketch column
@@ -635,6 +631,14 @@ object Relational {
     * unmatched change rows insert, untouched base rows keep; `op`
     * tags every output row update/insert/keep.
     *
+    * PRECONDITION: at most ONE change row per key. SQL MERGE raises
+    * on multiple source matches; this primitive does not check (a
+    * check costs an extra aggregate per batch) — duplicate keys
+    * would fan matched base rows out like any join and insert
+    * unmatched duplicates twice. [[StreamingOps.applyUpsertBatch]]
+    * establishes the precondition with its max_by(seq) last-wins
+    * dedup; direct callers own it the same way.
+    *
     * Scale shape (the Delta/Iceberg MERGE decomposition): matched/
     * kept = base LEFT JOIN broadcast(changes) — the base never
     * shuffles, the bounded change batch broadcasts; not-matched =
@@ -685,9 +689,7 @@ object Relational {
     def base(s: SparkSession) = Tables(s, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
-    val bucket = pmod(
-      conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
-        .cast("int"), lit(100))
+    val bucket = Tables.md5Bucket(col("o_orderkey"))
     val src = base(spark).withColumn("bucket", bucket)
     // matched updates: reprice + flag
     val updates = src.filter(col("bucket") < 10)

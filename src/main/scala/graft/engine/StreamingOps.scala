@@ -315,6 +315,98 @@ object StreamingOps {
     spark.catalog.recoverPartitions(table)
   }
 
+  // ------------------------------------------------- bucketed state tables
+
+  /** Shared crash-safe bucket-swap machinery for the two state-table
+    * sinks ([[applyUpsertBatch]], [[applyRollupBatch]]). Protocol:
+    * the merged replacement content for every touched bucket is
+    * written to ONE staging dir, a `_STAGED` commit file marks the
+    * write complete, then each staged bucket replaces its live dir
+    * (delete + rename), and the staging dir is dropped. Every step
+    * is resumable on replay:
+    *  - staging WITHOUT `_STAGED` = a crashed write → discard it and
+    *    re-merge from the live state (still untouched);
+    *  - staging WITH `_STAGED` = a crashed swap → FINISH the swap
+    *    from the staged content instead of re-merging (the staged
+    *    data was derived from pre-swap state; re-merging against a
+    *    half-swapped live state would double-apply partials on the
+    *    rollup sink and read half-new state on the upsert);
+    *  - a bucket already renamed away is skipped (its staged dir is
+    *    gone).
+    * This closes the delete-live→rename window that a naive swap
+    * leaves open: with the staged dir still holding the bucket's
+    * full replacement, a crash between the delete and the rename
+    * cannot lose the bucket — replay resumes the rename. */
+  private def bucketHash(keyCol: String, nb: Int) =
+    pmod(xxhash64(col(keyCol)), lit(nb.toLong))
+
+  private def stagingPath(basePath: org.apache.hadoop.fs.Path,
+      tag: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      basePath.getParent, s".${basePath.getName}-$tag-staging")
+
+  /** Rename every staged `kb=*` dir over its live sibling. Idempotent:
+    * already-moved buckets are simply absent from the listing. Leaves
+    * the staging dir (minus its bucket dirs) for the caller to drop
+    * AFTER any commit marker it needs to write first. */
+  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path): Unit = {
+    fs.mkdirs(basePath)
+    fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("kb="))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(basePath, st.getPath.getName)
+        fs.delete(live, true)
+        fs.rename(st.getPath, live)
+      }
+  }
+
+  /** If a COMMITTED staging survives from a crashed swap, finish it;
+    * an uncommitted one is discarded. Returns true iff a committed
+    * staging was (re-)applied. */
+  private def resumeStagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      basePath: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(staging)) return false
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "_STAGED"))) {
+      fs.delete(staging, true)
+      return false
+    }
+    finishSwap(fs, basePath, staging)
+    true
+  }
+
+  /** Write `merged` bucketed by `kb` into `staging` and commit it with
+    * the `_STAGED` marker. The keyed repartition before the
+    * partitioned write matters: without it every upstream task holds
+    * rows of every bucket and the write emits tasks × buckets files
+    * (measured 32 × 1024 at the MergeScale bootstrap); keyed
+    * repartition gives each bucket ONE file — the file-count hygiene
+    * the reference's rolling policy exists for. */
+  private def writeStaged(merged: DataFrame, keyCol: String, nb: Int,
+      staging: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    fs.delete(staging, true)
+    merged
+      .withColumn("kb", bucketHash(keyCol, nb))
+      .repartition(nb, col("kb"))
+      .write.partitionBy("kb").parquet(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_STAGED"), true).close()
+  }
+
+  /** Partition-pruned read of the touched buckets (empty frame with
+    * `schema` when none exist yet). */
+  private def readTouchedBuckets(spark: org.apache.spark.sql.SparkSession,
+      basePath: org.apache.hadoop.fs.Path, existing: Seq[Long],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (existing.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(basePath.toString)
+      .where(col("kb").isin(existing: _*)) // partition-pruned
+      .drop("kb")
+
   /** Apply ONE change batch to a key-bucketed parquet state table
     * with MERGE semantics — the unit of work under [[upsertSink]],
     * callable directly for batch backfills. The base lives at
@@ -325,15 +417,24 @@ object StreamingOps {
     * Scale shape: only the buckets the batch's keys hash to are read
     * (partition-pruned scan over ≤ nb of the base's directories),
     * merged via [[Relational.mergeApply]] (base side of the merge
-    * never shuffles; change batch broadcasts), and swapped in as
-    * whole replacement directories — the other (100 TB − ε) of the
-    * state is never touched. The local-FS dir swap stands in for the
-    * catalog-partition location flip ([[Sinks.compactTablePartition]]'s
-    * S3A-safe protocol) a metastore-backed deployment would use. */
+    * never shuffles; change batch broadcasts), and swapped in via the
+    * crash-safe staged protocol above. The local-FS dir swap stands
+    * in for the catalog-partition location flip
+    * ([[Sinks.compactTablePartition]]'s S3A-safe protocol) a
+    * metastore-backed deployment would use. Replay safety: a resumed
+    * swap finishes from staging; a full re-delivery re-merges, and
+    * MERGE is idempotent. */
   def applyUpsertBatch(batch: DataFrame, baseDir: String,
       nb: Int = 16, keyCol: String = "key"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = basePath.getFileSystem(conf)
+    val staging = stagingPath(basePath, "upsert")
+    // a committed staging from a crashed swap is finished first, so
+    // the re-merge below reads fully post-swap live state
+    if (resumeStagedSwap(fs, basePath, staging)) fs.delete(staging, true)
     if (batch.isEmpty) return
     // last change per key wins within the batch — max_by, not a
     // row_number window: the partial (map-side) aggregate means the
@@ -343,46 +444,21 @@ object StreamingOps {
     val latest = batch.groupBy(col(keyCol))
       .agg(max_by(struct(valCols.map(col): _*), col("seq")).as("__w"))
       .select(col(keyCol) +: valCols.map(n => col(s"__w.$n").as(n)): _*)
-    val kb = pmod(xxhash64(col(keyCol)), lit(nb.toLong))
-    val touched = latest.select(kb.as("kb")).distinct()
+    val touched = latest.select(bucketHash(keyCol, nb).as("kb")).distinct()
       .as[Long].collect().sorted // bounded by nb — never the corpus
-    val conf = spark.sparkContext.hadoopConfiguration
-    val basePath = new org.apache.hadoop.fs.Path(baseDir)
-    val fs = basePath.getFileSystem(conf)
     val existing = touched.filter(b =>
       fs.exists(new org.apache.hadoop.fs.Path(basePath, s"kb=$b")))
-    val cur =
-      if (existing.isEmpty)
-        spark.createDataFrame(spark.sparkContext
-          .emptyRDD[org.apache.spark.sql.Row], latest.schema)
-      else spark.read.parquet(baseDir)
-        .where(col("kb").isin(existing: _*)) // partition-pruned
-        .drop("kb")
-    val staging = new org.apache.hadoop.fs.Path(
-      basePath.getParent, s".${basePath.getName}-staging")
-    fs.delete(staging, true)
     // bootstrap fast path: with no existing buckets the merge is a
     // pure insert — skipping mergeApply matters because it BROADCASTS
     // the change side (right for a bounded CDC interval, wrong for a
     // multi-GB initial load)
     val merged =
       if (existing.isEmpty) latest
-      else Relational.mergeApply(cur, latest, keyCol).drop("op")
-    // repartition ON kb before the partitioned write: without it every
-    // upstream task holds rows of every bucket and the write emits
-    // tasks × buckets files (measured 32 × 1024 at the MergeScale
-    // bootstrap); keyed repartition gives each bucket ONE file — the
-    // file-count hygiene the reference's rolling policy exists for
-    merged
-      .withColumn("kb", pmod(xxhash64(col(keyCol)), lit(nb.toLong)))
-      .repartition(nb, col("kb"))
-      .write.partitionBy("kb").parquet(staging.toString)
-    touched.foreach { b =>
-      val live = new org.apache.hadoop.fs.Path(basePath, s"kb=$b")
-      fs.delete(live, true)
-      fs.mkdirs(basePath)
-      fs.rename(new org.apache.hadoop.fs.Path(staging, s"kb=$b"), live)
-    }
+      else Relational.mergeApply(
+        readTouchedBuckets(spark, basePath, existing, latest.schema),
+        latest, keyCol).drop("op")
+    writeStaged(merged, keyCol, nb, staging, fs)
+    finishSwap(fs, basePath, staging)
     fs.delete(staging, true)
   }
 
@@ -396,12 +472,18 @@ object StreamingOps {
     *
     * Unlike the upsert (whole-row replace, naturally idempotent),
     * ADDING partials twice double-counts — so replay protection is
-    * explicit: a `_last_batch` marker records the highest applied
-    * batch id and stale re-deliveries are skipped. foreachBatch
-    * replays only the last uncommitted batch with a monotonic id, so
-    * the marker gives effectively-once on top of the checkpoint's
-    * at-least-once — the standard idempotent-foreachBatch recipe a
-    * transaction log would otherwise provide. */
+    * layered: (a) a `_last_batch` marker records the highest applied
+    * batch id and stale re-deliveries are skipped (foreachBatch
+    * replays only the last uncommitted batch with a monotonic id);
+    * (b) a crashed swap is FINISHED from its committed staging
+    * rather than re-merged — re-merging against half-swapped state
+    * is exactly the double-count window — and the marker is written
+    * BEFORE the staging dir is dropped, so every crash point lands
+    * on a resumable side of the protocol. Contract: the state dir is
+    * bound to ONE checkpoint lineage — foreachBatch ids restart at 0
+    * under a fresh checkpoint, so reusing a state dir with a new
+    * checkpoint must start from a fresh dir too (stale-id skips are
+    * logged, not silent). */
   def applyRollupBatch(partials: DataFrame, baseDir: String,
       batchId: Long, nb: Int = 16): Unit = {
     val spark = partials.sparkSession
@@ -410,46 +492,52 @@ object StreamingOps {
     val basePath = new org.apache.hadoop.fs.Path(baseDir)
     val fs = basePath.getFileSystem(conf)
     val marker = new org.apache.hadoop.fs.Path(basePath, "_last_batch")
-    val lastApplied: Long =
+    val staging = stagingPath(basePath, "rollup")
+    def lastApplied: Long =
       if (!fs.exists(marker)) -1L
       else {
         val in = fs.open(marker)
         try new String(in.readAllBytes(), "UTF-8").trim.toLong
         finally in.close()
       }
-    if (batchId <= lastApplied) return // replayed batch — already in
-    if (partials.isEmpty) return
-    val kb = pmod(xxhash64(col("gk")), lit(nb.toLong))
-    val touched = partials.select(kb.as("kb")).distinct()
+    def writeMarker(): Unit = {
+      val out = fs.create(marker, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
+    if (batchId <= lastApplied) {
+      // replayed-but-committed batch: nothing to apply; drop any
+      // staging left between the marker write and the staging delete
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"rollup state $baseDir: skipping already-applied batch " +
+          s"$batchId (marker $lastApplied) — a FRESH checkpoint over " +
+          "an existing state dir restarts ids at 0 and would land " +
+          "here; pair a new checkpoint with a new state dir")
+      fs.delete(staging, true)
+      return
+    }
+    if (resumeStagedSwap(fs, basePath, staging)) {
+      // crashed swap of THIS batch (an older batch would have written
+      // the marker before dropping its staging): finished above —
+      // record it and stop; re-merging would double-count
+      writeMarker()
+      fs.delete(staging, true)
+      return
+    }
+    if (partials.isEmpty) { writeMarker(); return }
+    val touched = partials.select(bucketHash("gk", nb).as("kb")).distinct()
       .as[Long].collect().sorted
     val existing = touched.filter(b =>
       fs.exists(new org.apache.hadoop.fs.Path(basePath, s"kb=$b")))
-    val cur =
-      if (existing.isEmpty)
-        spark.createDataFrame(spark.sparkContext
-          .emptyRDD[org.apache.spark.sql.Row], partials.schema)
-      else spark.read.parquet(baseDir)
-        .where(col("kb").isin(existing: _*)) // partition-pruned
-        .drop("kb")
-    val staging = new org.apache.hadoop.fs.Path(
-      basePath.getParent, s".${basePath.getName}-rollup-staging")
-    fs.delete(staging, true)
-    cur.unionByName(partials)
+    val merged = readTouchedBuckets(spark, basePath, existing,
+        partials.schema)
+      .unionByName(partials)
       .groupBy(col("gk"))
       .agg(sum(col("pn")).cast("long").as("pn"),
         sum(col("psum")).cast("decimal(18,4)").as("psum"))
-      .withColumn("kb", pmod(xxhash64(col("gk")), lit(nb.toLong)))
-      .repartition(nb, col("kb"))
-      .write.partitionBy("kb").parquet(staging.toString)
-    touched.foreach { b =>
-      val live = new org.apache.hadoop.fs.Path(basePath, s"kb=$b")
-      fs.delete(live, true)
-      fs.mkdirs(basePath)
-      fs.rename(new org.apache.hadoop.fs.Path(staging, s"kb=$b"), live)
-    }
+    writeStaged(merged, "gk", nb, staging, fs)
+    finishSwap(fs, basePath, staging)
+    writeMarker()
     fs.delete(staging, true)
-    val out = fs.create(marker, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Streaming rollup maintenance: keep a materialized aggregate

@@ -15,6 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** THE deterministic percent-bucket convention: the first 4 hex
+    * digits of md5(key) mod 100 — a seedless, engine-reproducible
+    * hash split shared by the holdout/train-mix samplers and every
+    * "derive a batch from the fixture" query (merge, incremental
+    * aggs). One definition here; the DuckDB oracles restate it as
+    * strpos arithmetic. */
+  private[graft] def md5Bucket(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+      .cast("int"), lit(100))
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tune(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")

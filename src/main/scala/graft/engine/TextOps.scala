@@ -630,9 +630,7 @@ object TextOps {
     * A narrow projection — no shuffle, no state. */
   def qHoldoutSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int"), lit(100))
+    val bucket = Tables.md5Bucket(col("doc_id"))
     d.select(col("doc_id"), bucket.cast("long").as("bucket"))
       .withColumn("split",
         when(col("bucket") < 90, "train")
@@ -1143,9 +1141,7 @@ object TextOps {
     * no state, trivially 100 TB-safe. */
   def qTrainMix(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int"), lit(100))
+    val bucket = Tables.md5Bucket(col("doc_id"))
     val sfx = regexp_extract(col("source"), "([0-9]{1,2})$", 1)
     val rate = when(sfx === "", lit(50))
       .otherwise((pmod(sfx.cast("int"), lit(4)) + 1) * 20)
@@ -1212,7 +1208,12 @@ object TextOps {
     val bound = math.ceil(eps * n).toLong
     val bc = spark.sparkContext.broadcast(cms)
     val est = udf((t: String) => bc.value.estimateCount(t))
-    toks.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+    // the exact side is qUnigramScore's memoized term-frequency table
+    // (same key): reusing it means a Verify run tokenizes the corpus
+    // once for both queries instead of re-aggregating here
+    val tf = Dedup.memoizedPersisted(spark, s"unigram-tf|$sfDir")(
+      toks.groupBy(col("term")).agg(count(lit(1)).as("c")))
+    tf.select(col("term"), col("c").as("exact"))
       .orderBy(col("exact").desc, col("term")).limit(30)
       .select(col("term"), col("exact"),
         (est(col("term")) >= col("exact") &&

@@ -31,6 +31,10 @@ object MergeScale {
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 10000000L
     val nb = if (args.length > 1) args(1).toInt else 1024
+    // the 64-key update batch strides rows/64 — below that the keys
+    // collapse onto key 0 and the closed-form checksums are wrong by
+    // construction, so fail with an argument error, not a checksum one
+    require(rows >= 4096, s"rows=$rows too small: need >= 4096")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

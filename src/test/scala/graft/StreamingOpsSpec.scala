@@ -396,6 +396,82 @@ class StreamingOpsSpec extends SparkSpec {
     assert(state().map(_._2).sum == 2 * expect.map(_._2).sum)
   }
 
+  test("state-table crash recovery: a committed staging is finished, not re-merged") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val nb = 4
+    // --- upsert: crash between delete(live) and rename(staged) ---
+    val upDir = tmpDir("crash-up") + "/state"
+    val seed = (1L to 20L).map(k => (k, "A", k * 1.0, 0L))
+      .toDF("key", "status", "price", "seq")
+    StreamingOps.applyUpsertBatch(seed, upDir, nb)
+    val kbOf = (1L to 20L).toDF("key")
+      .select(col("key"), org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("key")),
+        lit(nb.toLong)).as("kb"))
+      .as[(Long, Long)].collect().toMap
+    val b = kbOf(1L) // the bucket that will "crash mid-swap"
+    val bKeys = kbOf.filter(_._2 == b).keys.toSeq.sorted
+    // staged replacement content for bucket b: every key repriced
+    val staged = bKeys.map(k => (k, "R", k * 10.0))
+      .toDF("key", "status", "price").withColumn("kb", lit(b))
+    val upStaging = new java.io.File(upDir).getParent + "/.state-upsert-staging"
+    staged.write.partitionBy("kb").parquet(upStaging)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(upStaging, "_STAGED"))
+    // the crash window: live bucket deleted, rename never ran — a
+    // naive replay would rebuild the bucket from batch keys only
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles.foreach(c => rmrf(c.getPath))
+      f.delete()
+    }
+    rmrf(s"$upDir/kb=$b")
+    StreamingOps.applyUpsertBatch(
+      spark.emptyDataset[(Long, String, Double, Long)]
+        .toDF("key", "status", "price", "seq"), upDir, nb)
+    val got = spark.read.parquet(upDir).select("key", "status", "price")
+      .as[(Long, String, Double)].collect().toSeq.sorted
+    val expect = ((1L to 20L).filterNot(bKeys.contains)
+      .map(k => (k, "A", k * 1.0)) ++ bKeys.map(k => (k, "R", k * 10.0)))
+      .sorted
+    assert(got == expect, s"bucket $b not recovered from staging")
+
+    // --- rollup: crashed swap must NOT be re-merged (double count) ---
+    val roDir = tmpDir("crash-ro") + "/state"
+    val p0 = Seq(("g1", 5L, java.math.BigDecimal.valueOf(5.0)),
+      ("g2", 3L, java.math.BigDecimal.valueOf(3.0)))
+      .toDF("gk", "pn", "psum")
+      .select(col("gk"), col("pn"), col("psum").cast("decimal(18,4)"))
+    StreamingOps.applyRollupBatch(p0, roDir, batchId = 0, nb = nb)
+    val gkb = Seq("g1").toDF("gk")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("gk")),
+        lit(nb.toLong))).as[Long].head()
+    // batch 1 added (g1, +2) and its swap crashed mid-way: staging
+    // holds the MERGED bucket (7) and the live bucket is gone
+    val roStaged = Seq(("g1", 7L, java.math.BigDecimal.valueOf(7.0)))
+      .toDF("gk", "pn", "psum")
+      .select(col("gk"), col("pn"), col("psum").cast("decimal(18,4)"))
+      .withColumn("kb", lit(gkb))
+    val roStaging = new java.io.File(roDir).getParent + "/.state-rollup-staging"
+    roStaged.write.partitionBy("kb").parquet(roStaging)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(roStaging, "_STAGED"))
+    rmrf(s"$roDir/kb=$gkb")
+    // the replayed batch-1 partials: a re-merge would make g1 = 9
+    val p1 = Seq(("g1", 2L, java.math.BigDecimal.valueOf(2.0)))
+      .toDF("gk", "pn", "psum")
+      .select(col("gk"), col("pn"), col("psum").cast("decimal(18,4)"))
+    StreamingOps.applyRollupBatch(p1, roDir, batchId = 1, nb = nb)
+    def roState() = spark.read.parquet(roDir).select("gk", "pn")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(roState() == Seq(("g1", 7L), ("g2", 3L)),
+      "crashed rollup swap was re-merged (double count) or lost")
+    // and the marker advanced: a second replay of id 1 is skipped
+    StreamingOps.applyRollupBatch(p1, roDir, batchId = 1, nb = nb)
+    assert(roState() == Seq(("g1", 7L), ("g2", 3L)))
+  }
+
   test("streaming upsert sink: micro-batch merges reach the sequential end state; untouched buckets never rewritten; re-apply is a no-op") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val nb = 8
