@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale-out join utilities — the two techniques from the 100 TB
@@ -41,5 +41,51 @@ object Scale {
     val expandedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(expandedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Morton (Z-order) value of two numeric columns — the multi-column
+    * data-clustering key behind `OPTIMIZE ZORDER`-style layouts: each
+    * column is affinely mapped onto [0, 2^bits) using its PROVIDED
+    * min/max bounds (computed once by the writer; at 100 TB those
+    * come from table stats, not a scan), and the two bit strings are
+    * interleaved. Sorting by the z-value gives every file min/max
+    * stats that are TIGHT IN BOTH dimensions, so parquet row-group
+    * pruning serves 2-D box predicates — a single-column sort prunes
+    * only its own column, reading ~selectivity₁ of the table instead
+    * of ~selectivity₁·selectivity₂ ([[graft.tools.ZorderScale]]
+    * measures the gap). Codegen'd bit arithmetic, no UDF. */
+  def zorderValue(a: Column, b: Column,
+      aMin: Long, aMax: Long, bMin: Long, bMax: Long,
+      bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    val top = (1L << bits) - 1
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else least(lit(top), greatest(lit(0L),
+        (c.cast("long") - lit(lo)) * lit(top) / lit(hi - lo)))
+    val (an, bn) = (norm(a, aMin, aMax), norm(b, bMin, bMax))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(an, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(bn, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` clustered by the z-order of (colA, colB) into `files`
+    * parquet files: range-partition on the z-value (so files own
+    * contiguous z-ranges) and sort within each — the layout step of
+    * `OPTIMIZE ZORDER`. Bounds are read from the frame in one tiny
+    * agg; a production writer takes them from table statistics. */
+  def writeZordered(df: DataFrame, path: String, colA: String,
+      colB: String, files: Int, bits: Int = 16): Unit = {
+    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val z = zorderValue(col(colA), col(colB),
+      r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 }
