@@ -68,6 +68,11 @@ object SparkEntry {
     "q_profile" -> Relational.qProfile _,
     "q_topk_grouped" -> Relational.qTopKGrouped _,
     "q_sql_correlated" -> Relational.qSqlCorrelated _,
+    // SQL surface: recursive month spine (gap-filled time series),
+    // LATERAL correlated top-n, UNPIVOT (the qPivot inverse)
+    "q_month_spine" -> Relational.qMonthSpine _,
+    "q_lateral_topn" -> Relational.qLateralTopN _,
+    "q_unpivot" -> Relational.qUnpivot _,
     "q_token_hist" -> TextOps.qTokenHist _,
     "q_pack_sequences" -> TextOps.qPackSequences _,
     "q_holdout_split" -> TextOps.qHoldoutSplit _,
@@ -979,6 +984,45 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    "q_month_spine" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+        |  FROM orders),
+        |spine(m) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+        |  FROM spine, bounds WHERE m < hi),
+        |agg AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |           AS sum_price
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(spine.m AS VARCHAR) AS month,
+        |  COALESCE(agg.n, 0) AS n,
+        |  COALESCE(agg.sum_price, 0.0) AS sum_price
+        |FROM spine LEFT JOIN agg ON spine.m = agg.m
+        |ORDER BY month""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_orderpriority = p.o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |ORDER BY p.o_orderpriority, l.o_totalprice DESC, l.o_orderkey"""
+        .stripMargin,
+    "q_unpivot" ->
+      """SELECT rf, m AS measure, v AS value FROM (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (v FOR m IN (qty, price, disc))
+        |ORDER BY rf, measure""".stripMargin,
     // the bound-query convention: exact distinct counts + TRUE — a
     // sketch-union regression breaks the hash
     "q_distinct_incremental" ->

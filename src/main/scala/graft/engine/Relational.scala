@@ -837,6 +837,82 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin)
   }
 
+  /** RECURSIVE CTE (SQL surface, Spark 4's `WITH RECURSIVE`) put to
+    * its canonical analytics use: a calendar spine — generate every
+    * month between the first and last order date by recursion, then
+    * LEFT JOIN the monthly rollup so months with no orders still
+    * appear as zeros (time-series gap filling; a plain GROUP BY
+    * silently drops empty buckets). Spark's recursion is UNION
+    * ALL-only, so the spine is the right showcase: an acyclic,
+    * bounded recursion (cyclic transitive closure needs UNION
+    * semantics — that operator ships as the union-find /
+    * star-contraction pass in [[Dedup.qDedupClusters]]).
+    *
+    * Scale shape: the recursion materializes |months| rows on the
+    * driver-side plan — trivial; the rollup is the usual
+    * partial/final hash agg, and the spine join broadcasts. */
+  def qMonthSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+        |  FROM graft_orders),
+        |spine(m) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+        |  FROM spine, bounds WHERE m < hi),
+        |agg AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |           AS sum_price
+        |  FROM graft_orders GROUP BY 1)
+        |SELECT CAST(spine.m AS STRING) AS month,
+        |  COALESCE(agg.n, 0) AS n,
+        |  COALESCE(agg.sum_price, 0.0) AS sum_price
+        |FROM spine LEFT JOIN agg ON spine.m = agg.m
+        |ORDER BY month""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery (SQL surface): per order priority,
+    * the top-2 orders by price — the "for each row of the left,
+    * run this parameterized subquery" form that windowing cannot
+    * always replace (a LATERAL body may join, limit, or aggregate
+    * arbitrarily per outer row). Spark decorrelates it into a
+    * ranked join, so the plan stays shuffle-based — no per-row
+    * re-execution at scale. */
+  def qLateralTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+        |FROM (SELECT DISTINCT o_orderpriority FROM graft_orders) p,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_orders o
+        |         WHERE o.o_orderpriority = p.o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |ORDER BY p.o_orderpriority, l.o_totalprice DESC, l.o_orderkey"""
+        .stripMargin)
+  }
+
+  /** UNPIVOT (SQL surface) — the inverse of [[qPivot]]: the wide
+    * per-returnflag rollup melted into (rf, measure, value) long
+    * form, the shape BI layers and metric stores expect. One hash
+    * agg then a zero-shuffle Expand. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT rf, m AS measure, v AS value FROM (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc
+        |  FROM graft_lineitem GROUP BY l_returnflag)
+        |UNPIVOT (v FOR m IN (qty, price, disc))
+        |ORDER BY rf, measure""".stripMargin)
+  }
+
   /** Per-group top-k via the custom typed [[graft.functions.TopKAgg]]
     * Aggregator (the UDAF surface): top-3 orders by price per
     * priority. Unlike the `row_number().over(...)  <= k` formulation
