@@ -208,6 +208,8 @@ object SparkEntry {
     "q_train_mix" -> TextOps.qTrainMix _,
     // exact-quota per-source sampling (eval-set builder)
     "q_sample_stratified" -> TextOps.qSampleStratified _,
+    // token-denominated training mix (running-budget window)
+    "q_token_budget_mix" -> TextOps.qTokenBudgetMix _,
     // per-source percent_rank calibration of the quality score
     "q_quality_calibrated" -> TextOps.qQualityCalibrated _,
     // per-doc unique-shingle ratio (dedup triage / boilerplate rank)
@@ -1774,6 +1776,20 @@ object SparkEntry {
         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
         |FROM c GROUP BY doc_id, cid
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // the same md5 permutation as the stratified sample; running
+    // token sums are integers, so the budget cut is engine-exact
+    "q_token_budget_mix" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |             md5(CAST(doc_id AS VARCHAR)) AS hx,
+        |             CAST(len($duckTokens) AS BIGINT) AS ntk
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, ntk,
+        |        SUM(ntk) OVER (PARTITION BY source ORDER BY hx, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, source, ntk, CAST(cum AS BIGINT) AS cum FROM c
+        |WHERE cum <= ${TextOps.tokenBudget}
+        |ORDER BY doc_id""".stripMargin,
     // md5-hex ordering is identical in both engines (lowercase hex
     // string compare), so the per-source permutation and its first
     // `stratifiedQuota` rows are too

@@ -1353,6 +1353,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source token budget for [[qTokenBudgetMix]] — sized so the
+    * cut BINDS at every fixture SF (a budget above the smallest
+    * source's total would make the operator a no-op). */
+  val tokenBudget = 500L
+
+  /** Token-budget training mix — the token-denominated sibling of
+    * the doc-count [[qTrainMix]]: training mixes are specified in
+    * TOKENS, and a doc-count mix silently over-weights long-document
+    * sources. Per source, docs are taken in md5 order (the shared
+    * seedless permutation) while the RUNNING token total stays
+    * within the budget; a doc that would overflow is dropped whole
+    * (no truncation — partial documents are a tokenizer-level
+    * concern, [[qPackSequences]]' job). Output carries the running
+    * total so the budget adherence is itself hash-checked.
+    *
+    * Scale shape: one narrow token-count projection + ONE
+    * source-keyed running-sum window; like [[qQualityCalibrated]],
+    * a 100 TB deployment replaces the per-source window with a
+    * two-pass cut (count-histogram over the md5 order, then a
+    * narrow filter) since window partitions cannot skew-split. */
+  def qTokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val w = Window.partitionBy(col("source")).orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("hx"),
+        tokenCount(col("text")).cast("long").as("ntk"))
+      .withColumn("cum", sum(col("ntk")).over(w))
+      .filter(col("cum") <= tokenBudget)
+      .select(col("doc_id"), col("source"), col("ntk"), col("cum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quality calibration: percent_rank of the
     * [[qualityScore]] WITHIN each source, keeping docs above the
     * bottom [[calibratedCut]] fraction of their own source — the

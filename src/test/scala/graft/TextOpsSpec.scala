@@ -376,6 +376,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("token budget mix: greedy prefix in md5 order, budget never exceeded, binding") {
+    val out = TextOps.qTokenBudgetMix(spark, sf0001)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // driver recompute: same permutation, same greedy prefix rule
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ntk(t: String) =
+      t.toLowerCase.trim.split("\\s+").count(_.nonEmpty).toLong
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val ordered = rows.map { case (id, _, t) =>
+        (md5hex(id.toString), id, ntk(t)) }.sorted
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).takeWhile(_._2 <= TextOps.tokenBudget)
+        .map { case ((_, id, n), c) => (id, src, n, c) }
+    }.sortBy(_._1)
+    assert(out == expect)
+    // non-vacuous: the budget binds on at least one source (some doc
+    // was dropped), and every per-source total respects it
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).sum <= TextOps.tokenBudget))
+    assert(out.size < docs.size)
+  }
+
   test("cms bound: estimates for the exact top-30 all sit inside [exact, exact + eps*N]") {
     val out = TextOps.qCmsErr(spark, sf0001)
       .as[(String, Long, Boolean)].collect().toSeq
