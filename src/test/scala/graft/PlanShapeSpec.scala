@@ -385,6 +385,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)join|window|aggregate".r.findAllIn(p).isEmpty, p)
   }
 
+  test("lateral top-n: decorrelated into a ranked join, never a per-row nested loop") {
+    // the docstring's claim, pinned: Catalyst rewrites the correlated
+    // LATERAL LIMIT into Window + WindowGroupLimit + a hash join — a
+    // BroadcastNestedLoopJoin here would re-run the subquery per
+    // outer row at 100 TB
+    val p = plan(Relational.qLateralTopN(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  test("unpivot: a zero-join Expand over the one aggregated row set") {
+    val p = plan(Relational.qUnpivot(spark, sf0001))
+    assert(p.contains("Expand"), p)
+    assert(!"(?i)join".r.findAllIn(p).hasNext, p)
+  }
+
   test("stratified sample: rank<=quota prunes map-side via WindowGroupLimit") {
     // the shuffle must carry O(tasks × quota) rows, not the corpus:
     // the filter on row_number() has to reach the pre-shuffle
