@@ -853,7 +853,15 @@ object Relational {
     * partial/final hash agg, and the spine join broadcasts. */
   def qMonthSpine(spark: SparkSession, sfDir: String): DataFrame = {
     Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders")
-    spark.sql(
+    spark.sql(monthSpineSql)
+  }
+
+  /** The spine statement, shared with the spec: the fixture has no
+    * empty months (every month carries orders), so the zero-filling
+    * LEFT JOIN branch is exercised by the spec over a crafted
+    * gap-bearing view — the oracle covers the fixture semantics,
+    * the spec covers the path the fixture can't reach. */
+  private[graft] val monthSpineSql: String =
       """WITH RECURSIVE bounds AS (
         |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
         |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
@@ -873,8 +881,8 @@ object Relational {
         |  COALESCE(agg.n, 0) AS n,
         |  COALESCE(agg.sum_price, 0.0) AS sum_price
         |FROM spine LEFT JOIN agg ON spine.m = agg.m
-        |ORDER BY month""".stripMargin)
-  }
+        |ORDER BY month""".stripMargin
+
 
   /** LATERAL correlated subquery (SQL surface): per order priority,
     * the top-2 orders by price — the "for each row of the left,

@@ -109,6 +109,20 @@ class ScaleSpec extends SparkSpec {
     assert(ev.filter(bucket >= 90).limit(1).count() == 1)
   }
 
+  test("month spine: an order gap surfaces as a zero-filled month") {
+    // the fixture has orders in every month, so the LEFT JOIN's
+    // zero-filling branch is exercised here over a crafted gap:
+    // orders in Jan and Mar 1995, nothing in Feb
+    Seq((1L, java.sql.Timestamp.valueOf("1995-01-15 00:00:00"), 100.0),
+        (2L, java.sql.Timestamp.valueOf("1995-03-10 00:00:00"), 50.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .createOrReplaceTempView("graft_orders")
+    val out = spark.sql(graft.engine.Relational.monthSpineSql)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("1995-01-01", 1L, 100.0),
+      ("1995-02-01", 0L, 0.0), ("1995-03-01", 1L, 50.0)))
+  }
+
   test("zorderValue: exact Morton interleave; locality beats the linear key") {
     import org.apache.spark.sql.functions.typedlit
     // exact interleave on identity-normalized inputs (bounds 0..2^b-1)
