@@ -58,7 +58,8 @@ object Bench {
     "q_cross_source_overlap", // in-row pair generation (r7)
     "q_media_meta",       // binary column projection
     "q_media_decode",     // real PNG encode+decode round-trip (r7)
-    "q_media_video")      // real per-frame video round-trip (r8)
+    "q_media_video",      // real per-frame video round-trip (r8)
+    "q_media_phash_pairs") // image perceptual-hash near-dup (r13)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
