@@ -66,6 +66,8 @@ object SparkEntry {
     "q_approx_err" -> Relational.qApproxErr _,
     "q_approx_pct" -> Relational.qApproxPct _,
     "q_profile" -> Relational.qProfile _,
+    // join-key skew diagnostic (the salting/AQE decision input)
+    "q_skew_report" -> Relational.qSkewReport _,
     "q_topk_grouped" -> Relational.qTopKGrouped _,
     "q_sql_correlated" -> Relational.qSqlCorrelated _,
     // SQL surface: recursive month spine (gap-filled time series),
@@ -986,6 +988,25 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    // the same integer-packed argmax (f·10^10 − key) as the Spark
+    // side — neither engine's native arg_max pins its tie-break
+    "q_skew_report" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      val parts = cols.map { k =>
+        s"""(SELECT '$k' AS key_col,
+           |  CAST(sum(f) AS BIGINT) AS n_rows,
+           |  count(*) AS n_keys,
+           |  CAST(max(f) AS BIGINT) AS max_freq,
+           |  CAST(max(f * 10000000000 - key) AS BIGINT) AS pk
+           | FROM (SELECT $k AS key, count(*) AS f FROM lineitem
+           |       GROUP BY 1))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT key_col, n_rows, n_keys,
+         |  max_freq * 10000000000 - pk AS hottest_key, max_freq,
+         |  CAST(max_freq AS DOUBLE) * n_keys / n_rows AS skew_ratio
+         |FROM ($parts)
+         |ORDER BY key_col""".stripMargin
+    },
     "q_month_spine" ->
       """WITH RECURSIVE bounds AS (
         |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,

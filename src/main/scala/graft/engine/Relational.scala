@@ -551,6 +551,41 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Join-key skew report — the diagnostic behind the salting /
+    * AQE-skew-join decisions ([[Scale.saltedJoin]], SURVEY §8.2):
+    * for each candidate join key of the fact table, the row count,
+    * distinct-key count, the heaviest key and its frequency, and the
+    * skew ratio max_freq·distinct/total (1.0 = perfectly uniform; a
+    * ratio of k means the hottest reducer gets ~k× the average — the
+    * number that says whether a plain hash join partitions evenly).
+    * Exact integer counts + one final IEEE division per row.
+    *
+    * Scale shape: one hash-agg per key column (partial/final; the
+    * per-key frequency table is the shuffle, exactly the join's own
+    * distribution) + a 1-row reduction each — never a sort. The
+    * hottest key rides an integer-PACKED argmax (f·10¹⁰ − key:
+    * max frequency wins, ties to the smallest key) because neither
+    * engine's native arg_max pins its tie-break. */
+  def qSkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val pack = 10000000000L // > any key; f·pack − key is injective
+    val keys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    keys.map { k =>
+      li.groupBy(col(k).as("key")).agg(count(lit(1)).as("f"))
+        .agg(lit(k).as("key_col"),
+          sum(col("f")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("f")).cast("long").as("max_freq"),
+          max(col("f") * pack - col("key")).as("pk"))
+    }.reduce(_.unionByName(_))
+      .select(col("key_col"), col("n_rows"), col("n_keys"),
+        (col("max_freq") * pack - col("pk")).as("hottest_key"),
+        col("max_freq"),
+        (col("max_freq").cast("double") * col("n_keys") / col("n_rows"))
+          .as("skew_ratio"))
+      .orderBy(col("key_col"))
+  }
+
   /** One-pass column profile (ANALYZE-style data quality report): per
     * column — row count, null count, exact distinct count, min/max —
     * the pre-training profiling pass every pipeline runs before
