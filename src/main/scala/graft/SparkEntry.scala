@@ -68,6 +68,8 @@ object SparkEntry {
     "q_profile" -> Relational.qProfile _,
     // join-key skew diagnostic (the salting/AQE decision input)
     "q_skew_report" -> Relational.qSkewReport _,
+    // cohort retention (first-event cohorts × months-since activity)
+    "q_cohort_retention" -> Relational.qCohortRetention _,
     "q_topk_grouped" -> Relational.qTopKGrouped _,
     "q_sql_correlated" -> Relational.qSqlCorrelated _,
     // SQL surface: recursive month spine (gap-filled time series),
@@ -988,6 +990,21 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    // integer month index (year*12+month) keeps the cell keys exact —
+    // fractional month arithmetic would not round identically
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+        |           GROUP BY user_id),
+        |c AS (SELECT user_id,
+        |        strftime(date_trunc('month', first_ts), '%Y-%m') AS cohort,
+        |        year(first_ts) * 12 + month(first_ts) AS m0
+        |      FROM f)
+        |SELECT c.cohort,
+        |  CAST(year(e.ts) * 12 + month(e.ts) - c.m0 AS BIGINT) AS age,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort, age""".stripMargin,
     // the same integer-packed argmax (f·10^10 − key) as the Spark
     // side — neither engine's native arg_max pins its tie-break
     "q_skew_report" -> {

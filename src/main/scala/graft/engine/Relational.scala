@@ -872,6 +872,36 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin)
   }
 
+  /** Cohort retention — with [[qFunnel]] and [[qSessionizeBatch]]
+    * the third classic behavioral-analytics shape: users grouped by
+    * the month of their FIRST event (the cohort), then for every
+    * (cohort, months-since) cell the count of distinct users still
+    * active. Month arithmetic is integer (year·12 + month), never
+    * fractional months_between, so the cell keys are engine-exact.
+    *
+    * Scale shape: the first-event pass is one user-keyed hash agg;
+    * the cohort join back to events shuffles on user_id (both sides
+    * user-sized/fact-sized — deliberately unhinted, a 100 TB user
+    * dimension must not pin broadcast); the retention agg is
+    * distinct-counting, the exact path here and the
+    * [[qDistinctIncremental]] HLL path when cells are maintained
+    * incrementally. */
+  def qCohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    def monthIdx(t: Column): Column = year(t) * 12 + month(t)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_format(date_trunc("month", col("first_ts")), "yyyy-MM")
+          .as("cohort"),
+        monthIdx(col("first_ts")).as("m0"))
+    ev.select(col("user_id"), monthIdx(col("ts")).as("m"))
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort"), (col("m") - col("m0")).as("age"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
   /** RECURSIVE CTE (SQL surface, Spark 4's `WITH RECURSIVE`) put to
     * its canonical analytics use: a calendar spine — generate every
     * month between the first and last order date by recursion, then
