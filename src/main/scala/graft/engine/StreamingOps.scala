@@ -540,6 +540,88 @@ object StreamingOps {
     fs.delete(staging, true)
   }
 
+  /** The rollup state table's replay watermark — −1 when the table
+    * has never committed a batch. Shared by [[applyRollupBatch]] and
+    * the admission sink (which must skip a fully committed batch
+    * BEFORE recomputing admission against already-updated totals). */
+  private[engine] def rollupLastApplied(
+      spark: org.apache.spark.sql.SparkSession, baseDir: String): Long = {
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(basePath, "_last_batch")
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Apply ONE micro-batch of documents under a persistent per-source
+    * TOKEN budget — streaming admission control, the always-on half
+    * of [[TextOps.qTokenBudgetMix]]: each source may contribute at
+    * most `budget` tokens ACROSS THE WHOLE STREAM, tracked in a
+    * [[applyRollupBatch]] state table (gk = source, psum = admitted
+    * tokens). Within a batch, docs are taken in (event_time, doc_id)
+    * order — the deterministic stand-in for arrival order — while
+    * used + running total stays within budget; a doc that would
+    * overflow is dropped whole, and admission is FIRST-COME (the
+    * batch pass's md5 permutation needs the whole corpus; a stream
+    * only ever has the past).
+    *
+    * Replay safety: admitted docs land in an overwrite-per-batch
+    * directory (`batch=<id>` — re-delivery rewrites the identical
+    * content), and the state update rides applyRollupBatch's marker;
+    * a batch whose state already committed is skipped WHOLE, so a
+    * replay can never recompute admission against its own totals. */
+  def admitBudgetBatch(batch: DataFrame, stateDir: String, outDir: String,
+      budget: Long, batchId: Long, nb: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    if (rollupLastApplied(spark, stateDir) >= batchId) return
+    val basePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val used =
+      if (!fs.exists(basePath) || fs.listStatus(basePath)
+          .forall(!_.getPath.getName.startsWith("kb=")))
+        spark.emptyDataFrame
+          .select(lit("").as("source"), lit(0L).as("used"))
+          .limit(0)
+      else spark.read.parquet(stateDir)
+        .select(col("gk").as("source"), col("psum").cast("long").as("used"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("event_time"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val admitted = batch
+      .withColumn("ntk", TextOps.tokenCount(col("text")).cast("long"))
+      .withColumn("cum", sum(col("ntk")).over(w))
+      .join(used, Seq("source"), "left")
+      .filter(col("cum") + coalesce(col("used"), lit(0L)) <= budget)
+      .select(col("doc_id"), col("source"), col("ntk"))
+    admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    applyRollupBatch(
+      admitted.groupBy(col("source").as("gk"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("ntk")).cast("decimal(18,4)").as("psum")),
+      stateDir, batchId, nb)
+  }
+
+  /** The streaming driver for [[admitBudgetBatch]]: docs carrying
+    * (doc_id, source, text, event_time) flow through the budget gate
+    * one micro-batch at a time. */
+  def budgetAdmissionSink(docs: DataFrame, stateDir: String,
+      outDir: String, checkpointDir: String, budget: Long, nb: Int = 4,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        admitBudgetBatch(b, stateDir, outDir, budget, id, nb)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming rollup maintenance: keep a materialized aggregate
     * continuously up to date from the event stream — one
     * [[applyRollupBatch]] merge per micro-batch, where `partials`

@@ -396,6 +396,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(state().map(_._2).sum == 2 * expect.map(_._2).sum)
   }
 
+  test("streaming budget admission: cross-trigger budget binds; replayed batch is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val stateDir = tmpDir("adm") + "/state"
+    val outDir = tmpDir("adm-out")
+    val budget = 10L
+    // source A: 4-token docs; batch 1 has two (8 tokens), batch 2 has
+    // two more — only the first of them fits the remaining 2?? no:
+    // 8 + 4 > 10, so batch 2 admits NOTHING for A; source B stays
+    // under budget throughout
+    val b1 = Seq((1L, "A", "a b c d", 100L), (2L, "A", "e f g h", 200L),
+      (3L, "B", "x y", 100L))
+    val b2 = Seq((4L, "A", "i j k l", 300L), (5L, "B", "z w", 300L))
+    val inDir = tmpDir("adm-in")
+    Seq(b1, b2).zipWithIndex.foreach { case (rs, i) =>
+      val f = new java.io.File(inDir, s"d$i.json")
+      java.nio.file.Files.write(f.toPath, rs.map { case (id, s, t, ts) =>
+        s"""{"doc_id":$id,"source":"$s","text":"$t","ts":$ts}"""
+      }.mkString("", "\n", "\n").getBytes("UTF-8"))
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING, ts LONG")
+      .option("maxFilesPerTrigger", 1).json(inDir)
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("ts")))
+    val q = StreamingOps.budgetAdmissionSink(stream, stateDir, outDir,
+      tmpDir("adm-ckpt"), budget)
+    q.awaitTermination()
+    def admitted() = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    // A: docs 1,2 fill 8 of 10; doc 4 (4 tokens) would overflow →
+    // dropped. B: 2 + 2 = 4 ≤ 10 → both admitted.
+    assert(admitted() == Seq(1L, 2L, 3L, 5L))
+    // replayed batch id: admission is not recomputed against the
+    // already-updated totals (which would now reject doc 2)
+    val replay = spark.read
+      .schema("doc_id LONG, source STRING, text STRING, ts LONG")
+      .json(new java.io.File(inDir, "d0.json").getPath)
+      .withColumn("event_time", TimeOps.eventTimeFromMillis(col("ts")))
+    StreamingOps.admitBudgetBatch(replay, stateDir, outDir, budget, batchId = 0)
+    assert(admitted() == Seq(1L, 2L, 3L, 5L))
+  }
+
   test("state-table crash recovery: a committed staging is finished, not re-merged") {
     import org.apache.spark.sql.functions.{col, lit}
     val nb = 4
