@@ -55,6 +55,12 @@ object SparkEntry {
     // the sketch member of the MV family: COUNT(DISTINCT) maintained
     // by HLL-sketch union, 3% bound asserted vs the exact count
     "q_distinct_incremental" -> Relational.qDistinctIncremental _,
+    // the join member of the MV family: delta-join decomposition,
+    // merged rollup ≡ the full join recompute (the oracle IS it)
+    "q_join_incremental" -> Relational.qJoinIncremental _,
+    // market-basket co-purchase pairs (in-row pair generation,
+    // zero self-joins — plan-guarded)
+    "q_copurchase" -> Relational.qCopurchase _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -1081,6 +1087,25 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    // the maintenance claim: merged MV partials ≡ the full one-pass
+    // join-agg — so the oracle is deliberately the full recompute
+    "q_join_incremental" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY month, o_orderpriority""".stripMargin,
+    "q_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |          FROM items a JOIN items b
+        |            ON a.l_orderkey = b.l_orderkey
+        |           AND a.l_partkey < b.l_partkey)
+        |SELECT part_a, part_b, count(*) AS n_orders
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 100""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

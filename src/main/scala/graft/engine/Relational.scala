@@ -1046,4 +1046,95 @@ object Relational {
           .as("within_bound"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Co-purchase pair mining (market-basket co-occurrence): for every
+    * unordered pair of parts appearing in the same order, the number
+    * of orders containing both — the input to "frequently bought
+    * together" / association-rule mining. Top-100 by support under a
+    * total order, so the cut is deterministic.
+    *
+    * Scale shape: ONE scan of the fact table, zero self-joins (plan-
+    * guarded) — the naive formulation self-joins lineitem on
+    * l_orderkey, re-shuffling the 100 TB fact twice and fanning hot
+    * orders quadratically in the JOIN; here baskets are grouped once
+    * (map-side-combined collect_set) and pairs are generated IN-ROW
+    * from each order's sorted part set (the [[Dedup.qCrossSourceOverlap]]
+    * pattern), so the pair fan is bounded by the per-order basket
+    * size m (≤ C(m,2) rows/order; TPC-H-ish orders hold ≤7 items) and
+    * never materializes through an exchange. The pair count is the
+    * usual partial/final hash agg; the global top-100 is
+    * `TakeOrderedAndProject` (per-partition heaps, k rows to the
+    * driver). Production baskets with unbounded m get a per-basket
+    * item cap (support for a pair inside one giant basket is still 1)
+    * — the standard market-basket guard, documented not needed for
+    * the bounded fixture. */
+  def qCopurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val baskets = li
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    // unordered pairs from the sorted set: element i pairs with every
+    // later element, so (part_a < part_b) by construction
+    val pairs = baskets.select(explode(flatten(transform(col("ps"),
+      (a, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+        b => struct(a.as("part_a"), b.as("part_b")))))).as("p"))
+    pairs.select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  /** Incremental JOIN-view maintenance — the join member of the MV
+    * family ([[qAggIncremental]] counts/sums, [[qDistinctIncremental]]
+    * sketches): a materialized revenue-per-(month, priority) rollup
+    * over lineitem ⋈ orders, updated when BOTH sides receive new rows
+    * without rescanning the joined history. Classic delta-join
+    * decomposition: with independent arrival cuts L = L₀ ∪ ΔL,
+    * O = O₀ ∪ ΔO,
+    *
+    *   L ⋈ O = (L₀ ⋈ O₀)  ∪  (ΔL ⋈ O)  ∪  (L₀ ⋈ ΔO)
+    *
+    * — disjoint by construction (every joined row pairs a lineitem
+    * arrival class with an order arrival class; ΔL⋈O covers both
+    * ΔL quadrants, L₀⋈ΔO the remaining one). The stored term is the
+    * MV's partial aggregates (on disk in production — never
+    * recomputed; materialized here from the same split so the oracle
+    * can be the FULL one-pass join-agg — equality with it IS the
+    * maintenance claim). Decimal partials make the merge independent
+    * of where the arrival cut falls; the arrival classes are
+    * md5-derived so the oracle reproduces them.
+    *
+    * Scale shape: the delta terms join O(|Δ|) rows against a
+    * key-pruned base side (broadcast when the delta is small — the
+    * [[mergeApply]] posture); the merge agg touches O(groups), never
+    * the history. The fixture materializes the stored term with one
+    * extra join; production reads it as a table scan. */
+  def qJoinIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val ord = Tables(spark, sfDir, "orders")
+    // independent arrival cuts: lineitems split by (orderkey, line),
+    // orders by orderkey — so old orders receive new lineitems and
+    // new orders attach to old lineitems' keys, exercising every term
+    val lNew = Tables.md5Bucket(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber"))) >= 90
+    val oNew = Tables.md5Bucket(col("o_orderkey")) >= 90
+    val lOld = li.filter(!lNew); val lDelta = li.filter(lNew)
+    val oOld = ord.filter(!oNew); val oDelta = ord.filter(oNew)
+    def partials(l: DataFrame, o: DataFrame): DataFrame = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("pn"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("psum"))
+    val stored = partials(lOld, oOld) // the MV, on disk in production
+    val deltas = partials(lDelta, ord).unionByName(partials(lOld, oDelta))
+    stored.unionByName(deltas)
+      .groupBy(col("month"), col("o_orderpriority"))
+      .agg(sum(col("pn")).cast("long").as("n"),
+        sum(col("psum")).cast("double").as("revenue"))
+      .orderBy(col("month"), col("o_orderpriority"))
+  }
 }

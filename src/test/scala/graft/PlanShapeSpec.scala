@@ -216,6 +216,18 @@ class PlanShapeSpec extends SparkSpec {
       .r.findAllIn(p).isEmpty, p)
   }
 
+  test("co-purchase: one fact scan, pairs generated in-row — no self-join") {
+    val p = plan(Relational.qCopurchase(spark, sf0001))
+    // pairs come from each order's collected part set, never a
+    // lineitem-on-lineitem self-join (which would re-shuffle the fact
+    // twice and fan hot orders quadratically through an exchange)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin|cartesian|nestedloop"
+      .r.findAllIn(p).isEmpty, p)
+    // the global top-100 is per-partition heaps, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("passage dedup: one explode, no join — a single passage-keyed shuffle") {
     val p = plan(graft.engine.TextOps.qPassageDedup(spark, sf0001))
     // one Generate (the passage posexplode); the keep-first marking is

@@ -109,6 +109,40 @@ class ScaleSpec extends SparkSpec {
     assert(ev.filter(bucket >= 90).limit(1).count() == 1)
   }
 
+  test("join-MV merge: stored + delta-join partials equal the full join rollup") {
+    // the delta-join decomposition claim behind incremental join-view
+    // maintenance — the oracle cross-checks the same equality against
+    // DuckDB's full one-pass join recompute
+    val inc = graft.engine.Relational.qJoinIncremental(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val li = Tables(spark, sf0001, "lineitem")
+    val ord = Tables(spark, sf0001, "orders")
+    val full = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("month"), col("o_orderpriority"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(inc == full && inc.nonEmpty)
+    // every delta term is non-vacuous: the merge genuinely combined
+    // the stored MV with both delta joins (ΔL⋈O and L₀⋈ΔO), and the
+    // ΔL⋈ΔO corner exists inside the first
+    def bucket(c: org.apache.spark.sql.Column) = pmod(
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("int"), lit(100))
+    val lNew = bucket(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+    val oNew = bucket(col("o_orderkey"))
+    def quadrant(lPred: org.apache.spark.sql.Column,
+        oPred: org.apache.spark.sql.Column): Long =
+      li.filter(lPred).join(ord.filter(oPred),
+        col("l_orderkey") === col("o_orderkey")).limit(1).count()
+    assert(quadrant(lNew >= 90, oNew < 90) == 1)  // new lines, old orders
+    assert(quadrant(lNew < 90, oNew >= 90) == 1)  // old lines, new orders
+    assert(quadrant(lNew >= 90, oNew >= 90) == 1) // both new
+  }
+
   test("month spine: an order gap surfaces as a zero-filled month") {
     // the fixture has orders in every month, so the LEFT JOIN's
     // zero-filling branch is exercised here over a crafted gap:
