@@ -227,6 +227,10 @@ object SparkEntry {
     // integer-scaled PageRank over the near-dup graph (3 unrolled
     // iterations — hash-exact where a double fixpoint would drift)
     "q_pagerank" -> Dedup.qPagerank _,
+    // per-node triangle counts over the same graph (id-oriented
+    // wedge join — local clustering density of each near-dup
+    // neighborhood)
+    "q_triangles" -> Dedup.qTriangles _,
     // CDC MERGE: update/insert/keep via the Delta-style decomposition
     "q_merge_upsert" -> Relational.qMergeUpsert _,
     "q_window_pct" -> Relational.qWindowPct _,
@@ -1374,6 +1378,20 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "q_dedup_clusters" -> duckClusters,
     "q_pagerank" -> duckPagerank,
+    // canonical edges make each triangle x<y<z appear exactly once as
+    // e(x,y) ⋈ e(y,z) closed by e(x,z) — same shared pair CTEs
+    "q_triangles" ->
+      s"""WITH $duckShingleBody,
+         |e AS (SELECT ida, idb FROM pairs),
+         |tri AS (SELECT e1.ida AS x, e1.idb AS y, e2.idb AS z
+         |        FROM e e1 JOIN e e2 ON e2.ida = e1.idb
+         |        WHERE EXISTS (SELECT 1 FROM e e3
+         |                      WHERE e3.ida = e1.ida AND e3.idb = e2.idb)),
+         |n AS (SELECT x AS doc_id FROM tri
+         |      UNION ALL SELECT y FROM tri
+         |      UNION ALL SELECT z FROM tri)
+         |SELECT doc_id, count(*) AS n_tri FROM n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same oracle — the distributed large-star/small-star branch must
     // produce byte-identical labels to the driver union-find branch
     "q_dedup_clusters_dist" -> duckClusters,

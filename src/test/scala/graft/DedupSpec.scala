@@ -220,6 +220,35 @@ class DedupSpec extends SparkSpec {
     assert(total <= s && total > s - 300L * n, s"total=$total n=$n")
   }
 
+  test("triangles: crafted clique/chain graph and a random brute-force check") {
+    // 4-clique {1,2,3,4}: every node sits in C(3,2)=3 triangles; the
+    // chain 5-6-7 and the isolated pair 8-9 contribute none
+    val clique = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+    val crafted = (clique ++ Seq((5L, 6L), (6L, 7L), (8L, 9L)))
+      .toDF("ida", "idb")
+    val out = Dedup.triangleCounts(crafted).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // random graph vs a driver-side brute force over all id triples
+    val rnd = new scala.util.Random(7)
+    val edges = (for (a <- 1L to 12L; b <- (a + 1) to 12L
+      if rnd.nextDouble() < 0.35) yield (a, b)).toSeq
+    val got = Dedup.triangleCounts(edges.toDF("ida", "idb"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val es = edges.toSet
+    val tris = for (x <- 1L to 12L; y <- (x + 1) to 12L; z <- (y + 1) to 12L
+      if es((x, y)) && es((y, z)) && es((x, z))) yield (x, y, z)
+    val expect = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    assert(got == expect && tris.nonEmpty)
+    // smoke the full fixture path end-to-end (canonical pair ordering
+    // of minhashPairs is what the wedge join's correctness rests on)
+    val fix = Dedup.qTriangles(spark, sf0001)
+      .as[(Long, Long)].collect()
+    assert(fix.forall(_._2 > 0))
+  }
+
   test("ngram novelty: equal to a full driver-side string-shingle recompute") {
     val out = Dedup.qNgramNovelty(spark, sf0001)
       .as[(Long, Long, Long, Double)].collect().toSeq
