@@ -113,6 +113,10 @@ object SparkEntry {
     // incremental ingest: new batch vs historical corpus, Bloom-pruned
     "q_dedup_incremental" -> Dedup.qDedupIncremental _,
     "q_jaccard_pairs" -> Dedup.qJaccardPairs _,
+    // AllPairs/PPJoin prefix filter: the same exact J>=0.8 pair set
+    // from a ~5x smaller index (completeness is a theorem) — shares
+    // the q_jaccard_pairs oracle verbatim
+    "q_jaccard_prefix" -> Dedup.qJaccardPrefix _,
     "q_dedup_minhash" -> Dedup.qDedupMinhash _,
     "q_dedup_clusters" -> Dedup.qDedupClusters _,
     "q_dedup_clusters_dist" -> Dedup.qDedupClustersDist _,
@@ -1359,6 +1363,7 @@ object SparkEntry {
         |GROUP BY fp
         |ORDER BY keep_id""".stripMargin,
     "q_jaccard_pairs" -> duckShingleCte,
+    "q_jaccard_prefix" -> duckShingleCte,
     // (shingle, source)-distinct inverted index, then a source-keyed
     // self-join — 1-based tk[i..i+2] over i = 1..len-2 mirrors
     // shinglesFromTokens' sequence(0, size-3) exactly

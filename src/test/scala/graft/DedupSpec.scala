@@ -220,6 +220,42 @@ class DedupSpec extends SparkSpec {
     assert(total <= s && total > s - 300L * n, s"total=$total n=$n")
   }
 
+  test("prefix filter: same exact pair set, strictly smaller candidate volume") {
+    // output equality with the full inverted-index path — completeness
+    // of the prefix theorem on real data
+    val full = Dedup.qJaccardPairs(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    val pref = Dedup.qJaccardPrefix(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pref == full && pref.nonEmpty)
+    // the scale claim: prefix-join candidate pairs ≪ the inverted
+    // index's Σ C(df,2) — measured, not asserted by vibes
+    val idx = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val fullCand = idx
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(sum(expr("df * (df - 1) DIV 2"))).as[Long].head()
+    // re-derive the prefix index by the operator's recipe (any total
+    // hash order gives the same VOLUME profile; xxhash64 stands in
+    // for the engine's FNV identity) and count its join pairs
+    val withHashes = idx.select(col("doc_id"),
+      expr("transform(sh, x -> xxhash64(x))").as("sh"))
+    val pidx = withHashes.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val dfTab = pidx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefCand = pidx.join(dfTab, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(lit(0.8) * col("n")) + 1)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("pdf"))
+      .agg(sum(expr("pdf * (pdf - 1) DIV 2"))).as[Long].head()
+    assert(prefCand < fullCand / 5,
+      s"prefix candidates $prefCand vs full $fullCand")
+  }
+
   test("triangles: crafted clique/chain graph and a random brute-force check") {
     // 4-clique {1,2,3,4}: every node sits in C(3,2)=3 triangles; the
     // chain 5-6-7 and the isolated pair 8-9 contribute none
