@@ -117,6 +117,9 @@ object SparkEntry {
     // from a ~5x smaller index (completeness is a theorem) — shares
     // the q_jaccard_pairs oracle verbatim
     "q_jaccard_prefix" -> Dedup.qJaccardPrefix _,
+    // record linkage: corrupted probe names re-linked by striped
+    // pigeonhole blocking + exact levenshtein verify
+    "q_fuzzy_join" -> Dedup.qFuzzyJoin _,
     "q_dedup_minhash" -> Dedup.qDedupMinhash _,
     "q_dedup_clusters" -> Dedup.qDedupClusters _,
     "q_dedup_clusters_dist" -> Dedup.qDedupClustersDist _,
@@ -405,6 +408,53 @@ object SparkEntry {
        |SELECT node AS doc_id, CAST(r AS BIGINT) AS pr
        |FROM r${Dedup.pagerankIters}
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Fuzzy-join oracle: rebuilds the deterministic prefix corruption,
+    * the striped pigeonhole blocking chunks, and the levenshtein
+    * verification — the shared-machinery convention of the LSH
+    * oracles (the blocking is part of the operator's contract: it is
+    * complete for the substitution class, see [[graft.engine.Dedup.qFuzzyJoin]]). */
+  private val duckFuzzy: String = {
+    def hex4(v: String, s: Int): String =
+      (0 until 4).map(k =>
+        s"(strpos('0123456789abcdef', substring($v, ${s + k}, 1)) - 1) * ${math.pow(16, 3 - k).toInt}")
+        .mkString("(", " + ", ")")
+    def chunk(nm: String, j: Int): String =
+      (0 until 18).collect { case p if p % 3 == j =>
+        s"substring($nm, ${p + 1}, 1)" }.mkString(" || ")
+    val prefixChars = (0 until 9).map { i =>
+      s"""CASE WHEN p2 = $i THEN substring('abcdefghijklmnopqrstuvwxyz', i2 + 1, 1)
+         |       WHEN p1 = $i THEN substring('abcdefghijklmnopqrstuvwxyz', i1 + 1, 1)
+         |       ELSE substring(c_name, ${i + 1}, 1) END""".stripMargin
+    }.mkString(" || ")
+    s"""WITH c AS (SELECT c_custkey, c_name FROM customer),
+       |hb AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS hx FROM c),
+       |bkt AS (SELECT c_custkey FROM hb WHERE ${hex4("hx", 1)} % 100 < 50),
+       |hc AS (SELECT c_custkey, md5('fz|' || CAST(c_custkey AS VARCHAR)) AS hx
+       |       FROM c),
+       |par AS (SELECT c_custkey,
+       |          ${hex4("hx", 1)} % 9 AS p1, ${hex4("hx", 5)} % 9 AS p2,
+       |          ${hex4("hx", 9)} % 26 AS i1, ${hex4("hx", 13)} % 26 AS i2
+       |        FROM hc),
+       |probe AS (SELECT c.c_custkey AS probe_id,
+       |            ($prefixChars) || substring(c_name, 10, 9) AS probe_name
+       |          FROM c JOIN par ON par.c_custkey = c.c_custkey
+       |          JOIN bkt ON bkt.c_custkey = c.c_custkey),
+       |pk AS (${(0 until 3).map(j =>
+        s"SELECT probe_id, $j AS j, ${chunk("probe_name", j)} AS v FROM probe")
+        .mkString("\n       UNION ALL ")}),
+       |ck AS (${(0 until 3).map(j =>
+        s"SELECT c_custkey AS match_id, $j AS j, ${chunk("c_name", j)} AS v FROM c")
+        .mkString("\n       UNION ALL ")}),
+       |cand AS (SELECT DISTINCT probe_id, match_id
+       |         FROM pk JOIN ck ON pk.j = ck.j AND pk.v = ck.v)
+       |SELECT probe_id, match_id,
+       |  CAST(levenshtein(probe_name, c_name) AS BIGINT) AS dist
+       |FROM cand JOIN probe USING (probe_id)
+       |JOIN c ON c.c_custkey = cand.match_id
+       |WHERE levenshtein(probe_name, c_name) <= 2
+       |ORDER BY probe_id, match_id""".stripMargin
   }
 
   /** Perceptual-hash (aHash) oracle CTEs ending in
@@ -1364,6 +1414,7 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
     "q_jaccard_pairs" -> duckShingleCte,
     "q_jaccard_prefix" -> duckShingleCte,
+    "q_fuzzy_join" -> duckFuzzy,
     // (shingle, source)-distinct inverted index, then a source-keyed
     // self-join — 1-based tk[i..i+2] over i = 1..len-2 mirrors
     // shinglesFromTokens' sequence(0, size-3) exactly

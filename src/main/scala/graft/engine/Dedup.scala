@@ -462,6 +462,79 @@ object Dedup {
       .filter(col("jaccard") >= t)
   }
 
+  /** Striped (position-interleaved) blocking chunks for the fuzzy
+    * join: chunk j of an 18-char key string = its characters at
+    * positions ≡ j (mod 3). Hamming distance ≤ 2 touches at most two
+    * chunks, so a qualifying pair agrees on ≥1 chunk (the SimHash
+    * pigeonhole) — and striping spreads the string's entropy across
+    * EVERY chunk, where contiguous thirds would make the constant
+    * "Customer#" prefix one all-colliding block (a measured n²
+    * degeneracy on prefix-structured keys). */
+  private def stripedChunks(name: Column): Column =
+    array((0 until 3).map(j => struct(lit(j).as("j"),
+      concat((0 until 18).collect { case p if p % 3 == j =>
+        substring(name, p + 1, 1) }: _*).as("v"))): _*)
+
+  /** Blocked fuzzy string join (record linkage / entity resolution):
+    * a deterministically corrupted probe set of customer names —
+    * every md5-bucket < 50 customer with ≤2 letter substitutions at
+    * md5-derived prefix positions — re-linked to the clean customer
+    * table by levenshtein ≤ 2, WITHOUT the quadratic
+    * all-pairs-levenshtein scan. Blocking = [[stripedChunks]]
+    * pigeonhole equi-join (candidates where any striped chunk
+    * matches), verification = exact `levenshtein` on the candidate
+    * set only; candidates dedup as bare (probe_id, match_id) ids and
+    * the names re-join once for scoring (the id-only-candidates
+    * shape).
+    *
+    * Contract: complete for the substitution class (equal length ⇒
+    * levenshtein = Hamming ≤ 2 ⇒ pigeonhole guarantee) — exactly the
+    * planted corruption model; alignment-shifting edits (indels)
+    * need q-gram or deletion-neighborhood blocking, the documented
+    * extension. The oracle rebuilds the same blocking (the LSH-
+    * oracle convention), and the spec brute-forces planted recall =
+    * 100% at fixture scale.
+    *
+    * Scale shape: candidate volume is Σ_{j,v} df_probe(j,v) ·
+    * df_clean(j,v) — the blocking-key frequency product, linear in
+    * corpus size when chunk entropy tracks key entropy (striping
+    * guarantees every chunk carries the id digits' entropy; hot
+    * chunk values are AQE skew-split). Production multi-field
+    * blocking composes more key functions the same way. */
+  def qFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val h = md5(concat(lit("fz|"), col("c_custkey").cast("string")))
+    def hex4(start: Int): Column =
+      conv(substring(h, start, 4), 16, 10).cast("int")
+    val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+    val p1 = hex4(1) % 9
+    val p2 = hex4(5) % 9
+    val l1 = alpha.substr(hex4(9) % 26 + 1, lit(1))
+    val l2 = alpha.substr(hex4(13) % 26 + 1, lit(1))
+    // sequential substitution: p1 first, then p2 (later wins a tie)
+    val dirty = concat(((0 until 9).map { i =>
+      when(p2 === i, l2).when(p1 === i, l1)
+        .otherwise(substring(col("c_name"), i + 1, 1))
+    } :+ substring(col("c_name"), 10, 9)): _*)
+    val probes = cust.filter(Tables.md5Bucket(col("c_custkey")) < 50)
+      .select(col("c_custkey").as("probe_id"), dirty.as("probe_name"))
+    val pk = probes.select(col("probe_id"),
+      explode(stripedChunks(col("probe_name"))).as("ck"))
+    val ck = cust.select(col("c_custkey").as("match_id"),
+      explode(stripedChunks(col("c_name"))).as("ck"))
+    val cands = pk.join(ck, "ck")
+      .select(col("probe_id"), col("match_id")).distinct()
+    cands
+      .join(probes, "probe_id")
+      .join(cust.select(col("c_custkey").as("match_id"), col("c_name")),
+        "match_id")
+      .select(col("probe_id"), col("match_id"),
+        levenshtein(col("probe_name"), col("c_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("probe_id"), col("match_id"))
+  }
+
   /** PageRank micro-unit scale: ranks are BIGINTs in units of 1e−12.
     * Integer arithmetic end-to-end (floor division, integer sums) is
     * what makes an ITERATIVE fixpoint hash-exact across engines and

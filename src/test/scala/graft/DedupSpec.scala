@@ -256,6 +256,51 @@ class DedupSpec extends SparkSpec {
       s"prefix candidates $prefCand vs full $fullCand")
   }
 
+  test("fuzzy join: planted recall 100%, equal to a driver-side recompute") {
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_name").as[(Long, String)].collect()
+      .toSeq.sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hex4(h: String, start: Int): Int =
+      Integer.parseInt(h.substring(start - 1, start + 3), 16)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def corrupt(k: Long, name: String): String = {
+      val h = md5hex(s"fz|$k")
+      val cs = name.toCharArray
+      cs(hex4(h, 1) % 9) = alpha(hex4(h, 9) % 26)  // p1 first,
+      cs(hex4(h, 5) % 9) = alpha(hex4(h, 13) % 26) // p2 wins a tie
+      new String(cs)
+    }
+    def chunks(s: String): Set[(Int, String)] =
+      (0 until 3).map(j => j -> s.zipWithIndex.collect {
+        case (c, p) if p % 3 == j => c }.mkString).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val probes = cust.filter(c => hex4(md5hex(c._1.toString), 1) % 100 < 50)
+      .map { case (k, n) => (k, corrupt(k, n)) }
+    val expect = (for {
+      (pk, pn) <- probes
+      (ck, cn) <- cust
+      if (chunks(pn) & chunks(cn)).nonEmpty
+      d = lev(pn, cn) if d <= 2
+    } yield (pk, ck, d.toLong)).sortBy(t => (t._1, t._2))
+    val got = Dedup.qFuzzyJoin(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // the planted contract: every corrupted probe re-links to its
+    // source (substitution class ⇒ pigeonhole blocking is complete)
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    assert(probes.nonEmpty && probes.forall(p => gotPairs((p._1, p._1))))
+  }
+
   test("triangles: crafted clique/chain graph and a random brute-force check") {
     // 4-clique {1,2,3,4}: every node sits in C(3,2)=3 triangles; the
     // chain 5-6-7 and the isolated pair 8-9 contribute none

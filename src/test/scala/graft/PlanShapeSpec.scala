@@ -228,6 +228,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("fuzzy join: blocked equi-joins only — never a cartesian levenshtein scan") {
+    val p = plan(graft.engine.Dedup.qFuzzyJoin(spark, sf0001))
+    // the quadratic regression is an all-pairs levenshtein cross
+    // join; blocking must keep every join an equi-join
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+  }
+
   test("passage dedup: one explode, no join — a single passage-keyed shuffle") {
     val p = plan(graft.engine.TextOps.qPassageDedup(spark, sf0001))
     // one Generate (the passage posexplode); the keep-first marking is
