@@ -37,6 +37,9 @@ object Bench {
     "q_term_freq",        // explode + agg (text)
     "q_fingerprint",      // per-doc hashing (text)
     "q_dedup_minhash",    // MinHash+LSH + verify (dedup)
+    "q_jaccard_prefix",   // prefix-filtered exact similarity join (r14)
+    "q_fuzzy_join",       // blocked record linkage + levenshtein (r14)
+    "q_copurchase",       // in-row co-occurrence pair mining (r14)
     "q_dedup_clusters",   // connected components (driver union-find)
     "q_dedup_clusters_dist", // same via distributed star contraction
     "q_dedup_incremental", // batch-Bloom-pruned historical anti-join (r12)
