@@ -61,6 +61,12 @@ object SparkEntry {
     // market-basket co-purchase pairs (in-row pair generation,
     // zero self-joins — plan-guarded)
     "q_copurchase" -> Relational.qCopurchase _,
+    // 2-D Pareto frontier via a sharded distributed prefix scan;
+    // oracle is the independent NOT EXISTS domination formulation
+    "q_skyline" -> Relational.qSkyline _,
+    // first-order Markov transition counts + row probabilities over
+    // the per-user event stream
+    "q_transition_matrix" -> Relational.qTransitionMatrix _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -1154,6 +1160,31 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2
         |ORDER BY month, o_orderpriority""".stripMargin,
+    // deliberately the quadratic NOT EXISTS formulation — an oracle
+    // that shares none of the prefix-scan machinery
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size
+        |FROM part b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part a
+        |  WHERE a.p_retailprice <= b.p_retailprice
+        |    AND a.p_size >= b.p_size
+        |    AND (a.p_retailprice < b.p_retailprice
+        |         OR a.p_size > b.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH tr AS (
+        |  SELECT lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |         event_type AS next_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, count(*) AS n FROM tr
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  CAST(c.n AS DOUBLE) / t.tot AS p
+        |FROM c JOIN t ON c.prev_type = t.prev_type
+        |ORDER BY c.prev_type, c.next_type""".stripMargin,
     "q_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b

@@ -1047,6 +1047,79 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** 2-D skyline (Pareto frontier): parts not dominated on
+    * (minimize p_retailprice, maximize p_size) — a dominates b iff
+    * price ≤ ∧ size ≥ with one strict. The sort-based reduction:
+    * collapse to per-price max size (ties: only the max survives the
+    * same-price comparison; equal (price, size) duplicates all
+    * survive), then a row is frontier iff its msize exceeds the
+    * running max over all STRICTLY cheaper prices.
+    *
+    * The running max is a distributed two-level prefix scan, not a
+    * single-task global window: prices shard into order-preserving
+    * $100 buckets, each shard computes its local running max in
+    * parallel, and the cross-shard carry-in is a window over the
+    * per-shard maxima — a table of \|shards\| rows (the price DOMAIN,
+    * not the data volume; the one place a global window is bounded
+    * by construction). The final join back to the fact keeps rows
+    * matching their price's surviving size. Oracle is the
+    * independent NOT EXISTS domination formulation — it rebuilds
+    * none of this machinery. */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val g = p.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("msize"))
+      .withColumn("shard", floor(col("p_retailprice") / 100).cast("long"))
+    val wLocal = Window.partitionBy(col("shard"))
+      .orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = g.withColumn("lmax", max(col("msize")).over(wLocal))
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = g.groupBy(col("shard")).agg(max(col("msize")).as("smax"))
+      .withColumn("pmax", max(col("smax")).over(wShard))
+      .select(col("shard"), col("pmax"))
+    val frontier = local.join(broadcast(carry), Seq("shard"))
+      .filter(col("msize") > greatest(
+        coalesce(col("lmax"), lit(Int.MinValue)),
+        coalesce(col("pmax"), lit(Int.MinValue))))
+      .select(col("p_retailprice"), col("msize"))
+    p.join(broadcast(frontier), Seq("p_retailprice"))
+      .filter(col("p_size") === col("msize"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** User-journey transition matrix (first-order Markov view of the
+    * event stream — the aggregate next to [[qFunnel]]'s fixed path
+    * and [[qSessionizeBatch]]'s gap cuts): for each (prev event type
+    * → next event type) step taken by any user, the transition count
+    * and its row-normalized probability. Counts are exact integers;
+    * `p` is one final IEEE division per row (the hash-exactness
+    * convention).
+    *
+    * Scale shape: ONE user-keyed window shuffle (the lag), then a
+    * partial/final hash agg of \|types\|² rows and a broadcast of
+    * the \|types\|-row totals — nothing after the window carries the
+    * event volume. */
+  def qTransitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = ev
+      .select(col("user_id"), col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+    val counts = tr.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("tot")).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Co-purchase pair mining (market-basket co-occurrence): for every
     * unordered pair of parts appearing in the same order, the number
     * of orders containing both — the input to "frequently bought

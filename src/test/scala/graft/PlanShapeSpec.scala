@@ -228,6 +228,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("skyline: prefix-scan shape — broadcast joins, never a domination BNLJ") {
+    val p = plan(Relational.qSkyline(spark, sf0001))
+    // the regression is the literal NOT EXISTS translation: an
+    // all-pairs nested-loop anti-join over the fact
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("transition matrix: one user-keyed window, totals join as broadcast") {
+    val p = plan(Relational.qTransitionMatrix(spark, sf0001))
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+  }
+
   test("fuzzy join: blocked equi-joins only — never a cartesian levenshtein scan") {
     val p = plan(graft.engine.Dedup.qFuzzyJoin(spark, sf0001))
     // the quadratic regression is an all-pairs levenshtein cross

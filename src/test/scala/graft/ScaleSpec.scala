@@ -143,6 +143,40 @@ class ScaleSpec extends SparkSpec {
     assert(quadrant(lNew >= 90, oNew >= 90) == 1) // both new
   }
 
+  test("skyline: equals the driver-side NOT EXISTS domination brute force") {
+    val parts = spark.read.parquet(s"$sf0001/part.parquet")
+      .select("p_partkey", "p_retailprice", "p_size")
+      .as[(Long, Double, Int)].collect().toSeq
+    val expect = parts.filter { b =>
+      !parts.exists(a => a._2 <= b._2 && a._3 >= b._3 &&
+        (a._2 < b._2 || a._3 > b._3))
+    }.sortBy(_._1)
+    val got = graft.engine.Relational.qSkyline(spark, sf0001)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(got == expect && got.nonEmpty && got.size < parts.size)
+  }
+
+  test("transition matrix: equals a driver-side ordered-walk recompute") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val steps = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }
+    val n = steps.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = steps.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expect = n.toSeq.sortBy(_._1).map { case ((a, b), c) =>
+      (a, b, c, c.toDouble / tot(a)) }
+    val got = graft.engine.Relational.qTransitionMatrix(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // probabilities row-normalize exactly
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9) }
+  }
+
   test("month spine: an order gap surfaces as a zero-filled month") {
     // the fixture has orders in every month, so the LEFT JOIN's
     // zero-filling branch is exercised here over a crafted gap:
