@@ -67,6 +67,9 @@ object SparkEntry {
     // first-order Markov transition counts + row probabilities over
     // the per-user event stream
     "q_transition_matrix" -> Relational.qTransitionMatrix _,
+    // sweep-line open-interval concurrency (step function at change
+    // days) via the sharded prefix scan
+    "q_interval_sweep" -> Relational.qIntervalSweep _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -1172,6 +1175,21 @@ object SparkEntry {
         |    AND (a.p_retailprice < b.p_retailprice
         |         OR a.p_size > b.p_size))
         |ORDER BY p_partkey""".stripMargin,
+    // flat global-window recompute of the sweep step function — the
+    // Spark side's sharded scan shares none of this
+    "q_interval_sweep" ->
+      """WITH span AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+        |         CAST(max(l_shipdate) AS DATE) AS e
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |d AS (SELECT s AS day, 1 AS delta FROM span
+        |      UNION ALL SELECT e + 1, -1 FROM span),
+        |g AS (SELECT day, sum(delta) AS delta FROM d GROUP BY 1)
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |  CAST(sum(delta) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+        |FROM g ORDER BY day""".stripMargin,
     "q_transition_matrix" ->
       """WITH tr AS (
         |  SELECT lag(event_type) OVER

@@ -1091,6 +1091,49 @@ object Relational {
       .orderBy(col("p_partkey"))
   }
 
+  /** Interval sweep (temporal concurrency): how many orders are OPEN
+    * on each change day, where an order spans [o_orderdate,
+    * max l_shipdate of its items]. The sweep-line classic: every
+    * interval contributes +1 at its start day and −1 the day after
+    * its end; the open count is the running sum of per-day deltas —
+    * emitted at change days (the step function's knots; between
+    * knots the count is constant by construction).
+    *
+    * The running sum is the [[qSkyline]] two-level prefix scan:
+    * per-day deltas aggregate map-side-combined, month shards
+    * compute local prefix sums in parallel, and the cross-shard
+    * carry rides a window over the \|months\|-row per-shard totals
+    * (bounded by the calendar, not the data). Integer deltas ⇒
+    * hash-exact. The oracle recomputes the same step function with
+    * a flat global window — machinery this plan deliberately does
+    * not share. */
+  def qIntervalSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables(spark, sfDir, "orders")
+    val li = Tables(spark, sfDir, "lineitem")
+    val span = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("s"))
+      .agg(to_date(max(col("l_shipdate"))).as("e"))
+    val deltas = span.select(explode(array(
+        struct(col("s").as("day"), lit(1L).as("delta")),
+        struct(date_add(col("e"), 1).as("day"), lit(-1L).as("delta"))))
+        .as("x"))
+      .select(col("x.day").as("day"), col("x.delta").as("delta"))
+    val g = deltas.groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+      .withColumn("shard", trunc(col("day"), "month"))
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = g.withColumn("lsum", sum(col("delta")).over(wLocal))
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = g.groupBy(col("shard")).agg(sum(col("delta")).as("ssum"))
+      .withColumn("csum", coalesce(sum(col("ssum")).over(wShard), lit(0L)))
+      .select(col("shard"), col("csum"))
+    local.join(broadcast(carry), Seq("shard"))
+      .select(col("day").cast("string").as("day"),
+        (col("lsum") + col("csum")).as("n_open"))
+      .orderBy(col("day"))
+  }
+
   /** User-journey transition matrix (first-order Markov view of the
     * event stream — the aggregate next to [[qFunnel]]'s fixed path
     * and [[qSessionizeBatch]]'s gap cuts): for each (prev event type

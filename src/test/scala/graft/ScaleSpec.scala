@@ -156,6 +156,29 @@ class ScaleSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty && got.size < parts.size)
   }
 
+  test("interval sweep: equals a driver-side sweep-line recompute") {
+    val got = graft.engine.Relational.qIntervalSweep(spark, sf0001)
+      .as[(String, Long)].collect().toSeq
+    val span = Tables(spark, sf0001, "orders")
+      .join(Tables(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("s"))
+      .agg(to_date(max(col("l_shipdate"))).as("e"))
+      .select(col("s").cast("string"), col("e").cast("string"))
+      .as[(String, String)].collect().toSeq
+    val deltas = span.flatMap { case (s, e) =>
+      Seq((s, 1L),
+        (java.time.LocalDate.parse(e).plusDays(1).toString, -1L)) }
+    val g = deltas.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    var acc = 0L
+    val expect = g.map { case (d, dl) => acc += dl; (d, acc) }
+    assert(got == expect && got.nonEmpty)
+    // mass conservation: every opened interval closes, so the final
+    // running level is exactly zero
+    assert(expect.last._2 == 0L)
+  }
+
   test("transition matrix: equals a driver-side ordered-walk recompute") {
     val ev = Tables(spark, sf0001, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
