@@ -17,6 +17,19 @@ case class SessionOut(
     n_events: Long,
     span_ms: Long)
 
+/** A user-journey event for the streaming transition maintainer. */
+case class UserEvent(
+    user_id: Long,
+    ts: java.sql.Timestamp,
+    event_id: Long,
+    event_type: String)
+
+/** One observed (prev → next) journey step. */
+case class TransitionOut(
+    user_id: Long,
+    prev_type: String,
+    next_type: String)
+
 /** Streaming transformations beyond the reference's pass-through
   * pipelines (SURVEY.md §2.5/§2.8 note these as absent in the
   * reference but part of the rebuild surface): event-time windowed
@@ -663,6 +676,58 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** Streaming transition maintenance — the incremental half of
+    * [[Relational.qTransitionMatrix]]: per-user (prev type → next
+    * type) steps emitted as events arrive, with the LAST event per
+    * user carried as keyed state so steps connect ACROSS triggers.
+    * Within a micro-batch the group's arrivals sort by (ts,
+    * event_id) — the batch pass's exact tie order; the stored last
+    * event prepends to the chain. Counting the emitted steps
+    * reproduces the batch matrix whenever arrival order respects
+    * event time across triggers (the spec's sliced-file case);
+    * a late event landing AFTER a newer one in a previous trigger
+    * links in arrival order instead — the same horizon caveat as
+    * [[nearDupStream]], with the batch pass as the exact
+    * reconciliation.
+    *
+    * State is one (ts, event_id, type) triple per ACTIVE user,
+    * evicted by event-time timeout `idleEvictMillis` past the user's
+    * last event (an evicted user's next event starts a fresh chain —
+    * dropping the one linking step, never fabricating one). Shuffle:
+    * the single user-keyed exchange every stateful op pays. */
+  def transitionStream(events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      idleEvictMillis: Long = 3600000L): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"))
+      .as[UserEvent]
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), TransitionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[UserEvent],
+            state: GroupState[(Long, Long, String)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val types = batch.map(_.event_type)
+            val chain = state.getOption.map(_._3 +: types).getOrElse(types)
+            val out = chain.zip(chain.drop(1))
+              .map { case (a, b) => TransitionOut(uid, a, b) }
+            val last = batch.last
+            state.update((last.ts.getTime, last.event_id, last.event_type))
+            state.setTimeoutTimestamp(last.ts.getTime + idleEvictMillis)
+            out.iterator
+          }
+      }
+  }
 
   /** Arbitrary keyed state: sessionization with an event-time timeout.
     * Per uuid, accumulate (count, min ts, max ts); when the watermark

@@ -134,6 +134,54 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.contains(("u2", 1L, 0L)))
   }
 
+  test("streaming transitions: steps link across triggers; sliced replay equals the batch matrix") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Tables
+    // (a) crafted cross-trigger linkage: u9's two events arrive in
+    // different micro-batches — the stored last event must supply the
+    // linking step
+    val craft = tmpDir("trcraft")
+    val mk = Seq(
+      (9L, java.sql.Timestamp.valueOf("2021-01-01 10:00:00"), 1L, "view"),
+      (9L, java.sql.Timestamp.valueOf("2021-01-01 10:05:00"), 2L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    mk.filter(col("event_id") === 1).coalesce(1).write.parquet(s"$craft/s0")
+    mk.filter(col("event_id") === 2).coalesce(1).write.parquet(s"$craft/s1")
+    val cs = spark.readStream.schema(mk.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(craft)
+    val got1 = runToMemory(
+      graft.engine.StreamingOps.transitionStream(cs).toDF, "trans_craft")
+      .as[(Long, String, String)].collect().toSet
+    assert(got1 == Set((9L, "view", "click")))
+    // (b) the maintenance claim: replaying the fixture in three
+    // event-time-ordered slices reproduces the batch matrix exactly
+    // (no eviction within the replay horizon)
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val sliced = ev.withColumn("slice",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val srcDir = tmpDir("trsrc")
+    (1 to 3).foreach { s =>
+      sliced.filter(col("slice") === s).drop("slice")
+        .coalesce(1).write.parquet(s"$srcDir/s$s")
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+    val steps = runToMemory(graft.engine.StreamingOps
+        .transitionStream(stream, idleEvictMillis = 1000L * 86400 * 3650)
+        .toDF, "trans_full")
+    val got = steps.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val expect = graft.engine.Relational.qTransitionMatrix(spark, sf0001)
+      .select(col("prev_type"), col("next_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming doc pipeline: batch-identical features, quality floor, content dedup") {
     import org.apache.spark.sql.functions.col
     import graft.engine.{TextOps, TimeOps}
