@@ -50,6 +50,8 @@ object Bench {
     "q_unigram_score",    // vocabulary join + per-doc agg (r6)
     "q_range_join",       // non-equi join via bucketed equi-join
     "q_merge_upsert",     // CDC MERGE decomposition (r13)
+    "q_interval_sweep",   // sweep-line concurrency, sharded prefix scan (r14)
+    "q_transition_matrix", // user-journey Markov matrix (r14)
     "q_pagerank",         // iterative graph analytics, integer-exact (r13)
     "q_cosine_topk",      // brute-force similarity
     "q_embed_neardup_ann", // LSH band join + exact verify (r12)
