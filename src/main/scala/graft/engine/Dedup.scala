@@ -450,16 +450,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
-    cands
-      .join(withSh.select(col("doc_id").as("ida"), col("sh").as("sa")), "ida")
-      .join(withSh.select(col("doc_id").as("idb"), col("sh").as("sb")), "idb")
-      .select(col("ida"), col("idb"),
-        size(array_intersect(col("sa"), col("sb"))).as("inter"),
-        size(col("sa")).as("na"), size(col("sb")).as("nb"))
-      .select(col("ida"), col("idb"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= t)
+    verifyJaccardPairs(cands, withSh, t)
   }
 
   /** Striped (position-interleaved) blocking chunks for the fuzzy
@@ -734,8 +725,17 @@ object Dedup {
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
-    // exact verification on the candidate set only; two-step select so
-    // the array_intersect is evaluated once
+    verifyJaccardPairs(cands, withSh, 0.8)
+  }
+
+  /** Exact Jaccard verification of candidate (ida, idb) pairs against
+    * the full (doc_id, sh) shingle-hash sets — the shared tail of
+    * every candidate-generation pair path ([[minhashPairs]],
+    * [[prefixFilterPairs]]): join both sides' sets back, intersect
+    * once (two-step select so `array_intersect` evaluates once), keep
+    * J ≥ `t`. */
+  private def verifyJaccardPairs(cands: DataFrame, withSh: DataFrame,
+      t: Double): DataFrame =
     cands
       .join(withSh.select(col("doc_id").as("ida"), col("sh").as("sa")), "ida")
       .join(withSh.select(col("doc_id").as("idb"), col("sh").as("sb")), "idb")
@@ -745,8 +745,7 @@ object Dedup {
       .select(col("ida"), col("idb"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-  }
+      .filter(col("jaccard") >= t)
 
   /** One large-star round over a canonically-oriented (src > dst)
     * distinct edge set: every node u connects each STRICTLY LARGER

@@ -691,15 +691,22 @@ object StreamingOps {
     * [[nearDupStream]], with the batch pass as the exact
     * reconciliation.
     *
-    * State is one (ts, event_id, type) triple per ACTIVE user,
-    * evicted by event-time timeout `idleEvictMillis` past the user's
-    * last event (an evicted user's next event starts a fresh chain —
-    * dropping the one linking step, never fabricating one). Shuffle:
-    * the single user-keyed exchange every stateful op pays. */
+    * State is ONE event-type string per ACTIVE user (the chain head
+    * — nothing else is ever consulted), evicted by event-time
+    * timeout `idleEvictMillis` past the user's last event (an
+    * evicted user's next event starts a fresh chain — dropping the
+    * one linking step, never fabricating one). Shuffle: the single
+    * user-keyed exchange every stateful op pays. */
   def transitionStream(events: DataFrame,
       watermarkDelay: String = "10 minutes",
       idleEvictMillis: Long = 3600000L): Dataset[TransitionOut] = {
     import events.sparkSession.implicits._
+    // full sub-millisecond precision: the batch pass orders by the
+    // micros-resolution timestamp, so the in-batch sort must too —
+    // getTime alone truncates to millis and would break the tie
+    // order for same-user same-millisecond events
+    def tsNanos(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
     events
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"),
@@ -708,21 +715,21 @@ object StreamingOps {
       .as[UserEvent]
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, String), TransitionOut](
+      .flatMapGroupsWithState[String, TransitionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[UserEvent],
-            state: GroupState[(Long, Long, String)]) =>
+            state: GroupState[String]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val batch = it.toSeq.sortBy(e => (tsNanos(e.ts), e.event_id))
             val types = batch.map(_.event_type)
-            val chain = state.getOption.map(_._3 +: types).getOrElse(types)
+            val chain = state.getOption.map(_ +: types).getOrElse(types)
             val out = chain.zip(chain.drop(1))
               .map { case (a, b) => TransitionOut(uid, a, b) }
             val last = batch.last
-            state.update((last.ts.getTime, last.event_id, last.event_type))
+            state.update(last.event_type)
             state.setTimeoutTimestamp(last.ts.getTime + idleEvictMillis)
             out.iterator
           }
