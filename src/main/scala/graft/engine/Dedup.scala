@@ -509,27 +509,37 @@ object Dedup {
     } :+ substring(col("c_name"), 10, 9)): _*)
     val probes = cust.filter(Tables.md5Bucket(col("c_custkey")) < 50)
       .select(col("c_custkey").as("probe_id"), dirty.as("probe_name"))
+    val clean = cust.select(col("c_custkey").as("match_id"),
+      col("c_name").as("clean_name"))
+    fuzzyLink(probes, clean).orderBy(col("probe_id"), col("match_id"))
+  }
+
+  /** The generic blocked fuzzy-link core over
+    * probes(probe_id, probe_name) × clean(match_id, clean_name):
+    * striped-chunk pigeonhole equi-join + exact levenshtein ≤ 2,
+    * verified BELOW the pair-dedup exchange. Factored from
+    * [[qFuzzyJoin]] so `tools.FuzzyScale` can drive it at 1M rows.
+    *
+    * Shapes that matter (both measured at sf0.1): the clean side is
+    * spread across cores before the join — a dimension parquet
+    * arrives as one split, and the candidate fan (Σ blocking-key df
+    * products) evaluates levenshtein on the STREAM side of the
+    * broadcast block join (29 s single-task → 1.8 s); and the
+    * levenshtein filter sits below the distinct, so the fan collapses
+    * to O(matches) before any exchange (id-only dedup of the raw fan
+    * + two name re-joins measured 10.6 s vs 2.8 s). */
+  private[graft] def fuzzyLink(probes: DataFrame,
+      clean: DataFrame): DataFrame = {
     val pk = probes.select(col("probe_id"), col("probe_name"),
       explode(stripedChunks(col("probe_name"))).as("ck"))
-    // the dimension parquet arrives as one split; the candidate fan
-    // (Σ df products ≈ n²/chunk-entropy) evaluates levenshtein on the
-    // STREAM side of the broadcast block join, so it must be spread
-    // across cores before the join (measured 29 s single-task → 1.8 s)
-    val ck = spread(cust).select(col("c_custkey").as("match_id"),
-      col("c_name"), explode(stripedChunks(col("c_name"))).as("ck"))
-    // verify BELOW the dedup exchange: the candidate fan (Σ blocking-
-    // key frequency products) streams through the chunk equi-join and
-    // collapses to O(matches) at the levenshtein filter BEFORE any
-    // exchange — a distinct on raw candidate ids shuffled the full
-    // fan and then re-joined names twice (measured 10.6 s → this
-    // shape at sf0.1); the 18-char names riding the block join are
-    // far cheaper than that exchange
+    val ck = Tables.spread(clean).select(col("match_id"), col("clean_name"),
+      explode(stripedChunks(col("clean_name"))).as("ck"))
     pk.join(ck, "ck")
       .select(col("probe_id"), col("match_id"),
-        levenshtein(col("probe_name"), col("c_name")).cast("long").as("dist"))
+        levenshtein(col("probe_name"), col("clean_name")).cast("long")
+          .as("dist"))
       .filter(col("dist") <= 2)
       .distinct()
-      .orderBy(col("probe_id"), col("match_id"))
   }
 
   /** PageRank micro-unit scale: ranks are BIGINTs in units of 1e−12.
