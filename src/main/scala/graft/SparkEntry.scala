@@ -70,6 +70,14 @@ object SparkEntry {
     // sweep-line open-interval concurrency (step function at change
     // days) via the sharded prefix scan
     "q_interval_sweep" -> Relational.qIntervalSweep _,
+    // most-common ordered event paths (WindowGroupLimit-pruned
+    // first-8 steps, sort_array per-user sequences)
+    "q_top_journeys" -> Relational.qTopJourneys _,
+    // mean/sigma from exact decimal moments + mu±3sigma counts
+    "q_outliers" -> Relational.qOutliers _,
+    // deterministic PPS systematic sampling by token count (md5
+    // order, sharded prefix scan, integer step crossings)
+    "q_sample_pps" -> TextOps.qSamplePps _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -1190,6 +1198,45 @@ object SparkEntry {
         |  CAST(sum(delta) OVER (ORDER BY day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
         |FROM g ORDER BY day""".stripMargin,
+    "q_top_journeys" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |j AS (SELECT user_id,
+        |        array_to_string(list(event_type ORDER BY ts, event_id), '>')
+        |          AS journey
+        |      FROM r WHERE rn <= 8 GROUP BY user_id)
+        |SELECT journey, count(*) AS n_users FROM j GROUP BY 1
+        |ORDER BY n_users DESC, journey
+        |LIMIT 50""".stripMargin,
+    "q_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS ss
+        |  FROM events GROUP BY 1),
+        |mm AS (SELECT event_type, n, s / n AS mu,
+        |         sqrt(ss / n - (s / n) * (s / n)) AS sigma FROM m)
+        |SELECT e.event_type, mm.n, mm.mu, mm.sigma,
+        |  SUM(CASE WHEN abs(e.value - mm.mu) > 3 * mm.sigma
+        |      THEN 1 ELSE 0 END) AS n_out
+        |FROM events e JOIN mm ON e.event_type = mm.event_type
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY e.event_type""".stripMargin,
+    "q_sample_pps" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(len($duckTokens) AS BIGINT) AS n_tok,
+         |             md5(CAST(doc_id AS VARCHAR)) AS h
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |        sum(n_tok) OVER (ORDER BY h, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM d)
+         |SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum FROM c
+         |WHERE cum // 1000 > (cum - n_tok) // 1000
+         |ORDER BY doc_id""".stripMargin,
     "q_transition_matrix" ->
       """WITH tr AS (
         |  SELECT lag(event_type) OVER

@@ -1163,6 +1163,69 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Top user journeys: the most common ordered event-type paths
+    * (first 8 steps per user), counted across users — the aggregate
+    * the per-step [[qTransitionMatrix]] marginalizes away. Steps are
+    * rank-limited BEFORE the collect (`row_number ≤ 8` triggers
+    * `WindowGroupLimit`, so map tasks pre-prune to 8 rows/user and
+    * the shuffle never carries a user's full history — the
+    * [[TextOps.qSampleStratified]] shape); the per-user sort uses
+    * `sort_array` over (ts, event_id, type) structs, deterministic
+    * at any partitioning. One user-keyed exchange serves BOTH the
+    * window and the collect (same key); the journey count is a
+    * \|distinct journeys\| agg and the top-50 is per-partition
+    * heaps. */
+  def qTopJourneys(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val first8 = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+    val journeys = first8.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+        col("event_type").as("e")))).as("s"))
+      .select(concat_ws(">", expr("transform(s, x -> x.e)")).as("journey"))
+    journeys.groupBy(col("journey"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey"))
+      .limit(50)
+  }
+
+  /** Moment-based outlier report: per event type, the row count,
+    * mean, population standard deviation, and how many values sit
+    * outside μ ± 3σ. The built-in one-pass `stddev` aggregate sums
+    * squares in FLOATING POINT, whose value depends on aggregation
+    * order and would break the cross-engine hash — here both moments
+    * accumulate through decimal (v through the usual DECIMAL(18,4),
+    * v² through DECIMAL(38,8) — 30 integer digits absorb any corpus),
+    * so μ and σ are single IEEE operations on exact sums,
+    * partitioning-independent by construction. Two narrow scans: the
+    * moments agg, then the outlier count with the \|types\|-row
+    * moment table broadcast back. (σ² = E[v²] − μ² loses precision
+    * when σ ≪ μ — not a determinism risk, both engines compute the
+    * identical expression; a precision-critical deployment swaps in
+    * the two-pass Σ(v−μ)² under the same decimal discipline.) */
+  def qOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("value"))
+    val mom = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
+        sum((col("value") * col("value")).cast("decimal(38,8)"))
+          .cast("double").as("ss"))
+      .select(col("event_type"), col("n"), (col("s") / col("n")).as("mu"),
+        col("ss"))
+      .select(col("event_type"), col("n"), col("mu"),
+        sqrt(col("ss") / col("n") - col("mu") * col("mu")).as("sigma"))
+    ev.join(broadcast(mom), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("mu"), col("sigma"))
+      .agg(sum(when(abs(col("value") - col("mu")) >
+        lit(3) * col("sigma"), 1L).otherwise(0L)).as("n_out"))
+      .orderBy(col("event_type"))
+  }
+
   /** Co-purchase pair mining (market-basket co-occurrence): for every
     * unordered pair of parts appearing in the same order, the number
     * of orders containing both — the input to "frequently bought

@@ -1358,6 +1358,44 @@ object TextOps {
     * source's total would make the operator a no-op). */
   val tokenBudget = 500L
 
+  /** Systematic PPS (probability-proportional-to-size) sampling —
+    * the deterministic weighted sampler next to the uniform
+    * [[qTrainMix]]: docs line up in md5 order (the shared seedless
+    * permutation), and a doc is selected iff its token span crosses
+    * a multiple of the step `w` = 1000 tokens — so selection
+    * probability ∝ token count with NO random number generator, and
+    * every ~w-token stretch of the corpus contributes one document
+    * (the classic systematic-sampling variance win over independent
+    * draws). Integer cumulative sums + integer `div` ⇒ hash-exact.
+    *
+    * The cumulative token count is the [[Relational.qSkyline]]
+    * two-level prefix scan: the first md5 hex char shards the order
+    * into 16 parallel local scans, the 16-row carry table rides a
+    * bounded window, and the output emits (doc, its token count,
+    * its cumulative end position) for every selected doc. */
+  def qSamplePps(spark: SparkSession, sfDir: String): DataFrame = {
+    val step = 1000L
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+    val wLocal = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = d.withColumn("lsum", sum(col("n_tok")).over(wLocal))
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = d.groupBy(col("shard")).agg(sum(col("n_tok")).as("ssum"))
+      .withColumn("csum", coalesce(sum(col("ssum")).over(wShard), lit(0L)))
+      .select(col("shard"), col("csum"))
+    local.join(broadcast(carry), Seq("shard"))
+      .withColumn("cum", col("lsum") + col("csum"))
+      .filter(expr(s"cum div $step") > expr(s"(cum - n_tok) div $step"))
+      .select(col("doc_id"), col("n_tok"), col("cum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget training mix — the token-denominated sibling of
     * the doc-count [[qTrainMix]]: training mixes are specified in
     * TOKENS, and a doc-count mix silently over-weights long-document

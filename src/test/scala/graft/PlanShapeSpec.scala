@@ -244,6 +244,20 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("top journeys: rank<=8 prunes map-side via WindowGroupLimit") {
+    val p = plan(Relational.qTopJourneys(spark, sf0001))
+    // a user's full history must never reach the shuffle — the
+    // row_number<=8 filter has to push into WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("PPS sample: sharded prefix scan — the only join is the carry broadcast") {
+    val p = plan(graft.engine.TextOps.qSamplePps(spark, sf0001))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+  }
+
   test("fuzzy join: blocked equi-joins only — never a cartesian levenshtein scan") {
     val p = plan(graft.engine.Dedup.qFuzzyJoin(spark, sf0001))
     // the quadratic regression is an all-pairs levenshtein cross

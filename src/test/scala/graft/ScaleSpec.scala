@@ -156,6 +156,45 @@ class ScaleSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty && got.size < parts.size)
   }
 
+  test("top journeys: equals a driver-side first-8-steps recompute") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val journeys = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      rows.sortBy(r => (r._2, r._3)).take(8).map(_._4).mkString(">") }
+    val expect = journeys.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (j, n) => (-n, j) }.take(50)
+    val got = graft.engine.Relational.qTopJourneys(spark, sf0001)
+      .as[(String, Long)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("outliers: exact-moment sigma matches a driver recompute; bound binds") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().toSeq
+    val expect = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2)
+      val n = vs.size.toLong
+      // the engine's exact-decimal accumulation, reproduced with
+      // BigDecimal (scale 4 for v, 8 for v*v — the dsum convention)
+      val s = vs.map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val ss = vs.map(v => BigDecimal(v * v).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val mu = s / n
+      val sigma = math.sqrt(ss / n - mu * mu)
+      val nOut = vs.count(v => math.abs(v - mu) > 3 * sigma).toLong
+      (t, n, mu, sigma, nOut)
+    }
+    val got = graft.engine.Relational.qOutliers(spark, sf0001)
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // the 3-sigma cut is non-vacuous somewhere in the fixture
+    assert(got.exists(_._5 > 0))
+  }
+
   test("interval sweep: equals a driver-side sweep-line recompute") {
     val got = graft.engine.Relational.qIntervalSweep(spark, sf0001)
       .as[(String, Long)].collect().toSeq

@@ -402,6 +402,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size < docs.size)
   }
 
+  test("PPS sample: step crossings in md5 order equal a driver recompute") {
+    val got = TextOps.qSamplePps(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ntk(t: String) =
+      t.toLowerCase.trim.split("\\s+").count(_.nonEmpty).toLong
+    val ordered = docs.map { case (id, t) =>
+      (md5hex(id.toString), id, ntk(t)) }.sorted
+    val cums = ordered.scanLeft(0L)(_ + _._3).tail
+    val expect = ordered.zip(cums).collect {
+      case ((_, id, n), c) if c / 1000 > (c - n) / 1000 => (id, n, c)
+    }.sortBy(_._1)
+    assert(got == expect && got.nonEmpty)
+    // systematic-sampling structure: exactly one selection per
+    // crossed step boundary — the sample size is total div step
+    val total = ordered.map(_._3).sum
+    assert(got.size == (total / 1000).toInt)
+    // and selection is size-proportional: the longest doc is far
+    // likelier in-sample than the shortest (sanity, not a property)
+    assert(got.map(_._2).max > got.map(_._2).min)
+  }
+
   test("cms bound: estimates for the exact top-30 all sit inside [exact, exact + eps*N]") {
     val out = TextOps.qCmsErr(spark, sf0001)
       .as[(String, Long, Boolean)].collect().toSeq
