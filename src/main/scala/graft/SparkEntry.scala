@@ -75,6 +75,9 @@ object SparkEntry {
     "q_top_journeys" -> Relational.qTopJourneys _,
     // mean/sigma from exact decimal moments + mu±3sigma counts
     "q_outliers" -> Relational.qOutliers _,
+    // CMS-inner-product join-size estimate vs the executed join —
+    // the relational sketch build, est/exact/bounds all hash-exact
+    "q_join_card" -> Relational.qJoinCard _,
     // deterministic PPS systematic sampling by token count (md5
     // order, sharded prefix scan, integer step crossings)
     "q_sample_pps" -> TextOps.qSamplePps _,
@@ -425,6 +428,34 @@ object SparkEntry {
        |SELECT node AS doc_id, CAST(r AS BIGINT) AS pr
        |FROM r${Dedup.pagerankIters}
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Join-cardinality oracle: the relational CMS build reproduced
+    * verbatim (md5 bucket hashes, per-depth inner products, min) —
+    * est, exact, and both guarantee booleans hash-exact. */
+  private val duckJoinCard: String = {
+    def hex8(v: String): String =
+      (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substring($v, ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")")
+    def legs(src: String): String = (0 until 5).map(r =>
+      s"""SELECT $r AS r,
+         |  ${hex8(s"md5('$r|' || CAST(k AS VARCHAR))")} % 8192 AS b
+         |FROM $src""".stripMargin).mkString("\nUNION ALL ")
+    s"""WITH ek AS (SELECT user_id AS k FROM events),
+       |ok AS (SELECT o_custkey AS k FROM orders),
+       |sa AS (SELECT r, b, count(*) AS c FROM (${legs("ek")}) GROUP BY 1, 2),
+       |sb AS (SELECT r, b, count(*) AS c2 FROM (${legs("ok")}) GROUP BY 1, 2),
+       |p AS (SELECT sa.r, SUM(sa.c * sb.c2) AS ip
+       |      FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY 1),
+       |e AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM p),
+       |x AS (SELECT count(*) AS exact FROM ek JOIN ok ON ek.k = ok.k),
+       |s AS (SELECT (SELECT count(*) FROM ek) AS na,
+       |             (SELECT count(*) FROM ok) AS nb)
+       |SELECT est, exact,
+       |  est >= exact AS never_under,
+       |  est <= exact + 8 * na * nb / 8192 AS within_bound
+       |FROM e CROSS JOIN x CROSS JOIN s""".stripMargin
   }
 
   /** Fuzzy-join oracle: rebuilds the deterministic prefix corruption,
@@ -1198,6 +1229,7 @@ object SparkEntry {
         |  CAST(sum(delta) OVER (ORDER BY day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
         |FROM g ORDER BY day""".stripMargin,
+    "q_join_card" -> duckJoinCard,
     "q_top_journeys" ->
       """WITH r AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -1163,6 +1163,60 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** CMS depth/width for [[qJoinCard]] — width sized so ε = 1/w keeps
+    * the inner-product bound tight at fixture scale while the sketch
+    * (d·w rows) stays broadcast-small. */
+  private val cmsDepth = 5
+  private val cmsWidth = 8192
+
+  /** Join-cardinality estimation WITHOUT executing the join — the
+    * optimizer-statistics companion to [[qSkewReport]]: |A ⋈_k B| =
+    * Σ_k f_A(k)·f_B(k) is estimated by the Count-Min inner product
+    * (Cormode & Muthukrishnan §4.2): build a d×w CMS over each
+    * side's key column, est = min_d Σ_b cmsA[d][b]·cmsB[d][b].
+    * Estimates NEVER undercount (collisions only add mass), and
+    * overshoot by ~N_A·N_B/w per row (min over d rows) — both
+    * asserted as TRUE rows next to the exact join count, the
+    * `q_cms_err` bound-query pattern, except here the sketch itself
+    * is RELATIONAL (md5-derived bucket hashes, rows (d, bucket,
+    * count)) so the full estimate — not just its guarantee — is
+    * reproduced by the oracle, hash-exact.
+    *
+    * Scale shape: one scan per side exploded ×d into the hash agg
+    * (map-side combined — the shuffle carries ≤ d·w rows per side,
+    * whatever the data volume), a d·w-row sketch join, and a d-row
+    * min. The exact count exists here only as the in-query
+    * yardstick; the production use is estimating a join you have
+    * NOT run, from sketches maintained incrementally (additive
+    * counters — the `qAggIncremental` monoid). */
+  def qJoinCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val evk = Tables(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("k"))
+    val ordk = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey").cast("long").as("k"))
+    def sketch(df: DataFrame): DataFrame = df
+      .select(explode(array((0 until cmsDepth).map(r =>
+        struct(lit(r).as("r"),
+          pmod(conv(substring(md5(concat_ws("|", lit(r), col("k"))),
+            1, 8), 16, 10).cast("long"), lit(cmsWidth)).as("b"))): _*))
+        .as("x"))
+      .groupBy(col("x.r").as("r"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val prods = sketch(evk)
+      .join(sketch(ordk).withColumnRenamed("c", "c2"), Seq("r", "b"))
+      .groupBy(col("r")).agg(sum(col("c") * col("c2")).as("ip"))
+    val est = prods.agg(min(col("ip")).as("est"))
+    val exact = evk.join(ordk, Seq("k")).agg(count(lit(1)).as("exact"))
+    val sizes = evk.agg(count(lit(1)).as("na"))
+      .crossJoin(ordk.agg(count(lit(1)).as("nb")))
+    est.crossJoin(exact).crossJoin(sizes)
+      .select(col("est"), col("exact"),
+        (col("est") >= col("exact")).as("never_under"),
+        (col("est") <= col("exact")
+          + lit(8) * col("na") * col("nb") / lit(cmsWidth))
+          .as("within_bound"))
+  }
+
   /** Top user journeys: the most common ordered event-type paths
     * (first 8 steps per user), counted across users — the aggregate
     * the per-step [[qTransitionMatrix]] marginalizes away. Steps are

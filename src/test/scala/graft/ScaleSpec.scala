@@ -156,6 +156,29 @@ class ScaleSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty && got.size < parts.size)
   }
 
+  test("join-card estimate: equals a driver-side CMS recompute; never undercounts") {
+    val ek = Tables(spark, sf0001, "events")
+      .select(col("user_id").cast("long")).as[Long].collect().toSeq
+    val ok = Tables(spark, sf0001, "orders")
+      .select(col("o_custkey").cast("long")).as[Long].collect().toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(r: Int, k: Long): Int =
+      (java.lang.Long.parseLong(md5hex(s"$r|$k").take(8), 16) % 8192).toInt
+    def sketch(ks: Seq[Long]): Map[(Int, Int), Long] =
+      ks.flatMap(k => (0 until 5).map(r => (r, bucket(r, k))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sa = sketch(ek); val sb = sketch(ok)
+    val est = (0 until 5).map { r =>
+      sa.collect { case ((`r`, b), c) => c * sb.getOrElse((r, b), 0L) }.sum
+    }.min
+    val of = ok.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = ek.map(k => of.getOrElse(k, 0L)).sum
+    val got = graft.engine.Relational.qJoinCard(spark, sf0001)
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq((est, exact, true, true)) && exact > 0)
+  }
+
   test("top journeys: equals a driver-side first-8-steps recompute") {
     val ev = Tables(spark, sf0001, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
