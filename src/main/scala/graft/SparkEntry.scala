@@ -1250,7 +1250,8 @@ object SparkEntry {
         |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS ss
         |  FROM events GROUP BY 1),
         |mm AS (SELECT event_type, n, s / n AS mu,
-        |         sqrt(ss / n - (s / n) * (s / n)) AS sigma FROM m)
+        |         sqrt(greatest(ss / n - (s / n) * (s / n), 0)) AS sigma
+        |       FROM m)
         |SELECT e.event_type, mm.n, mm.mu, mm.sigma,
         |  SUM(CASE WHEN abs(e.value - mm.mu) > 3 * mm.sigma
         |      THEN 1 ELSE 0 END) AS n_out
@@ -1258,10 +1259,12 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY e.event_type""".stripMargin,
     "q_sample_pps" ->
-      s"""WITH d AS (SELECT doc_id,
-         |             CAST(len($duckTokens) AS BIGINT) AS n_tok,
-         |             md5(CAST(doc_id AS VARCHAR)) AS h
-         |           FROM documents),
+      s"""WITH nn AS (SELECT doc_id, coalesce(text, '') AS text
+         |            FROM documents),
+         |d AS (SELECT doc_id,
+         |        CAST(len($duckTokens) AS BIGINT) AS n_tok,
+         |        md5(CAST(doc_id AS VARCHAR)) AS h
+         |      FROM nn),
          |c AS (SELECT doc_id, n_tok,
          |        sum(n_tok) OVER (ORDER BY h, doc_id
          |          ROWS UNBOUNDED PRECEDING) AS cum

@@ -1259,9 +1259,12 @@ object Relational {
     * partitioning-independent by construction. Two narrow scans: the
     * moments agg, then the outlier count with the \|types\|-row
     * moment table broadcast back. (σ² = E[v²] − μ² loses precision
-    * when σ ≪ μ — not a determinism risk, both engines compute the
-    * identical expression; a precision-critical deployment swaps in
-    * the two-pass Σ(v−μ)² under the same decimal discipline.) */
+    * when σ ≪ μ, and per-value decimal rounding can push a
+    * near-constant group's variance a hair NEGATIVE — clamped to 0
+    * before the sqrt, because engines disagree on sqrt(−ε): Spark
+    * returns NaN where DuckDB raises; a precision-critical
+    * deployment swaps in the two-pass Σ(v−μ)² under the same
+    * decimal discipline.) */
   def qOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables(spark, sfDir, "events")
       .select(col("event_type"), col("value"))
@@ -1272,7 +1275,8 @@ object Relational {
       .select(col("event_type"), col("n"), (col("s") / col("n")).as("mu"),
         col("ss"))
       .select(col("event_type"), col("n"), col("mu"),
-        sqrt(col("ss") / col("n") - col("mu") * col("mu")).as("sigma"))
+        sqrt(greatest(col("ss") / col("n") - col("mu") * col("mu"),
+          lit(0d))).as("sigma"))
     ev.join(broadcast(mom), Seq("event_type"))
       .groupBy(col("event_type"), col("n"), col("mu"), col("sigma"))
       .agg(sum(when(abs(col("value") - col("mu")) >

@@ -1365,8 +1365,12 @@ object TextOps {
     * a multiple of the step `w` = 1000 tokens — so selection
     * probability ∝ token count with NO random number generator, and
     * every ~w-token stretch of the corpus contributes one document
-    * (the classic systematic-sampling variance win over independent
-    * draws). Integer cumulative sums + integer `div` ⇒ hash-exact.
+    * (a doc longer than w absorbs several boundaries into its single
+    * selection — the classic systematic-sampling variance win over
+    * independent draws). Integer cumulative sums + integer `div` ⇒
+    * hash-exact; NULL text coalesces to "" (0 tokens, never
+    * selected) — `size` of a null array is −1 and would silently
+    * shift every later cumulative position.
     *
     * The cumulative token count is the [[Relational.qSkyline]]
     * two-level prefix scan: the first md5 hex char shards the order
@@ -1377,7 +1381,7 @@ object TextOps {
     val step = 1000L
     val d = Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tok"),
+        tokenCount(coalesce(col("text"), lit(""))).cast("long").as("n_tok"),
         md5(col("doc_id").cast("string")).as("h"))
       .withColumn("shard", substring(col("h"), 1, 1))
     val wLocal = Window.partitionBy(col("shard"))

@@ -207,7 +207,7 @@ class ScaleSpec extends SparkSpec {
       val ss = vs.map(v => BigDecimal(v * v).setScale(8, BigDecimal.RoundingMode.HALF_UP))
         .sum.toDouble
       val mu = s / n
-      val sigma = math.sqrt(ss / n - mu * mu)
+      val sigma = math.sqrt(math.max(ss / n - mu * mu, 0d))
       val nOut = vs.count(v => math.abs(v - mu) > 3 * sigma).toLong
       (t, n, mu, sigma, nOut)
     }

@@ -418,10 +418,14 @@ class TextOpsSpec extends SparkSpec {
       case ((_, id, n), c) if c / 1000 > (c - n) / 1000 => (id, n, c)
     }.sortBy(_._1)
     assert(got == expect && got.nonEmpty)
-    // systematic-sampling structure: exactly one selection per
-    // crossed step boundary — the sample size is total div step
+    // systematic-sampling structure: one selection per crossed step
+    // boundary, except a doc spanning several boundaries absorbs
+    // them into its single selection
     val total = ordered.map(_._3).sum
-    assert(got.size == (total / 1000).toInt)
+    val multi = ordered.zip(cums)
+      .map { case ((_, _, n), c) => math.max(0L, c / 1000 - (c - n) / 1000 - 1) }
+      .sum
+    assert(got.size == (total / 1000 - multi).toInt)
     // and selection is size-proportional: the longest doc is far
     // likelier in-sample than the shortest (sanity, not a property)
     assert(got.map(_._2).max > got.map(_._2).min)
