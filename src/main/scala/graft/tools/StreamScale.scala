@@ -125,6 +125,25 @@ object StreamScale {
     StructField("ad_type", IntegerType),
     StructField("timestamp", LongType)))
 
+  private def writeUserEvents(spark: SparkSession, n: Long, files: Int,
+      dir: String): Unit = {
+    import spark.implicits._
+    // 50k active users, 7 event types, 2 ms event spacing —
+    // time-sliced like writeDocs so the watermark advances per batch
+    spark.range(n).map { id =>
+      (id % 50000, new java.sql.Timestamp(1617171780000L + id * 2), id,
+        s"t${id % 7}")
+    }.toDF("user_id", "ts", "event_id", "event_type")
+      .repartitionByRange(files, org.apache.spark.sql.functions.col("ts"))
+      .write.mode("overwrite").json(dir)
+  }
+
+  private val userEventSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_id", LongType),
+    StructField("event_type", StringType)))
+
   private def streamOf(spark: SparkSession, dir: String,
       schema: StructType): DataFrame =
     spark.readStream.schema(schema)
@@ -274,12 +293,20 @@ object StreamScale {
         streamOf(spark, s"$root/clicks", eventSchema),
         window = "30 seconds"), nEvents + nEvents / 4)
 
+    // 4) per-user transition maintenance: keyed last-event state
+    //    (O(active users) = 50k), steps linked across micro-batches
+    writeUserEvents(spark, nEvents, nBatch, s"$root/uev")
+    val trans = measure(
+      StreamingOps.transitionStream(
+        streamOf(spark, s"$root/uev", userEventSchema)).toDF(), nEvents)
+
     println("{\"metric\":\"stream_rows_per_sec\"," +
       s""""value":${(docs.rows / docs.wallSec).round},"unit":"rows/s",""" +
       s""""state_store":"${if (rocks) "rocksdb" else "default"}",""" +
       s""""pipelines":{${docs.json("doc_pipeline")},""" +
       s"""${trending.json("trending_terms")},""" +
-      s"""${joined.json("interval_join")}}}""")
+      s"""${joined.json("interval_join")},""" +
+      s"""${trans.json("transition_stream")}}}""")
     spark.stop()
   }
 }
