@@ -78,6 +78,8 @@ object SparkEntry {
     // CMS-inner-product join-size estimate vs the executed join —
     // the relational sketch build, est/exact/bounds all hash-exact
     "q_join_card" -> Relational.qJoinCard _,
+    // Pearson r from exact decimal moments (the hashable corr)
+    "q_correlation" -> Relational.qCorrelation _,
     // deterministic PPS systematic sampling by token count (md5
     // order, sharded prefix scan, integer step crossings)
     "q_sample_pps" -> TextOps.qSamplePps _,
@@ -1230,6 +1232,21 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
         |FROM g ORDER BY day""".stripMargin,
     "q_join_card" -> duckJoinCard,
+    "q_correlation" ->
+      """WITH b AS (SELECT l_returnflag, l_quantity AS x,
+        |             l_extendedprice * (1 - l_discount) AS y
+        |           FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |        CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |        CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+        |        CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+        |      FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_top_journeys" ->
       """WITH r AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -1163,6 +1163,33 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Pearson correlation from exact decimal moments — the bivariate
+    * member of the stats family ([[qOutliers]] univariate,
+    * [[qSkewReport]] distributional, [[qJoinCard]] cross-table): per
+    * return flag, r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    * over (quantity, line revenue). The built-in `corr` aggregate
+    * accumulates co-moments in floats (aggregation-order-dependent —
+    * unhashable, the `stddev` problem); here all five sums ride
+    * DECIMAL (xy and squares through DECIMAL(38,8)), so r is a fixed
+    * IEEE expression over exact sums — identical at any
+    * partitioning. One narrow map-side-combined scan. */
+  def qCorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").as("x"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("y"))
+    def d38(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"),
+        dsum(col("y")).as("sy"), d38(col("x") * col("x")).as("sxx"),
+        d38(col("y") * col("y")).as("syy"), d38(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** CMS depth/width for [[qJoinCard]] — width sized so ε = 1/w keeps
     * the inner-product bound tight at fixture scale while the sketch
     * (d·w rows) stays broadcast-small. */
