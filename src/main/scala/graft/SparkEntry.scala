@@ -1232,21 +1232,30 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
         |FROM g ORDER BY day""".stripMargin,
     "q_join_card" -> duckJoinCard,
+    // integer-quantized moments (X = round(100x), Y = round(1e4*y)):
+    // exact HUGEINT accumulation, correctly-rounded double casts,
+    // one fixed IEEE expression — no per-row double->decimal cast
+    // whose rounding the engines could disagree on
     "q_correlation" ->
-      """WITH b AS (SELECT l_returnflag, l_quantity AS x,
-        |             l_extendedprice * (1 - l_discount) AS y
+      """WITH b AS (SELECT l_returnflag,
+        |             CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |             CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |                  AS BIGINT) AS y
         |           FROM lineitem),
         |m AS (SELECT l_returnflag, count(*) AS n,
-        |        CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-        |        CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-        |        CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-        |        CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy,
-        |        CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
-        |      FROM b GROUP BY 1)
+        |        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |        CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |        CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |        CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |      FROM b GROUP BY 1),
+        |mm AS (SELECT l_returnflag, n,
+        |         n * sxy - sx * sy AS num,
+        |         sqrt(greatest(n * sxx - sx * sx, 0)
+        |              * greatest(n * syy - sy * sy, 0)) AS den
+        |       FROM m)
         |SELECT l_returnflag, n,
-        |  (n * sxy - sx * sy) /
-        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
-        |FROM m ORDER BY l_returnflag""".stripMargin,
+        |  CASE WHEN den = 0 THEN NULL ELSE num / den END AS r
+        |FROM mm ORDER BY l_returnflag""".stripMargin,
     "q_top_journeys" ->
       """WITH r AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -1163,30 +1163,47 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
-  /** Pearson correlation from exact decimal moments — the bivariate
+  /** Pearson correlation from exact INTEGER moments — the bivariate
     * member of the stats family ([[qOutliers]] univariate,
     * [[qSkewReport]] distributional, [[qJoinCard]] cross-table): per
-    * return flag, r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²))
-    * over (quantity, line revenue). The built-in `corr` aggregate
-    * accumulates co-moments in floats (aggregation-order-dependent —
-    * unhashable, the `stddev` problem); here all five sums ride
-    * DECIMAL (xy and squares through DECIMAL(38,8)), so r is a fixed
-    * IEEE expression over exact sums — identical at any
-    * partitioning. One narrow map-side-combined scan. */
+    * return flag, r = (nΣXY − ΣXΣY) / √((nΣX²−(ΣX)²)(nΣY²−(ΣY)²))
+    * over (quantity, line revenue). The built-in `corr` accumulates
+    * co-moments in floats (aggregation-order-dependent — unhashable,
+    * the `stddev` problem); and a per-row double→DECIMAL(38,8) cast
+    * of the ~1e10-magnitude squares needs ~19 significant digits —
+    * more than a double carries, so Spark's shortest-repr rounding
+    * and DuckDB's binary-value rounding genuinely disagree (measured:
+    * 4756/6000 rows at sf0.001). So the variables are QUANTIZED to
+    * exact integers first — X = round(100·x), Y = round(10⁴·y), a
+    * half-cent quantization (relative ~1e−9) that r's scale
+    * invariance makes immaterial — and every moment accumulates in
+    * DECIMAL(38,0) integer arithmetic with no rounding anywhere.
+    * The final sums convert to double (correctly-rounded in both
+    * engines) and r is one fixed IEEE expression; the discriminants
+    * clamp at zero (double rounding of the exact sums can push a
+    * near-constant group a hair negative — the [[qOutliers]] sqrt
+    * hazard) and a zero denominator yields NULL in both engines.
+    * One narrow map-side-combined scan. */
   def qCorrelation(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir, "lineitem")
       .select(col("l_returnflag"),
-        col("l_quantity").as("x"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("y"))
-    def d38(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
-    li.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"),
-        dsum(col("y")).as("sy"), d38(col("x") * col("x")).as("sxx"),
-        d38(col("y") * col("y")).as("syy"), d38(col("x") * col("y")).as("sxy"))
+        round(col("l_quantity") * 100).cast("long").as("x"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long").as("y"))
+    def isum(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+    val m = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), isum(col("x")).as("sx"),
+        isum(col("y")).as("sy"), isum(col("x") * col("x")).as("sxx"),
+        isum(col("y") * col("y")).as("syy"),
+        isum(col("x") * col("y")).as("sxy"))
       .select(col("l_returnflag"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0d))
+          * greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(0d)))
+          .as("den"))
+    m.select(col("l_returnflag"), col("n"),
+        when(col("den") === 0, lit(null)).otherwise(col("num") / col("den"))
+          .as("r"))
       .orderBy(col("l_returnflag"))
   }
 

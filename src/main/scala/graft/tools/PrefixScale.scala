@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *      local running sums in parallel; a \|shards\|-row carry
   *      window (the bounded global window) broadcasts back.
   *
-  * Both produce identical values (asserted on a sample + the final
-  * row); the tool prints both walls. Usage:
-  *   sbt "runMain graft.tools.PrefixScale [nRows]"   # default 2000000
+  * Both outputs are asserted ROW-IDENTICAL via a full except() diff
+  * (outside the timed section); the tool prints both walls. Usage:
+  *   sbt "runMain graft.tools.PrefixScale [nRows]"   # default 2M;
+  * the recorded evidence runs used 10M and 40M.
   */
 object PrefixScale {
 
@@ -69,15 +70,14 @@ object PrefixScale {
     }
     val (wS, nS, sS) = time(sharded(ledger, span))
     val (wF, nF, sF) = time(flat(ledger))
-    // value identity on the checksum and the final cumulative row
-    val lastS = sharded(ledger, span).orderBy(col("k").desc).limit(1)
-      .select(col("cum")).as[Long].head()
-    val lastF = flat(ledger).orderBy(col("k").desc).limit(1)
-      .select(col("cum")).as[Long].head()
+    // FULL row identity (not a checksum, which offsetting per-row
+    // errors could satisfy): symmetric except() must be empty
+    val diff = sharded(ledger, span).except(flat(ledger)).count() +
+      flat(ledger).except(sharded(ledger, span)).count()
     println(f"rows=$nRows sharded=$wS%.1f s flat=$wF%.1f s " +
-      f"speedup=${wF / wS}%.1f x last_cum=$lastS")
-    assert(nS == nF && sS == sF && lastS == lastF,
-      s"mismatch: ($nS,$sS,$lastS) vs ($nF,$sF,$lastF)")
+      f"speedup=${wF / wS}%.1f x diff_rows=$diff")
+    assert(nS == nF && sS == sF && diff == 0,
+      s"mismatch: ($nS,$sS) vs ($nF,$sF), diff=$diff")
     spark.stop()
   }
 }

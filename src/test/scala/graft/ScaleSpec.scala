@@ -223,17 +223,20 @@ class ScaleSpec extends SparkSpec {
       .select(col("l_returnflag"), col("l_quantity"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("y"))
       .as[(String, Double, Double)].collect().toSeq
-    def dec(v: Double, s: Int) =
-      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP)
     val expect = li.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rows) =>
+      // the engine's integer quantization, reproduced: exact BigInt
+      // accumulation, then correctly-rounded double conversions
+      val xy = rows.map(r =>
+        (BigInt(math.round(r._2 * 100)), BigInt(math.round(r._3 * 10000))))
       val n = rows.size.toLong
-      val sx = rows.map(r => dec(r._2, 4)).sum.toDouble
-      val sy = rows.map(r => dec(r._3, 4)).sum.toDouble
-      val sxx = rows.map(r => dec(r._2 * r._2, 8)).sum.toDouble
-      val syy = rows.map(r => dec(r._3 * r._3, 8)).sum.toDouble
-      val sxy = rows.map(r => dec(r._2 * r._3, 8)).sum.toDouble
-      (f, n, (n * sxy - sx * sy) /
-        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+      def d(b: BigInt): Double = BigDecimal(b).toDouble
+      val sx = d(xy.map(_._1).sum); val sy = d(xy.map(_._2).sum)
+      val sxx = d(xy.map(p => p._1 * p._1).sum)
+      val syy = d(xy.map(p => p._2 * p._2).sum)
+      val sxy = d(xy.map(p => p._1 * p._2).sum)
+      val den = math.sqrt(math.max(n * sxx - sx * sx, 0d) *
+        math.max(n * syy - sy * sy, 0d))
+      (f, n, (n * sxy - sx * sy) / den)
     }
     val got = graft.engine.Relational.qCorrelation(spark, sf0001)
       .as[(String, Long, Double)].collect().toSeq
