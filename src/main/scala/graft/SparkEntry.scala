@@ -1713,8 +1713,8 @@ object SparkEntry {
     // machinery the k-means iterations use, here under the oracle
     "q_label_centroids" -> {
       val means = (0 until 8).map(i =>
-        s"CAST(SUM(CAST(v[${i + 1}] AS DECIMAL(30,15))) AS DOUBLE)" +
-          s" / COUNT(*) AS m$i").mkString(",\n        |  ")
+        s"CAST(SUM(CAST(round(v[${i + 1}] * 1e9) AS BIGINT)) AS DOUBLE)" +
+          s" / COUNT(*) / 1e9 AS m$i").mkString(",\n        |  ")
       s"""SELECT label, COUNT(*) AS n,
         |  $means
         |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -1286,10 +1286,18 @@ object Similarity {
         rows = corpusCount(spark, sfDir), minRowsPerTask = vecRowsPerTask)
       .select(col("label"), asDouble(col("embedding")).as("v"))
     val dims = 8
+    // integer-quantized accumulation (the qCorrelation discipline):
+    // a per-value double→DECIMAL(30,15) cast of these ~1e−2 floats
+    // needs 16-17 significant digits, where Spark's shortest-repr
+    // rounding and DuckDB's binary-value rounding can disagree in
+    // the last ULP (full-precision audit, r14) — round(v·1e9) is
+    // identical in both engines, the nano-quantized sums are exact
+    // integers, and the two closing IEEE ops are fixed
     val aggs = count(lit(1)).as("n") +:
       (0 until dims).map(i =>
-        (sum(element_at(col("v"), i + 1).cast("decimal(30,15)"))
-          .cast("double") / count(lit(1))).as(s"m$i"))
+        (sum(round(element_at(col("v"), i + 1) * 1e9).cast("long")
+          .cast("decimal(38,0)")).cast("double")
+          / count(lit(1)) / 1e9).as(s"m$i"))
     e.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
       .orderBy(col("label"))
   }
