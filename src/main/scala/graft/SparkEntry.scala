@@ -80,6 +80,9 @@ object SparkEntry {
     "q_join_card" -> Relational.qJoinCard _,
     // Pearson r from exact decimal moments (the hashable corr)
     "q_correlation" -> Relational.qCorrelation _,
+    // dbt-style declared-constraint suite: one row per check with
+    // its violation count (PK / FK / null / ranges)
+    "q_dq_checks" -> Relational.qDqChecks _,
     // deterministic PPS systematic sampling by token count (md5
     // order, sharded prefix scan, integer step crossings)
     "q_sample_pps" -> TextOps.qSamplePps _,
@@ -1232,6 +1235,29 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
         |FROM g ORDER BY day""".stripMargin,
     "q_join_card" -> duckJoinCard,
+    "q_dq_checks" ->
+      """WITH checks AS (
+        |  SELECT 'pk_orders_unique' AS "check",
+        |    count(*) - count(DISTINCT o_orderkey) AS n_bad FROM orders
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                       WHERE o_orderkey = l_orderkey))
+        |  UNION ALL
+        |  SELECT 'not_null_custkey',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'range_quantity',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_quantity <= 0 OR l_quantity > 100)
+        |  UNION ALL
+        |  SELECT 'range_discount',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_discount < 0 OR l_discount >= 1))
+        |SELECT "check", CAST(n_bad AS BIGINT) AS n_bad,
+        |  n_bad = 0 AS passed
+        |FROM checks ORDER BY "check"""".stripMargin,
     // integer-quantized moments (X = round(100x), Y = round(1e4*y)):
     // exact HUGEINT accumulation, correctly-rounded double casts,
     // one fixed IEEE expression — no per-row double->decimal cast

@@ -1163,6 +1163,45 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Data-quality check suite (the dbt-test / Deequ-style operational
+    * surface): one row per declared constraint with its violation
+    * count — primary-key uniqueness, referential integrity, null
+    * rate, and two value-range assertions. Each check is a narrow
+    * aggregate or key-pruned anti-join over one scan; the union is
+    * five 1-row frames. At 100 TB each check keeps the usual shapes
+    * (map-side-combined count-distinct for the PK check, the
+    * broadcast-able key anti-join for the FK check) — the point of
+    * expressing QA as plans rather than driver loops. */
+  def qDqChecks(spark: SparkSession, sfDir: String): DataFrame =
+    dqChecks(Tables(spark, sfDir, "orders"), Tables(spark, sfDir, "lineitem"))
+
+  /** The check suite over explicit (orders, lineitem) frames —
+    * factored so the spec can plant violations (the fixture is
+    * clean, so every n_bad is 0 there; the violation branches are
+    * exercised on crafted dirty data). */
+  private[graft] def dqChecks(ord: DataFrame, li: DataFrame): DataFrame = {
+    def row(name: String, bad: DataFrame): DataFrame =
+      bad.select(lit(name).as("check"), col("n_bad"),
+        (col("n_bad") === 0).as("passed"))
+    val pk = ord.agg((count(lit(1)) -
+      countDistinct(col("o_orderkey"))).as("n_bad"))
+    val fk = li.join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    val nn = ord.agg(sum(when(col("o_custkey").isNull, 1L)
+      .otherwise(0L)).as("n_bad"))
+    val rq = li.agg(sum(when(col("l_quantity") <= 0
+      || col("l_quantity") > 100, 1L).otherwise(0L)).as("n_bad"))
+    val rd = li.agg(sum(when(col("l_discount") < 0
+      || col("l_discount") >= 1, 1L).otherwise(0L)).as("n_bad"))
+    row("fk_lineitem_orders", fk)
+      .unionByName(row("not_null_custkey", nn))
+      .unionByName(row("pk_orders_unique", pk))
+      .unionByName(row("range_discount", rd))
+      .unionByName(row("range_quantity", rq))
+      .orderBy(col("check"))
+  }
+
   /** Pearson correlation from exact INTEGER moments — the bivariate
     * member of the stats family ([[qOutliers]] univariate,
     * [[qSkewReport]] distributional, [[qJoinCard]] cross-table): per

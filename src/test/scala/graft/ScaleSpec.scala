@@ -218,6 +218,28 @@ class ScaleSpec extends SparkSpec {
     assert(got.exists(_._5 > 0))
   }
 
+  test("dq checks: planted violations are counted per constraint") {
+    // orders: duplicate PK 1, null custkey on 3; lineitem: orphan
+    // orderkey 99, zero quantity, discount 1.0
+    val ord = Seq((1L, Some(10L)), (1L, Some(11L)), (2L, Some(12L)),
+        (3L, None))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((1L, 5.0, 0.1), (2L, 0.0, 0.05), (99L, 3.0, 1.0))
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+    val got = graft.engine.Relational.dqChecks(ord, li)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("fk_lineitem_orders", 1L, false),
+      ("not_null_custkey", 1L, false),
+      ("pk_orders_unique", 1L, false),
+      ("range_discount", 1L, false),
+      ("range_quantity", 1L, false)))
+    // and the clean fixture passes every check
+    val fix = graft.engine.Relational.qDqChecks(spark, sf0001)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(fix.size == 5 && fix.forall(_._3))
+  }
+
   test("correlation: exact-moment Pearson r equals a BigDecimal recompute") {
     val li = Tables(spark, sf0001, "lineitem")
       .select(col("l_returnflag"), col("l_quantity"),
