@@ -49,6 +49,9 @@ object SparkEntry {
     "q_sessionize_batch" -> Relational.qSessionizeBatch _,
     "q_funnel" -> Relational.qFunnel _,
     "q_time_bucket" -> Relational.qTimeBucket _,
+    // hopping (sliding) windows: 1h every 15min — each event in 4
+    // overlapping windows via Expand before the partial agg
+    "q_hop_window" -> Relational.qHopWindow _,
     // materialized-view maintenance: stored partials + new batch
     // merge-agg ≡ the full recompute (the oracle IS the full pass)
     "q_agg_incremental" -> Relational.qAggIncremental _,
@@ -1197,6 +1200,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
+    // each event replicated into its 4 overlapping hop windows
+    "q_hop_window" ->
+      """WITH x AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - t.j * INTERVAL '15 minutes' AS w,
+        |         event_type, value
+        |  FROM events CROSS JOIN range(4) AS t(j))
+        |SELECT CAST(w AS VARCHAR) AS bucket, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
     // the maintenance claim: merged MV partials ≡ the full one-pass
     // join-agg — so the oracle is deliberately the full recompute

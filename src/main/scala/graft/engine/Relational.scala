@@ -485,6 +485,25 @@ object Relational {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Batch HOPPING-window aggregation — the sliding twin of
+    * [[qTimeBucket]]'s tumble: 1-hour windows advancing every
+    * 15 minutes, so each event lands in FOUR overlapping windows.
+    * `window(ts, "1 hour", "15 minutes")` plans an `Expand` (×4 row
+    * replication BEFORE the partial agg — the shuffle still carries
+    * only \|windows × types\| combined rows, 4× the tumble's groups,
+    * never 4× the events); the oracle rebuilds the replication with
+    * a 4-offset cross join over 15-minute buckets. Same decimal-sum
+    * and string-bucket conventions as the tumble. */
+  def qHopWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** Incremental aggregation maintenance (materialized-view merge):
     * update an hourly rollup with a NEW event interval by combining
     * the STORED partial aggregates with the batch's partials —

@@ -218,6 +218,19 @@ class ScaleSpec extends SparkSpec {
     assert(got.exists(_._5 > 0))
   }
 
+  test("hop windows: 4 windows per event; whole-hour hops equal the tumble") {
+    val hop = graft.engine.Relational.qHopWindow(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val nev = Tables(spark, sf0001, "events").count()
+    assert(hop.map(_._3).sum == 4 * nev)
+    // a hop window starting on a whole hour covers [s, s+1h) — the
+    // tumbling bucket's exact definition — so those rows must match
+    // qTimeBucket verbatim
+    val tum = graft.engine.Relational.qTimeBucket(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(hop.filter(_._1.endsWith(":00:00")) == tum && tum.nonEmpty)
+  }
+
   test("dq checks: planted violations are counted per constraint") {
     // orders: duplicate PK 1, null custkey on 3; lineitem: orphan
     // orderkey 99, zero quantity, discount 1.0
