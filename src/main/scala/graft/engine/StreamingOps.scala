@@ -57,11 +57,13 @@ object StreamingOps {
     * canonical streaming aggregation. In append mode a window emits
     * exactly once, when the watermark passes its end. */
   def windowedCounts(parsed: DataFrame,
-      windowDur: String = "1 minute"): DataFrame =
+      windowDur: String = "1 minute",
+      slide: Option[String] = None): DataFrame =
     parsed
       .withColumn("event_time", TimeOps.eventTimeFromMillis(col("timestamp")))
       .withWatermark("event_time", "5 seconds")
-      .groupBy(window(col("event_time"), windowDur), col("ad_type"))
+      .groupBy(window(col("event_time"), windowDur,
+        slide.getOrElse(windowDur)), col("ad_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"), col("ad_type"), col("n"))

@@ -50,6 +50,23 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == Set((w2323, 1, 2L), (w2323, 2, 1L), (w2324, 1, 1L)))
   }
 
+  test("hopping window counts: an event emits from every overlapping window") {
+    // 1-minute windows sliding every 30 s — each event belongs to 2;
+    // the state/emission semantics are the tumble's, per window copy
+    val in = writeInput(Seq(
+      rec("a", T0 + 1000, 1),              // windows 06:22:30 and 06:23:00
+      rec("z", T0 + 10 * 60000, 9)))       // flush
+    val out = runToMemory(
+      StreamingOps.windowedCounts(
+        Ingest.parseLenient(Ingest.fileRaw(spark, in)),
+        slide = Some("30 seconds")), "hop_counts")
+      .select("w_start", "ad_type", "n")
+      .as[(java.sql.Timestamp, Int, Long)].collect().toSet
+    def ts(ms: Long) = java.sql.Timestamp
+      .from(java.time.Instant.ofEpochMilli(ms))
+    assert(out == Set((ts(T0 - 30000), 1, 1L), (ts(T0), 1, 1L)))
+  }
+
   test("session windows merge events within the gap") {
     val in = writeInput(Seq(
       rec("u1", T0), rec("u1", T0 + 10000), rec("u1", T0 + 20000), // one session
