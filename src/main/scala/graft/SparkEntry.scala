@@ -86,6 +86,8 @@ object SparkEntry {
     // dbt-style declared-constraint suite: one row per check with
     // its violation count (PK / FK / null / ranges)
     "q_dq_checks" -> Relational.qDqChecks _,
+    // median/MAD robust outliers (50% breakdown vs qOutliers' moments)
+    "q_outliers_robust" -> Relational.qOutliersRobust _,
     // deterministic PPS systematic sampling by token count (md5
     // order, sharded prefix scan, integer step crossings)
     "q_sample_pps" -> TextOps.qSamplePps _,
@@ -1250,6 +1252,23 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
         |FROM g ORDER BY day""".stripMargin,
     "q_join_card" -> duckJoinCard,
+    "q_outliers_robust" ->
+      """WITH med AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS median
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, m.median,
+        |    percentile_cont(0.5) WITHIN GROUP
+        |      (ORDER BY abs(e.value - m.median)) AS mad
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  GROUP BY 1, 2)
+        |SELECT e.event_type, m.median, m.mad,
+        |  SUM(CASE WHEN abs(e.value - m.median) > 3 * 1.4826 * m.mad
+        |      THEN 1 ELSE 0 END) AS n_out
+        |FROM events e JOIN mad m ON e.event_type = m.event_type
+        |GROUP BY 1, 2, 3
+        |ORDER BY e.event_type""".stripMargin,
     "q_dq_checks" ->
       """WITH checks AS (
         |  SELECT 'pk_orders_unique' AS "check",

@@ -1182,6 +1182,34 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** MAD-based robust outlier report — the resistant sibling of the
+    * moment-based [[qOutliers]] (a single 1e9 glitch shifts μ and
+    * explodes σ, silently masking every other anomaly; the median
+    * and the median absolute deviation shrug it off — 50% breakdown
+    * point). Per event type: median, MAD, and the count beyond
+    * 3 · 1.4826·MAD (1.4826 ≈ 1/Φ⁻¹(3/4) rescales MAD to σ under
+    * normality). Two percentile_cont aggregates (bit-identical
+    * interpolation in both engines — the [[qPercentiles]] contract)
+    * with the \|types\|-row median table broadcast between them. */
+  def qOutliersRobust(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)")
+        .as("median"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("median"))
+      .agg(expr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(value - median))")
+        .as("mad"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("median"), col("mad"))
+      .agg(sum(when(abs(col("value") - col("median")) >
+        lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+        .as("n_out"))
+      .orderBy(col("event_type"))
+  }
+
   /** Data-quality check suite (the dbt-test / Deequ-style operational
     * surface): one row per declared constraint with its violation
     * count — primary-key uniqueness, referential integrity, null

@@ -231,6 +231,37 @@ class ScaleSpec extends SparkSpec {
     assert(hop.filter(_._1.endsWith(":00:00")) == tum && tum.nonEmpty)
   }
 
+  test("robust outliers: median/MAD equal a driver recompute; resistant to a planted glitch") {
+    def p50(vs: Seq[Double]): Double = {
+      val s = vs.sorted; val idx = (s.size - 1) * 0.5
+      val lo = s(idx.toInt); val hi = s(math.ceil(idx).toInt)
+      lo + (hi - lo) * (idx - idx.toInt)
+    }
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().toSeq
+    val expect = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2)
+      val m = p50(vs)
+      val mad = p50(vs.map(v => math.abs(v - m)))
+      (t, m, mad, vs.count(v => math.abs(v - m) > 3 * 1.4826 * mad).toLong)
+    }
+    val got = graft.engine.Relational.qOutliersRobust(spark, sf0001)
+      .as[(String, Double, Double, Long)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // the robustness claim itself: one planted 1e9 glitch leaves the
+    // median/MAD cut essentially unchanged (moment-based mu/sigma
+    // would absorb it and mask everything else)
+    val glitched = (ev :+ (ev.head._1, 1e9)).groupBy(_._1)
+      .toSeq.sortBy(_._1).map { case (t, rows) =>
+        val vs = rows.map(_._2); val m = p50(vs)
+        (t, m, p50(vs.map(v => math.abs(v - m))))
+      }
+    expect.zip(glitched).foreach { case ((t, m, mad, _), (t2, m2, mad2)) =>
+      assert(t == t2 && math.abs(m - m2) < 2 && math.abs(mad - mad2) < 2)
+    }
+  }
+
   test("dq checks: planted violations are counted per constraint") {
     // orders: duplicate PK 1, null custkey on 3; lineitem: orphan
     // orderkey 99, zero quantity, discount 1.0
