@@ -464,7 +464,7 @@ object SparkEntry {
        |             (SELECT count(*) FROM ok) AS nb)
        |SELECT est, exact,
        |  est >= exact AS never_under,
-       |  est <= exact + 8 * na * nb / 8192 AS within_bound
+       |  est <= exact + 8.0 * na * nb / 8192 AS within_bound
        |FROM e CROSS JOIN x CROSS JOIN s""".stripMargin
   }
 
@@ -1329,21 +1329,26 @@ object SparkEntry {
         |SELECT journey, count(*) AS n_users FROM j GROUP BY 1
         |ORDER BY n_users DESC, journey
         |LIMIT 50""".stripMargin,
+    // integer-quantized moments (V = round(1e4*v)) — exact HUGEINT
+    // accumulation, the q_correlation discipline
     "q_outliers" ->
-      """WITH m AS (
-        |  SELECT event_type, count(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
-        |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS ss
-        |  FROM events GROUP BY 1),
-        |mm AS (SELECT event_type, n, s / n AS mu,
-        |         sqrt(greatest(ss / n - (s / n) * (s / n), 0)) AS sigma
+      """WITH b AS (SELECT event_type,
+        |             CAST(round(value * 10000) AS BIGINT) AS v
+        |           FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        CAST(SUM(v) AS DOUBLE) AS sv,
+        |        CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS svv
+        |      FROM b GROUP BY 1),
+        |mm AS (SELECT event_type, n, sv / n AS muv,
+        |         sqrt(greatest(svv / n - (sv / n) * (sv / n), 0)) AS sigv
         |       FROM m)
-        |SELECT e.event_type, mm.n, mm.mu, mm.sigma,
-        |  SUM(CASE WHEN abs(e.value - mm.mu) > 3 * mm.sigma
+        |SELECT b.event_type, mm.n, mm.muv / 10000.0 AS mu,
+        |  mm.sigv / 10000.0 AS sigma,
+        |  SUM(CASE WHEN abs(b.v - mm.muv) > 3 * mm.sigv
         |      THEN 1 ELSE 0 END) AS n_out
-        |FROM events e JOIN mm ON e.event_type = mm.event_type
+        |FROM b JOIN mm ON b.event_type = mm.event_type
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY e.event_type""".stripMargin,
+        |ORDER BY b.event_type""".stripMargin,
     "q_sample_pps" ->
       s"""WITH nn AS (SELECT doc_id, coalesce(text, '') AS text
          |            FROM documents),

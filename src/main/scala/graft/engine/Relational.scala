@@ -1138,18 +1138,9 @@ object Relational {
         .as("x"))
       .select(col("x.day").as("day"), col("x.delta").as("delta"))
     val g = deltas.groupBy(col("day")).agg(sum(col("delta")).as("delta"))
-      .withColumn("shard", trunc(col("day"), "month"))
-    val wLocal = Window.partitionBy(col("shard")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = g.withColumn("lsum", sum(col("delta")).over(wLocal))
-    val wShard = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = g.groupBy(col("shard")).agg(sum(col("delta")).as("ssum"))
-      .withColumn("csum", coalesce(sum(col("ssum")).over(wShard), lit(0L)))
-      .select(col("shard"), col("csum"))
-    local.join(broadcast(carry), Seq("shard"))
-      .select(col("day").cast("string").as("day"),
-        (col("lsum") + col("csum")).as("n_open"))
+    Scale.shardedPrefixSum(g, trunc(col("day"), "month"),
+        Seq(col("day")), col("delta"), "n_open")
+      .select(col("day").cast("string").as("day"), col("n_open"))
       .orderBy(col("day"))
   }
 
@@ -1235,12 +1226,15 @@ object Relational {
     val fk = li.join(ord.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n_bad"))
-    val nn = ord.agg(sum(when(col("o_custkey").isNull, 1L)
-      .otherwise(0L)).as("n_bad"))
-    val rq = li.agg(sum(when(col("l_quantity") <= 0
-      || col("l_quantity") > 100, 1L).otherwise(0L)).as("n_bad"))
-    val rd = li.agg(sum(when(col("l_discount") < 0
-      || col("l_discount") >= 1, 1L).otherwise(0L)).as("n_bad"))
+    // count over a filter (never sum-of-when): sum() of an empty
+    // frame is NULL, which would report neither pass nor fail and
+    // diverge from the oracle's count(*)-based 0/true
+    val nn = ord.agg(count(when(col("o_custkey").isNull, 1))
+      .as("n_bad"))
+    val rq = li.agg(count(when(col("l_quantity") <= 0
+      || col("l_quantity") > 100, 1)).as("n_bad"))
+    val rd = li.agg(count(when(col("l_discount") < 0
+      || col("l_discount") >= 1, 1)).as("n_bad"))
     row("fk_lineitem_orders", fk)
       .unionByName(row("not_null_custkey", nn))
       .unionByName(row("pk_orders_unique", pk))
@@ -1342,8 +1336,10 @@ object Relational {
     est.crossJoin(exact).crossJoin(sizes)
       .select(col("est"), col("exact"),
         (col("est") >= col("exact")).as("never_under"),
+        // bound arithmetic in DOUBLE: 8·na·nb wraps 64-bit longs at
+        // ~1e9-row sides (and DuckDB's BIGINT overflow raises)
         (col("est") <= col("exact")
-          + lit(8) * col("na") * col("nb") / lit(cmsWidth))
+          + lit(8d) * col("na") * col("nb") / lit(cmsWidth))
           .as("within_bound"))
   }
 
@@ -1386,31 +1382,41 @@ object Relational {
     * accumulate through decimal (v through the usual DECIMAL(18,4),
     * v² through DECIMAL(38,8) — 30 integer digits absorb any corpus),
     * so μ and σ are single IEEE operations on exact sums,
-    * partitioning-independent by construction. Two narrow scans: the
-    * moments agg, then the outlier count with the \|types\|-row
-    * moment table broadcast back. (σ² = E[v²] − μ² loses precision
-    * when σ ≪ μ, and per-value decimal rounding can push a
+    * partitioning-independent by construction. The values QUANTIZE
+    * to integers first (V = round(10⁴·v), the qCorrelation
+    * discipline — a per-row double→DECIMAL cast of v² would need
+    * more significant digits than a double carries once values grow,
+    * where the engines' rounding disagrees), the squares multiply in
+    * decimal (never a long overflow), and μ/σ are single IEEE ops on
+    * exact sums, reported back in original units. Two narrow scans:
+    * the moments agg, then the outlier count with the \|types\|-row
+    * moment table broadcast back. (σ² = E[V²] − μ² loses precision
+    * when σ ≪ μ, and double rounding of the exact sums can push a
     * near-constant group's variance a hair NEGATIVE — clamped to 0
     * before the sqrt, because engines disagree on sqrt(−ε): Spark
     * returns NaN where DuckDB raises; a precision-critical
-    * deployment swaps in the two-pass Σ(v−μ)² under the same
-    * decimal discipline.) */
+    * deployment swaps in the two-pass Σ(V−μ)² under the same
+    * integer discipline.) */
   def qOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables(spark, sfDir, "events")
-      .select(col("event_type"), col("value"))
+      .select(col("event_type"),
+        round(col("value") * 10000).cast("long").as("v"))
     val mom = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
-        sum((col("value") * col("value")).cast("decimal(38,8)"))
-          .cast("double").as("ss"))
-      .select(col("event_type"), col("n"), (col("s") / col("n")).as("mu"),
-        col("ss"))
-      .select(col("event_type"), col("n"), col("mu"),
-        sqrt(greatest(col("ss") / col("n") - col("mu") * col("mu"),
-          lit(0d))).as("sigma"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).cast("double").as("sv"),
+        sum(col("v").cast("decimal(19,0)") * col("v").cast("decimal(19,0)"))
+          .cast("double").as("svv"))
+      .select(col("event_type"), col("n"), (col("sv") / col("n")).as("muv"),
+        col("svv"))
+      .select(col("event_type"), col("n"), col("muv"),
+        sqrt(greatest(col("svv") / col("n") - col("muv") * col("muv"),
+          lit(0d))).as("sigv"))
     ev.join(broadcast(mom), Seq("event_type"))
-      .groupBy(col("event_type"), col("n"), col("mu"), col("sigma"))
-      .agg(sum(when(abs(col("value") - col("mu")) >
-        lit(3) * col("sigma"), 1L).otherwise(0L)).as("n_out"))
+      .groupBy(col("event_type"), col("n"), col("muv"), col("sigv"))
+      .agg(count(when(abs(col("v") - col("muv")) >
+        lit(3) * col("sigv"), 1)).as("n_out"))
+      .select(col("event_type"), col("n"), (col("muv") / 10000.0).as("mu"),
+        (col("sigv") / 10000.0).as("sigma"), col("n_out"))
       .orderBy(col("event_type"))
   }
 

@@ -88,4 +88,34 @@ object Scale {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Two-level distributed running SUM — the sharded prefix scan
+    * behind `Relational.qIntervalSweep`, `TextOps.qSamplePps` and
+    * `tools.PrefixScale` (and, in its MAX form, `qSkyline`): the
+    * `shard` expression must be ORDER-PRESERVING w.r.t. `order`
+    * (rows in a lower shard precede every row of a higher one);
+    * each shard computes its local inclusive running sum in
+    * parallel, and the cross-shard carry rides a window over the
+    * \|shards\|-row per-shard totals — the one global window, bounded
+    * by the shard domain, never the data. Appends `cumName` and an
+    * internal shard column is dropped. A flat `Window.orderBy` is
+    * the single-task anti-pattern this replaces (A/B-measured 4.6×
+    * at 40M rows, `tools.PrefixScale`). */
+  def shardedPrefixSum(df: DataFrame, shard: Column, order: Seq[Column],
+      value: Column, cumName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.withColumn("__shard", shard).withColumn("__v", value)
+    val wLocal = Window.partitionBy(col("__shard")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = g.withColumn("__lsum", sum(col("__v")).over(wLocal))
+    val wShard = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = g.groupBy(col("__shard")).agg(sum(col("__v")).as("__ssum"))
+      .withColumn("__csum",
+        coalesce(sum(col("__ssum")).over(wShard), lit(0L)))
+      .select(col("__shard"), col("__csum"))
+    local.join(broadcast(carry), Seq("__shard"))
+      .withColumn(cumName, col("__lsum") + col("__csum"))
+      .drop("__shard", "__v", "__lsum")
+  }
 }

@@ -1383,18 +1383,8 @@ object TextOps {
       .select(col("doc_id"),
         tokenCount(coalesce(col("text"), lit(""))).cast("long").as("n_tok"),
         md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("shard", substring(col("h"), 1, 1))
-    val wLocal = Window.partitionBy(col("shard"))
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = d.withColumn("lsum", sum(col("n_tok")).over(wLocal))
-    val wShard = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = d.groupBy(col("shard")).agg(sum(col("n_tok")).as("ssum"))
-      .withColumn("csum", coalesce(sum(col("ssum")).over(wShard), lit(0L)))
-      .select(col("shard"), col("csum"))
-    local.join(broadcast(carry), Seq("shard"))
-      .withColumn("cum", col("lsum") + col("csum"))
+    Scale.shardedPrefixSum(d, substring(col("h"), 1, 1),
+        Seq(col("h"), col("doc_id")), col("n_tok"), "cum")
       .filter(expr(s"cum div $step") > expr(s"(cum - n_tok) div $step"))
       .select(col("doc_id"), col("n_tok"), col("cum"))
       .orderBy(col("doc_id"))

@@ -23,19 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object PrefixScale {
 
-  private def sharded(df: DataFrame, span: Long): DataFrame = {
-    val g = df.withColumn("shard", expr(s"k div $span"))
-    val wLocal = Window.partitionBy(col("shard")).orderBy(col("k"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = g.withColumn("lsum", sum(col("delta")).over(wLocal))
-    val wShard = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = g.groupBy(col("shard")).agg(sum(col("delta")).as("ssum"))
-      .withColumn("csum", coalesce(sum(col("ssum")).over(wShard), lit(0L)))
-      .select(col("shard"), col("csum"))
-    local.join(broadcast(carry), Seq("shard"))
-      .select(col("k"), (col("lsum") + col("csum")).as("cum"))
-  }
+  private def sharded(df: DataFrame, span: Long): DataFrame =
+    graft.engine.Scale.shardedPrefixSum(df, expr(s"k div $span"),
+        Seq(col("k")), col("delta"), "cum")
+      .select(col("k"), col("cum"))
 
   private def flat(df: DataFrame): DataFrame =
     df.select(col("k"), sum(col("delta")).over(

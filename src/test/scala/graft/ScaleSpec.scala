@@ -198,18 +198,16 @@ class ScaleSpec extends SparkSpec {
       .select(col("event_type"), col("value"))
       .as[(String, Double)].collect().toSeq
     val expect = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
-      val vs = rows.map(_._2)
-      val n = vs.size.toLong
-      // the engine's exact-decimal accumulation, reproduced with
-      // BigDecimal (scale 4 for v, 8 for v*v — the dsum convention)
-      val s = vs.map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))
-        .sum.toDouble
-      val ss = vs.map(v => BigDecimal(v * v).setScale(8, BigDecimal.RoundingMode.HALF_UP))
-        .sum.toDouble
-      val mu = s / n
-      val sigma = math.sqrt(math.max(ss / n - mu * mu, 0d))
-      val nOut = vs.count(v => math.abs(v - mu) > 3 * sigma).toLong
-      (t, n, mu, sigma, nOut)
+      // the engine's integer quantization, reproduced: exact BigInt
+      // accumulation, correctly-rounded double conversions
+      val vq = rows.map(r => BigInt(math.round(r._2 * 10000)))
+      val n = vq.size.toLong
+      val sv = BigDecimal(vq.sum).toDouble
+      val svv = BigDecimal(vq.map(x => x * x).sum).toDouble
+      val muv = sv / n
+      val sigv = math.sqrt(math.max(svv / n - muv * muv, 0d))
+      val nOut = vq.count(x => math.abs(x.toDouble - muv) > 3 * sigv).toLong
+      (t, n, muv / 10000.0, sigv / 10000.0, nOut)
     }
     val got = graft.engine.Relational.qOutliers(spark, sf0001)
       .as[(String, Long, Double, Double, Long)].collect().toSeq
