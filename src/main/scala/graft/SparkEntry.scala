@@ -88,6 +88,9 @@ object SparkEntry {
     "q_dq_checks" -> Relational.qDqChecks _,
     // median/MAD robust outliers (50% breakdown vs qOutliers' moments)
     "q_outliers_robust" -> Relational.qOutliersRobust _,
+    // Gini-Simpson source diversity per language + overall (the
+    // rational, oracle-expressible alternative to entropy)
+    "q_diversity" -> TextOps.qDiversity _,
     // deterministic PPS systematic sampling by token count (md5
     // order, sharded prefix scan, integer step crossings)
     "q_sample_pps" -> TextOps.qSamplePps _,
@@ -1252,6 +1255,22 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
         |FROM g ORDER BY day""".stripMargin,
     "q_join_card" -> duckJoinCard,
+    "q_diversity" ->
+      """WITH s AS (SELECT lang, source, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |pl AS (SELECT lang, SUM(c) AS n,
+        |         SUM(CAST(c AS HUGEINT) * c) AS c2,
+        |         count(*) AS n_sources
+        |       FROM s GROUP BY 1),
+        |ov AS (SELECT '*' AS lang, SUM(c) AS n,
+        |         SUM(CAST(c AS HUGEINT) * c) AS c2,
+        |         count(*) AS n_sources
+        |       FROM (SELECT source, SUM(c) AS c FROM s GROUP BY 1)),
+        |u AS (SELECT * FROM pl UNION ALL SELECT * FROM ov)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs, n_sources,
+        |  1 - CAST(c2 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS diversity
+        |FROM u ORDER BY lang""".stripMargin,
     "q_outliers_robust" ->
       """WITH med AS (
         |  SELECT event_type,

@@ -1358,6 +1358,41 @@ object TextOps {
     * source's total would make the operator a no-op). */
   val tokenBudget = 500L
 
+  /** Source-diversity index (Gini–Simpson, 1 − Σ pᵢ²) per language
+    * and overall — the curation dashboard's "is this slice dominated
+    * by one source?" number (0 = a single source, →1 = evenly
+    * spread). Deliberately NOT Shannon entropy: entropy needs per-
+    * class log products whose libm evaluation an oracle can't
+    * reproduce bit-exactly (the [[qImportanceRatio]] reasoning),
+    * while Gini–Simpson is a rational statistic — exact integer
+    * counts, one Σc² decimal sum, a single IEEE division per row.
+    * Scale shape: one (lang, source) hash agg (map-side combined,
+    * \|langs × sources\| rows), then a \|rows\|-sized rollup — the
+    * corpus is scanned once. */
+  def qDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val bySrc = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    // c² multiplies in decimal — a long product wraps once a single
+    // source holds > ~3e9 docs
+    def c2sum: Column = sum(col("c").cast("decimal(19,0)")
+      * col("c").cast("decimal(19,0)")).as("c2")
+    val perLang = bySrc.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n"), c2sum, count(lit(1)).as("n_sources"))
+    val overall = bySrc.groupBy(col("source"))
+      .agg(sum(col("c")).as("c"))
+      .agg(sum(col("c")).as("n"), c2sum, count(lit(1)).as("n_sources"))
+      .select(lit("*").as("lang"), col("n"), col("c2"), col("n_sources"))
+    perLang.select(col("lang"), col("n"), col("c2"), col("n_sources"))
+      .unionByName(overall)
+      .select(col("lang"), col("n").cast("long").as("n_docs"),
+        col("n_sources"),
+        (lit(1d) - col("c2").cast("double")
+          / (col("n").cast("double") * col("n").cast("double")))
+          .as("diversity"))
+      .orderBy(col("lang"))
+  }
+
   /** Systematic PPS (probability-proportional-to-size) sampling —
     * the deterministic weighted sampler next to the uniform
     * [[qTrainMix]]: docs line up in md5 order (the shared seedless

@@ -402,6 +402,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size < docs.size)
   }
 
+  test("diversity: Gini-Simpson equals a driver recompute, bounded in [0,1)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "source").as[(String, String)].collect().toSeq
+    def div(rows: Seq[String]): (Long, Long, Double) = {
+      val cs = rows.groupBy(identity).values.map(_.size.toLong).toSeq
+      val n = cs.sum
+      (n, cs.size.toLong,
+        1d - cs.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+          / (n.toDouble * n.toDouble))
+    }
+    val perLang = docs.groupBy(_._1).toSeq.map { case (l, rows) =>
+      val (n, ns, d) = div(rows.map(_._2)); (l, n, ns, d) }
+    val (n0, ns0, d0) = div(docs.map(_._2))
+    val expect = (perLang :+ (("*", n0, ns0, d0))).sortBy(_._1)
+    val got = TextOps.qDiversity(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    assert(got.forall(r => r._4 >= 0d && r._4 < 1d))
+  }
+
   test("PPS sample: step crossings in md5 order equal a driver recompute") {
     val got = TextOps.qSamplePps(spark, sf0001)
       .as[(Long, Long, Long)].collect().toSeq
