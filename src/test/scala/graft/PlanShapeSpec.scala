@@ -244,6 +244,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("hop window: Expand replicates before the partial agg") {
+    val p = plan(Relational.qHopWindow(spark, sf0001))
+    // the ×4 window replication must happen in Expand below a
+    // partial/final agg — never a 4-way self-union re-scanning the
+    // source per offset
+    assert(p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("robust outliers: percentile passes broadcast the moment tables") {
+    val p = plan(Relational.qOutliersRobust(spark, sf0001))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+  }
+
   test("top journeys: rank<=8 prunes map-side via WindowGroupLimit") {
     val p = plan(Relational.qTopJourneys(spark, sf0001))
     // a user's full history must never reach the shuffle — the
