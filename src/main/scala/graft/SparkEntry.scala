@@ -153,6 +153,10 @@ object SparkEntry {
     // record linkage: corrupted probe names re-linked by striped
     // pigeonhole blocking + exact levenshtein verify
     "q_fuzzy_join" -> Dedup.qFuzzyJoin _,
+    // indel corruption (delete + insert, alignment-shifting) re-linked
+    // through symmetric-delete blocking — complete for lev ≤ 2, so
+    // its oracle is the plain brute-force cross join
+    "q_fuzzy_indel" -> Dedup.qFuzzyIndel _,
     "q_dedup_minhash" -> Dedup.qDedupMinhash _,
     "q_dedup_clusters" -> Dedup.qDedupClusters _,
     "q_dedup_clusters_dist" -> Dedup.qDedupClustersDist _,
@@ -206,6 +210,14 @@ object SparkEntry {
     // each hash-checked against the same DuckDB oracle
     "q_kmeans_assign" -> Similarity.qKmeansAssign _,
     "q_kmeans_assign_expr" -> Similarity.qKmeansAssignExpr _,
+    // IVF-PQ: rows-only by design (Lloyd-fitted subspace codebooks —
+    // the q_ann_ivf_km precedent; the spec pins recall vs exact
+    // truth, AnnScale the compression ratio)
+    "q_ann_pq" -> Similarity.qAnnPq _,
+    // fixed-codebook PQ encode — the oracle-checked twin of the
+    // fitted path, both codegen paths against one oracle
+    "q_pq_assign" -> Similarity.qPqAssign _,
+    "q_pq_assign_expr" -> Similarity.qPqAssignExpr _,
     // rows-only by design (iterative k-means has no SQL oracle; the
     // spec pins argmin + SSE-monotonicity instead)
     "q_embed_cluster" -> Similarity.qEmbedCluster _,
@@ -377,6 +389,33 @@ object SparkEntry {
       |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM r
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** One oracle, two Spark codegen paths (`q_pq_assign` /
+    * `q_pq_assign_expr`): per-subspace fixed-codeword squared-
+    * distance argmin over 1-based contiguous sub-slices — the
+    * [[kmeansAssignOracle]] arithmetic replayed in each of the m = 8
+    * subspaces (codewords = the first 16 corpus vectors' slices). */
+  private val pqAssignOracle = {
+    val codeCols = (0 until 8).map(j =>
+      s"  CAST(MAX(CASE WHEN j = $j THEN cid END) AS INTEGER) AS c$j")
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |s AS (SELECT e.vec_id, js.j, c.cid,
+       |        -2 * list_inner_product(e.v[js.j*8+1 : js.j*8+8],
+       |                                c.cv[js.j*8+1 : js.j*8+8])
+       |          + list_inner_product(c.cv[js.j*8+1 : js.j*8+8],
+       |                               c.cv[js.j*8+1 : js.j*8+8]) AS d2
+       |      FROM e CROSS JOIN c CROSS JOIN js),
+       |r AS (SELECT vec_id, j, cid,
+       |        row_number() OVER (PARTITION BY vec_id, j
+       |                           ORDER BY d2, cid) AS rn
+       |      FROM s)
+       |SELECT vec_id,
+       |$codeCols
+       |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   /** Shared CTE chain ending in the verified J ≥ 0.8 near-dup `pairs`
     * — consumed by the pair queries and the recursive clusters oracle. */
   private val duckShingleBody =
@@ -515,6 +554,46 @@ object SparkEntry {
        |FROM cand JOIN probe USING (probe_id)
        |JOIN c ON c.c_custkey = cand.match_id
        |WHERE levenshtein(probe_name, c_name) <= 2
+       |ORDER BY probe_id, match_id""".stripMargin
+  }
+
+  /** Brute-force oracle for the INDEL fuzzy join — deliberately NO
+    * blocking to mirror (unlike [[duckFuzzy]]): the deletion-
+    * neighborhood blocking is COMPLETE for levenshtein ≤ 2, so
+    * DuckDB's independent cross-join + levenshtein answer must equal
+    * the blocked result exactly — the oracle double-checks the
+    * completeness theorem every round, not just the arithmetic. */
+  private val duckFuzzyIndel: String = {
+    def hex4(v: String, s: Int): String =
+      (0 until 4).map(k =>
+        s"(strpos('0123456789abcdef', substring($v, ${s + k}, 1)) - 1) * ${math.pow(16, 3 - k).toInt}")
+        .mkString("(", " + ", ")")
+    s"""WITH c AS (SELECT c_custkey, c_name FROM customer),
+       |hb AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS hx
+       |       FROM c),
+       |bkt AS (SELECT c_custkey FROM hb WHERE ${hex4("hx", 1)} % 100 < 10),
+       |hc AS (SELECT c_custkey, md5('fzi|' || CAST(c_custkey AS VARCHAR))
+       |         AS hx
+       |       FROM c),
+       |par AS (SELECT c_custkey,
+       |          ${hex4("hx", 1)} % 9 AS pd, ${hex4("hx", 5)} % 9 AS pi,
+       |          ${hex4("hx", 9)} % 26 AS il
+       |        FROM hc),
+       |pr0 AS (SELECT c.c_custkey, c_name, pi, il,
+       |          substring(c_name, 1, pd) ||
+       |          substring(c_name, pd + 2, length(c_name)) AS delname
+       |        FROM c JOIN par ON par.c_custkey = c.c_custkey
+       |        JOIN bkt ON bkt.c_custkey = c.c_custkey),
+       |probe AS (SELECT c_custkey AS probe_id,
+       |            substring(delname, 1, pi)
+       |              || substring('abcdefghijklmnopqrstuvwxyz', il + 1, 1)
+       |              || substring(delname, pi + 1, length(delname))
+       |              AS probe_name
+       |          FROM pr0)
+       |SELECT p.probe_id, c.c_custkey AS match_id,
+       |  CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS dist
+       |FROM probe p CROSS JOIN c
+       |WHERE levenshtein(p.probe_name, c.c_name) <= 2
        |ORDER BY probe_id, match_id""".stripMargin
   }
 
@@ -1283,8 +1362,8 @@ object SparkEntry {
         |  FROM events e JOIN med m ON e.event_type = m.event_type
         |  GROUP BY 1, 2)
         |SELECT e.event_type, m.median, m.mad,
-        |  SUM(CASE WHEN abs(e.value - m.median) > 3 * 1.4826 * m.mad
-        |      THEN 1 ELSE 0 END) AS n_out
+        |  CAST(SUM(CASE WHEN abs(e.value - m.median) > 3 * 1.4826 * m.mad
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_out
         |FROM events e JOIN mad m ON e.event_type = m.event_type
         |GROUP BY 1, 2, 3
         |ORDER BY e.event_type""".stripMargin,
@@ -1323,9 +1402,9 @@ object SparkEntry {
         |           FROM lineitem),
         |m AS (SELECT l_returnflag, count(*) AS n,
         |        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-        |        CAST(SUM(x * x) AS DOUBLE) AS sxx,
-        |        CAST(SUM(y * y) AS DOUBLE) AS syy,
-        |        CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |        CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |        CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |        CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
         |      FROM b GROUP BY 1),
         |mm AS (SELECT l_returnflag, n,
         |         n * sxy - sx * sy AS num,
@@ -1363,8 +1442,8 @@ object SparkEntry {
         |       FROM m)
         |SELECT b.event_type, mm.n, mm.muv / 10000.0 AS mu,
         |  mm.sigv / 10000.0 AS sigma,
-        |  SUM(CASE WHEN abs(b.v - mm.muv) > 3 * mm.sigv
-        |      THEN 1 ELSE 0 END) AS n_out
+        |  CAST(SUM(CASE WHEN abs(b.v - mm.muv) > 3 * mm.sigv
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_out
         |FROM b JOIN mm ON b.event_type = mm.event_type
         |GROUP BY 1, 2, 3, 4
         |ORDER BY b.event_type""".stripMargin,
@@ -1656,6 +1735,7 @@ object SparkEntry {
     "q_jaccard_pairs" -> duckShingleCte,
     "q_jaccard_prefix" -> duckShingleCte,
     "q_fuzzy_join" -> duckFuzzy,
+    "q_fuzzy_indel" -> duckFuzzyIndel,
     // (shingle, source)-distinct inverted index, then a source-keyed
     // self-join — 1-based tk[i..i+2] over i = 1..len-2 mirrors
     // shinglesFromTokens' sequence(0, size-3) exactly
@@ -1813,6 +1893,8 @@ object SparkEntry {
     // same SQL.
     "q_kmeans_assign" -> kmeansAssignOracle,
     "q_kmeans_assign_expr" -> kmeansAssignOracle,
+    "q_pq_assign" -> pqAssignOracle,
+    "q_pq_assign_expr" -> pqAssignOracle,
     // IVF ANN: centroids = first ⌈√n⌉ corpus vectors, inner-product
     // assignment, nprobe=2, exact cosine re-rank — all expressible on
     // bit-identical list_inner_product, so cells and ranks reproduce

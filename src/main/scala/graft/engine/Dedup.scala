@@ -549,6 +549,101 @@ object Dedup {
       .distinct()
   }
 
+  /** The ≤2-deletion neighborhood of a string, as 64-bit hashes —
+    * the symmetric-delete blocking key set (FastSS, Bocek et al.
+    * 2007 / SymSpell): D₂(s) = s plus every string obtained by
+    * deleting 1 or 2 characters. THE theorem that makes this
+    * blocking complete for FULL levenshtein ≤ 2 (indels included,
+    * where [[stripedChunks]]' pigeonhole only covers substitutions):
+    * in an optimal alignment of a and b with ≤ 2 edits, the matched
+    * characters form a common subsequence c reachable from EITHER
+    * side by deleting only its un-matched characters — at most
+    * (substitutions + deletions) ≤ 2 from a and (substitutions +
+    * insertions) ≤ 2 from b — so c ∈ D₂(a) ∩ D₂(b) and every
+    * qualifying pair shares a key. Variants are hashed to longs
+    * (8-byte join keys instead of ~17-char strings; collisions only
+    * ADD candidates, which the levenshtein verify discards) and
+    * deduped in-row — repeated characters (the zero-runs of id-
+    * structured keys) collapse many deletions to one variant, so the
+    * real fan on such corpora is well under the 1 + L + C(L,2)
+    * bound (~172 at L = 18). Requires length(s) ≥ 2. */
+  private[graft] def delNeighborhood(s: Column): Column = {
+    val L = length(s)
+    val d0 = array(xxhash64(s))
+    val d1 = transform(sequence(lit(0), L - 1),
+      i => xxhash64(concat(s.substr(lit(1), i), s.substr(i + 2, L))))
+    val d2 = flatten(transform(sequence(lit(0), L - 2), i =>
+      transform(sequence(i + 1, L - 1), j =>
+        xxhash64(concat(s.substr(lit(1), i),
+          s.substr(i + 2, j - i - 1), s.substr(j + 2, L))))))
+    array_distinct(concat(d0, d1, d2))
+  }
+
+  /** Indel-robust blocked fuzzy link — the documented extension of
+    * [[fuzzyLink]] (whose striped-chunk pigeonhole is complete only
+    * for substitutions): [[delNeighborhood]] equi-join on shared
+    * deletion variants, exact levenshtein ≤ 2 verification BELOW the
+    * pair-dedup exchange (the measured fuzzyLink discipline). The
+    * blocking is COMPLETE for levenshtein ≤ 2 — the output is
+    * exactly the brute-force cross join's, which is why `q_fuzzy_
+    * indel`'s oracle is the plain cross-join + levenshtein filter
+    * (the strongest possible check: DuckDB independently computes
+    * the full answer with no blocking to mirror).
+    *
+    * Scale shape: each side explodes into ≤ 1 + L + C(L,2) hashed
+    * keys (in-row-deduped), the join fan is Σ_k df_probe(k) ·
+    * df_clean(k) — variants retain all but 2 characters, so key
+    * entropy tracks string entropy and the fan stays linear-ish in
+    * the corpus ([[graft.tools.FuzzyScale]] measures it at 1M rows);
+    * verification collapses the fan to O(matches) before any
+    * exchange. */
+  private[graft] def fuzzyLinkIndel(probes: DataFrame,
+      clean: DataFrame): DataFrame = {
+    val pk = probes.select(col("probe_id"), col("probe_name"),
+      explode(delNeighborhood(col("probe_name"))).as("dk"))
+    val ck = Tables.spread(clean).select(col("match_id"), col("clean_name"),
+      explode(delNeighborhood(col("clean_name"))).as("dk"))
+    pk.join(ck, "dk")
+      .select(col("probe_id"), col("match_id"),
+        levenshtein(col("probe_name"), col("clean_name")).cast("long")
+          .as("dist"))
+      .filter(col("dist") <= 2)
+      .distinct()
+  }
+
+  /** Fuzzy join under an INDEL corruption model — the record-linkage
+    * case [[qFuzzyJoin]]'s substitution-only blocking provably
+    * cannot handle (an insertion/deletion shifts every downstream
+    * character, so no striped chunk survives): every md5-bucket < 10
+    * customer's name gets one md5-derived deletion then one
+    * md5-derived letter insertion (net levenshtein ≤ 2 with an
+    * alignment shift between them), and is re-linked to the clean
+    * table by [[fuzzyLinkIndel]]. Mirrors `Kafka2S3Hive.scala:71-80`'s
+    * posture of repairing dirty upstream keys before the join, at
+    * the fidelity real entity resolution needs. */
+  def qFuzzyIndel(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val h = md5(concat(lit("fzi|"), col("c_custkey").cast("string")))
+    def hex4(start: Int): Column =
+      conv(substring(h, start, 4), 16, 10).cast("int")
+    val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+    val name = col("c_name")
+    val pd = hex4(1) % 9
+    val pi = hex4(5) % 9
+    val li = alpha.substr(hex4(9) % 26 + 1, lit(1))
+    val del = concat(name.substr(lit(1), pd),
+      name.substr(pd + 2, length(name)))
+    val dirty = concat(del.substr(lit(1), pi), li,
+      del.substr(pi + 1, length(del)))
+    val probes = cust.filter(Tables.md5Bucket(col("c_custkey")) < 10)
+      .select(col("c_custkey").as("probe_id"), dirty.as("probe_name"))
+    val clean = cust.select(col("c_custkey").as("match_id"),
+      col("c_name").as("clean_name"))
+    fuzzyLinkIndel(probes, clean)
+      .orderBy(col("probe_id"), col("match_id"))
+  }
+
   /** PageRank micro-unit scale: ranks are BIGINTs in units of 1e−12.
     * Integer arithmetic end-to-end (floor division, integer sums) is
     * what makes an ITERATIVE fixpoint hash-exact across engines and

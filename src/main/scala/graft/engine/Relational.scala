@@ -1271,11 +1271,18 @@ object Relational {
         round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
           .cast("long").as("y"))
     def isum(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+    // Per-row products widen to decimal BEFORE multiplying (the
+    // [[qOutliers]] discipline): y ≈ 1e9 at TPC-H puts y·y within ~8×
+    // of Long.MaxValue, where a long·long product would silently wrap
+    // in Spark (and the HUGEINT oracle would diverge). decimal(19,0)
+    // × decimal(19,0) → decimal(38,0), exact for any long inputs.
+    def iprod(a: Column, b: Column): Column =
+      sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
     val m = li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), isum(col("x")).as("sx"),
-        isum(col("y")).as("sy"), isum(col("x") * col("x")).as("sxx"),
-        isum(col("y") * col("y")).as("syy"),
-        isum(col("x") * col("y")).as("sxy"))
+        isum(col("y")).as("sy"), iprod(col("x"), col("x")).as("sxx"),
+        iprod(col("y"), col("y")).as("syy"),
+        iprod(col("x"), col("y")).as("sxy"))
       .select(col("l_returnflag"), col("n"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
         sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0d))

@@ -116,6 +116,6 @@ object Scale {
       .select(col("__shard"), col("__csum"))
     local.join(broadcast(carry), Seq("__shard"))
       .withColumn(cumName, col("__lsum") + col("__csum"))
-      .drop("__shard", "__v", "__lsum")
+      .drop("__shard", "__v", "__lsum", "__csum")
   }
 }

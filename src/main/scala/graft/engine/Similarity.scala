@@ -949,17 +949,17 @@ object Similarity {
     * id from null-d2 structs; [[NearestCentroidSpec]] pins the
     * divergence. */
   private[graft] def nearestCell(cent: IndexedSeq[IndexedSeq[Double]],
-      forceExpr: Boolean = false): Column =
+      forceExpr: Boolean = false, v: Column = col("v")): Column =
     if (!forceExpr && cent.length <= literalArgminMaxK)
       array_min(array(cent.zipWithIndex.map { case (cv, cid) =>
         val c2 = cv.map(x => x * x).sum
-        struct((dot(col("v"), typedLit(cv)) * -2.0 + lit(c2)).as("d2"),
+        struct((dot(v, typedLit(cv)) * -2.0 + lit(c2)).as("d2"),
           lit(cid).as("cid"))
       }: _*)).getField("cid")
     else
       org.apache.spark.sql.GraftBridge.column(
         graft.functions.NearestCentroid(
-          org.apache.spark.sql.GraftBridge.expression(col("v")),
+          org.apache.spark.sql.GraftBridge.expression(v),
           cent.map(_.toSeq)))
 
   /** Deterministic Lloyd k-means over the embedding corpus — the
@@ -1058,6 +1058,9 @@ object Similarity {
     }
     kmeansCentMemo.synchronized {
       kmeansCentMemo.filterInPlace((k, _) => k._1 ne spark)
+    }
+    pqBooksMemo.synchronized {
+      pqBooksMemo.filterInPlace((k, _) => k._1 ne spark)
     }
   }
 
@@ -1314,5 +1317,232 @@ object Similarity {
     corpus(spark, sfDir)
       .select(col("vec_id"), nearestCell(cent).cast("long").as("cluster"))
       .orderBy(col("vec_id"))
+  }
+
+  // ──────────────────────────────────────────────────────────────
+  // Product quantization (IVF-PQ)
+  // ──────────────────────────────────────────────────────────────
+
+  /** PQ geometry (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): the 64-dim vector splits into
+    * m = [[pqSubspaces]] contiguous subspaces of [[pqSubDim]] dims;
+    * each sub-vector quantizes to its nearest of [[pqCodebookSize]]
+    * per-subspace codewords, so a vector is m small codes — 8 ints
+    * (bytes on disk after parquet dictionary+RLE) standing in for 64
+    * doubles, the ~50× serving-memory cut that lets a 100 TB
+    * embedding corpus keep its WHOLE index resident where the int8
+    * path ([[qEmbedQuantize]]) only buys 4×. ks = 16 keeps every
+    * per-subspace argmin on the unrolled-literal codegen path
+    * (≤ [[literalArgminMaxK]]) and the codebook tiny (m·ks·subdim =
+    * 1024 doubles); production would take ks = 256 (1 exact byte per
+    * code) via the same [[graft.functions.NearestCentroid]] loop
+    * expression the encode path already exercises. */
+  private[graft] val pqSubspaces = 8
+  private[graft] val pqCodebookSize = 16
+  private[graft] val pqSubDim = embDim / pqSubspaces
+
+  /** 1-based contiguous sub-vector of subspace `j`. */
+  private def subSlice(v: Column, j: Int): Column =
+    slice(v, j * pqSubDim + 1, pqSubDim)
+
+  /** Fused Lloyd fit of ALL m subspace codebooks — ONE distributed
+    * job per iteration, not m: each sample row explodes into its m
+    * (subspace, sub-vector, assigned-code) structs and a single
+    * map-side-combined agg carries m·ks·(subdim+1) decimal sums,
+    * driver-merged exactly like [[kmeansCentroidsFrom]] (same
+    * decimal(30,15) order-independent accumulation, same
+    * empty-cell-keeps-centroid rule, seeds = the ks lowest vec_ids'
+    * sub-slices). The explode is over the FIT SAMPLE only
+    * ([[kmeansFitSample]] — ≤ 128·ks rows), never the corpus. */
+  private[graft] def pqCodebooksFrom(sample: DataFrame, iters: Int)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val seeds = sample.orderBy(col("vec_id")).limit(pqCodebookSize)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(seeds.length == pqCodebookSize,
+      s"corpus has fewer than $pqCodebookSize seed vectors")
+    var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until pqSubspaces).map(j =>
+        seeds.map(_.slice(j * pqSubDim, (j + 1) * pqSubDim)))
+    for (_ <- 1 to iters) {
+      val subs = explode(array((0 until pqSubspaces).map { j =>
+        struct(lit(j).as("j"), subSlice(col("v"), j).as("sv"),
+          nearestCell(books(j), v = subSlice(col("v"), j)).as("cid"))
+      }: _*)).as("s")
+      val aggs = count(lit(1)).as("n") +:
+        (0 until pqSubDim).map(i =>
+          sum(element_at(col("s.sv"), i + 1).cast("decimal(30,15)"))
+            .as(s"s$i"))
+      val rows = sample.select(subs)
+        .groupBy(col("s.j"), col("s.cid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      books = books.indices.map { j =>
+        books(j).indices.map { cid =>
+          rows.get((j, cid)) match {
+            case Some(r) =>
+              val n = r.getLong(2)
+              (0 until pqSubDim).map(i =>
+                r.getDecimal(3 + i).doubleValue() / n)
+            case None => books(j)(cid)
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** Driver-side memo for the fitted codebooks — fit once per
+    * (session, corpus), serve many encodes/probes, the
+    * [[kmeansCentMemo]] lifecycle. Values are m·ks·subdim doubles
+    * (8 KB). */
+  private val pqBooksMemo = scala.collection.mutable.LinkedHashMap
+    .empty[(SparkSession, String), IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]
+  private val pqBooksMemoCap = 8
+  private[graft] def pqCodebooks(spark: SparkSession, sfDir: String)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val key = (spark, sfDir)
+    val hit = pqBooksMemo.synchronized {
+      pqBooksMemo.filterInPlace((kk, _) => !kk._1.sparkContext.isStopped)
+      pqBooksMemo.remove(key).map { v => pqBooksMemo.put(key, v); v }
+    }
+    hit.getOrElse {
+      val c = pqCodebooksFrom(
+        kmeansFitSample(annCorpus(spark, sfDir), pqCodebookSize,
+          corpusCount(spark, sfDir)), iters = 3)
+      pqBooksMemo.synchronized {
+        pqBooksMemo.put(key, c)
+        while (pqBooksMemo.size > pqBooksMemoCap)
+          pqBooksMemo.remove(pqBooksMemo.head._1)
+      }
+      c
+    }
+  }
+
+  /** The m-code PQ encoding of a vector — m independent per-subspace
+    * L2 argmins against driver-resident codewords, ties to the
+    * lowest code (the [[nearestCell]] contract in every subspace).
+    * A pure zero-shuffle projection; `forceExpr` routes each argmin
+    * through the loop-codegen [[graft.functions.NearestCentroid]]
+    * (the corpus-encode path — constant generated-method size, one
+    * Janino compile across subspaces since codewords ride in
+    * `references`). */
+  private[graft] def pqCodesCol(
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      forceExpr: Boolean = false, v: Column = col("v")): Column =
+    array((0 until pqSubspaces).map { j =>
+      nearestCell(books(j), forceExpr, v = subSlice(v, j)).cast("int")
+    }: _*)
+
+  /** The PQ-compressed posting list: (vec_id, IVF cell, m codes) —
+    * NO vectors. This is the frame a 100 TB deployment actually
+    * serves from: the full-precision vectors stay in cold storage
+    * for the final re-rank join only, and the per-row payload drops
+    * from 512 B to ~24 B (≥ 8× measured at the parquet layer by
+    * [[graft.tools.AnnScale]]). Rides the fused index's one corpus
+    * scan; memoized like the index itself. */
+  private def pqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.memoizedPersisted(spark, s"pqindex|$sfDir") {
+      val books = pqCodebooks(spark, sfDir)
+      annIndex(spark, sfDir).select(col("vec_id"), col("cid"),
+        pqCodesCol(books, forceExpr = true).as("codes"))
+    }
+
+  /** Exact-re-rank shortlist size: candidates surviving the ADC
+    * pass, per query. ~10× the served k = 3 absorbs ADC's
+    * quantization error — measured recall@3 at sf0.001: shortlist
+    * 16 → 0.467, 32 → 0.560 vs the SAME 2-cell probe's exact-vector
+    * ceiling 0.567 (q_ann_ivf) — PQ recovers the full IVF probe's
+    * recall while the corpus-sized stage reads codes, not vectors.
+    * Recall floor pinned by `SimilaritySpec`. */
+  private[graft] val pqShortlist = 32
+
+  /** IVF-PQ retrieval — the asymmetric-distance probe (Jégou et
+    * al. §IV): per query, (1) the standard 2-cell IVF probe prunes
+    * the corpus; (2) the per-query LUT — distance from the query's
+    * j-th sub-vector to every j-th-subspace codeword, m·ks doubles
+    * computed driver-side — turns each candidate's approximate
+    * squared L2 into m array lookups + a sum over its CODES (the
+    * vectors are never read); (3) the [[pqShortlist]] best ADC
+    * candidates re-rank by exact cosine against the full vectors,
+    * joined back by id. The corpus-sized work touches only ~24-byte
+    * code rows; full vectors appear once, behind a
+    * shortlist-bounded broadcast join — the memory/bandwidth shape
+    * that distinguishes IVF-PQ from IVF. Codebooks are an iterative
+    * Lloyd fixpoint → rows-only by design (the `q_ann_ivf_km`
+    * precedent); `SimilaritySpec` pins recall vs the exact
+    * brute-force truth, [[graft.tools.AnnScale]] the compression
+    * ratio and planted recall at 1M vectors. */
+  def qAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = annCorpus(spark, sfDir)
+    val cent = ivfCentroids(spark, sfDir, e,
+      ivfCells(corpusCount(spark, sfDir)))
+    val books = pqCodebooks(spark, sfDir)
+    val q = queryVecs(spark, sfDir, recallMaxQid)
+    val luts = q.collect().toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1)
+      (qid, (0 until pqSubspaces).map { j =>
+        books(j).map { cw =>
+          var s = 0.0
+          var i = 0
+          while (i < pqSubDim) {
+            val d = qv(j * pqSubDim + i) - cw(i); s += d * d; i += 1
+          }
+          s
+        }.toSeq
+      }.toSeq)
+    }
+    val lutDf = luts.toDF("qid", "lut")
+    val probes = q.select(col("vec_id").as("qid"),
+        explode(ivfProbeCol(cent, nprobe = 2)).as("cid"))
+      .join(lutDf, "qid")
+    val cand = broadcast(probes)
+      .join(pqIndex(spark, sfDir), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        aggregate(zip_with(col("lut"), col("codes"),
+          (l, c) => element_at(l, c + 1)), lit(0d), _ + _).as("adc"))
+    // ADC is a distance: negate into the shared max-top-k tail
+    // (score DESC, nid ASC ⟺ adc ASC, nid ASC — deterministic)
+    val short = topkRank(cand.select(col("qid"), col("nid"),
+        (-col("adc")).as("score")), k = pqShortlist)
+      .select(col("qid"), col("nid"))
+    val reranked = broadcast(
+        short.join(q.select(col("vec_id").as("qid"), col("v").as("qv")),
+          "qid"))
+      .join(e.select(col("vec_id").as("nid"), col("v")), "nid")
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("v")).as("score"))
+    topkRank(reranked).orderBy(col("qid"), col("rank"))
+  }
+
+  /** Fixed-codebook PQ encode — the ORACLE-CHECKED twin of the
+    * fitted path (the `q_kmeans_assign` pattern): codewords = the
+    * first [[pqCodebookSize]] corpus vectors' sub-slices (rows DuckDB
+    * can select), so the m per-subspace argmins are relational and
+    * the full code matrix hash-checks every round — both codegen
+    * paths against one oracle. */
+  def qPqAssign(spark: SparkSession, sfDir: String): DataFrame =
+    pqAssignImpl(spark, sfDir, forceExpr = false)
+
+  /** The same encode FORCED through the loop-codegen
+    * [[graft.functions.NearestCentroid]] expression (the corpus-
+    * encode path [[pqIndex]] runs) — hash-checked in its own right. */
+  def qPqAssignExpr(spark: SparkSession, sfDir: String): DataFrame =
+    pqAssignImpl(spark, sfDir, forceExpr = true)
+
+  private def pqAssignImpl(spark: SparkSession, sfDir: String,
+      forceExpr: Boolean): DataFrame = {
+    val e = corpus(spark, sfDir)
+    val cw = e.filter(col("vec_id") < pqCodebookSize)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val books = (0 until pqSubspaces).map(j =>
+      cw.map(_.slice(j * pqSubDim, (j + 1) * pqSubDim)))
+    val cols = (0 until pqSubspaces).map(j =>
+      nearestCell(books(j), forceExpr, v = subSlice(col("v"), j))
+        .cast("int").as(s"c$j"))
+    e.select((col("vec_id") +: cols): _*).orderBy(col("vec_id"))
   }
 }

@@ -687,18 +687,24 @@ object StreamingOps {
     * event_id) — the batch pass's exact tie order; the stored last
     * event prepends to the chain. Counting the emitted steps
     * reproduces the batch matrix whenever arrival order respects
-    * event time across triggers (the spec's sliced-file case);
-    * a late event landing AFTER a newer one in a previous trigger
-    * links in arrival order instead — the same horizon caveat as
-    * [[nearDupStream]], with the batch pass as the exact
-    * reconciliation.
+    * event time across triggers (the spec's sliced-file case); a
+    * late-but-admitted event whose (ts, event_id) PRECEDES the
+    * stored chain head is DETECTED — state keeps the head's order
+    * key, not just its type — and the cross-trigger link is skipped
+    * rather than fabricated in arrival order: emitted steps are then
+    * a strict subset of the batch matrix's (never a step the batch
+    * pass wouldn't count), the skip observable as a
+    * `graft.transition.skippedLinks` metric on the query progress —
+    * the reconciliation signal ADVICE r14 asked for — with the batch
+    * pass as the exact reconciliation, the same horizon caveat as
+    * [[nearDupStream]].
     *
-    * State is ONE event-type string per ACTIVE user (the chain head
-    * — nothing else is ever consulted), evicted by event-time
-    * timeout `idleEvictMillis` past the user's last event (an
-    * evicted user's next event starts a fresh chain — dropping the
-    * one linking step, never fabricating one). Shuffle: the single
-    * user-keyed exchange every stateful op pays. */
+    * State is ONE (event_type, tsNanos, event_id) triple per ACTIVE
+    * user (the chain head plus its batch-pass order key), evicted by
+    * event-time timeout `idleEvictMillis` past the user's last event
+    * (an evicted user's next event starts a fresh chain — dropping
+    * the one linking step, never fabricating one). Shuffle: the
+    * single user-keyed exchange every stateful op pays. */
   def transitionStream(events: DataFrame,
       watermarkDelay: String = "10 minutes",
       idleEvictMillis: Long = 3600000L): Dataset[TransitionOut] = {
@@ -709,6 +715,8 @@ object StreamingOps {
     // order for same-user same-millisecond events
     def tsNanos(t: java.sql.Timestamp): Long =
       math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
+    val skipped = events.sparkSession.sparkContext
+      .longAccumulator("graft.transition.skippedLinks")
     events
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"),
@@ -717,21 +725,36 @@ object StreamingOps {
       .as[UserEvent]
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[String, TransitionOut](
+      .flatMapGroupsWithState[(String, Long, Long), TransitionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[UserEvent],
-            state: GroupState[String]) =>
+            state: GroupState[(String, Long, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val batch = it.toSeq.sortBy(e => (tsNanos(e.ts), e.event_id))
             val types = batch.map(_.event_type)
-            val chain = state.getOption.map(_ +: types).getOrElse(types)
+            val head = batch.head
+            val hTs = tsNanos(head.ts)
+            val chain = state.getOption match {
+              case Some((t, sTs, sId))
+                  if sTs < hTs || (sTs == hTs && sId <= head.event_id) =>
+                t +: types
+              case Some(_) =>
+                // stored head post-dates the admitted batch head:
+                // linking would invert event-time order — drop the
+                // cross-trigger step (subset-of-batch guarantee)
+                // and count it so drift is observable
+                skipped.add(1L)
+                types
+              case None => types
+            }
             val out = chain.zip(chain.drop(1))
               .map { case (a, b) => TransitionOut(uid, a, b) }
             val last = batch.last
-            state.update(last.event_type)
+            state.update(
+              (last.event_type, tsNanos(last.ts), last.event_id))
             state.setTimeoutTimestamp(last.ts.getTime + idleEvictMillis)
             out.iterator
           }

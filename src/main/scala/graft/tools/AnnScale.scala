@@ -141,6 +141,79 @@ object AnnScale {
       f"(${100.0 * ivfCand / nQueries / n}%.3f%% of corpus) " +
       f"plantedRecall=${ivfHits / nPlanted}%.2f " +
       f"fitAssign=$ivfSecs%.1fs probe=$ivfProbeSecs%.1fs")
+
+    // ---- IVF-PQ: the same cells, corpus stored as m int codes
+    // (Similarity.pqCodesCol through the NearestCentroid loop path).
+    // Two numbers make it evidence: the PARQUET-LAYER compression of
+    // the serving frame vs the raw vectors, and the planted-neighbor
+    // recall THROUGH the ADC+shortlist stages (candidate probe →
+    // code-only ADC rank → top-[[Similarity.pqShortlist]]) — the
+    // stages where PQ could lose what IVF found.
+    t0 = System.nanoTime()
+    val books = Similarity.pqCodebooksFrom(
+      Similarity.kmeansFitSample(e.select(col("vec_id"), col("v")),
+        Similarity.pqCodebookSize, n), iters = 3)
+    val pqCodes = assigned.select(col("vec_id"), col("cid"),
+        Similarity.pqCodesCol(books, forceExpr = true).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pqCodes.count()
+    val pqFitSecs = (System.nanoTime() - t0) / 1e9
+    val tmpDir = java.nio.file.Files.createTempDirectory("pqsize")
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    e.write.mode("overwrite").parquet(s"$tmpDir/raw")
+    pqCodes.drop("cid").write.mode("overwrite").parquet(s"$tmpDir/pq")
+    val rawBytes = dirBytes(java.nio.file.Paths.get(s"$tmpDir/raw"))
+    val pqBytes = dirBytes(java.nio.file.Paths.get(s"$tmpDir/pq"))
+    t0 = System.nanoTime()
+    val qvecRows = e
+      .filter(col("vec_id") % 10 === 9 && col("vec_id") < plantedCap)
+      .collect().toSeq
+    val luts = qvecRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1)
+      (qid, (0 until Similarity.pqSubspaces).map { j =>
+        books(j).map { cw =>
+          var s = 0.0; var i = 0
+          while (i < Similarity.pqSubDim) {
+            val d = qv(j * Similarity.pqSubDim + i) - cw(i)
+            s += d * d; i += 1
+          }
+          s
+        }.toSeq
+      }.toSeq)
+    }
+    val lutDf = luts.toDF("qid", "lut")
+    val pqProbes = e
+      .filter(col("vec_id") % 10 === 9 && col("vec_id") < plantedCap)
+      .select(col("vec_id").as("qid"),
+        explode(Similarity.ivfProbeCol(cent, nprobe = 2)).as("cid"))
+      .join(lutDf, "qid")
+    val pqCand = broadcast(pqProbes).join(pqCodes, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        aggregate(zip_with(col("lut"), col("codes"),
+          (l, c) => element_at(l, c + 1)), lit(0d), _ + _).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    val pqHits = pqCand
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Similarity.pqShortlist &&
+        col("nid") === col("qid") - 1)
+      .select("qid").distinct().count()
+    val pqProbeSecs = (System.nanoTime() - t0) / 1e9
+    println(f"AnnScale IVF-PQ n=$n m=${Similarity.pqSubspaces} " +
+      f"ks=${Similarity.pqCodebookSize} " +
+      f"rawBytes=$rawBytes pqBytes=$pqBytes " +
+      f"compression=${rawBytes.toDouble / pqBytes}%.1fx " +
+      f"plantedRecall@${Similarity.pqShortlist}=" +
+      f"${pqHits / nPlanted}%.2f " +
+      f"fitEncode=$pqFitSecs%.1fs adcProbe=$pqProbeSecs%.1fs")
+    pqCodes.unpersist()
     assigned.unpersist()
 
     // ---- IVF-KM: the same ⌈√n⌉ cells LLOYD-FITTED (the shipped

@@ -301,6 +301,53 @@ class DedupSpec extends SparkSpec {
     assert(probes.nonEmpty && probes.forall(p => gotPairs((p._1, p._1))))
   }
 
+  test("indel fuzzy join: equals the brute-force cross join exactly") {
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_name").as[(Long, String)].collect()
+      .toSeq.sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hex4(h: String, start: Int): Int =
+      Integer.parseInt(h.substring(start - 1, start + 3), 16)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // one md5-derived deletion then one insertion — the alignment-
+    // shifting class the striped-chunk blocking cannot cover
+    def corrupt(k: Long, name: String): String = {
+      val h = md5hex(s"fzi|$k")
+      val pd = hex4(h, 1) % 9
+      val pi = hex4(h, 5) % 9
+      val li = alpha(hex4(h, 9) % 26)
+      val del = name.substring(0, pd) + name.substring(pd + 1)
+      del.substring(0, pi) + li + del.substring(pi)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val probes = cust.filter(c => hex4(md5hex(c._1.toString), 1) % 100 < 10)
+      .map { case (k, n) => (k, corrupt(k, n)) }
+    // NO blocking in the expectation — the deletion-neighborhood
+    // completeness theorem says the blocked join must equal the full
+    // cross join's lev ≤ 2 pairs
+    val expect = (for {
+      (pk, pn) <- probes
+      (ck, cn) <- cust
+      d = lev(pn, cn) if d <= 2
+    } yield (pk, ck, d.toLong)).sortBy(t => (t._1, t._2))
+    val got = Dedup.qFuzzyIndel(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // the planted contract: every corrupted probe re-links to its
+    // source (recall = 100% on the planted indel class)
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    assert(probes.nonEmpty && probes.forall(p => gotPairs((p._1, p._1))))
+  }
+
   test("triangles: crafted clique/chain graph and a random brute-force check") {
     // 4-clique {1,2,3,4}: every node sits in C(3,2)=3 triangles; the
     // chain 5-6-7 and the isolated pair 8-9 contribute none

@@ -27,7 +27,7 @@ class DocsSpec extends AnyFunSuite {
     // exact driver re-derivation).
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
       == Set("q_approx_distinct", "q_embed_cluster", "q_semdedup_keep",
-        "q_ann_ivf_km", "q_bpe_train", "q_bpe_train_dist"))
+        "q_ann_ivf_km", "q_ann_pq", "q_bpe_train", "q_bpe_train_dist"))
   }
 
   test("README query counts match SparkEntry") {

@@ -281,6 +281,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("indel fuzzy join: deletion-variant equi-join, no cartesian") {
+    // the ORACLE is a brute-force cross join (completeness theorem);
+    // the Spark plan must never be — blocking keys keep it equi
+    val p = plan(graft.engine.Dedup.qFuzzyIndel(spark, sf0001))
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+  }
+
   test("passage dedup: one explode, no join — a single passage-keyed shuffle") {
     val p = plan(graft.engine.TextOps.qPassageDedup(spark, sf0001))
     // one Generate (the passage posexplode); the keep-first marking is
