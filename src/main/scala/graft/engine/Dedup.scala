@@ -727,41 +727,85 @@ object Dedup {
     * has none) — the local-clustering signal that separates the two
     * before a keep-list collapses a cluster.
     *
-    * Algorithm: the canonical id-oriented wedge join. Edges arrive
-    * canonical (ida < idb), so every triangle x < y < z appears
-    * EXACTLY once as e(x,y) ⋈ e(y,z) closed by e(x,z) — count without
-    * a dedup pass. Integer counts ⇒ hash-exact.
+    * Algorithm: the DEGREE-ordered wedge join ([[triangleCountsDeg]],
+    * Suri–Vassilvitskii orientation): each edge re-points toward its
+    * higher-(degree, id) endpoint, every triangle appears EXACTLY
+    * once as the closed path wedge of its orientation — count
+    * without a dedup pass. Integer counts ⇒ hash-exact, and the
+    * count is orientation-invariant, so the id-oriented SQL oracle
+    * is unchanged.
     *
-    * Scale shape: two equi-joins over the pairs-sized edge list
-    * (≪ corpus — the same frame PageRank persists). The wedge fan is
-    * Σ_u C(out-deg(u), 2); on a near-dup graph (disjoint dense
-    * clusters) that is Θ(triangles) — within a clique ANY acyclic
-    * orientation leaves the same C(k,3) closed wedges, so the id
-    * order is as good as the degree order; the degree-ordered
-    * orientation (Suri–Vassilvitskii) only wins on skewed star-like
-    * graphs (a hub with high in-star degree but few triangles), the
-    * documented upgrade if the edge source changes character. Hot
-    * mid-nodes in the wedge join are AQE skew-split. */
+    * Scale shape: a degree agg + two edge-sized orientation joins,
+    * then two equi-joins over the pairs-sized edge list (≪ corpus —
+    * the same frame PageRank persists). The wedge fan
+    * Σ_m indeg(m)·outdeg(m) is O(|E|^1.5) under the degree order on
+    * ANY graph — on the near-dup topology (disjoint dense clusters)
+    * both orientations are Θ(triangles), but a skewed star-heavy
+    * graph degrades the id order quadratically while the degree
+    * order holds ([[graft.tools.GraphScale]] measures the split).
+    * Hot mid-nodes in the wedge join are AQE skew-split. */
   def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     val e = memoizedPersisted(spark, s"pr-edges-canon|$sfDir")(
       minhashPairs(spark, sfDir).select(col("ida"), col("idb")))
-    triangleCounts(e).orderBy(col("doc_id"))
+    triangleCountsDeg(e).orderBy(col("doc_id"))
   }
 
   /** Per-node triangle counts of a CANONICAL (ida < idb, distinct)
     * edge frame — the generic wedge-join core [[qTriangles]] applies
     * to the near-dup graph, factored for direct spec coverage on
     * crafted graphs. */
-  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
-    val tri = e.select(col("ida").as("x"), col("idb").as("y"))
-      .join(e.select(col("ida").as("y"), col("idb").as("z")), Seq("y"))
-      .join(e.select(col("ida").as("x"), col("idb").as("z")), Seq("x", "z"),
+  private[graft] def triangleCounts(e: DataFrame): DataFrame =
+    wedgeCount(e.select(col("ida").as("s"), col("idb").as("t")))
+
+  /** The wedge-join triangle core over an ACYCLICALLY ORIENTED edge
+    * frame (s → t): every triangle appears exactly once as the path
+    * wedge s→m→t closed by s→t (acyclicity ⇒ the closure edge's
+    * orientation is forced), so counting needs no dedup pass. Cost =
+    * Σ_m indeg(m)·outdeg(m) over the orientation — the term the
+    * orientation choice controls. */
+  private def wedgeCount(d: DataFrame): DataFrame = {
+    val tri = d.select(col("s").as("x"), col("t").as("y"))
+      .join(d.select(col("s").as("y"), col("t").as("z")), Seq("y"))
+      .join(d.select(col("s").as("x"), col("t").as("z")), Seq("x", "z"),
         "left_semi")
       .select(col("x"), col("y"), col("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"))
   }
+
+  /** The DEGREE-ordered acyclic orientation (Suri–Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    * each canonical edge re-points from its lower (degree, id)
+    * endpoint to the higher. Under it every node's OUT-neighbors all
+    * have ≥ its degree, which caps the wedge term
+    * Σ_m indeg(m)·outdeg(m) at O(m^1.5) on ANY graph — the raw id
+    * orientation has no such bound (a mid-id hub with half its star
+    * below and half above pays indeg·outdeg = (deg/2)², the measured
+    * [[graft.tools.GraphScale]] skewed-star degradation). One
+    * node-keyed degree agg + two edge⋈degree joins, all edge-list
+    * sized. */
+  private[graft] def degreeOriented(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("ida"), col("idb"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    e.join(deg.select(col("n").as("ida"), col("dg").as("da")), "ida")
+      .join(deg.select(col("n").as("idb"), col("dg").as("db")), "idb")
+      .select(
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("ida") < col("idb")),
+          struct(col("ida").as("s"), col("idb").as("t")))
+          .otherwise(struct(col("idb").as("s"), col("ida").as("t")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+  }
+
+  /** [[triangleCounts]] under the degree-ordered orientation — counts
+    * are orientation-invariant (each triangle is one closed wedge in
+    * any acyclic orientation), so this is hash-identical to the
+    * id-oriented twin and keeps the same SQL oracle; what changes is
+    * the worst-case wedge fan. */
+  private[graft] def triangleCountsDeg(e: DataFrame): DataFrame =
+    wedgeCount(degreeOriented(e))
 
   /** Per-document n-gram novelty — the dedup-triage / decontamination
     * ranking view: for each doc, its distinct word-3-gram count, how

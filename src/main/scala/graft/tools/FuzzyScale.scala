@@ -59,6 +59,19 @@ object FuzzyScale {
     new String(cs)
   }
 
+  /** One md5-derived deletion then one insertion — the alignment-
+    * shifting class only the deletion-neighborhood blocking covers. */
+  private[tools] def corruptIndel(id: Long): String = {
+    val h = md5hex(s"fzindel|$id")
+    def hex4(start: Int): Int = Integer.parseInt(h.substring(start, start + 4), 16)
+    val s = nameOf(id)
+    val pd = hex4(0) % s.length
+    val del = s.substring(0, pd) + s.substring(pd + 1)
+    val pi = hex4(4) % (del.length + 1)
+    val li = ('a' + hex4(8) % 26).toChar
+    del.substring(0, pi) + li + del.substring(pi)
+  }
+
   def main(args: Array[String]): Unit = {
     val nRows = if (args.nonEmpty) args(0).toInt else 200000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -86,6 +99,37 @@ object FuzzyScale {
     println(f"rows=$nRows probes=$nProbes matches=$matches " +
       f"planted_recall=$self/$nProbes wall=$wall%.1f s")
     assert(self == nProbes, s"planted recall broken: $self != $nProbes")
+
+    // ---- indel pass: the same corpus re-linked through the
+    // deletion-neighborhood blocking (Dedup.fuzzyLinkIndel) under an
+    // indel corruption; candFan is the raw blocking-join volume
+    // BEFORE levenshtein verification — the sub-quadratic evidence
+    // (an all-pairs scan would be nProbes·nRows)
+    // range-derived frames carry no size stats, so the planner would
+    // try to BROADCAST the ×~170-exploded probe fan (OOM at 1M rows);
+    // a parquet-backed probe table's stats would pick the sort-merge
+    // join on the hashed keys — force that plan here
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val t1 = System.nanoTime()
+    val probesI = spark.range(0, nRows, 2)
+      .mapPartitions(_.map(id => (id, corruptIndel(id))))
+      .toDF("probe_id", "probe_name")
+    val linkedI = Dedup.fuzzyLinkIndel(probesI, clean).cache()
+    val matchesI = linkedI.count()
+    val selfI = linkedI.filter(col("probe_id") === col("match_id")).count()
+    val wallI = (System.nanoTime() - t1) / 1e9
+    val pkI = probesI.select(col("probe_id"),
+      explode(Dedup.delNeighborhood(col("probe_name"))).as("dk"))
+    val ckI = clean.select(col("match_id"),
+      explode(Dedup.delNeighborhood(col("clean_name"))).as("dk"))
+    val fan = pkI.join(ckI, "dk").count()
+    val quad = nProbes.toDouble * nRows
+    println(f"indel rows=$nRows probes=$nProbes matches=$matchesI " +
+      f"planted_recall=$selfI/$nProbes candFan=$fan " +
+      f"(${fan / nProbes}%d/probe, ${100.0 * fan / quad}%.4f%% of " +
+      f"all-pairs) wall=$wallI%.1f s")
+    assert(selfI == nProbes,
+      s"indel planted recall broken: $selfI != $nProbes")
     spark.stop()
   }
 }

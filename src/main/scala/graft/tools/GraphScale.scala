@@ -56,6 +56,50 @@ object GraphScale {
     // triangle * 4*nBlocks triangles); chain contributes zero
     assert(nodes == 4L * nBlocks, s"nodes $nodes != ${4L * nBlocks}")
     assert(total == 12L * nBlocks, s"total $total != ${12L * nBlocks}")
+
+    // ---- the degree-orientation twin on the SAME clustered graph:
+    // counts must be identical (orientation invariance), cost ~same
+    val t1 = System.nanoTime()
+    val triDeg = Dedup.triangleCountsDeg(edges).cache()
+    val nodesDeg = triDeg.count()
+    val totalDeg = triDeg.agg(sum(col("n_tri"))).as[Long].head()
+    val wallDeg = (System.nanoTime() - t1) / 1e9
+    println(f"deg-oriented: tri_nodes=$nodesDeg " +
+      f"tri_participations=$totalDeg wall=$wallDeg%.1f s")
+    assert(nodesDeg == nodes && totalDeg == total,
+      "orientation changed the counts")
+
+    // ---- skewed star: a MID-ID hub with nStar spokes half below,
+    // half above its id, plus a sorted-consecutive spoke ring (one
+    // triangle per ring edge). The id orientation pays
+    // indeg(hub)·outdeg(hub) = (nStar/2)² wedges at the hub; the
+    // degree orientation points every star edge INTO the hub
+    // (outdeg 0) and pays ~nStar. Same closed-form counts from both.
+    val nStar = if (args.length > 1) args(1).toInt else 20000
+    val hub = nStar / 2L
+    val spokes = (0L to nStar.toLong).filter(_ != hub)
+    val starEdges = spark.createDataset(
+        spokes.map(s => (math.min(s, hub), math.max(s, hub))) ++
+        spokes.zip(spokes.tail))
+      .toDF("ida", "idb")
+    val expTri = spokes.length - 1L
+    def runStar(name: String,
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val t = System.nanoTime()
+      val r = f(starEdges).cache()
+      val tot = r.agg(sum(col("n_tri"))).as[Long].head()
+      val hubTri = r.filter(col("doc_id") === hub)
+        .agg(sum(col("n_tri"))).as[Long].head()
+      val w = (System.nanoTime() - t) / 1e9
+      println(f"star[$name]: nStar=$nStar triangles=${tot / 3} " +
+        f"hubTri=$hubTri wall=$w%.1f s")
+      assert(tot == 3L * expTri, s"star $name: $tot != ${3L * expTri}")
+      assert(hubTri == expTri, s"star $name hub: $hubTri != $expTri")
+      r.unpersist()
+    }
+    runStar("id-oriented", Dedup.triangleCounts)
+    runStar("deg-oriented", Dedup.triangleCountsDeg)
     spark.stop()
   }
 }

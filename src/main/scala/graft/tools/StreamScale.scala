@@ -293,6 +293,16 @@ object StreamScale {
         streamOf(spark, s"$root/clicks", eventSchema),
         window = "30 seconds"), nEvents + nEvents / 4)
 
+    // 3b) hopping-window counts (width 1 min, slide 15 s): every
+    //    event lands in width/slide = 4 open windows — the Expand
+    //    row-multiplication and 4× open-window state the tumble
+    //    twin never exercises (r14 shipped hop support spec-only;
+    //    this is its measured datapoint)
+    val hop = measure(
+      StreamingOps.windowedCounts(
+        streamOf(spark, s"$root/imps", eventSchema),
+        windowDur = "1 minute", slide = Some("15 seconds")), nEvents)
+
     // 4) per-user transition maintenance: keyed last-event state
     //    (O(active users) = 50k), steps linked across micro-batches
     writeUserEvents(spark, nEvents, nBatch, s"$root/uev")
@@ -306,6 +316,7 @@ object StreamScale {
       s""""pipelines":{${docs.json("doc_pipeline")},""" +
       s"""${trending.json("trending_terms")},""" +
       s"""${joined.json("interval_join")},""" +
+      s"""${hop.json("hop_window")},""" +
       s"""${trans.json("transition_stream")}}}""")
     spark.stop()
   }

@@ -370,6 +370,11 @@ class DedupSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size.toLong)
       .toSeq.sortBy(_._1)
     assert(got == expect && tris.nonEmpty)
+    // orientation invariance: the degree-ordered twin (the shipped
+    // qTriangles path) produces identical per-node counts
+    val gotDeg = Dedup.triangleCountsDeg(edges.toDF("ida", "idb"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(gotDeg == expect)
     // smoke the full fixture path end-to-end (canonical pair ordering
     // of minhashPairs is what the wedge join's correctness rests on)
     val fix = Dedup.qTriangles(spark, sf0001)
