@@ -39,6 +39,7 @@ object Bench {
     "q_dedup_minhash",    // MinHash+LSH + verify (dedup)
     "q_jaccard_prefix",   // prefix-filtered exact similarity join (r14)
     "q_fuzzy_join",       // blocked record linkage + levenshtein (r14)
+    "q_fuzzy_indel",      // deletion-neighborhood indel linkage (r15)
     "q_copurchase",       // in-row co-occurrence pair mining (r14)
     "q_dedup_clusters",   // connected components (driver union-find)
     "q_dedup_clusters_dist", // same via distributed star contraction
@@ -53,9 +54,11 @@ object Bench {
     "q_interval_sweep",   // sweep-line concurrency, sharded prefix scan (r14)
     "q_transition_matrix", // user-journey Markov matrix (r14)
     "q_pagerank",         // iterative graph analytics, integer-exact (r13)
+    "q_triangles",        // degree-ordered wedge join (r15)
     "q_cosine_topk",      // brute-force similarity
     "q_embed_neardup_ann", // LSH band join + exact verify (r12)
     "q_ann_ivf",          // cell-probe ANN (n-derived cells, r8)
+    "q_ann_pq",           // IVF-PQ code-only ADC + exact re-rank (r15)
     "q_ann_recall",       // full ANN serving stack + exact truth (r8)
     "q_embed_cluster",    // iterative k-means (3 assignment scans, r6)
     "q_semdedup_keep",    // cells + within-cell pairs + CC (r6)

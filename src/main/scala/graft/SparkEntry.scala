@@ -127,6 +127,9 @@ object SparkEntry {
     "q_winnow_fingerprint" -> TextOps.qWinnowFingerprint _,
     "q_term_freq" -> TextOps.qTermFreq _,
     "q_tfidf_topterms" -> TextOps.qTfidfTopTerms _,
+    // Okapi BM25 retrieval (rational idf — the linear-idf precedent),
+    // integer-microunit summed contributions
+    "q_bm25" -> TextOps.qBm25 _,
     // sketch-candidates + exact-verify frequent terms
     "q_heavy_hitters" -> TextOps.qHeavyHitters _,
     // Count-Min point-query bound over the exact top-30 terms
@@ -1693,6 +1696,50 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, score, rank FROM r
         |WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    // Okapi BM25 (k1=1.2, b=0.75, rational idf — see TextOps.qBm25):
+    // per-term contributions are one fixed IEEE expression quantized
+    // to integer micro-units per row, then integer-summed — the
+    // q_correlation discipline, so the iterative-free retrieval
+    // scores hash-check exactly
+    "q_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |dt AS (SELECT doc_id, unnest(tk) AS term,
+        |         generate_subscripts(tk, 1) AS pos FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+        |qt AS (SELECT doc_id, term,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY min_pos, term) AS rn
+        |       FROM (SELECT doc_id, term, min(pos) AS min_pos
+        |             FROM dt WHERE doc_id < 8 GROUP BY 1, 2)),
+        |q AS (SELECT doc_id AS qid, term FROM qt WHERE rn <= 4),
+        |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n_docs FROM documents),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot_tokens FROM tf),
+        |m AS (SELECT q.qid, tf.doc_id,
+        |        CAST(round(((CAST((nn.n_docs - dfv.df) AS DOUBLE) + 0.5)
+        |              / (CAST(dfv.df AS DOUBLE) + 0.5) + 1.0)
+        |            * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |            / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |              * CAST(dl.dl AS DOUBLE)
+        |              / (CAST(tot.tot_tokens AS DOUBLE)
+        |                / CAST(nn.n_docs AS DOUBLE))))
+        |            * 1000000.0) AS BIGINT) AS c
+        |      FROM q JOIN tf USING (term) JOIN dfv USING (term)
+        |      JOIN dl ON dl.doc_id = tf.doc_id
+        |      CROSS JOIN nn CROSS JOIN tot
+        |      WHERE tf.doc_id <> q.qid),
+        |s AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+        |      FROM m GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score_micro,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY score_micro DESC, doc_id)
+        |          AS rank
+        |      FROM s)
+        |SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank, score_micro
+        |FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     // Gopher repetition signals: integer n-gram counts on both sides,
     // fractions as the same exact-int double division → hash-exact.
     // Docs too short for an n-gram LEFT-JOIN to NULL, matching the

@@ -280,6 +280,80 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Okapi BM25 retrieval (k1 = 1.2, b = 0.75) over the document
+    * corpus — the search-scoring operator a training-data pipeline
+    * uses for retrieval-based decontamination and mixture targeting.
+    * Queries are the corpus's own doc_id < 8 documents, each reduced
+    * to its first 4 distinct tokens (by first position); each query
+    * retrieves its top-5 docs (self excluded) by summed per-term
+    * BM25 contributions.
+    *
+    * ONE deliberate engine-exactness substitution: the idf factor is
+    * the RATIONAL (N − df + ½)/(df + ½) + 1 rather than its
+    * logarithm — the [[qTfidfTopTerms]] linear-idf precedent (libm
+    * ln differs in the last ulp across engines; the classic log
+    * form is one `log(...)` literal away in production and changes
+    * only the inter-term weighting, not the machinery). The tf
+    * saturation term is the standard tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl)) — all rational IEEE arithmetic in a fixed
+    * expression shape mirrored by the oracle, each per-term
+    * contribution quantized to integer micro-units BEFORE the
+    * order-sensitive sum (the q_correlation discipline), so scores
+    * hash-check exactly.
+    *
+    * Scale shape: the 32-row query-term set is broadcast into the
+    * shared (doc, term, tf) working set (the `tfidf-tf` memo — the
+    * inverted-index postings scan), df restricts to query terms
+    * BEFORE joining, doc lengths join on the doc-keyed shuffle, and
+    * a per-(query, doc) agg + bounded top-5 window close it out —
+    * postings-sized work, never corpus × queries. */
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val tf = Dedup.memoizedPersisted(spark, s"tfidf-tf|$sfDir")(
+      d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("fp"), col("term"))
+    val qterms = d.filter(col("doc_id") < 8)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term")).agg(min(col("pos")).as("fp"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 4)
+      .select(col("doc_id").as("qid"), col("term"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val n = d.select(count(lit(1)).as("n_docs"))
+    val tot = tf.select(sum(col("tf")).as("tot_tokens"))
+    val idf = (col("n_docs") - col("df")).cast("double") + lit(0.5)
+    val contrib =
+      ((idf / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+        * (col("tf").cast("double") * lit(2.2))
+        / (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75)
+          * col("dl").cast("double")
+          / (col("tot_tokens").cast("double")
+            / col("n_docs").cast("double"))))) * lit(1e6)
+    val matches = tf.join(broadcast(qterms), "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .join(broadcast(n)).join(broadcast(tot))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        round(contrib).cast("long").as("c"))
+    val agg = matches.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c").cast("decimal(38,0)")).cast("long")
+        .as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("doc_id"), col("rank"), col("score_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Corpus term frequencies: explode tokens → count — the generator
     * (flatMap) + agg path. Top-100 by count desc, term asc. At scale
     * this is the canonical map-side-combine shuffle: |distinct terms|

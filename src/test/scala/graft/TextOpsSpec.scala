@@ -203,6 +203,57 @@ class TextOpsSpec extends SparkSpec {
     assert(out.exists(o => o._3 > 0 && o._3 < o._2))
   }
 
+  test("BM25: retrieved docs share a query term, ranks dense, driver recompute") {
+    import org.apache.spark.sql.functions.col
+    val out = TextOps.qBm25(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { rows =>
+      val ranks = rows.map(_._3).sorted
+      assert(ranks == (1L to ranks.length) && ranks.length <= 5)
+      // scores strictly ordered by (score desc, doc_id) along ranks
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.sliding(2).forall(w => w.length < 2 ||
+        w(0)._4 > w(1)._4 ||
+        (w(0)._4 == w(1)._4 && w(0)._2 < w(1)._2)))
+      assert(rows.forall(r => r._2 != r._1)) // self excluded
+    }
+    // independent driver-side recompute (third engine next to the
+    // DuckDB oracle): same tokenization, rational idf, micro-unit sum
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def tok(t: String): Seq[String] =
+      if (t == null) Seq.empty
+      else t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val toks = docs.map { case (id, t) => id -> tok(t) }.toMap
+    val nDocs = docs.length.toLong
+    val tf = toks.toSeq.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (w, xs) => (id, w, xs.size.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val dlm = toks.map { case (id, ts) => id -> ts.size.toLong }
+    val avgdl = tf.map(_._3).sum.toDouble / nDocs
+    val expect = (for {
+      (qid, qts) <- toks.toSeq if qid < 8
+      qterms = qts.zipWithIndex.groupBy(_._1)
+        .map { case (w, xs) => (w, xs.map(_._2).min) }
+        .toSeq.sortBy { case (w, p) => (p, w) }.take(4).map(_._1)
+      (did, w, f) <- tf if did != qid && qterms.contains(w)
+    } yield {
+      val df = dfm(w)
+      val c = ((((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+        * (f.toDouble * 2.2)
+        / (f.toDouble + 1.2 * (0.25 + 0.75 * dlm(did).toDouble / avgdl))
+        ) * 1e6
+      ((qid, did), math.round(c))
+    }).groupBy(_._1).map { case ((q, d2), xs) => (q, d2, xs.map(_._2).sum) }
+      .toSeq.groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).zipWithIndex.take(5)
+          .map { case ((q, d2, s), i) => (q, d2, i + 1L, s) }
+      }.toSeq.sortBy(t => (t._1, t._3))
+    assert(out == expect)
+  }
+
   test("BPE merge table: inputs are base chars or outputs of earlier rules") {
     // the invariant that makes exhaustive-in-rank-order application
     // equal classic lowest-rank-first BPE (see bpeMerges doc)
