@@ -70,6 +70,9 @@ object SparkEntry {
     // first-order Markov transition counts + row probabilities over
     // the per-user event stream
     "q_transition_matrix" -> Relational.qTransitionMatrix _,
+    // SCD Type-2 history build: state-change collapse + validity
+    // intervals over the event change stream
+    "q_scd2" -> Relational.qScd2 _,
     // sweep-line open-interval concurrency (step function at change
     // days) via the sharded prefix scan
     "q_interval_sweep" -> Relational.qIntervalSweep _,
@@ -91,6 +94,9 @@ object SparkEntry {
     // Gini-Simpson source diversity per language + overall (the
     // rational, oracle-expressible alternative to entropy)
     "q_diversity" -> TextOps.qDiversity _,
+    // χ² divergence of each source's language mix vs the corpus mix
+    // (pico-quantized — distribution-drift QA)
+    "q_chi2_divergence" -> TextOps.qChi2Divergence _,
     // deterministic PPS systematic sampling by token count (md5
     // order, sharded prefix scan, integer step crossings)
     "q_sample_pps" -> TextOps.qSamplePps _,
@@ -1337,6 +1343,29 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
         |FROM g ORDER BY day""".stripMargin,
     "q_join_card" -> duckJoinCard,
+    // χ² per-source language-mix divergence: present-rows-only via
+    // χ² = 1 + Σ_present[(p−q)²/q − q], pico-quantized per term
+    // before the integer sum (the q_correlation discipline)
+    "q_chi2_divergence" ->
+      """WITH sl AS (SELECT source, lang, count(*) AS c
+        |            FROM documents GROUP BY 1, 2),
+        |bs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+        |       FROM sl GROUP BY 1),
+        |bl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nl
+        |       FROM sl GROUP BY 1),
+        |nn AS (SELECT count(*) AS n_docs FROM documents),
+        |t0 AS (SELECT sl.source, bs.ns,
+        |         CAST(sl.c AS DOUBLE) / CAST(bs.ns AS DOUBLE) AS p,
+        |         CAST(bl.nl AS DOUBLE) / CAST(nn.n_docs AS DOUBLE) AS q
+        |       FROM sl JOIN bs USING (source) JOIN bl USING (lang)
+        |       CROSS JOIN nn),
+        |t AS (SELECT source, ns,
+        |        CAST(round(((p - q) * (p - q) / q - q)
+        |          * 1000000000000.0) AS BIGINT) AS t
+        |      FROM t0)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) + 1000000000000 AS chi2_pico
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q_diversity" ->
       """WITH s AS (SELECT lang, source, count(*) AS c
         |           FROM documents GROUP BY 1, 2),
@@ -1417,6 +1446,24 @@ object SparkEntry {
         |SELECT l_returnflag, n,
         |  CASE WHEN den = 0 THEN NULL ELSE num / den END AS r
         |FROM mm ORDER BY l_returnflag""".stripMargin,
+    // SCD2: state-change collapse + validity intervals; epoch-micros
+    // BIGINT bounds (the no-raw-TIMESTAMP oracle convention)
+    "q_scd2" ->
+      """WITH c AS (SELECT user_id, event_type, ts, event_id,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS prev_state
+        |      FROM events),
+        |f AS (SELECT user_id, event_type, ts, event_id FROM c
+        |      WHERE prev_state IS NULL OR event_type <> prev_state),
+        |s AS (SELECT user_id, event_type AS state,
+        |        epoch_us(ts) AS valid_from_us,
+        |        epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id))
+        |          AS valid_to_us
+        |      FROM f)
+        |SELECT user_id, state, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM s ORDER BY user_id, valid_from_us""".stripMargin,
     "q_top_journeys" ->
       """WITH r AS (
         |  SELECT user_id, event_type, ts, event_id,

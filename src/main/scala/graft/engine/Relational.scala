@@ -1156,6 +1156,40 @@ object Relational {
     * partial/final hash agg of \|types\|² rows and a broadcast of
     * the \|types\|-row totals — nothing after the window carries the
     * event volume. */
+  /** SCD Type-2 history build — the warehouse-ETL operator that turns
+    * a change stream into validity intervals: per user, consecutive
+    * same-state events collapse (a record is emitted only when the
+    * state CHANGES), each surviving change opens an interval
+    * [valid_from, valid_to) closed by the next change (NULL = the
+    * current row). The reference's jobs land raw change streams into
+    * partitioned tables (`Kafka2S3Hive.scala:71-80`); SCD2 is the
+    * standard next step a consumer builds on that landing zone.
+    *
+    * Interval bounds emit as epoch MICROSECONDS (BIGINT) — the repo
+    * convention that no oracle-compared column is a raw TIMESTAMP
+    * (engine string renderings of fractional seconds differ; integer
+    * micros are exact in both). Two windows over the SAME
+    * (user_id × (ts, event_id)) sort — Spark executes them in one
+    * partition-sort pass, no extra exchange; ties inside a user
+    * break on event_id, the batch-pass order every journey query
+    * uses. Scale: one user-keyed shuffle, output ≤ input rows. */
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = ev
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        lag(col("event_type"), 1).over(w).as("prev_state"))
+      .filter(col("prev_state").isNull
+        || col("event_type") =!= col("prev_state"))
+    changes
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   def qTransitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables(spark, sfDir, "events")
     val w = Window.partitionBy(col("user_id"))

@@ -1467,6 +1467,46 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** χ² divergence of each source's language distribution from the
+    * corpus-wide language distribution — the distribution-drift
+    * companion to [[qDiversity]] (Gini says how concentrated a
+    * language's sources are; χ² says how far a source's language MIX
+    * sits from the corpus mix — the per-snapshot data-mixture QA
+    * number a curation pipeline alarms on). χ²(p‖q) =
+    * Σ_l (p_l − q_l)²/q_l over ALL languages: languages a source
+    * never emits still owe their q_l, folded in WITHOUT a dense
+    * source×lang cross join via Σ_absent q_l = 1 − Σ_present q_l, so
+    * χ² = 1 + Σ_present [(p_l − q_l)²/q_l − q_l] — present rows
+    * only. Each present term is one fixed IEEE expression over exact
+    * integer counts, quantized to pico-units BEFORE the
+    * order-sensitive sum (the q_correlation discipline; the leading
+    * 1 re-enters as the integer 10¹²), so `chi2_pico` hash-checks
+    * exactly. One narrow scan → (source × lang) agg → broadcast
+    * joins of the two marginal tables — scale-free beyond the scan
+    * (the shuffle carries |sources|·|langs| rows). */
+  def qChi2Divergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val sl = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val bySrc = sl.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val byLang = sl.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+    val n = d.select(count(lit(1)).as("n_docs"))
+    val p = col("c").cast("double") / col("ns").cast("double")
+    val q = col("nl").cast("double") / col("n_docs").cast("double")
+    val term = (p - q) * (p - q) / q - q
+    val scored = sl
+      .join(broadcast(bySrc), "source")
+      .join(broadcast(byLang), "lang")
+      .join(broadcast(n))
+      .select(col("source"), col("ns"),
+        round(term * lit(1e12)).cast("long").as("t"))
+    scored.groupBy(col("source"))
+      .agg(max(col("ns")).cast("long").as("n_docs"),
+        (sum(col("t").cast("decimal(38,0)")).cast("long")
+          + lit(1000000000000L)).as("chi2_pico"))
+      .orderBy(col("source"))
+  }
+
   /** Systematic PPS (probability-proportional-to-size) sampling —
     * the deterministic weighted sampler next to the uniform
     * [[qTrainMix]]: docs line up in md5 order (the shared seedless

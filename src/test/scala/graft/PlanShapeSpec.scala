@@ -281,6 +281,26 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("SCD2: one user-keyed exchange feeds both windows, no join") {
+    val p = plan(graft.engine.Relational.qScd2(spark, sf0001))
+    // the change-collapse lag and the interval lead share the same
+    // (user_id × (ts, event_id)) sort — a second hash exchange or
+    // any join means the two windows stopped sharing the pass
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin|cartesian|nestedloop"
+      .r.findAllIn(p).isEmpty, p)
+  }
+
+  test("chi2 divergence: marginals broadcast — no shuffle join") {
+    val p = plan(graft.engine.TextOps.qChi2Divergence(spark, sf0001))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the one BNLJ is the broadcast of the 1-ROW corpus count (a
+    // keyless join by construction); anything more means a real
+    // join lost its keys
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("indel fuzzy join: deletion-variant equi-join, no cartesian") {
     // the ORACLE is a brute-force cross join (completeness theorem);
     // the Spark plan must never be — blocking keys keep it equi
