@@ -137,6 +137,24 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Quiet-box gate (r15): the r14 artifact ran at loads 4.7-10.1,
+    // costing cross-round comparability even with the stamps. Before
+    // the timed passes, wait (bounded) for the 1-minute load to drop
+    // under the threshold — co-tenant bursts are minutes-long, so a
+    // short bounded wait usually buys a clean window; if the box
+    // never quiets, proceed anyway (the stamps still tell the story,
+    // and a bench that never runs is worse than a noisy one).
+    val quietBar = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.5")
+      .toDouble
+    val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC",
+      "600").toLong * 1000L
+    val waitStart = System.currentTimeMillis()
+    var waited = 0L
+    while (loadAvg() > quietBar
+        && System.currentTimeMillis() - waitStart < quietWaitMax) {
+      Thread.sleep(15000L)
+      waited = System.currentTimeMillis() - waitStart
+    }
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes: Seq[Map[String, Double]] =
       (1 to reps).map { _ =>
@@ -179,7 +197,7 @@ object Bench {
       s"""{"reps":$reps,"sf":"$sfDir","failed":$failedJson,"samples":$sjson}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","reps":$reps,"load":$loadJson,"load_max":$loadMax,"queries":$qjson,"failed":$failedJson,"samples_file":"$samplesFile","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","reps":$reps,"load":$loadJson,"load_max":$loadMax,"quiet_wait_sec":${waited / 1000},"queries":$qjson,"failed":$failedJson,"samples_file":"$samplesFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -165,4 +165,51 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("deletion neighborhood: complete for levenshtein <= 2 random edits") {
+    // the Dedup.delNeighborhood blocking theorem, fuzzed: for ANY
+    // pair within levenshtein 2 (random substitutions/insertions/
+    // deletions, not just the fixture's corruption model), the
+    // ≤2-deletion variant sets must intersect — a counterexample
+    // here would mean the "oracle = brute force" equality of
+    // q_fuzzy_indel rests on luck, not the theorem
+    val rnd = new scala.util.Random(23)
+    def d2(s: String): Set[String] = {
+      val out = scala.collection.mutable.Set(s)
+      def del1(x: String): Seq[String] =
+        x.indices.map(i => x.take(i) + x.drop(i + 1))
+      val one = del1(s)
+      out ++= one
+      one.foreach(v => out ++= del1(v))
+      out.toSet
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val alpha = "abcd" // small alphabet maximizes tie/degenerate cases
+    for (trial <- 1 to 2000) {
+      val base = Seq.fill(2 + rnd.nextInt(16))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      var s = base
+      for (_ <- 1 to rnd.nextInt(3)) {
+        val op = rnd.nextInt(3)
+        val i = rnd.nextInt(s.length + (if (op == 1) 1 else 0))
+        s = op match {
+          case 0 => s.updated(i, alpha(rnd.nextInt(alpha.length))) // sub
+          case 1 => s.take(i) + alpha(rnd.nextInt(alpha.length)) +
+            s.drop(i) // insert
+          case 2 => if (s.length > 2) s.take(i) + s.drop(i + 1) else s
+        }
+      }
+      val d = lev(base, s)
+      if (d <= 2)
+        assert((d2(base) & d2(s)).nonEmpty,
+          s"trial $trial: no shared variant for '$base' ~ '$s' (lev $d)")
+    }
+  }
+
 }
