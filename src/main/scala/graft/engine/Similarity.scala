@@ -1433,6 +1433,25 @@ object Similarity {
       nearestCell(books(j), forceExpr, v = subSlice(v, j)).cast("int")
     }: _*)
 
+  /** Per-candidate ADC sum Σ_j lut[j][codes[j]] — routed through the
+    * codegen'd [[graft.functions.AdcLookupSum]] (the hot loop of the
+    * PQ probe runs once per (query, candidate) over the probed
+    * posting lists; the interpreted HOF twin allocates a zipped
+    * array per row). `hof = true` selects the HOF formulation —
+    * kept callable so `AdcLookupSumSpec` pins bit-equality of the
+    * two paths every round. */
+  private[graft] def adcCol(codes: Column, lut: Column,
+      hof: Boolean = false): Column =
+    if (hof)
+      // try_element_at: an out-of-range code nulls the sum (matching
+      // the native expression) instead of throwing under ANSI
+      aggregate(zip_with(lut, codes, (l, c) => try_element_at(l, c + 1)),
+        lit(0d), _ + _)
+    else org.apache.spark.sql.GraftBridge.column(
+      graft.functions.AdcLookupSum(
+        org.apache.spark.sql.GraftBridge.expression(codes),
+        org.apache.spark.sql.GraftBridge.expression(lut)))
+
   /** The PQ-compressed posting list: (vec_id, IVF cell, m codes) —
     * NO vectors. This is the frame a 100 TB deployment actually
     * serves from: the full-precision vectors stay in cold storage
@@ -1501,8 +1520,7 @@ object Similarity {
       .join(pqIndex(spark, sfDir), "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        aggregate(zip_with(col("lut"), col("codes"),
-          (l, c) => element_at(l, c + 1)), lit(0d), _ + _).as("adc"))
+        adcCol(col("codes"), col("lut")).as("adc"))
     // ADC is a distance: negate into the shared max-top-k tail
     // (score DESC, nid ASC ⟺ adc ASC, nid ASC — deterministic)
     val short = topkRank(cand.select(col("qid"), col("nid"),

@@ -30,6 +30,14 @@ case class TransitionOut(
     prev_type: String,
     next_type: String)
 
+/** One CLOSED SCD2 validity interval (the open interval lives in
+  * keyed state until the next state change closes it). */
+case class Scd2Out(
+    user_id: Long,
+    state: String,
+    valid_from_us: Long,
+    valid_to_us: Long)
+
 /** Streaming transformations beyond the reference's pass-through
   * pipelines (SURVEY.md §2.5/§2.8 note these as absent in the
   * reference but part of the rebuild surface): event-time windowed
@@ -755,6 +763,84 @@ object StreamingOps {
             val last = batch.last
             state.update(
               (last.event_type, tsNanos(last.ts), last.event_id))
+            state.setTimeoutTimestamp(last.ts.getTime + idleEvictMillis)
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming SCD2 maintenance — the incremental half of
+    * [[Relational.qScd2]]: CLOSED validity intervals emitted as
+    * state changes arrive; the OPEN interval (the batch pass's
+    * valid_to IS NULL row) lives in keyed state until the next
+    * change closes it — append mode cannot retract, so the stream
+    * emits the closed-interval LOG and the current row is a state
+    * lookup. Replayed in event-time order, the emitted set equals
+    * the batch build's closed rows EXACTLY (the spec's sliced-
+    * replay claim); consecutive same-state events collapse within
+    * and across triggers. Same chain-head order key, order-
+    * violation SKIP (subset-of-batch, counted on the
+    * `graft.scd2.skippedLinks` accumulator) and event-time
+    * eviction discipline as [[transitionStream]] — an evicted
+    * user's open interval is dropped, never fabricated closed.
+    * Shuffle: the single user-keyed exchange. */
+  def scd2Stream(events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      idleEvictMillis: Long = 3600000L): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    def tsNanos(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
+    // the batch op emits unix_micros(ts); micros = nanos floor-div
+    // 1000 matches it bit-for-bit (timestamps carry micro precision)
+    def tsMicros(t: java.sql.Timestamp): Long =
+      math.floorDiv(tsNanos(t), 1000L)
+    val skipped = events.sparkSession.sparkContext
+      .longAccumulator("graft.scd2.skippedLinks")
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"))
+      .as[UserEvent]
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Long, Long, Long), Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[UserEvent],
+            state: GroupState[(String, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq.sortBy(e => (tsNanos(e.ts), e.event_id))
+            val head = batch.head
+            val hTs = tsNanos(head.ts)
+            // open interval carried from previous triggers, dropped
+            // (counted) when the admitted batch head predates the
+            // stored chain head — closing an interval at an earlier
+            // ts than it opened would fabricate history
+            var cur: Option[(String, Long)] = state.getOption match {
+              case Some((st, from, lTs, lId))
+                  if lTs < hTs || (lTs == hTs && lId <= head.event_id) =>
+                Some((st, from))
+              case Some(_) =>
+                skipped.add(1L)
+                None
+              case None => None
+            }
+            val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+            batch.foreach { e =>
+              cur match {
+                case Some((st, from)) if st != e.event_type =>
+                  out += Scd2Out(uid, st, from, tsMicros(e.ts))
+                  cur = Some((e.event_type, tsMicros(e.ts)))
+                case Some(_) => ()
+                case None => cur = Some((e.event_type, tsMicros(e.ts)))
+              }
+            }
+            val last = batch.last
+            val (cs, cf) = cur.get
+            state.update((cs, cf, tsNanos(last.ts), last.event_id))
             state.setTimeoutTimestamp(last.ts.getTime + idleEvictMillis)
             out.iterator
           }

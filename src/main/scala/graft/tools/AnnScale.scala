@@ -196,8 +196,7 @@ object AnnScale {
     val pqCand = broadcast(pqProbes).join(pqCodes, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        aggregate(zip_with(col("lut"), col("codes"),
-          (l, c) => element_at(l, c + 1)), lit(0d), _ + _).as("adc"))
+        Similarity.adcCol(col("codes"), col("lut")).as("adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
     val pqHits = pqCand

@@ -310,6 +310,12 @@ object StreamScale {
       StreamingOps.transitionStream(
         streamOf(spark, s"$root/uev", userEventSchema)).toDF(), nEvents)
 
+    // 4b) streaming SCD2 maintenance: same keyed-state shape as the
+    //    transition stream plus the open-interval carry
+    val scd2 = measure(
+      StreamingOps.scd2Stream(
+        streamOf(spark, s"$root/uev", userEventSchema)).toDF(), nEvents)
+
     println("{\"metric\":\"stream_rows_per_sec\"," +
       s""""value":${(docs.rows / docs.wallSec).round},"unit":"rows/s",""" +
       s""""state_store":"${if (rocks) "rocksdb" else "default"}",""" +
@@ -317,7 +323,8 @@ object StreamScale {
       s"""${trending.json("trending_terms")},""" +
       s"""${joined.json("interval_join")},""" +
       s"""${hop.json("hop_window")},""" +
-      s"""${trans.json("transition_stream")}}}""")
+      s"""${trans.json("transition_stream")},""" +
+      s"""${scd2.json("scd2_stream")}}}""")
     spark.stop()
   }
 }

@@ -199,6 +199,57 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("streaming SCD2: cross-trigger close; sliced replay equals batch closed rows") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Tables
+    // (a) crafted: u9 opens state "view" in trigger 1; trigger 2's
+    // "click" must CLOSE it with valid_to = the click's micros
+    val craft = tmpDir("scd2craft")
+    val mk = Seq(
+      (9L, java.sql.Timestamp.valueOf("2021-01-01 10:00:00"), 1L, "view"),
+      (9L, java.sql.Timestamp.valueOf("2021-01-01 10:05:00"), 2L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    mk.filter(col("event_id") === 1).coalesce(1).write.parquet(s"$craft/s0")
+    mk.filter(col("event_id") === 2).coalesce(1).write.parquet(s"$craft/s1")
+    val cs = spark.readStream.schema(mk.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(craft)
+    val got1 = runToMemory(
+      graft.engine.StreamingOps.scd2Stream(cs).toDF, "scd2_craft")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val t0us = java.sql.Timestamp.valueOf("2021-01-01 10:00:00")
+      .getTime * 1000L
+    val t1us = java.sql.Timestamp.valueOf("2021-01-01 10:05:00")
+      .getTime * 1000L
+    assert(got1 == Set((9L, "view", t0us, t1us)))
+    // (b) the maintenance claim: replaying the fixture in three
+    // event-time-ordered slices emits EXACTLY the batch build's
+    // closed intervals (valid_to IS NOT NULL rows)
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val sliced = ev.withColumn("slice",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val srcDir = tmpDir("scd2src")
+    (1 to 3).foreach { s =>
+      sliced.filter(col("slice") === s).drop("slice")
+        .coalesce(1).write.parquet(s"$srcDir/s$s")
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+    val got = runToMemory(graft.engine.StreamingOps
+        .scd2Stream(stream, idleEvictMillis = 1000L * 86400 * 3650)
+        .toDF, "scd2_full")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val expect = graft.engine.Relational.qScd2(spark, sf0001)
+      .filter(col("valid_to_us").isNotNull)
+      .select(col("user_id"), col("state"),
+        col("valid_from_us"), col("valid_to_us"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming doc pipeline: batch-identical features, quality floor, content dedup") {
     import org.apache.spark.sql.functions.col
     import graft.engine.{TextOps, TimeOps}
