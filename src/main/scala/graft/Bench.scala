@@ -53,6 +53,9 @@ object Bench {
     "q_merge_upsert",     // CDC MERGE decomposition (r13)
     "q_interval_sweep",   // sweep-line concurrency, sharded prefix scan (r14)
     "q_transition_matrix", // user-journey Markov matrix (r14)
+    "q_scd2",             // SCD2 validity-interval build (r15)
+    "q_bm25",             // BM25 postings retrieval (r15)
+    "q_chi2_divergence",  // source-mix drift QA (r15)
     "q_pagerank",         // iterative graph analytics, integer-exact (r13)
     "q_triangles",        // degree-ordered wedge join (r15)
     "q_cosine_topk",      // brute-force similarity

@@ -86,24 +86,34 @@ case class DotProduct(left: Expression, right: Expression)
 /** Runtime + config-time registration of graft's native functions. */
 object GraftFunctions {
   val dotBuilder: Seq[Expression] => Expression = es => DotProduct(es(0), es(1))
+  val adcBuilder: Seq[Expression] => Expression =
+    es => AdcLookupSum(es(0), es(1))
 
   /** Register into an existing session's function registry (used by
-    * Tables.tune so `graft_dot` is callable from SQL everywhere). */
-  def register(spark: SparkSession): Unit =
+    * Tables.tune so `graft_dot` / `graft_adc` are callable from SQL
+    * everywhere). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_adc", adcBuilder, "built-in")
+  }
 }
 
 /** `SparkSessionExtensions` entry point — the deployment-time path:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * injects `graft_dot` and the HOF→native dot-product optimizer rule
-  * into every session of the cluster. */
+  * injects `graft_dot`/`graft_adc` and the HOF→native dot-product
+  * optimizer rule into every session of the cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftFunctions.dotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcLookupSum].getName, "graft_adc"),
+      GraftFunctions.adcBuilder))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }

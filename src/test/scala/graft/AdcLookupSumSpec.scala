@@ -73,6 +73,15 @@ class AdcLookupSumSpec extends SparkSpec {
     assert(neg(0).isNullAt(0))
   }
 
+  test("SQL surface: graft_adc registered in the session") {
+    graft.functions.GraftFunctions.register(spark)
+    val v = spark.sql(
+      "SELECT graft_adc(array(1, 0), " +
+        "array(array(1.0d, 2.0d), array(3.0d, 4.0d))) AS d")
+      .as[Double].head()
+    assert(v == 5.0)
+  }
+
   test("whole-stage codegen covers the native ADC") {
     // range-derived input: stays a physical scan (never a folded
     // LocalRelation), so the generated stage is inspectable

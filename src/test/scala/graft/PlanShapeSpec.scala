@@ -281,6 +281,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("BM25: query terms broadcast into the postings scan, no cartesian") {
+    val p = plan(graft.engine.TextOps.qBm25(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // tf ⋈ qterms and ⋈ df ride broadcasts (qterms is 32 rows, df is
+    // query-term-restricted); dl joins on the doc-keyed shuffle; the
+    // only BNLJs are the two 1-row count frames
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
   test("SCD2: one user-keyed exchange feeds both windows, no join") {
     val p = plan(graft.engine.Relational.qScd2(spark, sf0001))
     // the change-collapse lag and the interval lead share the same
