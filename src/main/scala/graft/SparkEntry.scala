@@ -73,6 +73,11 @@ object SparkEntry {
     // SCD Type-2 history build: state-change collapse + validity
     // intervals over the event change stream
     "q_scd2" -> Relational.qScd2 _,
+    // the SCD2 consumer: every user's state as of a fixed instant
+    "q_scd2_snapshot" -> Relational.qScd2Snapshot _,
+    // order-independent per-table checksums (replication verification;
+    // the DuckDB oracle IS the cross-engine check)
+    "q_table_checksum" -> Relational.qTableChecksum _,
     // sweep-line open-interval concurrency (step function at change
     // days) via the sharded prefix scan
     "q_interval_sweep" -> Relational.qIntervalSweep _,
@@ -1464,6 +1469,53 @@ object SparkEntry {
         |SELECT user_id, state, valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current
         |FROM s ORDER BY user_id, valid_from_us""".stripMargin,
+    // the SCD2 point-in-time consumer: state as of a fixed UTC
+    // instant, pure integer micros comparisons
+    "q_scd2_snapshot" ->
+      """WITH c AS (SELECT user_id, event_type, ts, event_id,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS prev_state
+        |      FROM events),
+        |f AS (SELECT user_id, event_type, ts, event_id FROM c
+        |      WHERE prev_state IS NULL OR event_type <> prev_state),
+        |s AS (SELECT user_id, event_type AS state,
+        |        epoch_us(ts) AS valid_from_us,
+        |        epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id))
+        |          AS valid_to_us
+        |      FROM f)
+        |SELECT user_id, state, valid_from_us FROM s
+        |WHERE valid_from_us <= 1705276800000000
+        |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
+        |ORDER BY user_id""".stripMargin,
+    // order-independent 48-bit-hash-sum checksums; the strpos
+    // polynomial reproduces conv(substr(md5, 1, 12), 16, 10)
+    "q_table_checksum" -> {
+      val terms = (0 until 12).map(k =>
+        s"(strpos('0123456789abcdef', substring(hx, ${k + 1}, 1)) - 1) * " +
+          (1L << (4 * (11 - k))).toString)
+        .mkString("(", "\n        + ", ")")
+      s"""WITH cu AS (SELECT md5(concat_ws('|', c_custkey, c_name)) AS h
+         |            FROM customer),
+         |li AS (SELECT md5(concat_ws('|', l_orderkey, l_linenumber,
+         |         l_returnflag, strftime(l_shipdate, '%Y-%m-%d'))) AS h
+         |       FROM lineitem),
+         |os AS (SELECT md5(concat_ws('|', o_orderkey, o_custkey,
+         |         o_orderstatus, strftime(o_orderdate, '%Y-%m-%d'))) AS h
+         |       FROM orders),
+         |u AS (SELECT 'customer' AS table_name, substring(h, 1, 12) AS hx
+         |        FROM cu
+         |      UNION ALL
+         |      SELECT 'lineitem', substring(h, 1, 12) FROM li
+         |      UNION ALL
+         |      SELECT 'orders', substring(h, 1, 12) FROM os),
+         |v AS (SELECT table_name,
+         |        $terms AS hv
+         |      FROM u)
+         |SELECT table_name, count(*) AS n_rows,
+         |  CAST(SUM(hv) % 2305843009213693952 AS BIGINT) AS checksum
+         |FROM v GROUP BY table_name ORDER BY table_name""".stripMargin
+    },
     "q_top_journeys" ->
       """WITH r AS (
         |  SELECT user_id, event_type, ts, event_id,

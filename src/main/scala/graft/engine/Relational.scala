@@ -1190,6 +1190,55 @@ object Relational {
       .orderBy(col("user_id"), col("valid_from_us"))
   }
 
+  /** Point-in-time snapshot over the [[qScd2]] history — the consumer
+    * query SCD2 exists for: every user's state AS OF a fixed instant
+    * T (2024-01-15T00:00:00Z, mid-fixture), i.e. the interval with
+    * valid_from ≤ T < valid_to (NULL = still open). Pure integer
+    * micros comparisons — no timestamp rendering crosses the oracle
+    * boundary. Same one-exchange plan as the history build plus a
+    * filter. */
+  def qScd2Snapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val tUs = 1705276800000000L // 2024-01-15T00:00:00Z
+    qScd2(spark, sfDir)
+      .filter(col("valid_from_us") <= tUs
+        && (col("valid_to_us").isNull || col("valid_to_us") > tUs))
+      .select(col("user_id"), col("state"), col("valid_from_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Order-independent table checksums — the replication-verification
+    * operator a 100 TB deployment runs after every cross-cluster
+    * copy, backfill or engine migration: per table, a 48-bit
+    * md5-derived hash of each row's canonical projection, SUMMED
+    * (commutative — partitioning/order free) mod 2⁶¹ next to the row
+    * count. Columns are formatted EXPLICITLY (dates via a fixed
+    * pattern, integer/string columns raw) so the canonical string is
+    * engine-unambiguous; the DuckDB oracle recomputing the same
+    * checksum IS a cross-engine replication check of the fixture —
+    * the operator demonstrating itself. One map-side-combined scan
+    * per table; the shuffle carries one partial sum per partition. */
+  def qTableChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    def h(cols: Column*): Column =
+      conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
+        .cast("long")
+    val m = 2305843009213693952L // 2^61
+    def row(name: String, df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(h(cols: _*).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h").cast("decimal(38,0)")) % lit(m)).cast("long")
+            .as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    row("customer", Tables(spark, sfDir, "customer"),
+        Seq(col("c_custkey"), col("c_name")))
+      .unionByName(row("lineitem", Tables(spark, sfDir, "lineitem"),
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd"))))
+      .unionByName(row("orders", Tables(spark, sfDir, "orders"),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))))
+      .orderBy(col("table_name"))
+  }
+
   def qTransitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables(spark, sfDir, "events")
     val w = Window.partitionBy(col("user_id"))
