@@ -78,6 +78,9 @@ object SparkEntry {
     // order-independent per-table checksums (replication verification;
     // the DuckDB oracle IS the cross-engine check)
     "q_table_checksum" -> Relational.qTableChecksum _,
+    // checksum maintenance from stored partials + delta (the MV-merge
+    // family) — oracle = the full recompute, so merged ≡ full
+    "q_checksum_incremental" -> Relational.qChecksumIncremental _,
     // sweep-line open-interval concurrency (step function at change
     // days) via the sharded prefix scan
     "q_interval_sweep" -> Relational.qIntervalSweep _,
@@ -1515,6 +1518,22 @@ object SparkEntry {
          |SELECT table_name, count(*) AS n_rows,
          |  CAST(SUM(hv) % 2305843009213693952 AS BIGINT) AS checksum
          |FROM v GROUP BY table_name ORDER BY table_name""".stripMargin
+    },
+    // incremental checksum: the oracle is deliberately the FULL
+    // single-pass recompute — equality IS the maintenance claim
+    "q_checksum_incremental" -> {
+      val terms = (0 until 12).map(k =>
+        s"(strpos('0123456789abcdef', substring(hx, ${k + 1}, 1)) - 1) * " +
+          (1L << (4 * (11 - k))).toString)
+        .mkString("(", "\n        + ", ")")
+      s"""WITH li AS (SELECT substring(md5(concat_ws('|', l_orderkey,
+         |         l_linenumber, l_returnflag,
+         |         strftime(l_shipdate, '%Y-%m-%d'))), 1, 12) AS hx
+         |       FROM lineitem),
+         |v AS (SELECT $terms AS hv FROM li)
+         |SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+         |  CAST(SUM(hv) % 2305843009213693952 AS BIGINT) AS checksum
+         |FROM v""".stripMargin
     },
     "q_top_journeys" ->
       """WITH r AS (

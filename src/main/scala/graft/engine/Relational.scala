@@ -1239,6 +1239,39 @@ object Relational {
       .orderBy(col("table_name"))
   }
 
+  /** Incremental CHECKSUM maintenance — the verification member of
+    * the MV-merge family ([[qAggIncremental]] counts/sums,
+    * [[qDistinctIncremental]] sketches): the [[qTableChecksum]]
+    * hash-sum is a commutative monoid, so a stored (n_rows, hashsum)
+    * pair updates from a delta's partials alone — replication stays
+    * verifiable under continuous append WITHOUT rescanning the
+    * 100 TB history. Stored = the md5-bucket < 90 arrival cut of
+    * lineitem, delta = the rest; the merged output is asserted (by
+    * the oracle being the FULL single-pass recompute, the
+    * `q_agg_incremental` convention) equal to recomputing from
+    * scratch. The raw hash-sums merge UNREDUCED (mod is NOT
+    * distributive over partial sums unless applied after the merge —
+    * folding early on one side only would break the identity). */
+  def qChecksumIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val bucket = Tables.md5Bucket(
+      concat_ws("#", col("l_orderkey"), col("l_linenumber")))
+    val m = 2305843009213693952L // 2^61
+    def partials(df: DataFrame): DataFrame = df
+      .select(conv(substring(md5(concat_ws("|", col("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd"))), 1, 12), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("h").cast("decimal(38,0)")).as("psum"))
+    partials(li.filter(bucket < 90)) // the stored verification state
+      .unionByName(partials(li.filter(bucket >= 90)))
+      .agg(sum(col("pn")).cast("long").as("n_rows"),
+        (sum(col("psum")) % lit(m)).cast("long").as("checksum"))
+      .select(lit("lineitem").as("table_name"), col("n_rows"),
+        col("checksum"))
+  }
+
   def qTransitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables(spark, sfDir, "events")
     val w = Window.partitionBy(col("user_id"))
