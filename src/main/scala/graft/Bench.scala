@@ -54,6 +54,7 @@ object Bench {
     "q_interval_sweep",   // sweep-line concurrency, sharded prefix scan (r14)
     "q_transition_matrix", // user-journey Markov matrix (r14)
     "q_scd2",             // SCD2 validity-interval build (r15)
+    "q_table_checksum",   // order-independent replication checksums (r15)
     "q_bm25",             // BM25 postings retrieval (r15)
     "q_chi2_divergence",  // source-mix drift QA (r15)
     "q_pagerank",         // iterative graph analytics, integer-exact (r13)

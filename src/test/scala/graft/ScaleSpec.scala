@@ -143,6 +143,20 @@ class ScaleSpec extends SparkSpec {
     assert(quadrant(lNew >= 90, oNew >= 90) == 1) // both new
   }
 
+  test("checksum MV: stored + delta partials merge to the full recompute") {
+    import graft.engine.Relational
+    val inc = Relational.qChecksumIncremental(spark, sf0001).collect().head
+    val full = Relational.qTableChecksum(spark, sf0001)
+      .filter(col("table_name") === "lineitem").collect().head
+    assert(inc.getLong(1) == full.getLong(1)) // n_rows
+    assert(inc.getLong(2) == full.getLong(2)) // checksum
+    // the merge is non-vacuous: both sides of the arrival cut exist
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val b = Tables.md5Bucket(
+      concat_ws("#", col("l_orderkey"), col("l_linenumber")))
+    assert(li.filter(b < 90).count() > 0 && li.filter(b >= 90).count() > 0)
+  }
+
   test("skyline: equals the driver-side NOT EXISTS domination brute force") {
     val parts = spark.read.parquet(s"$sf0001/part.parquet")
       .select("p_partkey", "p_retailprice", "p_size")
