@@ -1354,12 +1354,13 @@ object Similarity {
     * empty-cell-keeps-centroid rule, seeds = the ks lowest vec_ids'
     * sub-slices). The explode is over the FIT SAMPLE only
     * ([[kmeansFitSample]] — ≤ 128·ks rows), never the corpus. */
-  private[graft] def pqCodebooksFrom(sample: DataFrame, iters: Int)
+  private[graft] def pqCodebooksFrom(sample: DataFrame, iters: Int,
+      ks: Int = pqCodebookSize)
       : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
-    val seeds = sample.orderBy(col("vec_id")).limit(pqCodebookSize)
+    val seeds = sample.orderBy(col("vec_id")).limit(ks)
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    require(seeds.length == pqCodebookSize,
-      s"corpus has fewer than $pqCodebookSize seed vectors")
+    require(seeds.length == ks,
+      s"corpus has fewer than $ks seed vectors")
     var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
       (0 until pqSubspaces).map(j =>
         seeds.map(_.slice(j * pqSubDim, (j + 1) * pqSubDim)))

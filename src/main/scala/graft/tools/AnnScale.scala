@@ -213,6 +213,63 @@ object AnnScale {
       f"${pqHits / nPlanted}%.2f " +
       f"fitEncode=$pqFitSecs%.1fs adcProbe=$pqProbeSecs%.1fs")
     pqCodes.unpersist()
+
+    // ---- the PRODUCTION PQ config: ks = 256 (one exact byte per
+    // code — Jégou's standard setting); every per-subspace argmin now
+    // routes through the NearestCentroid loop expression (256 ≫
+    // literalArgminMaxK), the path a real deployment always takes.
+    // Measures the fit/encode cost of the 16× larger codebook and the
+    // parquet size of the wider code dictionary.
+    val ks256 = 256
+    t0 = System.nanoTime()
+    val books256 = Similarity.pqCodebooksFrom(
+      Similarity.kmeansFitSample(e.select(col("vec_id"), col("v")),
+        ks256, n), iters = 3, ks = ks256)
+    val pq256 = assigned.select(col("vec_id"), col("cid"),
+        Similarity.pqCodesCol(books256, forceExpr = true).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pq256.count()
+    val pq256FitSecs = (System.nanoTime() - t0) / 1e9
+    pq256.drop("cid").write.mode("overwrite").parquet(s"$tmpDir/pq256")
+    val pq256Bytes = dirBytes(java.nio.file.Paths.get(s"$tmpDir/pq256"))
+    t0 = System.nanoTime()
+    val luts256 = qvecRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1)
+      (qid, (0 until Similarity.pqSubspaces).map { j =>
+        books256(j).map { cw =>
+          var s = 0.0; var i = 0
+          while (i < Similarity.pqSubDim) {
+            val d = qv(j * Similarity.pqSubDim + i) - cw(i)
+            s += d * d; i += 1
+          }
+          s
+        }.toSeq
+      }.toSeq)
+    }
+    val lutDf256 = luts256.toDF("qid", "lut")
+    val pqProbes256 = e
+      .filter(col("vec_id") % 10 === 9 && col("vec_id") < plantedCap)
+      .select(col("vec_id").as("qid"),
+        explode(Similarity.ivfProbeCol(cent, nprobe = 2)).as("cid"))
+      .join(lutDf256, "qid")
+    val pqCand256 = broadcast(pqProbes256).join(pq256, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Similarity.adcCol(col("codes"), col("lut")).as("adc"))
+    val pqHits256 = pqCand256
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Similarity.pqShortlist &&
+        col("nid") === col("qid") - 1)
+      .select("qid").distinct().count()
+    val pq256ProbeSecs = (System.nanoTime() - t0) / 1e9
+    println(f"AnnScale IVF-PQ256 n=$n m=${Similarity.pqSubspaces} " +
+      f"ks=$ks256 pqBytes=$pq256Bytes " +
+      f"compression=${rawBytes.toDouble / pq256Bytes}%.1fx " +
+      f"plantedRecall@${Similarity.pqShortlist}=" +
+      f"${pqHits256 / nPlanted}%.2f " +
+      f"fitEncode=$pq256FitSecs%.1fs adcProbe=$pq256ProbeSecs%.1fs")
+    pq256.unpersist()
     assigned.unpersist()
 
     // ---- IVF-KM: the same ⌈√n⌉ cells LLOYD-FITTED (the shipped
