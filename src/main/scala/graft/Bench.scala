@@ -38,6 +38,7 @@ object Bench {
     "q_fingerprint",      // per-doc hashing (text)
     "q_dedup_minhash",    // MinHash+LSH + verify (dedup)
     "q_jaccard_prefix",   // prefix-filtered exact similarity join (r14)
+    "q_containment",      // directed quote/subset containment join (r15)
     "q_fuzzy_join",       // blocked record linkage + levenshtein (r14)
     "q_fuzzy_indel",      // deletion-neighborhood indel linkage (r15)
     "q_copurchase",       // in-row co-occurrence pair mining (r14)

@@ -52,6 +52,9 @@ object SparkEntry {
     // hopping (sliding) windows: 1h every 15min — each event in 4
     // overlapping windows via Expand before the partial agg
     "q_hop_window" -> Relational.qHopWindow _,
+    // trending: per-row 2^(23-age_h) decay anchored at corpus max ts
+    // — a plain monoid hash-agg, no window/recursion; exact BIGINT
+    "q_decay_trend" -> Relational.qDecayTrend _,
     // materialized-view maintenance: stored partials + new batch
     // merge-agg ≡ the full recompute (the oracle IS the full pass)
     "q_agg_incremental" -> Relational.qAggIncremental _,
@@ -167,6 +170,9 @@ object SparkEntry {
     // from a ~5x smaller index (completeness is a theorem) — shares
     // the q_jaccard_pairs oracle verbatim
     "q_jaccard_prefix" -> Dedup.qJaccardPrefix _,
+    // directed containment |Sa∩Sb|/|Sa| >= 0.9 (quote/subset
+    // detection): contained-side prefix filter x full inverted index
+    "q_containment" -> Dedup.qContainment _,
     // record linkage: corrupted probe names re-linked by striped
     // pigeonhole blocking + exact levenshtein verify
     "q_fuzzy_join" -> Dedup.qFuzzyJoin _,
@@ -1211,6 +1217,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    // decay anchored at corpus max ts; BIGINT µs floor-division ages,
+    // shifted-power-of-two weights, centi-unit values — all integer,
+    // so the sum is engine- and order-exact (CAST per the HUGEINT ban)
+    "q_decay_trend" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS tu FROM events)
+        |SELECT event_type, count(*) AS n_recent,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)
+        |    * (CAST(1 AS BIGINT)
+        |       << CAST(23 - (tu - epoch_us(ts)) // 3600000000 AS INTEGER)))
+        |    AS BIGINT) AS score
+        |FROM events, m
+        |WHERE (tu - epoch_us(ts)) // 3600000000 < 24
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // integer month index (year*12+month) keeps the cell keys exact —
     // fractional month arithmetic would not round identically
     "q_cohort_retention" ->
@@ -1899,6 +1919,22 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
     "q_jaccard_pairs" -> duckShingleCte,
     "q_jaccard_prefix" -> duckShingleCte,
+    // directed pairs, asymmetric |Sa∩Sb|/|Sa| denominator — string
+    // shingles vs the engine's 64-bit hashes, same collision argument
+    "q_containment" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |        range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |      FROM t WHERE len(tk) >= 3),
+         |idx AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+         |           FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT ida, idb, CAST(inter AS DOUBLE) / na.n AS containment
+         |FROM common JOIN sizes na ON na.doc_id = ida
+         |WHERE CAST(inter AS DOUBLE) / na.n >= 0.9
+         |ORDER BY ida, idb""".stripMargin,
     "q_fuzzy_join" -> duckFuzzy,
     "q_fuzzy_indel" -> duckFuzzyIndel,
     // (shingle, source)-distinct inverted index, then a source-keyed

@@ -460,6 +460,63 @@ object Dedup {
     verifyJaccardPairs(cands, withSh, t)
   }
 
+  /** Directed set-containment join (quote / subset detection):
+    * ordered pairs (ida, idb), ida ≠ idb, with
+    * C(a→b) = |Sa ∩ Sb| / |Sa| ≥ 0.9 over the word-3-gram shingle
+    * sets — the ASYMMETRIC cousin of [[qJaccardPrefix]]. Jaccard
+    * misses exactly the pairs a curation pipeline most wants: a short
+    * document quoted wholesale inside a much longer one has tiny
+    * J(a,b) = |Sa∩Sb|/|Sa∪Sb| but containment ≈ 1 — the
+    * quote-detection / subset-dedup signal (keep the superset, drop
+    * the enclosed copy).
+    *
+    * Same prefix-filter theorem, one-sided: under any fixed total
+    * order, if |Sa∩Sb| ≥ ⌈t·|Sa|⌉ and B misses ALL of A's first
+    * |Sa| − ⌈t·|Sa|⌉ + 1 elements, the overlap is ≤ ⌈t·|Sa|⌉ − 1 —
+    * contradiction. So only the CONTAINED side is prefix-indexed
+    * (rarest-first, as [[prefixFilterPairs]]) while the container
+    * side keeps its FULL inverted index — the asymmetry is the cost
+    * of the asymmetric predicate (candidate fan Σ_a prefix·df instead
+    * of Σ df_p², plus the size filter |Sb| ≥ ⌈t·|Sa|⌉, since the
+    * overlap can never exceed |Sb|). Verification is one exact
+    * intersect on the full sets, the [[verifyJaccardPairs]] shape
+    * with the asymmetric denominator. */
+  def qContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val withSh = cachedSigSets(spark, sfDir, n = 3, k = 64)
+    containmentPairs(withSh.select(col("doc_id"), col("sh")), 0.9)
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** The containment core over (doc_id, sh: array<long>) at threshold
+    * `t`: contained-side rarest-first prefix × full inverted index →
+    * exact verification with the |Sa| denominator. */
+  private[graft] def containmentPairs(withSh: DataFrame, t: Double)
+      : DataFrame = {
+    val idx = withSh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val dfTab = idx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = idx.join(dfTab, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select(col("doc_id"), col("n"), col("shingle"))
+    val cands = prefix.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") =!= col("b.doc_id")
+          && col("b.n") >= ceil(lit(t) * col("a.n")))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    cands
+      .join(withSh.select(col("doc_id").as("ida"), col("sh").as("sa")), "ida")
+      .join(withSh.select(col("doc_id").as("idb"), col("sh").as("sb")), "idb")
+      .select(col("ida"), col("idb"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa"))).as("containment"))
+      .filter(col("containment") >= t)
+  }
+
   /** Striped (position-interleaved) blocking chunks for the fuzzy
     * join: chunk j of an 18-char key string = its characters at
     * positions ≡ j (mod 3). Hamming distance ≤ 2 touches at most two

@@ -504,6 +504,43 @@ object Relational {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Exponentially time-decayed trending score — the "what's hot
+    * right now" ranking signal: every event in the trailing 24 h
+    * contributes value · 2^(23 − age_hours), so the newest hour
+    * weighs 2²³ and each older hour half that. Computed as ONE plain
+    * hash aggregation — no window, no recursion, no per-key ordering:
+    * the decay weight is a per-row function of (ts, corpus max ts),
+    * which is what makes the score a commutative-monoid sum and
+    * therefore distributable with map-side partials at any scale
+    * (the per-key recursive EWMA formulation would serialize each
+    * key's history; anchoring the decay to a fixed reference time
+    * removes the recursion entirely).
+    *
+    * Exactness discipline: values are exact centi-units
+    * (round(value·100), the q_pagerank integer-unit convention),
+    * weights are exact BIGINT powers of two (shiftleft), ages come
+    * from BIGINT microsecond floor-division — so the per-type score
+    * is an order-independent BIGINT sum, hash-stable across engines
+    * and partitionings (max |score| here ≈ 2.9e11; headroom to long
+    * overflow is ~7 orders of magnitude, bounded by
+    * 49102·2²³·n_recent). The corpus max ts rides in as a broadcast
+    * 1-row cross join ([[qScalarSubquery]]'s shape). */
+  def qDecayTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val tmax = ev.agg(max(unix_micros(col("ts"))).as("tu"))
+    ev.crossJoin(broadcast(tmax))
+      .withColumn("age_h",
+        floor((col("tu") - unix_micros(col("ts"))) / lit(3600000000L)))
+      .filter(col("age_h") < 24)
+      .withColumn("wt",
+        expr("shiftleft(cast(1 as bigint), cast(23 - age_h as int))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_recent"),
+        sum(round(col("value") * 100).cast("long") * col("wt"))
+          .as("score"))
+      .orderBy(col("event_type"))
+  }
+
   /** Incremental aggregation maintenance (materialized-view merge):
     * update an hourly rollup with a NEW event interval by combining
     * the STORED partial aggregates with the batch's partials —

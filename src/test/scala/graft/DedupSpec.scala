@@ -220,6 +220,32 @@ class DedupSpec extends SparkSpec {
     assert(total <= s && total > s - 300L * n, s"total=$total n=$n")
   }
 
+  test("containment: equals a brute-force recompute; fixture has an asymmetric pair") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val tk = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = for {
+      a <- ids; b <- ids; if a != b
+      inter = (sets(a) & sets(b)).size
+      c = inter.toDouble / sets(a).size
+      if c >= 0.9
+    } yield (a, b, c)
+    val out = Dedup.qContainment(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == expected && out.nonEmpty)
+    // the asymmetric case Jaccard cannot see: at least one pair where
+    // a is enclosed in b but b is NOT (mostly) inside a
+    val dir = out.map(p => (p._1, p._2)).toSet
+    assert(out.exists(p => !dir.contains((p._2, p._1))))
+  }
+
   test("prefix filter: same exact pair set, strictly smaller candidate volume") {
     // output equality with the full inverted-index path — completeness
     // of the prefix theorem on real data

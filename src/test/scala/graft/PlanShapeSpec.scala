@@ -281,6 +281,25 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("containment: prefix x full-index equi-join, never a set-pair cartesian") {
+    val p = plan(graft.engine.Dedup.qContainment(spark, sf0001))
+    // the quadratic regression is the all-pairs intersect scan; the
+    // candidate stage must stay a shingle-keyed equi-join
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("decay trend: one hash agg over a 1-row broadcast anchor — no window") {
+    val p = plan(Relational.qDecayTrend(spark, sf0001))
+    // a per-key recursive EWMA would plan a user/type-keyed Window
+    // sort; the anchored monoid form must keep the score a plain
+    // partial/final agg, with the corpus-max anchor riding the ONE
+    // 1-row broadcast nested loop (the q_join_card count-frame shape)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("BM25: query terms broadcast into the postings scan, no cartesian") {
     val p = plan(graft.engine.TextOps.qBm25(spark, sf0001))
     assert(!p.contains("CartesianProduct"), p)

@@ -243,6 +243,30 @@ class ScaleSpec extends SparkSpec {
     assert(hop.filter(_._1.endsWith(":00:00")) == tum && tum.nonEmpty)
   }
 
+  test("decay trend: equals an exact shifted-weight driver recompute") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("tu"),
+        col("value"))
+      .as[(String, Long, Double)].collect().toSeq
+    val tmax = ev.map(_._2).max
+    val expected = ev
+      .map { case (t, u, v) =>
+        (t, (tmax - u) / 3600000000L, math.round(v * 100)) }
+      .filter(_._2 < 24)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, rows) =>
+        (t, rows.size.toLong,
+          rows.map(r => r._3 * (1L << (23 - r._2))).sum) }
+    val out = graft.engine.Relational.qDecayTrend(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == expected && out.nonEmpty)
+    // the decay is non-degenerate on the fixture: more than one
+    // distinct age bucket contributes (weights actually vary)
+    val ages = ev.map(r => (tmax - r._2) / 3600000000L)
+      .filter(_ < 24).distinct
+    assert(ages.size > 1)
+  }
+
   test("robust outliers: median/MAD equal a driver recompute; resistant to a planted glitch") {
     def p50(vs: Seq[Double]): Double = {
       val s = vs.sorted; val idx = (s.size - 1) * 0.5
