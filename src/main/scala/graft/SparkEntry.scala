@@ -55,6 +55,9 @@ object SparkEntry {
     // trending: per-row 2^(23-age_h) decay anchored at corpus max ts
     // — a plain monoid hash-agg, no window/recursion; exact BIGINT
     "q_decay_trend" -> Relational.qDecayTrend _,
+    // leaderboard MV: topk(A∪B) = topk(topk(A)∪topk(B)) for row-level
+    // metrics — O(groups·k) merge input, history never rescanned
+    "q_topk_incremental" -> Relational.qTopkIncremental _,
     // materialized-view maintenance: stored partials + new batch
     // merge-agg ≡ the full recompute (the oracle IS the full pass)
     "q_agg_incremental" -> Relational.qAggIncremental _,
@@ -1231,6 +1234,16 @@ object SparkEntry {
         |WHERE (tu - epoch_us(ts)) // 3600000000 < 24
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // the oracle is the FULL single-pass leaderboard — equality with
+    // the stored-k ∪ batch-k re-rank IS the mergeability claim
+    "q_topk_incremental" ->
+      """SELECT event_type, rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rank
+        |  FROM events) t
+        |WHERE rank <= 3
+        |ORDER BY event_type, rank""".stripMargin,
     // integer month index (year*12+month) keeps the cell keys exact —
     // fractional month arithmetic would not round identically
     "q_cohort_retention" ->

@@ -607,6 +607,43 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Incremental TOP-K maintenance — the leaderboard member of the
+    * MV-merge family ([[qAggIncremental]] counts/sums,
+    * [[qDistinctIncremental]] sketches, [[qChecksumIncremental]]
+    * verification): for a ROW-LEVEL metric, top-k is a mergeable
+    * bounded summary — topk(A ∪ B) = topk(topk(A) ∪ topk(B)) — so a
+    * per-group leaderboard over 100 TB of history is maintained by
+    * re-ranking the stored k rows against the batch's k rows, never
+    * rescanning history; the merge input is O(groups·k).
+    *
+    * The boundary, stated honestly: this identity holds because the
+    * rank metric is a per-ROW value (each row's own `value`; max-like
+    * semantics). A top-k by an ADDITIVE per-key metric (e.g. each
+    * user's SUM) is NOT maintainable from the k stored rows — a key
+    * outside both stored top-ks can enter the merged top-k — and
+    * needs the [[qAggIncremental]] full-partials route with a final
+    * re-rank. Ties break on event_id; the oracle is the full-pass
+    * window over history ∪ batch — equality IS the maintenance
+    * claim. */
+  def qTopkIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val bucket = Tables.md5Bucket(col("event_id"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    def top3(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val stored = top3(ev.filter(bucket < 90)) // the MV, on disk in prod
+    val arriving = top3(ev.filter(bucket >= 90))
+    stored.unionByName(arriving)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   /** Join-key skew report — the diagnostic behind the salting /
     * AQE-skew-join decisions ([[Scale.saltedJoin]], SURVEY §8.2):
     * for each candidate join key of the fact table, the row count,

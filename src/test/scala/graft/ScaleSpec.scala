@@ -243,6 +243,33 @@ class ScaleSpec extends SparkSpec {
     assert(hop.filter(_._1.endsWith(":00:00")) == tum && tum.nonEmpty)
   }
 
+  test("top-k MV merge: stored-k + batch-k re-rank equals the full leaderboard") {
+    // topk(A ∪ B) = topk(topk(A) ∪ topk(B)) for the row-level metric —
+    // the oracle cross-checks the same equality against DuckDB's full
+    // window pass
+    val inc = graft.engine.Relational.qTopkIncremental(spark, sf0001)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)].collect().toSeq
+    val full = ev.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (t, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, id, v), i) => (t, i + 1, id, v) }
+    }
+    assert(inc == full && inc.nonEmpty)
+    // the merge is non-degenerate: at least one final top-3 row comes
+    // from EACH md5 split (otherwise the test proves nothing about
+    // merging)
+    val bucket = pmod(
+      conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int"), lit(100))
+    val hist = Tables(spark, sf0001, "events").filter(bucket < 90)
+      .select("event_id").as[Long].collect().toSet
+    val ids = inc.map(_._3).toSet
+    assert(ids.exists(hist.contains) && ids.exists(!hist.contains(_)))
+  }
+
   test("decay trend: equals an exact shifted-weight driver recompute") {
     val ev = Tables(spark, sf0001, "events")
       .select(col("event_type"), unix_micros(col("ts")).as("tu"),
