@@ -281,6 +281,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("top-k MV merge: both window passes prune map-side via WindowGroupLimit") {
+    val p = plan(Relational.qTopkIncremental(spark, sf0001))
+    // a group's full history must never reach the window shuffle —
+    // every rn<=3 filter has to push into WindowGroupLimit (stored
+    // side, batch side, and the final merge re-rank)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+  }
+
   test("containment: prefix x full-index equi-join, never a set-pair cartesian") {
     val p = plan(graft.engine.Dedup.qContainment(spark, sf0001))
     // the quadratic regression is the all-pairs intersect scan; the
