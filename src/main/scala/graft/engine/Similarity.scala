@@ -1365,9 +1365,15 @@ object Similarity {
       (0 until pqSubspaces).map(j =>
         seeds.map(_.slice(j * pqSubDim, (j + 1) * pqSubDim)))
     for (_ <- 1 to iters) {
+      // forceExpr: the m fused literal argmins (m·ks unrolled dots +
+      // the decimal agg) inline into ONE generate-consume method that
+      // overruns the JVM's 64 KB bytecode limit — Janino refuses and
+      // the stage silently degrades to interpreted (r15 bench log).
+      // The loop expression is bit-identical and constant-size.
       val subs = explode(array((0 until pqSubspaces).map { j =>
         struct(lit(j).as("j"), subSlice(col("v"), j).as("sv"),
-          nearestCell(books(j), v = subSlice(col("v"), j)).as("cid"))
+          nearestCell(books(j), forceExpr = true,
+            v = subSlice(col("v"), j)).as("cid"))
       }: _*)).as("s")
       val aggs = count(lit(1)).as("n") +:
         (0 until pqSubDim).map(i =>

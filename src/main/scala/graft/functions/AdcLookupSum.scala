@@ -56,6 +56,11 @@ case class AdcLookupSum(left: Expression, right: Expression)
     }
   }
 
+  // CAUTION: no generated line may START with '|' — Block.toString
+  // strips margin characters from code"" templates, so a line-leading
+  // "||" silently becomes invalid Java (Janino parse failure →
+  // whole-stage fallback to interpreted). Keep boolean operators at
+  // end-of-line.
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val l = left.genCode(ctx)
     val r = right.genCode(ctx)
@@ -83,8 +88,8 @@ case class AdcLookupSum(left: Expression, right: Expression)
               int $c = ${l.value}.getInt($i);
               org.apache.spark.sql.catalyst.util.ArrayData $sub =
                 ${r.value}.getArray($i);
-              if ($c < 0 || $c >= $sub.numElements()
-                  || $sub.isNullAt($c)) {
+              if ($c < 0 || $c >= $sub.numElements() ||
+                  $sub.isNullAt($c)) {
                 $bad = true;
               } else {
                 $acc += $sub.getDouble($c);

@@ -95,5 +95,13 @@ class AdcLookupSumSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val line = plan.linesIterator.find(_.contains("graft_adc")).get
     assert(line.trim.startsWith("*"), plan) // inside WholeStageCodegen
+    // ... and the generated stage actually COMPILES: with fallback
+    // disabled a Janino failure throws instead of degrading to
+    // interpreted (the exact failure mode of the r15 margin-strip bug)
+    val vals = strictCodegen {
+      df.select(Similarity.adcCol(col("codes"), col("lut")).as("adc"))
+        .as[Double].collect()
+    }
+    assert(vals.length == 50)
   }
 }

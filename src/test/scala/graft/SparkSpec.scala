@@ -25,6 +25,22 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf0001 = "/root/testdata/sf0.001"
 
+  /** Run `f` with interpreted fallback DISABLED so a Janino compile
+    * failure in any custom expression's doGenCode throws instead of
+    * silently degrading the whole stage to interpreted execution
+    * (the r15 graft_adc margin-strip bug shipped green because the
+    * fallback ate the error). */
+  def strictCodegen[T](f: => T): T = {
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevMode = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try f finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevMode)
+    }
+  }
+
   /** Temp dir helper rooted under target/ (inside the repo). */
   def tmpDir(prefix: String): String = {
     val d = java.nio.file.Files
