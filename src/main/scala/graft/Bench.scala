@@ -41,6 +41,7 @@ object Bench {
     "q_containment",      // directed quote/subset containment join (r15)
     "q_fuzzy_join",       // blocked record linkage + levenshtein (r14)
     "q_fuzzy_indel",      // deletion-neighborhood indel linkage (r15)
+    "q_fuzzy_jw",         // Jaro-Winkler re-score, native expression (r15)
     "q_copurchase",       // in-row co-occurrence pair mining (r14)
     "q_dedup_clusters",   // connected components (driver union-find)
     "q_dedup_clusters_dist", // same via distributed star contraction

@@ -179,6 +179,9 @@ object SparkEntry {
     // record linkage: corrupted probe names re-linked by striped
     // pigeonhole blocking + exact levenshtein verify
     "q_fuzzy_join" -> Dedup.qFuzzyJoin _,
+    // Jaro-Winkler re-score of the same blocked candidates (the
+    // native graft_jw expression vs DuckDB's built-in, bit-exact)
+    "q_fuzzy_jw" -> Dedup.qFuzzyJw _,
     // indel corruption (delete + insert, alignment-shifting) re-linked
     // through symmetric-delete blocking — complete for lev ≤ 2, so
     // its oracle is the plain brute-force cross join
@@ -541,7 +544,7 @@ object SparkEntry {
     * verification — the shared-machinery convention of the LSH
     * oracles (the blocking is part of the operator's contract: it is
     * complete for the substitution class, see [[graft.engine.Dedup.qFuzzyJoin]]). */
-  private val duckFuzzy: String = {
+  private val duckFuzzyCtes: String = {
     def hex4(v: String, s: Int): String =
       (0 until 4).map(k =>
         s"(strpos('0123456789abcdef', substring($v, ${s + k}, 1)) - 1) * ${math.pow(16, 3 - k).toInt}")
@@ -574,14 +577,30 @@ object SparkEntry {
         s"SELECT c_custkey AS match_id, $j AS j, ${chunk("c_name", j)} AS v FROM c")
         .mkString("\n       UNION ALL ")}),
        |cand AS (SELECT DISTINCT probe_id, match_id
-       |         FROM pk JOIN ck ON pk.j = ck.j AND pk.v = ck.v)
+       |         FROM pk JOIN ck ON pk.j = ck.j AND pk.v = ck.v)""".stripMargin
+  }
+
+  private val duckFuzzy: String =
+    s"""$duckFuzzyCtes
        |SELECT probe_id, match_id,
        |  CAST(levenshtein(probe_name, c_name) AS BIGINT) AS dist
        |FROM cand JOIN probe USING (probe_id)
        |JOIN c ON c.c_custkey = cand.match_id
        |WHERE levenshtein(probe_name, c_name) <= 2
        |ORDER BY probe_id, match_id""".stripMargin
-  }
+
+  /** Jaro-Winkler re-score of the SAME blocked candidate set —
+    * DuckDB's built-in `jaro_winkler_similarity` is the pinned
+    * bit-exact twin of [[graft.functions.JaroWinkler]], so the full
+    * double score column hash-checks. */
+  private val duckFuzzyJw: String =
+    s"""$duckFuzzyCtes
+       |SELECT probe_id, match_id,
+       |  jaro_winkler_similarity(probe_name, c_name) AS jw
+       |FROM cand JOIN probe USING (probe_id)
+       |JOIN c ON c.c_custkey = cand.match_id
+       |WHERE jaro_winkler_similarity(probe_name, c_name) >= 0.9
+       |ORDER BY probe_id, match_id""".stripMargin
 
   /** Brute-force oracle for the INDEL fuzzy join — deliberately NO
     * blocking to mirror (unlike [[duckFuzzy]]): the deletion-
@@ -1949,6 +1968,7 @@ object SparkEntry {
          |WHERE CAST(inter AS DOUBLE) / na.n >= 0.9
          |ORDER BY ida, idb""".stripMargin,
     "q_fuzzy_join" -> duckFuzzy,
+    "q_fuzzy_jw" -> duckFuzzyJw,
     "q_fuzzy_indel" -> duckFuzzyIndel,
     // (shingle, source)-distinct inverted index, then a source-keyed
     // self-join — 1-based tk[i..i+2] over i = 1..len-2 mirrors

@@ -88,15 +88,19 @@ object GraftFunctions {
   val dotBuilder: Seq[Expression] => Expression = es => DotProduct(es(0), es(1))
   val adcBuilder: Seq[Expression] => Expression =
     es => AdcLookupSum(es(0), es(1))
+  val jwBuilder: Seq[Expression] => Expression =
+    es => JaroWinkler(es(0), es(1))
 
   /** Register into an existing session's function registry (used by
-    * Tables.tune so `graft_dot` / `graft_adc` are callable from SQL
-    * everywhere). */
+    * Tables.tune so `graft_dot` / `graft_adc` / `graft_jw` are
+    * callable from SQL everywhere). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_adc", adcBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jw", jwBuilder, "built-in")
   }
 }
 
@@ -114,6 +118,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_adc"),
       new ExpressionInfo(classOf[AdcLookupSum].getName, "graft_adc"),
       GraftFunctions.adcBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jw"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jw"),
+      GraftFunctions.jwBuilder))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }

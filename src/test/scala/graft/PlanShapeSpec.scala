@@ -281,6 +281,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("fuzzy JW re-score: blocked equi-joins only, score cut below the dedup") {
+    val p = plan(graft.engine.Dedup.qFuzzyJw(spark, sf0001))
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+    // the >= 0.9 cut must push into the blocked join (the candidate
+    // fan collapses to O(matches) before the pair-dedup exchange) —
+    // the optimizer inlines graft_jw into the BHJ condition
+    val joinLine = p.linesIterator
+      .find(l => l.contains("BroadcastHashJoin") && l.contains("graft_jw"))
+    assert(joinLine.nonEmpty, p)
+  }
+
   test("top-k MV merge: both window passes prune map-side via WindowGroupLimit") {
     val p = plan(Relational.qTopkIncremental(spark, sf0001))
     // a group's full history must never reach the window shuffle —
