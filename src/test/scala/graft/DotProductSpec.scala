@@ -69,5 +69,11 @@ class DotProductSpec extends SparkSpec {
     // the `*(n)` prefix marks operators inside a WholeStageCodegen stage
     val dotLine = plan.linesIterator.find(_.contains("graft_dot")).get
     assert(dotLine.trim.startsWith("*"))
+    // ...and the stage must COMPILE: fallback disabled so a Janino
+    // failure throws instead of silently degrading to interpreted
+    val n = strictCodegen {
+      e.select(Similarity.dot(col("v"), col("v")).as("d")).count()
+    }
+    assert(n > 0)
   }
 }

@@ -57,6 +57,12 @@ class NearestCentroidSpec extends SparkSpec {
     val line = plan.linesIterator
       .find(_.contains("graft_nearest_centroid")).get
     assert(line.trim.startsWith("*"), plan)
+    // compile enforced: Janino failures throw instead of degrading
+    val n = strictCodegen {
+      corpus.select(Similarity.nearestCell(cent).as("cid"), col("v"))
+        .count()
+    }
+    assert(n > 0)
   }
 
   test("null semantics: null array, null element, width mismatch → null") {

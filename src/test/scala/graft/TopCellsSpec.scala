@@ -71,6 +71,12 @@ class TopCellsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val line = plan.linesIterator.find(_.contains("graft_top_cells")).get
     assert(line.trim.startsWith("*"), plan)
+    // compile enforced: Janino failures throw instead of degrading
+    val n = strictCodegen {
+      corpus.select(Similarity.ivfCellCol(cent).as("cid"), col("v"))
+        .count()
+    }
+    assert(n > 0)
   }
 
   test("null semantics: null array, null element, width mismatch → null") {
@@ -176,6 +182,8 @@ class TopCellsSpec extends SparkSpec {
     assert(p.contains("graft_hyperplane_sig"), p)
     assert(p.linesIterator.find(_.contains("graft_hyperplane_sig"))
       .get.trim.startsWith("*"), p)
+    // compile enforced: Janino failures throw instead of degrading
+    assert(strictCodegen { df20.count() } > 0)
     // the 20-bit signature's low 8 bits over the same planes match
     // the literal 8-bit signature (prefix property: plane j ↦ bit j)
     val low8 = df20.select(col("s").bitwiseAND(lit(0xFFL)))
