@@ -114,6 +114,9 @@ object SparkEntry {
     // deterministic PPS systematic sampling by token count (md5
     // order, sharded prefix scan, integer step crossings)
     "q_sample_pps" -> TextOps.qSamplePps _,
+    // priority sampling (Duffield–Lund–Thorup): top-k md5-derived
+    // priorities + unbiased max(w, tau) weight estimates
+    "q_priority_sample" -> TextOps.qPrioritySample _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -1634,6 +1637,32 @@ object SparkEntry {
          |SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum FROM c
          |WHERE cum // 1000 > (cum - n_tok) // 1000
          |ORDER BY doc_id""".stripMargin,
+    // Priority sampling: identical integer priority (w·2^32 // (h+1)),
+    // rank split at k, threshold tau joined back for est_w.
+    "q_priority_sample" -> {
+      val hex8 = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1)" +
+          s" * ${math.pow(16, 7 - i).toLong}")
+        .mkString("(", " + ", ")")
+      val k = TextOps.prioritySampleK
+      s"""WITH nn AS (SELECT doc_id, coalesce(text, '') AS text
+         |            FROM documents),
+         |d AS (SELECT doc_id,
+         |        greatest(CAST(len($duckTokens) AS BIGINT), 1) AS n_tok,
+         |        md5(CAST(doc_id AS VARCHAR)) AS h
+         |      FROM nn),
+         |p AS (SELECT doc_id, n_tok,
+         |        (n_tok * 4294967296) // ($hex8 + 1) AS prio
+         |      FROM d),
+         |r AS (SELECT doc_id, n_tok, prio,
+         |        row_number() OVER (ORDER BY prio DESC, doc_id) AS rn
+         |      FROM p),
+         |t AS (SELECT prio AS tau FROM r WHERE rn = ${k + 1})
+         |SELECT r.doc_id, r.n_tok, r.prio, t.tau,
+         |  greatest(r.n_tok, t.tau) AS est_w
+         |FROM r, t WHERE r.rn <= $k
+         |ORDER BY r.doc_id""".stripMargin
+    },
     "q_transition_matrix" ->
       """WITH tr AS (
         |  SELECT lag(event_type) OVER

@@ -1539,6 +1539,58 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Sample size for [[qPrioritySample]] — safely below the smallest
+    * fixture's document count (500 at sf0.001) so the threshold row
+    * (rank k+1) always exists. */
+  val prioritySampleK = 100
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007) — the
+    * weighted fixed-size sampler whose estimator is provably optimal
+    * among all k-sample schemes: each doc draws priority
+    * q = w / u (w = token count, u ∈ (0,1] uniform), the k largest
+    * priorities form the sample, and the (k+1)-th priority τ gives
+    * each sampled doc the unbiased weight estimate ŵ = max(w, τ)
+    * (Σ ŵ estimates the corpus token total from k rows — the "how
+    * many tokens does this 100 TB source hold" question answered
+    * from a fixed-size sample).
+    *
+    * Determinism discipline: u is md5-derived — u = (h+1)/2³², h the
+    * first 8 md5 hex digits of doc_id — and the priority is computed
+    * as the INTEGER `(w·2³²) div (h+1)` (one multiply + one integer
+    * division, both bit-exact in Spark and DuckDB; w ≤ ~10⁴ keeps
+    * the product ≤ ~10¹⁴, far inside long). The ≤1-part-in-w
+    * truncation bias is the price of a hash-exact oracle; w is
+    * floored at 1 so zero-token docs still hold a lottery ticket.
+    *
+    * Scale shape: the top-(k+1) is `orderBy(prio).limit(k+1)` —
+    * Spark plans TakeOrderedAndProject, every partition keeps k+1
+    * rows and the driver merges, so NOTHING corpus-sized shuffles.
+    * The only window (row_number to split sample from threshold) and
+    * the only join (broadcast of the 1-row τ) run on the (k+1)-row
+    * set. */
+  def qPrioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = prioritySampleK
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        greatest(tokenCount(coalesce(col("text"), lit(""))).cast("long"),
+          lit(1L)).as("n_tok"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") + lit(1L)).as("u32"))
+      .withColumn("prio", expr("(n_tok * 4294967296) div u32"))
+      .select(col("doc_id"), col("n_tok"), col("prio"))
+    val top = d.orderBy(col("prio").desc, col("doc_id")).limit(k + 1)
+    // (k+1)-row set from here on — the global window is bounded
+    val w = Window.orderBy(col("prio").desc, col("doc_id"))
+    val ranked = top.withColumn("rn", row_number().over(w))
+    val tau = ranked.filter(col("rn") === k + 1)
+      .select(col("prio").as("tau"))
+    ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("n_tok"), col("prio"), col("tau"),
+        greatest(col("n_tok"), col("tau")).as("est_w"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget training mix — the token-denominated sibling of
     * the doc-count [[qTrainMix]]: training mixes are specified in
     * TOKENS, and a doc-count mix silently over-weights long-document

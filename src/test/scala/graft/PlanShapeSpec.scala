@@ -274,6 +274,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("priority sample: corpus-sized top-k is TakeOrderedAndProject, no full sort") {
+    val p = plan(graft.engine.TextOps.qPrioritySample(spark, sf0001))
+    // every partition keeps k+1 rows, the driver merges — nothing
+    // corpus-sized may shuffle for the top-(k+1) cut
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("fuzzy join: blocked equi-joins only — never a cartesian levenshtein scan") {
     val p = plan(graft.engine.Dedup.qFuzzyJoin(spark, sf0001))
     // the quadratic regression is an all-pairs levenshtein cross

@@ -502,6 +502,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map(_._2).max > got.map(_._2).min)
   }
 
+  test("priority sample: top-k priorities + max(w,tau) estimator equal a driver recompute") {
+    val k = TextOps.prioritySampleK
+    val got = TextOps.qPrioritySample(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ntk(t: String) = math.max(1L,
+      Option(t).getOrElse("").toLowerCase.trim.split("\\s+")
+        .count(_.nonEmpty).toLong)
+    val prios = docs.map { case (id, t) =>
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16)
+      val w = ntk(t)
+      (id, w, w * 4294967296L / (h + 1L))
+    }
+    val ordered = prios.sortBy { case (id, _, p) => (-p, id) }
+    val tau = ordered(k)._3
+    val expect = ordered.take(k)
+      .map { case (id, w, p) => (id, w, p, tau, math.max(w, tau)) }
+      .sortBy(_._1)
+    assert(got == expect && got.size == k)
+    // DLT threshold property: every sampled priority >= tau, and the
+    // estimator never shrinks a weight
+    assert(got.forall(r => r._3 >= r._4 && r._5 >= r._2))
+    // weighted: the sample's mean token count exceeds the corpus mean
+    // (long docs hold proportionally more lottery tickets)
+    val corpusMean = prios.map(_._2).sum.toDouble / prios.size
+    val sampleMean = got.map(_._2).sum.toDouble / got.size
+    assert(sampleMean > corpusMean)
+  }
+
   test("cms bound: estimates for the exact top-30 all sit inside [exact, exact + eps*N]") {
     val out = TextOps.qCmsErr(spark, sf0001)
       .as[(String, Long, Boolean)].collect().toSeq
