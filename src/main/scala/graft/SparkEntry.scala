@@ -114,6 +114,9 @@ object SparkEntry {
     // deterministic PPS systematic sampling by token count (md5
     // order, sharded prefix scan, integer step crossings)
     "q_sample_pps" -> TextOps.qSamplePps _,
+    // self-trained bigram LM score (add-one smoothed, pico-quantized
+    // rational probs — no ln): the perplexity-proxy quality filter
+    "q_bigram_lm" -> TextOps.qBigramLm _,
     // priority sampling (Duffield–Lund–Thorup): top-k md5-derived
     // priorities + unbiased max(w, tau) weight estimates
     "q_priority_sample" -> TextOps.qPrioritySample _,
@@ -1637,6 +1640,32 @@ object SparkEntry {
          |SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum FROM c
          |WHERE cum // 1000 > (cum - n_tok) // 1000
          |ORDER BY doc_id""".stripMargin,
+    // Self-trained bigram LM: add-one smoothed conditional prob per
+    // bigram, pico-quantized to an integer BEFORE the per-doc sum
+    // (exact in any order — the no-ln discipline), one IEEE division
+    // for the mean.
+    "q_bigram_lm" ->
+      s"""WITH nn AS (SELECT doc_id, coalesce(text, '') AS text
+         |            FROM documents),
+         |t AS (SELECT doc_id, $duckTokens AS tk FROM nn),
+         |bi AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+         |         unnest(tk[2:len(tk)]) AS w2
+         |       FROM t WHERE len(tk) >= 2),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         |      FROM (SELECT unnest(tk) AS tok FROM t)),
+         |p AS (SELECT c2.w1, c2.w2,
+         |        CAST(round(1e12 * (c2.c2 + 1) / (c1.c1 + v.v))
+         |          AS BIGINT) AS p_pico
+         |      FROM c2 JOIN c1 USING (w1), v),
+         |s AS (SELECT bi.doc_id, count(*) AS n_bi,
+         |        CAST(SUM(p.p_pico) AS BIGINT) AS sum_pico
+         |      FROM bi JOIN p ON bi.w1 = p.w1 AND bi.w2 = p.w2
+         |      GROUP BY 1)
+         |SELECT doc_id, n_bi, sum_pico,
+         |  CAST(sum_pico AS DOUBLE) / n_bi AS avg_pico
+         |FROM s ORDER BY doc_id""".stripMargin,
     // Priority sampling: identical integer priority (w·2^32 // (h+1)),
     // rank split at k, threshold tau joined back for est_w.
     "q_priority_sample" -> {

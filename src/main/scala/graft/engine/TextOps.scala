@@ -1259,6 +1259,53 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model quality score — the perplexity-proxy
+    * filter CCNet/C4-style pipelines run with a KenLM model, here
+    * with the corpus itself as the LM (self-scoring flags documents
+    * whose local word transitions are atypical for the corpus —
+    * boilerplate, shuffled text, lorem ipsum). Per bigram (w₁,w₂):
+    * add-one-smoothed conditional p = (c₂+1)/(c₁+|V|), where c₂ is
+    * the bigram count, c₁ the bigram-START count (Σ_w c₂(w₁,w)) and
+    * |V| the corpus vocabulary; per doc: Σ pico-quantized p over its
+    * bigrams plus the mean. No logarithm anywhere — the libm-ln
+    * engine-divergence lesson from [[qBm25]]'s rational idf: each
+    * per-bigram p is rounded to an INTEGER pico value before the
+    * sum, so accumulation is exact integer arithmetic in any order,
+    * and the one IEEE division at the end is reproducible.
+    *
+    * Scale shape: the bigram list per doc is a zero-shuffle
+    * `transform` over the token array (never a posexplode self-join);
+    * c₂ and c₁ are map-side-combined aggs over the exploded bigrams;
+    * the prob table c₂⋈c₁ shuffles on w₁ (AQE splits the stopword-
+    * head skew), and the corpus-sized probe is a (w₁,w₂)-keyed
+    * equi-join — the finer key already spreads the head. |V| rides
+    * a broadcast 1-row frame. */
+  def qBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("tk"))
+    val bi = t.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (x, i) -> " +
+          "named_struct('w1', x, 'w2', element_at(tk, CAST(i + 2 AS INT))))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = t.select(explode(col("tk")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val p = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        round(lit(1e12) * (col("c2") + lit(1L)).cast("double")
+          / (col("c1") + col("v")).cast("double")).cast("long").as("p_pico"))
+    bi.join(p, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"), sum(col("p_pico")).as("sum_pico"))
+      .select(col("doc_id"), col("n_bi"), col("sum_pico"),
+        (col("sum_pico").cast("double") / col("n_bi").cast("double"))
+          .as("avg_pico"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Count-Min-Sketch point-query error bound, hash-checked — the
     * third sketch in the approximate family next to HLL
     * (`q_approx_err`) and GK percentiles (`q_approx_pct`), same

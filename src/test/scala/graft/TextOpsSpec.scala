@@ -502,6 +502,33 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map(_._2).max > got.map(_._2).min)
   }
 
+  test("bigram LM: smoothed pico-prob sums equal a driver recompute") {
+    val got = TextOps.qBigramLm(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def tks(t: String) = Option(t).getOrElse("")
+      .toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val allToks = docs.map { case (id, t) => (id, tks(t)) }
+    val bigrams = allToks.flatMap { case (id, tk) =>
+      tk.zip(tk.drop(1)).map { case (a, b) => (id, a, b) } }
+    val c2 = bigrams.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+    val v = allToks.flatMap(_._2).distinct.size
+    val expect = bigrams.groupBy(_._1).toSeq.map { case (id, bs) =>
+      val picos = bs.map { case (_, a, b) =>
+        math.round(1e12 * (c2((a, b)) + 1) / (c1(a) + v)) }
+      (id, bs.size.toLong, picos.sum,
+        picos.sum.toDouble / bs.size.toDouble)
+    }.sortBy(_._1)
+    assert(got == expect && got.nonEmpty)
+    // smoothed conditionals are genuine probabilities: 0 < p <= 1
+    assert(got.forall(r => r._3 > 0 && r._3 <= r._2 * 1000000000000L))
+    // docs with < 2 tokens hold no bigrams and are absent
+    val shortIds = allToks.collect { case (id, tk) if tk.size < 2 => id }
+    assert(shortIds.forall(id => !got.exists(_._1 == id)))
+  }
+
   test("priority sample: top-k priorities + max(w,tau) estimator equal a driver recompute") {
     val k = TextOps.prioritySampleK
     val got = TextOps.qPrioritySample(spark, sf0001)
