@@ -204,6 +204,9 @@ object SparkEntry {
     "q_simhash_pairs" -> Dedup.qSimhashPairs _,
     // §2.9 north-star: embedding similarity
     "q_cosine_topk" -> Similarity.qCosineTopK _,
+    // MMR diversity re-rank over the exact-cosine shortlist
+    // (Carbonell-Goldstein greedy, driver-side over m=32 candidates)
+    "q_mmr_rerank" -> Similarity.qMmrRerank _,
     "q_embed_neardup" -> Similarity.qEmbedNearDup _,
     // the candidate-generation twin: LSH-bucket collisions + exact
     // verify — the near-dup path that scales past the all-pairs join
@@ -2637,6 +2640,60 @@ object SparkEntry {
         |SELECT qid, nid, rank, score FROM r
         |WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // MMR re-rank: the greedy argmax unrolled into one CTE per step
+    // (sel_i picks rank i; selu_i accumulates the selected set) —
+    // DuckDB re-derives the full trajectory, so a single divergent
+    // comparison anywhere in the greedy walk breaks the hash.
+    "q_mmr_rerank" -> {
+      val lam = Similarity.mmrLambda
+      val mu = Similarity.mmrMu
+      val cos = "list_inner_product(%1$s, %2$s) / (sqrt(list_inner_product(%1$s, %1$s)) * sqrt(list_inner_product(%2$s, %2$s)))"
+      val steps = (2 to Similarity.mmrK).map { i =>
+        s"""sel$i AS (
+           |  SELECT qid, nid, score, $i AS rank FROM (
+           |    SELECT c.qid, c.nid, c.score,
+           |      row_number() OVER (PARTITION BY c.qid
+           |        ORDER BY $lam * c.score - $mu * c.mx DESC, c.nid) AS rn
+           |    FROM (SELECT sl.qid, sl.nid, sl.score, max(pr.sim) AS mx
+           |          FROM sl
+           |          JOIN pr ON pr.qid = sl.qid AND pr.na = sl.nid
+           |          JOIN selu${i - 1} s
+           |            ON s.qid = pr.qid AND s.nid = pr.nb
+           |          WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} x
+           |                            WHERE x.qid = sl.qid
+           |                              AND x.nid = sl.nid)
+           |          GROUP BY 1, 2, 3) c) WHERE rn = 1),
+           |selu$i AS (SELECT qid, nid FROM selu${i - 1}
+           |           UNION ALL SELECT qid, nid FROM sel$i)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to Similarity.mmrK)
+        .map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+         |s0 AS (SELECT qid, e.vec_id AS nid,
+         |         ${cos.format("qv", "v")} AS score
+         |       FROM e, q WHERE e.vec_id <> qid),
+         |sl AS (SELECT qid, nid, score FROM (
+         |         SELECT qid, nid, score, row_number() OVER
+         |           (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+         |         FROM s0)
+         |       WHERE rk <= ${Similarity.mmrShortlist}),
+         |slv AS (SELECT sl.qid, sl.nid, sl.score, e.v
+         |        FROM sl JOIN e ON e.vec_id = sl.nid),
+         |pr AS (SELECT a.qid, a.nid AS na, b.nid AS nb,
+         |         ${cos.format("a.v", "b.v")} AS sim
+         |       FROM slv a JOIN slv b
+         |         ON a.qid = b.qid AND a.nid <> b.nid),
+         |sel1 AS (SELECT qid, nid, score, 1 AS rank FROM (
+         |          SELECT qid, nid, score, row_number() OVER
+         |            (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |          FROM sl) WHERE rn = 1),
+         |selu1 AS (SELECT qid, nid FROM sel1),
+         |$steps
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, score
+         |FROM ($union)
+         |ORDER BY qid, rank""".stripMargin
+    },
     // JL projection: each component re-derived against the same
     // embedded plane literals the LSH oracles use; the sqrt(3/k)
     // scale embeds via Double.toString (shortest round-trip, so both

@@ -109,6 +109,70 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("score"))
       .orderBy(col("qid"), col("rank"))
 
+  /** MMR trade-off λ (relevance weight) and its diversity complement
+    * μ — BOTH literal so the engine and the oracle evaluate
+    * `λ·sim(q,d) − μ·max sim(d,S)` with bit-identical constants
+    * (deriving μ = 1−λ in IEEE gives 0.30000000000000004). */
+  val mmrLambda = 0.7
+  val mmrMu = 0.3
+  val mmrShortlist = 32
+  val mmrK = 8
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity-aware top-k every retrieval-augmented
+    * pipeline puts between ANN shortlist and context window: greedily
+    * pick the candidate maximizing λ·sim(q,d) − μ·max_{s∈S} sim(d,s),
+    * so near-duplicate passages don't crowd out coverage. Per query
+    * (vec_id < 4): exact-cosine shortlist of [[mmrShortlist]], then
+    * [[mmrK]] greedy selections (ties → lowest nid; the first pick is
+    * plain score order).
+    *
+    * Scale shape: everything corpus-sized is distributed — the
+    * shortlist is [[exactTopK]]'s broadcast-probe + bounded top-k
+    * aggregate, shortlist vectors come back through a broadcast
+    * equi-join on the pruned scan, and the |q|·m² pairwise sims are
+    * a self-join of the m-row shortlist frame. Only the greedy
+    * selection itself runs on the driver, over |q|·m score rows +
+    * |q|·m² sims (4 KB-class, the bounded-collect inventory) — MMR
+    * is sequentially dependent by definition, and m is FIXED at 32
+    * regardless of corpus size. */
+  def qMmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = corpus(spark, sfDir)
+    val sl = exactTopK(e, queryVecs(spark, sfDir, maxQid = 4),
+      k = mmrShortlist)
+    val slv = e.join(broadcast(sl), col("vec_id") === col("nid"))
+      .select(col("qid"), col("nid"), col("score"), col("v"))
+    val a = slv.select(col("qid"), col("nid").as("na"), col("v").as("va"))
+    val b = slv.select(col("qid").as("qb"), col("nid").as("nb"),
+      col("v").as("vb"))
+    val pairs = a.join(b, col("qid") === col("qb") && col("na") =!= col("nb"))
+      .select(col("qid"), col("na"), col("nb"),
+        cosine(col("va"), col("vb")).as("sim"))
+    val cands = sl.select(col("qid"), col("nid"), col("score"))
+      .as[(Long, Long, Double)].collect()
+    val sims = pairs.as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2, r._3), r._4)).toMap
+    val out = cands.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val ordered = cs.map(c => (c._2, c._3)).sortBy(c => (-c._2, c._1))
+      val remaining = scala.collection.mutable.ListBuffer(ordered: _*)
+      val selected = scala.collection.mutable.ListBuffer.empty[Long]
+      (1 to mmrK).map { rank =>
+        val (nid, score) =
+          if (selected.isEmpty) remaining.head
+          else remaining.minBy { case (n, s) =>
+            val mx = selected.map(sel => sims((qid, n, sel))).max
+            (-(mmrLambda * s - mmrMu * mx), n)
+          }
+        remaining.filterInPlace(_._1 != nid)
+        selected += nid
+        (qid, rank, nid, score)
+      }
+    }
+    out.toSeq.toDF("qid", "rank", "nid", "score")
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Exact cosine top-k per query, self excluded, ranked score-desc
     * then nid — the brute-force kernel behind [[qCosineTopK]] and the
     * recall audit's ground truth. `q` is the (vec_id, v) query batch

@@ -33,6 +33,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR re-rank equals an independent greedy recompute; diversity binds") {
+    val out = Similarity.qMmrRerank(spark, sf0001)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.size) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val byId = vecs.toMap
+    val expect = vecs.filter(_._1 < 4).flatMap { case (qid, qv) =>
+      val short = vecs.filter(_._1 != qid)
+        .map { case (n, v) => (n, cos(qv, v)) }
+        .sortBy { case (n, s) => (-s, n) }.take(Similarity.mmrShortlist)
+      var remaining = short.toList
+      var selected = List.empty[Long]
+      (1 to Similarity.mmrK).map { rank =>
+        val (nid, score) =
+          if (selected.isEmpty) remaining.head
+          else remaining.minBy { case (n, s) =>
+            val mx = selected
+              .map(sel => cos(byId(n), byId(sel))).max
+            (-(Similarity.mmrLambda * s - Similarity.mmrMu * mx), n)
+          }
+        remaining = remaining.filterNot(_._1 == nid)
+        selected ::= nid
+        (qid, rank, nid, score)
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    assert(out == expect && out.size == 4 * Similarity.mmrK)
+    // diversity binds: for at least one query the MMR order is NOT
+    // the plain relevance order (otherwise the operator is a no-op
+    // on this corpus and the test is vacuous)
+    val reordered = out.groupBy(_._1).exists { case (_, rows) =>
+      val scores = rows.sortBy(_._2).map(_._4)
+      scores.sliding(2).exists(w => w(0) < w(1))
+    }
+    assert(reordered)
+  }
+
   test("ANN/LSH: candidates are real corpus neighbors with exact scores") {
     val ann = Similarity.qAnnLsh(spark, sf0001)
       .select("qid", "nid", "score").as[(Long, Long, Double)].collect()
