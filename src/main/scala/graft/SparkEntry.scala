@@ -120,6 +120,9 @@ object SparkEntry {
     // priority sampling (Duffield–Lund–Thorup): top-k md5-derived
     // priorities + unbiased max(w, tau) weight estimates
     "q_priority_sample" -> TextOps.qPrioritySample _,
+    // mergeable-sketch MV maintenance: stored top-(k+1) + batch
+    // top-(k+1) re-ranked; must equal the full recompute
+    "q_priority_incremental" -> TextOps.qPriorityIncremental _,
     "q_topk" -> Relational.qTopK _,
     "q_distinct" -> Relational.qDistinct _,
     "q_set_ops" -> Relational.qSetOps _,
@@ -328,6 +331,36 @@ object SparkEntry {
     "q_string_funcs" -> Relational.qStringFuncs _,
     "q_json_funcs" -> Relational.qJsonFuncs _,
   )
+
+  /** Priority-sampling oracle (full-corpus recompute): identical
+    * integer priority (w·2³²)//(h+1), rank split at k, threshold τ
+    * joined back for est_w. Shared verbatim by `q_priority_sample`
+    * and `q_priority_incremental` — the incremental merge must equal
+    * the full recompute. */
+  private lazy val duckPrioritySample: String = {
+    val hex8 = (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1)" +
+        s" * ${math.pow(16, 7 - i).toLong}")
+      .mkString("(", " + ", ")")
+    val k = TextOps.prioritySampleK
+    s"""WITH nn AS (SELECT doc_id, coalesce(text, '') AS text
+       |            FROM documents),
+       |d AS (SELECT doc_id,
+       |        greatest(CAST(len($duckTokens) AS BIGINT), 1) AS n_tok,
+       |        md5(CAST(doc_id AS VARCHAR)) AS h
+       |      FROM nn),
+       |p AS (SELECT doc_id, n_tok,
+       |        (n_tok * 4294967296) // ($hex8 + 1) AS prio
+       |      FROM d),
+       |r AS (SELECT doc_id, n_tok, prio,
+       |        row_number() OVER (ORDER BY prio DESC, doc_id) AS rn
+       |      FROM p),
+       |t AS (SELECT prio AS tau FROM r WHERE rn = ${k + 1})
+       |SELECT r.doc_id, r.n_tok, r.prio, t.tau,
+       |  greatest(r.n_tok, t.tau) AS est_w
+       |FROM r, t WHERE r.rn <= $k
+       |ORDER BY r.doc_id""".stripMargin
+  }
 
   /** Shared oracle fragments (DuckDB dialect). */
   private val duckTokens =
@@ -1671,30 +1704,10 @@ object SparkEntry {
          |FROM s ORDER BY doc_id""".stripMargin,
     // Priority sampling: identical integer priority (w·2^32 // (h+1)),
     // rank split at k, threshold tau joined back for est_w.
-    "q_priority_sample" -> {
-      val hex8 = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1)" +
-          s" * ${math.pow(16, 7 - i).toLong}")
-        .mkString("(", " + ", ")")
-      val k = TextOps.prioritySampleK
-      s"""WITH nn AS (SELECT doc_id, coalesce(text, '') AS text
-         |            FROM documents),
-         |d AS (SELECT doc_id,
-         |        greatest(CAST(len($duckTokens) AS BIGINT), 1) AS n_tok,
-         |        md5(CAST(doc_id AS VARCHAR)) AS h
-         |      FROM nn),
-         |p AS (SELECT doc_id, n_tok,
-         |        (n_tok * 4294967296) // ($hex8 + 1) AS prio
-         |      FROM d),
-         |r AS (SELECT doc_id, n_tok, prio,
-         |        row_number() OVER (ORDER BY prio DESC, doc_id) AS rn
-         |      FROM p),
-         |t AS (SELECT prio AS tau FROM r WHERE rn = ${k + 1})
-         |SELECT r.doc_id, r.n_tok, r.prio, t.tau,
-         |  greatest(r.n_tok, t.tau) AS est_w
-         |FROM r, t WHERE r.rn <= $k
-         |ORDER BY r.doc_id""".stripMargin
-    },
+    "q_priority_sample" -> duckPrioritySample,
+    // The incremental merge must EQUAL the full-corpus recompute —
+    // the same oracle re-proves the top-(k+1) merge law every round.
+    "q_priority_incremental" -> duckPrioritySample,
     "q_transition_matrix" ->
       """WITH tr AS (
         |  SELECT lag(event_type) OVER

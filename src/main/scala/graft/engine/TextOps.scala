@@ -1617,7 +1617,15 @@ object TextOps {
     * set. */
   def qPrioritySample(spark: SparkSession, sfDir: String): DataFrame = {
     val k = prioritySampleK
-    val d = Tables(spark, sfDir, "documents")
+    val top = priorityScored(spark, sfDir)
+      .orderBy(col("prio").desc, col("doc_id")).limit(k + 1)
+    prioritySampleOf(top)
+  }
+
+  /** The (doc_id, n_tok, prio) scored frame shared by the one-shot
+    * and incremental priority samplers. */
+  private def priorityScored(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
         greatest(tokenCount(coalesce(col("text"), lit(""))).cast("long"),
           lit(1L)).as("n_tok"),
@@ -1625,8 +1633,12 @@ object TextOps {
           .cast("long") + lit(1L)).as("u32"))
       .withColumn("prio", expr("(n_tok * 4294967296) div u32"))
       .select(col("doc_id"), col("n_tok"), col("prio"))
-    val top = d.orderBy(col("prio").desc, col("doc_id")).limit(k + 1)
-    // (k+1)-row set from here on — the global window is bounded
+
+  /** Sample + estimator tail over a top-(k+1) priority frame: rank,
+    * split off τ (rank k+1), estimate ŵ = max(w, τ). The global
+    * window and the 1-row τ broadcast both run on k+1 rows. */
+  private def prioritySampleOf(top: DataFrame): DataFrame = {
+    val k = prioritySampleK
     val w = Window.orderBy(col("prio").desc, col("doc_id"))
     val ranked = top.withColumn("rn", row_number().over(w))
     val tau = ranked.filter(col("rn") === k + 1)
@@ -1636,6 +1648,28 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("prio"), col("tau"),
         greatest(col("n_tok"), col("tau")).as("est_w"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Incremental priority-sample maintenance — the MV-merge family
+    * member for [[qPrioritySample]], exploiting the sketch's
+    * MERGEABILITY: the top-(k+1) priority set is a monotone summary
+    * (top-(k+1) of a union = top-(k+1) of the per-part top-(k+1)s),
+    * so a 100 TB deployment stores k+1 rows per partition/day and
+    * maintains the corpus-wide sample without ever rescanning
+    * history. Here the stored MV is the md5-bucket<90 slice's
+    * top-(k+1), the arriving batch is the ≥90 slice's, and the
+    * merge re-ranks 2(k+1) rows — the oracle is the FULL-corpus
+    * recompute, so equality re-proves the merge law every round. */
+  def qPriorityIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = prioritySampleK
+    val d = priorityScored(spark, sfDir)
+    val bucket = Tables.md5Bucket(col("doc_id"))
+    def top(df: DataFrame): DataFrame =
+      df.orderBy(col("prio").desc, col("doc_id")).limit(k + 1)
+    val stored = top(d.filter(bucket < 90)) // the MV, on disk in prod
+    val arriving = top(d.filter(bucket >= 90))
+    prioritySampleOf(
+      top(stored.unionByName(arriving)))
   }
 
   /** Token-budget training mix — the token-denominated sibling of

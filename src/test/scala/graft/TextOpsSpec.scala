@@ -561,6 +561,22 @@ class TextOpsSpec extends SparkSpec {
     assert(sampleMean > corpusMean)
   }
 
+  test("priority sample merge law: incremental MV merge equals the full recompute") {
+    val full = TextOps.qPrioritySample(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val inc = TextOps.qPriorityIncremental(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(inc == full && inc.size == TextOps.prioritySampleK)
+    // non-vacuous: the arriving (md5-bucket >= 90) slice contributed
+    // rows to the merged sample, so the merge actually re-ranked
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long) =
+      java.lang.Integer.parseInt(md5hex(id.toString).take(4), 16) % 100
+    assert(inc.exists(r => bucket(r._1) >= 90))
+    assert(inc.exists(r => bucket(r._1) < 90))
+  }
+
   test("cms bound: estimates for the exact top-30 all sit inside [exact, exact + eps*N]") {
     val out = TextOps.qCmsErr(spark, sf0001)
       .as[(String, Long, Boolean)].collect().toSeq
