@@ -303,6 +303,79 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** Merge ONE micro-batch into the priority-sample MV
+    * ([[TextOps.qPrioritySample]]'s streaming half): score the batch
+    * exactly like the batch pass ([[TextOps.priorityScoredOf]] —
+    * deterministic md5 priorities, no RNG), take its top-(k+1), and
+    * re-rank against the stored k+1 rows.
+    *
+    * Replay safety comes from ALGEBRA, not bookkeeping: under SET
+    * semantics the top-(k+1) merge is idempotent, commutative and
+    * associative (priorities are a pure function of the doc), so
+    * re-applying any batch — foreachBatch is at-least-once, and
+    * retries/replays DO happen — or promoting a crash-orphaned
+    * staged merge and then re-applying cannot change the fixpoint.
+    * The `dropDuplicates(doc_id)` inside the merge is what MAKES it
+    * set semantics: with plain bag union a replayed doc would sit in
+    * the MV twice and shove real candidates below τ (caught by the
+    * sliced-replay spec). The only machinery needed is the staged
+    * swap that keeps readers off partial state: write staging
+    * (+_SUCCESS), swap under the live path, and at entry promote any
+    * COMPLETE orphaned staging (safe by the same idempotence) or
+    * drop an incomplete one. */
+  def applyPrioritySampleBatch(batch: DataFrame, stateDir: String,
+      k: Int = TextOps.prioritySampleK): Unit = {
+    val spark = batch.sparkSession
+    val basePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val mv = new org.apache.hadoop.fs.Path(basePath, "mv")
+    val staging = new org.apache.hadoop.fs.Path(basePath, "mv_staging")
+    val old = new org.apache.hadoop.fs.Path(basePath, "mv_old")
+    val success = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
+    // crash recovery: a complete staged merge is promoted (idempotent
+    // — re-merging the replayed batch reaches the same fixpoint); an
+    // incomplete one is dropped
+    if (fs.exists(success)) {
+      fs.delete(mv, true); fs.rename(staging, mv)
+    } else fs.delete(staging, true)
+    fs.delete(old, true)
+    def top(df: DataFrame): DataFrame =
+      df.orderBy(col("prio").desc, col("doc_id")).limit(k + 1)
+    val scored = top(TextOps.priorityScoredOf(batch))
+    val merged =
+      if (fs.exists(mv))
+        top(spark.read.parquet(mv.toString).unionByName(scored)
+          .dropDuplicates("doc_id"))
+      else scored
+    merged.coalesce(1).write.parquet(staging.toString)
+    if (fs.exists(mv)) fs.rename(mv, old)
+    fs.rename(staging, mv)
+    fs.delete(old, true)
+  }
+
+  /** Always-on priority-sample maintenance: each micro-batch of
+    * (doc_id, text) documents folds into the k+1-row MV via
+    * [[applyPrioritySampleBatch]]. */
+  def prioritySampleSink(docs: DataFrame, stateDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, _: Long) =>
+        applyPrioritySampleBatch(b, stateDir))
+      .trigger(trigger)
+      .start()
+
+  /** The maintained sample, in [[TextOps.qPrioritySample]]'s exact
+    * output shape (rank split, τ, ŵ = max(w, τ)) — after the stream
+    * has seen the whole corpus this row-equals the batch query. */
+  def loadPrioritySample(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    TextOps.prioritySampleOf(spark.read.parquet(s"$stateDir/mv"))
+
   /** Read an [[annIndexAppend]]-maintained index back in the batch
     * build's canonical schema. `cid` rides the directory layout, so
     * the reader re-casts it (partition-value inference narrows to

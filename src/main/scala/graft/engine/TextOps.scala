@@ -1625,8 +1625,14 @@ object TextOps {
   /** The (doc_id, n_tok, prio) scored frame shared by the one-shot
     * and incremental priority samplers. */
   private def priorityScored(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "documents")
-      .select(col("doc_id"),
+    priorityScoredOf(Tables(spark, sfDir, "documents"))
+
+  /** Priority scoring over ANY (doc_id, text) frame — shared with
+    * the streaming maintainer ([[StreamingOps.prioritySampleSink]]),
+    * whose micro-batches must score EXACTLY like the batch pass or
+    * the merged MV silently diverges from the full recompute. */
+  private[graft] def priorityScoredOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         greatest(tokenCount(coalesce(col("text"), lit(""))).cast("long"),
           lit(1L)).as("n_tok"),
         (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1637,7 +1643,7 @@ object TextOps {
   /** Sample + estimator tail over a top-(k+1) priority frame: rank,
     * split off τ (rank k+1), estimate ŵ = max(w, τ). The global
     * window and the 1-row τ broadcast both run on k+1 rows. */
-  private def prioritySampleOf(top: DataFrame): DataFrame = {
+  private[graft] def prioritySampleOf(top: DataFrame): DataFrame = {
     val k = prioritySampleK
     val w = Window.orderBy(col("prio").desc, col("doc_id"))
     val ranked = top.withColumn("rn", row_number().over(w))

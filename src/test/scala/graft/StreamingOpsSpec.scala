@@ -392,6 +392,49 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cells.toSet == expected.map(r => s"cid=${r._4}").toSet)
   }
 
+  test("priority-sample maintenance: sliced stream equals batch sample; replay is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val srcDir = tmpDir("psrc")
+    (0 to 2).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.parquet(s"$srcDir/s$i")
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val stateDir = tmpDir("pstate")
+    val q = graft.engine.StreamingOps.prioritySampleSink(
+      stream, stateDir, tmpDir("pckpt"))
+    q.awaitTermination()
+    val got = graft.engine.StreamingOps.loadPrioritySample(spark, stateDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val expect = graft.engine.TextOps.qPrioritySample(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // replaying a slice is algebraically a no-op (idempotent merge)
+    graft.engine.StreamingOps.applyPrioritySampleBatch(
+      spark.read.parquet(s"$srcDir/s0"), stateDir)
+    val replayed = graft.engine.StreamingOps
+      .loadPrioritySample(spark, stateDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(replayed == expect)
+    // crash recovery: a COMPLETE orphaned staging is promoted, then
+    // re-merging reaches the same fixpoint
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/mv"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/mv_staging"))
+    graft.engine.StreamingOps.applyPrioritySampleBatch(
+      spark.read.parquet(s"$srcDir/s1"), stateDir)
+    val recovered = graft.engine.StreamingOps
+      .loadPrioritySample(spark, stateDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(recovered == expect)
+  }
+
   test("ANN index as a catalog table: per-cell compaction preserves rows, cuts files") {
     import org.apache.spark.sql.functions.col
     import graft.engine.Similarity
