@@ -51,6 +51,7 @@ object Bench {
     "q_substring_dedup",  // sliding-window exact span dedup (r13)
     "q_bpe_tokens",       // pinned-merge-table BPE walk (r13)
     "q_unigram_score",    // vocabulary join + per-doc agg (r6)
+    "q_bigram_lm",        // self-trained bigram LM scoring (r15)
     "q_range_join",       // non-equi join via bucketed equi-join
     "q_merge_upsert",     // CDC MERGE decomposition (r13)
     "q_interval_sweep",   // sweep-line concurrency, sharded prefix scan (r14)
@@ -62,6 +63,7 @@ object Bench {
     "q_pagerank",         // iterative graph analytics, integer-exact (r13)
     "q_triangles",        // degree-ordered wedge join (r15)
     "q_cosine_topk",      // brute-force similarity
+    "q_mmr_rerank",       // diversity re-rank over the shortlist (r15)
     "q_embed_neardup_ann", // LSH band join + exact verify (r12)
     "q_ann_ivf",          // cell-probe ANN (n-derived cells, r8)
     "q_ann_pq",           // IVF-PQ code-only ADC + exact re-rank (r15)

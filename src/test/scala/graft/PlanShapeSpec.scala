@@ -274,6 +274,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("bigram LM: equi-joins only — the corpus probe must never BNLJ or cartesian") {
+    val p = plan(graft.engine.TextOps.qBigramLm(spark, sf0001))
+    // |V| is the only cross join and must stay a 1-row broadcast;
+    // the (w1,w2) probe and c2-c1 joins are shuffled equi-joins
+    assert("(?i)cartesianproduct".r.findAllIn(p).isEmpty, p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, p) // the broadcast 1-row |V| frame only
+  }
+
   test("priority sample: corpus-sized top-k is TakeOrderedAndProject, no full sort") {
     val p = plan(graft.engine.TextOps.qPrioritySample(spark, sf0001))
     // every partition keeps k+1 rows, the driver merges — nothing
