@@ -197,6 +197,9 @@ object SparkEntry {
     "q_fuzzy_indel" -> Dedup.qFuzzyIndel _,
     "q_dedup_minhash" -> Dedup.qDedupMinhash _,
     "q_dedup_clusters" -> Dedup.qDedupClusters _,
+    // per-cluster golden record: packed-argmax survivor + conflict
+    // signals (the entity-resolution canonicalization step)
+    "q_golden_record" -> Dedup.qGoldenRecord _,
     "q_dedup_clusters_dist" -> Dedup.qDedupClustersDist _,
     "q_dedup_keep" -> Dedup.qDedupKeep _,
     "q_contamination" -> Dedup.qContamination _,
@@ -511,15 +514,23 @@ object SparkEntry {
        |ORDER BY ida, idb""".stripMargin
   /** Connected components of the near-dup graph by transitive closure
     * (min reachable id = the component label). */
-  private val duckClusters =
-    s"""WITH RECURSIVE $duckShingleBody,
+  /** The near-dup cluster-label CTE chain (shingles → verified pairs
+    * → undirected closure → min-label per doc), ending in
+    * `cl(doc_id, cluster_id)` — shared by the cluster dumps and the
+    * golden-record survivorship oracle. */
+  private val duckClusterBody =
+    s"""$duckShingleBody,
        |und AS (SELECT ida AS a, idb AS b FROM pairs
        |        UNION ALL SELECT idb, ida FROM pairs),
        |reach(a, b) AS (SELECT DISTINCT a, a FROM und
        |                UNION
-       |                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
-       |SELECT a AS doc_id, MIN(b) AS cluster_id
-       |FROM reach GROUP BY a
+       |                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+       |       FROM reach GROUP BY a)""".stripMargin
+
+  private val duckClusters =
+    s"""WITH RECURSIVE $duckClusterBody
+       |SELECT doc_id, cluster_id FROM cl
        |ORDER BY doc_id""".stripMargin
 
   /** Integer-scaled PageRank oracle: the same verified near-dup pairs
@@ -2080,6 +2091,23 @@ object SparkEntry {
     // same oracle — the distributed large-star/small-star branch must
     // produce byte-identical labels to the driver union-find branch
     "q_dedup_clusters_dist" -> duckClusters,
+    // Golden-record survivorship: same cluster chain, per-cluster
+    // packed argmax (max n_chars, ties -> min doc_id) + membership
+    // and conflict-signal counts.
+    "q_golden_record" ->
+      s"""WITH RECURSIVE $duckClusterBody,
+         |j AS (SELECT cl.cluster_id, d.doc_id, d.source, d.lang,
+         |        d.n_chars
+         |      FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+         |SELECT cluster_id, count(*) AS n_members,
+         |  CAST(max(n_chars) * 10000000000 -
+         |    max(n_chars * 10000000000 - doc_id) AS BIGINT)
+         |    AS survivor_doc,
+         |  CAST(max(n_chars) AS BIGINT) AS survivor_chars,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM j GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin,
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $duckShingleBody,
         |und AS (SELECT ida AS a, idb AS b FROM pairs

@@ -1229,6 +1229,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Golden-record survivorship — the canonicalization step closing
+    * the entity-resolution pipeline (block → match → cluster →
+    * SURVIVE): per near-dup cluster, the merged master record a data
+    * steward would keep. Rules, all deterministic: the survivor is
+    * the most complete member (max `n_chars`, ties → min doc_id, via
+    * the integer-packed argmax of [[Relational.qSkewReport]] —
+    * neither engine's native arg_max pins its tie-break); membership
+    * count and distinct-source/distinct-lang counts ride along as
+    * the conflict signal (a cluster spanning sources is a
+    * cross-source duplicate, spanning langs a likely FALSE match for
+    * review). Singleton documents are already golden and are not
+    * re-emitted — the frame summarizes duplicate GROUPS.
+    *
+    * Scale shape: the cluster labels are duplicate-sized (not
+    * corpus-sized); one doc-keyed equi-join hydrates the survivorship
+    * attributes and one hash agg per cluster finishes — nothing new
+    * shuffles at corpus scale beyond the clustering itself. */
+  def qGoldenRecord(spark: SparkSession, sfDir: String): DataFrame = {
+    val pack = 10000000000L // > any doc_id; c·pack − id is injective
+    val d = Tables(spark, sfDir, "documents")
+    qDedupClusters(spark, sfDir)
+      .join(d.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("n_chars")).as("survivor_chars"),
+        max(col("n_chars") * pack - col("doc_id")).as("pk"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("cluster_id"), col("n_members"),
+        (col("survivor_chars") * pack - col("pk")).as("survivor_doc"),
+        col("survivor_chars"), col("n_sources"), col("n_langs"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ANY
     * word-3-gram with a benchmark set (here: doc_id < 10 stands in
     * for the eval set; production loads the real benchmarks). The

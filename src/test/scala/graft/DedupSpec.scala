@@ -103,6 +103,29 @@ class DedupSpec extends SparkSpec {
     assert(expected.groupBy(_._2).values.exists(_.size >= 2))
   }
 
+  test("golden record: survivorship equals a driver recompute over the clusters") {
+    val out = Dedup.qGoldenRecord(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val clusters = Dedup.qDedupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    val attrs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val expect = clusters.groupBy(_._2).toSeq.map { case (cid, ms) =>
+      val rows = ms.map(m => attrs(m._1))
+      val survivor = rows.maxBy(r => (r._4, -r._1))
+      (cid, rows.size.toLong, survivor._1, survivor._4,
+        rows.map(_._3).distinct.size.toLong,
+        rows.map(_._2).distinct.size.toLong)
+    }.sortBy(_._1)
+    assert(out == expect && out.nonEmpty)
+    // every emitted cluster is a genuine duplicate group, and the
+    // survivor always carries the cluster's max completeness
+    assert(out.forall(_._2 >= 2))
+    assert(out.forall(r => attrs(r._3)._4 == r._4))
+  }
+
   test("distributed components: long chain converges in O(log n) star rounds") {
     // A chain is the worst case for min-label propagation (rounds =
     // component diameter ≈ n); alternating large-star/small-star must
