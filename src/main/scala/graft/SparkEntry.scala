@@ -148,6 +148,9 @@ object SparkEntry {
     "q_token_hist" -> TextOps.qTokenHist _,
     "q_pack_sequences" -> TextOps.qPackSequences _,
     "q_holdout_split" -> TextOps.qHoldoutSplit _,
+    // cluster-aware split: near-dup clusters move train/val/test as a
+    // unit, so duplicates can never straddle the eval boundary
+    "q_split_leakage_safe" -> TextOps.qSplitLeakageSafe _,
     "q_source_stats" -> TextOps.qSourceStats _,
     // §2.9 north-star: text analysis
     "q_text_stats" -> TextOps.qTextStats _,
@@ -2410,6 +2413,27 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         |FROM b
         |ORDER BY doc_id""".stripMargin,
+    // Leakage-safe split: same cluster chain, group id = cluster
+    // label (or the doc itself), the holdout bucket math on the GROUP.
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE $duckClusterBody,
+         |g AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id)
+         |        AS group_id
+         |      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |h AS (SELECT doc_id, group_id,
+         |        md5(CAST(group_id AS VARCHAR)) AS hx FROM g),
+         |b AS (SELECT doc_id, group_id,
+         |        CAST(((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+         |            + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+         |            + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+         |            + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100
+         |          AS BIGINT) AS bucket
+         |      FROM h)
+         |SELECT doc_id, group_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b
+         |ORDER BY doc_id""".stripMargin,
     "q_token_hist" ->
       s"""WITH t AS (SELECT len($duckTokens) AS ntk FROM documents)
         |SELECT CAST(ntk // 50 * 50 AS BIGINT) AS bin_lo, COUNT(*) AS n_docs

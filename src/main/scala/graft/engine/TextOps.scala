@@ -712,6 +712,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe holdout split — the cluster-aware refinement of
+    * [[qHoldoutSplit]]: hashing each DOC into a split lets near-
+    * duplicate documents straddle train/test, silently leaking
+    * training text into evaluation (the decontamination failure the
+    * dedup pipeline exists to prevent). Here the split hashes the
+    * doc's GROUP — its near-dup cluster label when clustered
+    * ([[Dedup.qDedupClusters]]), the doc itself otherwise — so a
+    * cluster moves to train/val/test AS A UNIT: same md5 bucket
+    * boundaries (90/5/5), same seedless determinism, zero straddles
+    * by construction.
+    *
+    * Scale shape: cluster labels are duplicate-sized; one left join
+    * hydrates them onto the corpus (broadcast when small, shuffled
+    * equi-join at scale) and the bucket is a per-row md5 — nothing
+    * else moves. */
+  def qSplitLeakageSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents").select(col("doc_id"))
+    val cl = Dedup.qDedupClusters(spark, sfDir)
+    val g = d.join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    g.withColumn("bucket",
+        Tables.md5Bucket(col("group_id")).cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-count histogram: documents bucketed by 50-token-wide bins
     * — the length-distribution profile every training-data pipeline
     * runs before choosing sequence-length / packing parameters. One

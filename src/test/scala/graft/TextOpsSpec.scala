@@ -502,6 +502,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map(_._2).max > got.map(_._2).min)
   }
 
+  test("leakage-safe split: clusters never straddle; singletons match plain holdout") {
+    val out = TextOps.qSplitLeakageSafe(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val clusters = graft.engine.Dedup.qDedupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(out.size == nDocs)
+    // THE property: every near-dup cluster lands in exactly one split
+    val splitOf = out.map(r => r._1 -> r._4).toMap
+    clusters.groupBy(_._2).foreach { case (_, ms) =>
+      assert(ms.map(m => splitOf(m._1)).distinct.size == 1)
+    }
+    // unclustered docs split exactly like the plain holdout; and the
+    // refinement is non-vacuous — some clustered doc MOVED vs its
+    // plain-holdout split (otherwise clustering changed nothing here)
+    val plain = TextOps.qHoldoutSplit(spark, sf0001)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    val clustered = clusters.map(_._1).toSet
+    assert(out.filterNot(r => clustered(r._1))
+      .forall(r => plain(r._1) == r._4))
+    assert(out.exists(r => clustered(r._1) && plain(r._1) != r._4))
+    // splits exhaust the corpus in roughly 90/5/5
+    val frac = out.count(_._4 == "train").toDouble / out.size
+    assert(frac > 0.8 && frac < 0.97)
+  }
+
   test("bigram LM: smoothed pico-prob sums equal a driver recompute") {
     val got = TextOps.qBigramLm(spark, sf0001)
       .as[(Long, Long, Long, Double)].collect().toSeq
