@@ -216,6 +216,9 @@ object SparkEntry {
     // MMR diversity re-rank over the exact-cosine shortlist
     // (Carbonell-Goldstein greedy, driver-side over m=32 candidates)
     "q_mmr_rerank" -> Similarity.qMmrRerank _,
+    // hard-negative mining: top-5 most-similar NON-positives, with
+    // positives = the anchor's transitive near-dup cluster
+    "q_hard_negatives" -> Similarity.qHardNegatives _,
     "q_embed_neardup" -> Similarity.qEmbedNearDup _,
     // the candidate-generation twin: LSH-bucket collisions + exact
     // verify — the near-dup path that scales past the all-pairs join
@@ -2705,6 +2708,38 @@ object SparkEntry {
         |SELECT qid, nid, rank, score FROM r
         |WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // Hard negatives: transitive near-dup closure labels both sides
+    // of the scored stream; survivors rank by score.
+    "q_hard_negatives" -> {
+      val cos = "list_inner_product(%1$s, %2$s) / (sqrt(list_inner_product(%1$s, %1$s)) * sqrt(list_inner_product(%2$s, %2$s)))"
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |       FROM embeddings),
+         |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |      WHERE ${cos.format("a.v", "b.v")} >= 0.4),
+         |und AS (SELECT ida AS x, idb AS y FROM p
+         |        UNION ALL SELECT idb, ida FROM p),
+         |reach(x, y) AS (SELECT DISTINCT x, x FROM und
+         |                UNION
+         |                SELECT r.x, u.y FROM reach r
+         |                JOIN und u ON r.y = u.x),
+         |lab AS (SELECT x AS id, MIN(y) AS label FROM reach GROUP BY x),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 16),
+         |s AS (SELECT qid, e.vec_id AS nid,
+         |        ${cos.format("qv", "v")} AS score
+         |      FROM e, q WHERE e.vec_id <> qid),
+         |f AS (SELECT s.qid, s.nid, s.score FROM s
+         |      LEFT JOIN lab ql ON ql.id = s.qid
+         |      LEFT JOIN lab nl ON nl.id = s.nid
+         |      WHERE ql.label IS NULL OR nl.label IS NULL
+         |         OR ql.label <> nl.label),
+         |r AS (SELECT qid, nid, score, row_number() OVER
+         |        (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+         |      FROM f)
+         |SELECT qid, nid, rank, score FROM r
+         |WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
     // MMR re-rank: the greedy argmax unrolled into one CTE per step
     // (sel_i picks rank i; selu_i accumulates the selected set) —
     // DuckDB re-derives the full trajectory, so a single divergent

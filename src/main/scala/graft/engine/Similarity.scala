@@ -173,6 +173,45 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/retrieval training
+    * (anchors vec_id < 16): per anchor, the top-5 MOST similar
+    * corpus vectors that are NOT the anchor's positives — where
+    * "positive" is the anchor's TRANSITIVE near-dup cluster
+    * (components over the exact cos ≥ [[nearDupCosFloor]] pair
+    * graph), not just the raw threshold: a doc at cos 0.39 to the
+    * anchor but 0.9 to the anchor's 0.45-neighbor is a leaked
+    * positive a threshold filter would happily emit as a "negative",
+    * poisoning the contrastive loss. What survives is exactly the
+    * hard-negative band — maximally similar, verified non-duplicate.
+    *
+    * Scale shape: scoring is the same broadcast-probe scan as
+    * [[qCosineTopK]]; cluster labels are near-dup-sized and join
+    * once on each side of the (qid, nid) stream; the top-5 rides the
+    * bounded top-k aggregate. At 100 TB the label frame comes from
+    * the standing dedup pipeline instead of being recomputed. */
+  def qHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = corpus(spark, sfDir)
+    val qs = queryVecs(spark, sfDir, maxQid = 16)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val labels = Dedup.labelComponents(
+      qEmbedNearDup(spark, sfDir).select(col("ida"), col("idb")),
+      driverEdgeLimit = 1000000L)
+    val scored = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qv"), col("v")).as("score"))
+    val negs = scored
+      .join(broadcast(labels.select(col("id").as("qid"),
+        col("label").as("qlab"))), Seq("qid"), "left")
+      .join(broadcast(labels.select(col("id").as("nid"),
+        col("label").as("nlab"))), Seq("nid"), "left")
+      .filter(col("qlab").isNull || col("nlab").isNull
+        || col("qlab") =!= col("nlab"))
+      .select(col("qid"), col("nid"), col("score"))
+    topkRank(negs, 5)
+      .select(col("qid"), col("nid"), col("rank"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Exact cosine top-k per query, self excluded, ranked score-desc
     * then nid — the brute-force kernel behind [[qCosineTopK]] and the
     * recall audit's ground truth. `q` is the (vec_id, v) query batch

@@ -77,6 +77,48 @@ class SimilaritySpec extends SparkSpec {
     assert(reordered)
   }
 
+  test("hard negatives: no positive leaks; the cluster exclusion binds") {
+    val out = Similarity.qHardNegatives(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val pairs = Similarity.qEmbedNearDup(spark, sf0001)
+      .select("ida", "idb").as[(Long, Long)].collect().toSeq
+    // transitive closure on the driver
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def component(s: Long): Set[Long] = {
+      var seen = Set(s); var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    assert(out.nonEmpty && out.groupBy(_._1).forall(_._2.size == 5))
+    // THE property: no emitted negative shares the anchor's component
+    out.foreach { case (qid, nid, _, _) =>
+      assert(!component(qid).contains(nid), s"positive leaked: $qid $nid")
+    }
+    // non-vacuous: some anchor IS clustered, and for it the exclusion
+    // changed the plain top-5 (its nearest neighbor was a positive)
+    val clustered = out.map(_._1).distinct.filter(q => adj.contains(q))
+    assert(clustered.nonEmpty)
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def d(x: Seq[Double], y: Seq[Double]) =
+        x.lazyZip(y).map(_ * _).sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    assert(clustered.exists { q =>
+      val excludedBest = (component(q) - q)
+        .map(m => cos(vecs(q), vecs(m))).max
+      val emittedMin = out.filter(_._1 == q).map(_._4).min
+      excludedBest > emittedMin // a positive WOULD have made top-5
+    })
+  }
+
   test("ANN/LSH: candidates are real corpus neighbors with exact scores") {
     val ann = Similarity.qAnnLsh(spark, sf0001)
       .select("qid", "nid", "score").as[(Long, Long, Double)].collect()
