@@ -117,6 +117,13 @@ object SparkEntry {
     // self-trained bigram LM score (add-one smoothed, pico-quantized
     // rational probs — no ln): the perplexity-proxy quality filter
     "q_bigram_lm" -> TextOps.qBigramLm _,
+    // Shannon entropy of each source's language mix via the exact
+    // fixed-point log2 (no libm) — the information-theoretic
+    // diversity twin of q_diversity's Gini-Simpson
+    "q_entropy_mix" -> TextOps.qEntropyMix _,
+    // trained multinomial Naive Bayes language classifier: even-doc
+    // train split, fixed-point log posteriors, packed argmax
+    "q_nb_classify" -> TextOps.qNbClassify _,
     // priority sampling (Duffield–Lund–Thorup): top-k md5-derived
     // priorities + unbiased max(w, tau) weight estimates
     "q_priority_sample" -> TextOps.qPrioritySample _,
@@ -1719,6 +1726,87 @@ object SparkEntry {
          |SELECT doc_id, n_bi, sum_pico,
          |  CAST(sum_pico AS DOUBLE) / n_bi AS avg_pico
          |FROM s ORDER BY doc_id""".stripMargin,
+    // Shannon entropy of the per-source language mix: the identical
+    // 16-step fixed-point log2 ladder (FixLog2.ctesSql) re-derives
+    // every c·L(n, c) term — hash-exact including h_q and h_bits.
+    "q_entropy_mix" -> {
+      val (fx, fxz) = graft.functions.FixLog2.ctesSql("fx", "b", "n", "c")
+      s"""WITH s AS (SELECT source, lang, count(*) AS c
+         |           FROM documents GROUP BY 1, 2),
+         |u AS (SELECT * FROM s
+         |      UNION ALL
+         |      SELECT '*' AS source, lang, CAST(SUM(c) AS BIGINT) AS c
+         |      FROM s GROUP BY lang),
+         |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+         |      FROM u GROUP BY 1),
+         |b AS (SELECT u.source, u.lang, u.c, n.n
+         |      FROM u JOIN n USING (source)),
+         |$fx,
+         |h AS (SELECT source, MAX(n) AS n_docs, count(*) AS n_langs,
+         |        CAST(SUM(CAST(c AS HUGEINT) * fx_out) AS BIGINT) AS h_q
+         |      FROM $fxz GROUP BY 1)
+         |SELECT source, n_docs, n_langs, h_q,
+         |  CAST(h_q AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 65536.0)
+         |    AS h_bits
+         |FROM h ORDER BY source""".stripMargin
+    },
+    // Naive Bayes: DuckDB retrains the model (counts + two log2
+    // ladders) and re-walks every posterior and the packed argmax.
+    "q_nb_classify" -> {
+      val (fx, fxz) = graft.functions.FixLog2
+        .ctesSql("fx", "pp0", "c + 1", "n_l + v")
+      val (pr, prz) = graft.functions.FixLog2
+        .ctesSql("pr", "dx", "d_l", "d_tot")
+      s"""WITH doc AS (SELECT doc_id, lang, $duckTokens AS tk
+         |             FROM documents
+         |             WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |docs AS (SELECT * FROM doc WHERE len(tk) > 0),
+         |tr AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+         |te AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+         |trt AS (SELECT lang, unnest(tk) AS term FROM tr),
+         |ctl AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+         |        FROM trt GROUP BY 1, 2),
+         |nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l
+         |       FROM ctl GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+         |       FROM trt),
+         |dl AS (SELECT lang, CAST(count(*) AS BIGINT) AS d_l
+         |       FROM tr GROUP BY 1),
+         |dt AS (SELECT CAST(count(*) AS BIGINT) AS d_tot FROM tr),
+         |dx AS (SELECT dl.lang, dl.d_l, dt.d_tot FROM dl, dt),
+         |tet AS (SELECT doc_id, lang AS lang_true, term,
+         |          CAST(count(*) AS BIGINT) AS tf
+         |        FROM (SELECT doc_id, lang, unnest(tk) AS term FROM te)
+         |        GROUP BY 1, 2, 3),
+         |tv AS (SELECT DISTINCT term FROM tet),
+         |pp0 AS (SELECT tv.term, nl.lang, nl.n_l,
+         |          COALESCE(ctl.c, 0) AS c, vv.v
+         |        FROM tv CROSS JOIN nl
+         |        LEFT JOIN ctl ON ctl.term = tv.term
+         |          AND ctl.lang = nl.lang
+         |        CROSS JOIN vv),
+         |$fx,
+         |pp AS (SELECT term, lang, fx_out AS l_tl FROM $fxz),
+         |$pr,
+         |pri AS (SELECT lang, pr_out AS l_prior FROM $prz),
+         |lc AS (SELECT lang,
+         |         CAST(row_number() OVER (ORDER BY lang) AS BIGINT)
+         |           AS code
+         |       FROM nl),
+         |s1 AS (SELECT tet.doc_id, tet.lang_true, pp.lang,
+         |         CAST(SUM(tet.tf * pp.l_tl) AS BIGINT) AS s_terms
+         |       FROM tet JOIN pp USING (term) GROUP BY 1, 2, 3),
+         |s2 AS (SELECT s1.doc_id, s1.lang_true,
+         |         ((-(s1.s_terms + pri.l_prior)) * 256 + lc.code) AS pk
+         |       FROM s1 JOIN pri USING (lang) JOIN lc USING (lang)),
+         |mx AS (SELECT doc_id, lang_true, MIN(pk) AS mp
+         |       FROM s2 GROUP BY 1, 2)
+         |SELECT mx.doc_id, mx.lang_true AS lang, lc.lang AS pred,
+         |  CAST(-((mp - (mp % 256)) // 256) AS BIGINT) AS score_q,
+         |  (mx.lang_true = lc.lang) AS correct
+         |FROM mx JOIN lc ON lc.code = (mp % 256)
+         |ORDER BY doc_id""".stripMargin
+    },
     // Priority sampling: identical integer priority (w·2^32 // (h+1)),
     // rank split at k, threshold tau joined back for est_w.
     "q_priority_sample" -> duckPrioritySample,

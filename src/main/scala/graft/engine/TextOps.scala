@@ -1766,4 +1766,121 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("q"), col("pct"))
       .orderBy(col("doc_id"))
   }
+
+  /** Shannon entropy of each source's language mix (plus the corpus
+    * row `*`) — the information-theoretic diversity number next to
+    * [[qDiversity]]'s Gini–Simpson: Gini was chosen in r14 BECAUSE
+    * `ln` is libm and hash-diverges; [[graft.functions.FixLog2]]
+    * lifts that restriction, so the real H = Σ p·log2(1/p) ships
+    * hash-exact. `h_q` is the integer Σ c·L(n, c) in 2⁻¹⁶-bit units
+    * (HUGEINT-safe product, BIGINT out — the q_diversity convention);
+    * `h_bits` divides once at the end (n·65536.0 is double-exact for
+    * n < 2⁴⁶, then one correctly-rounded IEEE division).
+    *
+    * Scale shape: one corpus scan into the \|sources×langs\| agg;
+    * everything after (union of the `*` mix, per-source totals
+    * broadcast back, the 16-step log2 ladder, final agg) runs on
+    * that mix-sized frame — at 100 TB the post-scan cost is
+    * unchanged. */
+  def qEntropyMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val c = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val base = c.unionByName(
+      c.groupBy(col("lang")).agg(sum(col("c")).cast("long").as("c"))
+        .select(lit("*").as("source"), col("lang"), col("c")))
+    val n = base.groupBy(col("source")).agg(sum(col("c")).cast("long").as("n"))
+    val j = base.join(broadcast(n), Seq("source"))
+    graft.functions.FixLog2.withFixLog2(j, col("n"), col("c"), "l_q")
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("c").cast("decimal(19,0)") * col("l_q").cast("decimal(19,0)"))
+          .cast("long").as("h_q"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("h_q"),
+        (col("h_q").cast("double")
+          / (col("n_docs").cast("double") * lit(65536.0))).as("h_bits"))
+      .orderBy(col("source"))
+  }
+
+  /** Trained multinomial Naive Bayes language classifier — the
+    * supervised twin of the heuristic [[qLangId]], and the engine's
+    * "train a model inside the pipeline" demonstrator (the fastText
+    * quality/language classifier slot in a curation stack). Train on
+    * even doc_ids (per-(lang, term) counts, add-one smoothing),
+    * classify odd doc_ids by argmax_l [ log P(l) + Σ_t tf_t·log
+    * P(t|l) ] — every log is [[graft.functions.FixLog2]] fixed-point
+    * (2⁻¹⁶-bit units), every sum integer, so the full posterior
+    * trajectory is hash-exact against the DuckDB re-derivation. The
+    * argmax is the integer-packed convention ((−score)·256 + code,
+    * min) with codes = alphabetical rank: ties break to the
+    * alphabetically-first language identically in both engines.
+    *
+    * On THIS corpus the text is deliberately language-independent
+    * word soup, so accuracy ≈ the majority-class prior — the spec
+    * proves the learning path on a crafted lang-skewed fixture
+    * (100% there) and pins the mechanics here.
+    *
+    * Scale shape: the model is vocab×\|L\|-sized (counts + the log2
+    * ladder run on aggregates, never the corpus scan); scoring joins
+    * the test token stream to the broadcast-sized prob table on term
+    * and fans ×\|L\| before the doc-keyed agg — \|L\| is small and
+    * fixed, so the fan is a constant factor on the token volume.
+    * Long score sums hold to ~2⁴¹ tokens/doc·lang; a 100 TB corpus
+    * with pathological doc lengths would lift them to decimal. */
+  def qNbClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("lang").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val trainTok = train.select(col("lang"), explode(col("tk")).as("term"))
+    val ctl = trainTok.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val nl = ctl.groupBy(col("lang")).agg(sum(col("c")).cast("long").as("n_l"))
+    val vv = trainTok.agg(countDistinct(col("term")).as("v"))
+    val dl = train.groupBy(col("lang")).agg(count(lit(1)).as("d_l"))
+    val dt = train.agg(count(lit(1)).as("d_tot"))
+    val testTok = test
+      .select(col("doc_id"), col("lang").as("lang_true"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("lang_true"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // prob table: every (test-vocab term, lang); absent pairs smooth
+    // to c = 0. vocab-sized — the 16-step ladder runs here, not on
+    // the token stream.
+    val pp0 = testTok.select(col("term")).distinct()
+      .crossJoin(broadcast(nl))
+      .join(ctl, Seq("lang", "term"), "left")
+      .select(col("term"), col("lang"), col("n_l"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(vv))
+    val pp = graft.functions.FixLog2
+      .withFixLog2(pp0, col("c") + lit(1L), col("n_l") + col("v"), "l_tl")
+      .select(col("term"), col("lang"), col("l_tl"))
+    val prior = graft.functions.FixLog2
+      .withFixLog2(dl.crossJoin(broadcast(dt)),
+        col("d_l"), col("d_tot"), "l_prior")
+      .select(col("lang"), col("l_prior"))
+    val lcodes = nl.select(col("lang"))
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("lang"))).cast("long"))
+    val scored = testTok.join(pp, Seq("term"))
+      .groupBy(col("doc_id"), col("lang_true"), col("lang"))
+      .agg(sum(col("tf") * col("l_tl")).as("s_terms"))
+      .join(broadcast(prior), Seq("lang"))
+      .join(broadcast(lcodes), Seq("lang"))
+      .select(col("doc_id"), col("lang_true"),
+        ((-(col("s_terms") + col("l_prior"))) * lit(256L) + col("code"))
+          .as("pk"))
+    scored.groupBy(col("doc_id"), col("lang_true"))
+      .agg(min(col("pk")).as("mp"))
+      .withColumn("code", col("mp") % lit(256L))
+      .join(broadcast(lcodes.select(col("lang").as("pred"), col("code"))),
+        Seq("code"))
+      .select(col("doc_id"), col("lang_true").as("lang"), col("pred"),
+        (-expr("(mp - code) div 256")).as("score_q"),
+        (col("lang_true") === col("pred")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -710,4 +710,97 @@ class TextOpsSpec extends SparkSpec {
     // the cut actually drops rows per source (non-vacuous)
     assert(out.size < scored.size)
   }
+
+  test("entropy mix: engine h_q equals the FixLog2 driver recompute; h_bits is real Shannon") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val out = TextOps.qEntropyMix(spark, sf0001)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val counts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val bySrc = counts.groupBy(_._1).view
+      .mapValues(_.map(r => r._3).toSeq).toMap +
+      ("*" -> counts.groupBy(_._2).values.map(_.map(_._3).sum).toSeq)
+    assert(out.map(_._1).toSet == bySrc.keySet)
+    out.foreach { case (src, nDocs, nLangs, hq, hBits) =>
+      val cs = bySrc(src)
+      val n = cs.sum
+      assert(nDocs == n && nLangs == cs.size)
+      val hqRef = cs.map(c => c * graft.functions.FixLog2.ref(n, c)).sum
+      assert(hq == hqRef, s"h_q mismatch for $src")
+      assert(hBits == hq.toDouble / (n.toDouble * 65536.0))
+      // and the fixed-point value IS Shannon entropy in bits
+      val hTrue = cs.map { c =>
+        val p = c.toDouble / n
+        -p * math.log(p) / math.log(2.0)
+      }.sum
+      assert(math.abs(hBits - hTrue) < 1e-3, s"not Shannon for $src")
+    }
+    // non-degenerate: some source actually mixes languages
+    assert(out.exists(_._3 > 1))
+  }
+
+  test("naive bayes: learns a crafted lang-skewed vocabulary to 100% accuracy") {
+    // the sf corpus is deliberately language-independent word soup
+    // (accuracy there ~ the majority prior); THIS fixture has real
+    // signal, proving the training path learns when signal exists
+    val dir = "target/tmp-nb"
+    val aWords = Seq("alpha", "beta", "gamma")
+    val bWords = Seq("delta", "epsilon", "zeta")
+    val rnd = new scala.util.Random(7)
+    def text(ws: Seq[String]) =
+      Seq.fill(12)(ws(rnd.nextInt(ws.size))).mkString(" ")
+    val rows = (0L until 80L).map { i =>
+      val (lang, ws) = if (i % 4 < 2) ("aa", aWords) else ("bb", bWords)
+      (i, text(ws), lang, "s0", 1L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.qNbClassify(spark, dir)
+      .as[(Long, String, String, Long, Boolean)].collect()
+    assert(out.length == 40) // the odd ids
+    assert(out.forall(_._5), s"misclassified: ${out.filterNot(_._5).toSeq}")
+    assert(out.map(_._3).toSet == Set("aa", "bb")) // both classes used
+  }
+
+  test("naive bayes: sf scores equal a full driver recompute (model + posterior + argmax)") {
+    val out = TextOps.qNbClassify(spark, sf0001)
+      .as[(Long, String, String, Long, Boolean)].collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .collect()
+      .filter(r => r._2 != null && r._3 != null)
+      .map { case (id, lang, text) =>
+        (id, lang, text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      }
+      .filter(_._3.nonEmpty)
+    val train = docs.filter(_._1 % 2 == 0)
+    val test = docs.filter(_._1 % 2 == 1)
+    val ctl = train.flatMap(d => d._3.map(t => (d._2, t)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nl = ctl.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val v = train.flatMap(_._3).distinct.length.toLong
+    val dl = train.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val dTot = train.length.toLong
+    val langs = nl.keys.toSeq.sorted
+    import graft.functions.FixLog2.ref
+    val expected = test.map { case (id, lang, tks) =>
+      val scores = langs.map { l =>
+        val s = tks.groupBy(identity).map { case (t, occ) =>
+          occ.length * ref(ctl.getOrElse((l, t), 0L) + 1, nl(l) + v)
+        }.sum + ref(dl(l), dTot)
+        (l, s)
+      }
+      val (pred, score) = scores.minBy { case (l, s) =>
+        (-s, langs.indexOf(l))
+      } match { case (l, s) => (l, s) }
+      (id, lang, pred, score, lang == pred)
+    }.sortBy(_._1)
+    assert(out.toSeq == expected.toSeq)
+    // honest signal check: this corpus IS word soup, so accuracy sits
+    // near the majority prior, far below a trained ceiling
+    val acc = out.count(_._5).toDouble / out.length
+    assert(acc > 0.15 && acc < 0.7, s"accuracy $acc")
+  }
 }
