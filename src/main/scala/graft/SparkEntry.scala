@@ -195,6 +195,10 @@ object SparkEntry {
     // directed containment |Sa∩Sb|/|Sa| >= 0.9 (quote/subset
     // detection): contained-side prefix filter x full inverted index
     "q_containment" -> Dedup.qContainment _,
+    // idf-weighted cosine all-pairs (Bayardo AllPairs, weighted):
+    // fixed-point-log2 idf weights, norm-suffix prefix filter, exact
+    // rational (5·dot)² >= 16·|a|²·|b|² verify
+    "q_idf_cosine_pairs" -> Dedup.qIdfCosinePairs _,
     // record linkage: corrupted probe names re-linked by striped
     // pigeonhole blocking + exact levenshtein verify
     "q_fuzzy_join" -> Dedup.qFuzzyJoin _,
@@ -2130,6 +2134,46 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
     "q_jaccard_pairs" -> duckShingleCte,
     "q_jaccard_prefix" -> duckShingleCte,
+    // Weighted cosine pairs: DuckDB re-derives the idf weights with
+    // the same fixed-point log2 ladder and re-walks every dot/norm
+    // through the FULL inverted join (no prefix filter) — equality
+    // re-proves the norm-suffix bound's completeness every round.
+    "q_idf_cosine_pairs" -> {
+      val (fx, fxz) = graft.functions.FixLog2
+        .ctesSql("fx", "w0", "n_docs", "df")
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |        range(1, len(tk)-1),
+         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |      FROM t WHERE len(tk) >= 3),
+         |idx AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |dfx AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |        FROM idx GROUP BY 1),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM idx),
+         |w0 AS (SELECT dfx.shingle, dfx.df, nn.n_docs FROM dfx, nn
+         |       WHERE dfx.df < nn.n_docs),
+         |$fx,
+         |wt AS (SELECT shingle, fx_out AS w FROM $fxz),
+         |vec AS (SELECT doc_id, idx.shingle, w
+         |        FROM idx JOIN wt USING (shingle)),
+         |n2 AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS n2
+         |       FROM vec GROUP BY 1),
+         |dt AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |         CAST(SUM(a.w*b.w) AS BIGINT) AS dot_q
+         |       FROM vec a JOIN vec b
+         |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT ida, idb, dot_q,
+         |  CAST(dot_q AS DOUBLE)
+         |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |FROM dt
+         |JOIN n2 na ON na.doc_id = ida
+         |JOIN n2 nb ON nb.doc_id = idb
+         |WHERE (CAST(dot_q AS HUGEINT) * dot_q) * 25
+         |  >= (CAST(na.n2 AS HUGEINT) * nb.n2) * 16
+         |ORDER BY ida, idb""".stripMargin
+    },
     // directed pairs, asymmetric |Sa∩Sb|/|Sa| denominator — string
     // shingles vs the engine's 64-bit hashes, same collision argument
     "q_containment" ->

@@ -460,6 +460,88 @@ object Dedup {
     verifyJaccardPairs(cands, withSh, t)
   }
 
+  /** Idf-weighted cosine all-pairs similarity join at cos ≥ 0.8 —
+    * the WEIGHTED member of the set-similarity family (Bayardo et
+    * al., WWW'07 "Scaling Up All Pairs Similarity Search"):
+    * documents as idf-weighted shingle vectors, so a match on a rare
+    * shingle counts for more than a match on boilerplate — the
+    * metric [[qJaccardPairs]] flattens. Weights are the exact
+    * fixed-point log2 idf (w = L(N, df), [[graft.functions.FixLog2]])
+    * and the whole pipeline is integer: norms² and dots are integer
+    * sums, the threshold test is the exact rational
+    * (5·dot)² ≥ 16·‖a‖²·‖b‖² in DECIMAL(38,0) (cos ≥ 4/5 squared,
+    * no rounding anywhere), and only the reported `cos` column
+    * touches doubles (three correctly-rounded IEEE ops).
+    *
+    * Candidate generation is the norm-suffix prefix filter — the
+    * weighted analogue of [[prefixFilterPairs]]'s count bound: under
+    * the global (df asc, shingle) order, index position i of doc x
+    * iff 25·rem_i ≥ 16·‖x‖² where rem_i = Σ_{j≥i} w_j² (the suffix
+    * norm²). Completeness is Cauchy–Schwarz: if the earliest shared
+    * shingle of a true pair sat outside x's prefix, then
+    * dot ≤ √rem·‖y‖ < (4/5)·‖x‖‖y‖ — contradiction; symmetrically
+    * for y, so every cos ≥ 0.8 pair collides inside prefix×prefix.
+    * Same scale shape as the Jaccard path: index ~(1−t²)-sized,
+    * pair-sized exchanges after the candidate distinct; docs whose
+    * every shingle is corpus-universal (df = N → w = 0) drop out of
+    * the vector space entirely, which also keeps the stopword fan
+    * out of the candidate join. */
+  def qIdfCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val withSh = cachedSigSets(spark, sfDir, n = 3, k = 64)
+    idfCosinePairs(withSh.select(col("doc_id"), col("sh")))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** The weighted-AllPairs core over (doc_id, sh: array<long>) at
+    * the fixed threshold 4/5, factored for spec coverage. */
+  private[engine] def idfCosinePairs(withSh: DataFrame): DataFrame = {
+    val idx = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfTab = idx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val nDocs = idx.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val wTab = graft.functions.FixLog2.withFixLog2(
+        dfTab.crossJoin(broadcast(nDocs)).filter(col("df") < col("n_docs")),
+        col("n_docs"), col("df"), "w")
+      .select(col("shingle"), col("df"), col("w"))
+    val vec = idx.join(wTab, Seq("shingle"))
+    val n2 = vec.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val wWin = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = vec
+      .withColumn("rem", sum(col("w") * col("w")).over(wWin))
+      .join(n2, Seq("doc_id"))
+      .filter(col("rem") * lit(25L) >= col("n2") * lit(16L))
+      .select(col("doc_id"), col("shingle"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    val va = vec.select(col("doc_id").as("ida"), col("shingle"),
+      col("w").as("wa"))
+    val vb = vec.select(col("doc_id").as("idb"), col("shingle"),
+      col("w").as("wb"))
+    // pair-sized fan: candidates hydrate a's shingles, then the
+    // (idb, shingle) equi-join keeps only the intersection rows
+    val dots = cands.join(va, Seq("ida"))
+      .join(vb, Seq("idb", "shingle"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(sum(col("wa") * col("wb")).as("dot_q"))
+    dots
+      .join(n2.select(col("doc_id").as("ida"), col("n2").as("n2a")), "ida")
+      .join(n2.select(col("doc_id").as("idb"), col("n2").as("n2b")), "idb")
+      .filter((col("dot_q") * lit(5L)).cast("decimal(19,0)")
+          * (col("dot_q") * lit(5L)).cast("decimal(19,0)")
+        >= col("n2a").cast("decimal(19,0)")
+          * (col("n2b") * lit(16L)).cast("decimal(19,0)"))
+      .select(col("ida"), col("idb"), col("dot_q"),
+        (col("dot_q").cast("double")
+          / sqrt(col("n2a").cast("double") * col("n2b").cast("double")))
+          .as("cos"))
+  }
+
   /** Directed set-containment join (quote / subset detection):
     * ordered pairs (ida, idb), ida ≠ idb, with
     * C(a→b) = |Sa ∩ Sb| / |Sa| ≥ 0.9 over the word-3-gram shingle

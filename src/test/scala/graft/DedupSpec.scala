@@ -305,6 +305,50 @@ class DedupSpec extends SparkSpec {
       s"prefix candidates $prefCand vs full $fullCand")
   }
 
+  test("idf cosine pairs: equals an exact-rational brute force; idf reorders vs jaccard") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val tk = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty).toMap
+    val n = sets.size.toLong
+    val df = sets.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val w = df.collect {
+      case (s, d) if d < n => s -> graft.functions.FixLog2.ref(n, d)
+    }
+    val n2 = sets.view.mapValues(_.toSeq.map(s =>
+      w.getOrElse(s, 0L)).map(x => x * x).sum).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = for {
+      a <- ids; b <- ids; if a < b
+      // weights are equal on both sides, so wa·wb = w² per shared shingle
+      dotQ = (sets(a) & sets(b)).toSeq.map(s => w.getOrElse(s, 0L))
+        .map(x => x * x).sum
+      // exact rational threshold, no doubles anywhere in the decision
+      if dotQ > 0
+      if BigInt(5 * dotQ).pow(2) >= BigInt(n2(a)) * BigInt(16 * n2(b))
+    } yield (a, b, dotQ,
+      dotQ.toDouble / math.sqrt(n2(a).toDouble * n2(b).toDouble))
+    val out = Dedup.qIdfCosinePairs(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == expected.toSeq && out.nonEmpty)
+    // the weighting MEANS something: the cosine ranking differs from
+    // the jaccard ranking over the common pairs (idf re-ordered them)
+    val jac = Dedup.qJaccardPairs(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val common = out.filter(p => jac.contains((p._1, p._2)))
+    assert(common.nonEmpty)
+    val byCos = common.sortBy(-_._4).map(p => (p._1, p._2))
+    val byJac = common.sortBy(p => -jac((p._1, p._2))).map(p => (p._1, p._2))
+    assert(byCos != byJac || common.size <= 2)
+  }
+
   test("fuzzy join: planted recall 100%, equal to a driver-side recompute") {
     val cust = spark.read.parquet(s"$sf0001/customer.parquet")
       .select("c_custkey", "c_name").as[(Long, String)].collect()
