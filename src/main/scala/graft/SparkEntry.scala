@@ -105,6 +105,9 @@ object SparkEntry {
     "q_dq_checks" -> Relational.qDqChecks _,
     // median/MAD robust outliers (50% breakdown vs qOutliers' moments)
     "q_outliers_robust" -> Relational.qOutliersRobust _,
+    // seasonal volume-anomaly detection: zero-filled hourly counts vs
+    // an hour-of-day median/MAD baseline (outage- and spike-aware)
+    "q_anomaly_series" -> Relational.qAnomalySeries _,
     // Gini-Simpson source diversity per language + overall (the
     // rational, oracle-expressible alternative to entropy)
     "q_diversity" -> TextOps.qDiversity _,
@@ -1529,6 +1532,36 @@ object SparkEntry {
         |FROM events e JOIN mad m ON e.event_type = m.event_type
         |GROUP BY 1, 2, 3
         |ORDER BY e.event_type""".stripMargin,
+    // Seasonal volume anomalies: zero-filled hour spine, hour-of-day
+    // median/MAD baseline; counts are integers so every percentile
+    // interpolation is an exact .5 multiple in both engines.
+    "q_anomaly_series" ->
+      """WITH ev AS (SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+        |       FROM events),
+        |rng AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |spine AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+        |          FROM ty, rng),
+        |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+        |        FROM ev GROUP BY 1, 2),
+        |ser AS (SELECT s.event_type, s.h, COALESCE(cnt.c, 0) AS c,
+        |          s.h % 24 AS hod
+        |        FROM spine s LEFT JOIN cnt
+        |          ON cnt.event_type = s.event_type AND cnt.h = s.h),
+        |med AS (SELECT event_type, hod,
+        |          percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS med
+        |        FROM ser GROUP BY 1, 2),
+        |mad AS (SELECT ser.event_type, ser.hod, med.med,
+        |          percentile_cont(0.5) WITHIN GROUP
+        |            (ORDER BY abs(c - med)) AS mad
+        |        FROM ser JOIN med USING (event_type, hod)
+        |        GROUP BY 1, 2, 3)
+        |SELECT ser.event_type, ser.h, ser.c, mad.med, mad.mad,
+        |  (abs(ser.c - mad.med) > 3 * 1.4826 * mad.mad) AS is_anom
+        |FROM ser JOIN mad
+        |  ON mad.event_type = ser.event_type AND mad.hod = ser.hod
+        |ORDER BY ser.event_type, ser.h""".stripMargin,
     "q_dq_checks" ->
       """WITH checks AS (
         |  SELECT 'pk_orders_unique' AS "check",

@@ -1363,6 +1363,61 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Seasonal time-series anomaly detection over event VOLUME — the
+    * traffic-monitoring op ([[qOutliers]]/[[qOutliersRobust]] flag
+    * anomalous VALUES; this flags anomalous HOURS): hourly event
+    * counts per type, zero-filled over an hour spine (the classic
+    * trap — a dead hour emits no rows, and an outage is exactly a
+    * dead hour, so the un-filled series can never see the most
+    * important anomaly), compared to an hour-of-day seasonal
+    * baseline: per (type, hod) median + MAD, flag hours beyond
+    * 3·1.4826·MAD. Medians over integer counts interpolate to exact
+    * .5 multiples, so every comparison is exact in both engines (the
+    * [[qOutliersRobust]] determinism contract).
+    *
+    * Scale shape: one scan into the (type, hour) agg (map-side
+    * combined — the shuffle carries one row per non-empty bucket);
+    * the spine is \|types\| rows exploding a domain-bounded hour
+    * array (years of hours ≈ 10⁴ entries — bounded by the calendar,
+    * not the data); baselines are \|types×24\|-row broadcasts. At
+    * 100 TB nothing after the first agg carries event volume. */
+  def qAnomalySeries(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+    anomalySeries(ev)
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  /** The detector core over an (event_type, h: long) frame, factored
+    * so the spec can plant outages and spikes. */
+  private[graft] def anomalySeries(ev: DataFrame): DataFrame = {
+    val rng = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(rng))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val series = spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        pmod(col("h"), lit(24L)).as("hod"))
+    val med = series.groupBy(col("event_type"), col("hod"))
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY c)")
+        .as("med"))
+    val mad = series.join(broadcast(med), Seq("event_type", "hod"))
+      .groupBy(col("event_type"), col("hod"), col("med"))
+      .agg(expr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(c - med))")
+        .as("mad"))
+    series.join(broadcast(mad), Seq("event_type", "hod"))
+      .select(col("event_type"), col("h"), col("c"), col("med"),
+        col("mad"),
+        (abs(col("c") - col("med")) >
+          lit(3.0) * lit(1.4826) * col("mad")).as("is_anom"))
+  }
+
   /** MAD-based robust outlier report — the resistant sibling of the
     * moment-based [[qOutliers]] (a single 1e9 glitch shifts μ and
     * explodes σ, silently masking every other anomaly; the median

@@ -521,4 +521,32 @@ class ScaleSpec extends SparkSpec {
     assert(Set("update", "insert", "keep")
       .subsetOf(got.map(_._5).toSet))
   }
+
+  test("anomaly series: planted outage and spike flagged, seasonal hours quiet, gaps zero-filled") {
+    // 10 days of perfectly seasonal traffic (busier 08:00-17:00),
+    // with one dead hour (outage) and one 50-event burst (spike)
+    val outageH = 5L * 24 + 10
+    val spikeH = 7L * 24 + 3
+    val base = for {
+      day <- 0 until 10
+      hod <- 0 until 24
+      h = (day * 24 + hod).toLong
+      if h != outageH
+      n = 5 + (if (hod >= 8 && hod < 18) 5 else 0) +
+        (if (h == spikeH) 50 else 0)
+      _ <- 0 until n
+    } yield ("A", h)
+    val ev = base.toDF("event_type", "h")
+    val out = graft.engine.Relational.anomalySeries(ev)
+      .as[(String, Long, Long, Double, Double, Boolean)]
+      .collect().sortBy(_._2)
+    assert(out.length == 240) // the outage hour IS in the spine
+    val byH = out.map(r => r._2 -> r).toMap
+    assert(byH(outageH)._3 == 0L && byH(outageH)._6,
+      "outage hour must be zero-filled and flagged")
+    assert(byH(spikeH)._3 == 55L && byH(spikeH)._6,
+      "spike hour must be flagged")
+    // every other hour matches its seasonal baseline exactly
+    assert(out.count(_._6) == 2)
+  }
 }
