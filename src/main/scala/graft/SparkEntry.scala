@@ -336,6 +336,9 @@ object SparkEntry {
     "q_sample_stratified" -> TextOps.qSampleStratified _,
     // token-denominated training mix (running-budget window)
     "q_token_budget_mix" -> TextOps.qTokenBudgetMix _,
+    // alpha=1/2 temperature rebalance: per-lang isqrt-share budgets
+    // (low-resource upsampling), md5-order greedy fill
+    "q_temperature_mix" -> TextOps.qTemperatureMix _,
     // per-source percent_rank calibration of the quality score
     "q_quality_calibrated" -> TextOps.qQualityCalibrated _,
     // per-doc unique-shingle ratio (dedup triage / boilerplate rank)
@@ -2778,6 +2781,31 @@ object SparkEntry {
         |SELECT doc_id, source, ntk, CAST(cum AS BIGINT) AS cum FROM c
         |WHERE cum <= ${TextOps.tokenBudget}
         |ORDER BY doc_id""".stripMargin,
+    // Temperature mix: the same md5-window greedy fill under derived
+    // isqrt-share budgets (all-integer share arithmetic).
+    "q_temperature_mix" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |             md5(CAST(doc_id AS VARCHAR)) AS hx,
+        |             CAST(len($duckTokens) AS BIGINT) AS ntk
+        |           FROM documents WHERE lang IS NOT NULL),
+        |nl AS (SELECT lang, CAST(SUM(ntk) AS BIGINT) AS n_l
+        |       FROM d GROUP BY 1),
+        |sh AS (SELECT lang, n_l,
+        |         CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS s_l
+        |       FROM nl),
+        |tt AS (SELECT CAST(SUM(s_l) AS BIGINT) AS s_tot,
+        |         CAST(SUM(n_l) AS BIGINT) AS n_tot FROM sh),
+        |bg AS (SELECT lang, (s_l * (n_tot // 2)) // s_tot AS b_l
+        |       FROM sh, tt),
+        |c AS (SELECT doc_id, lang, ntk,
+        |        SUM(ntk) OVER (PARTITION BY lang ORDER BY hx, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d)
+        |SELECT c.doc_id, c.lang, c.ntk, CAST(c.cum AS BIGINT) AS cum,
+        |  b.b_l
+        |FROM c JOIN bg b USING (lang)
+        |WHERE c.cum <= b.b_l
+        |ORDER BY c.doc_id""".stripMargin,
     // md5-hex ordering is identical in both engines (lowercase hex
     // string compare), so the per-source permutation and its first
     // `stratifiedQuota` rows are too

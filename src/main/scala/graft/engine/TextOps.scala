@@ -1735,6 +1735,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** α-temperature language rebalancing (α = 1/2 — the XLM-R /
+    * mT5-style multilingual mix): per-language token budgets
+    * b_l = (√n_l / Σ√n)·B so low-resource languages get a LARGER
+    * share than their natural token mass (α < 1 flattens the
+    * distribution; α = 1 is proportional, α = 0 uniform), then the
+    * deterministic greedy prefix in md5 order fills each budget —
+    * [[qTokenBudgetMix]]'s selection discipline under derived
+    * budgets instead of a constant. B = half the corpus tokens.
+    * Everything is integer: s_l = ⌊√n_l⌋ (sqrt is correctly-rounded
+    * IEEE, exact for perfect squares, and floor of it IS isqrt for
+    * n < 2⁵²), shares via s_l·(B) div Σs — the one product that
+    * bounds the op at ~2⁶³; a corpus past that prescales s and B by
+    * a common shift (the [[graft.functions.FixLog2]] prenorm move).
+    * A language whose budget exceeds its supply keeps every doc —
+    * the b_l/n_l > 1 ratio is the epoch-repeat factor a trainer
+    * applies downstream.
+    *
+    * Scale shape: one scan into the per-lang token agg; budgets are
+    * \|L\|-row arithmetic broadcast back; the only corpus-sized
+    * shuffle is the per-lang md5 window (same skew note as
+    * [[qQualityCalibrated]]: at 100 TB the greedy prefix becomes a
+    * two-pass histogram cut). */
+  def qTemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("hx"),
+        tokenCount(col("text")).cast("long").as("ntk"))
+    val nl = d.groupBy(col("lang")).agg(sum(col("ntk")).as("n_l"))
+    val sh = nl.select(col("lang"), col("n_l"),
+      floor(sqrt(col("n_l").cast("double"))).cast("long").as("s_l"))
+    val tot = sh.agg(sum(col("s_l")).as("s_tot"), sum(col("n_l")).as("n_tot"))
+    val budgets = sh.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_l"), col("s_l"),
+        expr("s_l * (n_tot div 2) div s_tot").as("b_l"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(budgets.select(col("lang"), col("b_l"))), Seq("lang"))
+      .withColumn("cum", sum(col("ntk")).over(w))
+      .filter(col("cum") <= col("b_l"))
+      .select(col("doc_id"), col("lang"), col("ntk"), col("cum"), col("b_l"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quality calibration: percent_rank of the
     * [[qualityScore]] WITHIN each source, keeping docs above the
     * bottom [[calibratedCut]] fraction of their own source — the

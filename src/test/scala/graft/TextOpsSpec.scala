@@ -740,6 +740,42 @@ class TextOpsSpec extends SparkSpec {
     assert(out.exists(_._3 > 1))
   }
 
+  test("temperature mix: equals a driver recompute; low-resource langs upsampled") {
+    val out = TextOps.qTemperatureMix(spark, sf0001)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .collect().filter(_._2 != null)
+      .map { case (id, lang, text) =>
+        val ntk = if (text == null) 0L
+        else text.trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong
+        (id, lang, md5hex(id.toString), ntk)
+      }
+    val nl = docs.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val sl = nl.view.mapValues(n => math.floor(math.sqrt(n.toDouble)).toLong)
+      .toMap
+    val sTot = sl.values.sum
+    val nTot = nl.values.sum
+    val bl = sl.map { case (l, s) => l -> s * (nTot / 2) / sTot }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._1))
+      val cums = sorted.scanLeft(0L)(_ + _._4).tail
+      sorted.zip(cums).filter(_._2 <= bl(lang))
+        .map { case (d, cum) => (d._1, lang, d._4, cum, bl(lang)) }
+    }.sortBy(_._1)
+    assert(out == expected && out.nonEmpty)
+    // the temperature BINDS: the smallest lang's budget share exceeds
+    // its natural token share (alpha < 1 upsampling), and the largest
+    // lang's is below it — exact cross-multiplied integer compare
+    val minL = nl.minBy(_._2)._1
+    val maxL = nl.maxBy(_._2)._1
+    assert(BigInt(sl(minL)) * nTot > BigInt(nl(minL)) * sTot)
+    assert(BigInt(sl(maxL)) * nTot < BigInt(nl(maxL)) * sTot)
+  }
+
   test("naive bayes: learns a crafted lang-skewed vocabulary to 100% accuracy") {
     // the sf corpus is deliberately language-independent word soup
     // (accuracy there ~ the majority prior); THIS fixture has real
