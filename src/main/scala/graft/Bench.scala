@@ -57,6 +57,8 @@ object Bench {
     "q_interval_sweep",   // sweep-line concurrency, sharded prefix scan (r14)
     "q_transition_matrix", // user-journey Markov matrix (r14)
     "q_scd2",             // SCD2 validity-interval build (r15)
+    "q_ols_trend",        // exact-moment regression readout (r15)
+    "q_attribution",      // last-touch as-of carry over events (r15)
     "q_table_checksum",   // order-independent replication checksums (r15)
     "q_bm25",             // BM25 postings retrieval (r15)
     "q_chi2_divergence",  // source-mix drift QA (r15)

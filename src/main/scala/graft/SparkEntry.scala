@@ -100,6 +100,14 @@ object SparkEntry {
     "q_join_card" -> Relational.qJoinCard _,
     // Pearson r from exact decimal moments (the hashable corr)
     "q_correlation" -> Relational.qCorrelation _,
+    // per-type OLS trend (slope/day, intercept, r^2), same discipline
+    "q_ols_trend" -> Relational.qOlsTrend _,
+    // Welch two-sample t per event type, hash-bucketed arms, one
+    // conditional-agg pass (no self-join)
+    "q_ab_test" -> Relational.qAbTest _,
+    // last-touch conversion attribution with a 72h lookback (the
+    // as-of carry applied to marketing touches)
+    "q_attribution" -> Relational.qAttribution _,
     // dbt-style declared-constraint suite: one row per check with
     // its violation count (PK / FK / null / ranges)
     "q_dq_checks" -> Relational.qDqChecks _,
@@ -124,6 +132,9 @@ object SparkEntry {
     // fixed-point log2 (no libm) — the information-theoretic
     // diversity twin of q_diversity's Gini-Simpson
     "q_entropy_mix" -> TextOps.qEntropyMix _,
+    // I(lang; source) in exact fixed-point bits: per-source rows sum
+    // to the corpus MI (mixture-redundancy diagnostic)
+    "q_mutual_info" -> TextOps.qMutualInfo _,
     // trained multinomial Naive Bayes language classifier: even-doc
     // train split, fixed-point log posteriors, packed argmax
     "q_nb_classify" -> TextOps.qNbClassify _,
@@ -350,6 +361,8 @@ object SparkEntry {
     // wedge join — local clustering density of each near-dup
     // neighborhood)
     "q_triangles" -> Dedup.qTriangles _,
+    // k-hop BFS blast radius from the mod-5 seed set (frontier form)
+    "q_bfs_hops" -> Dedup.qBfsHops _,
     // CDC MERGE: update/insert/keep via the Delta-style decomposition
     "q_merge_upsert" -> Relational.qMergeUpsert _,
     "q_window_pct" -> Relational.qWindowPct _,
@@ -584,6 +597,28 @@ object SparkEntry {
        |${(1 to Dedup.pagerankIters).map(iter).mkString(",\n")}
        |SELECT node AS doc_id, CAST(r AS BIGINT) AS pr
        |FROM r${Dedup.pagerankIters}
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** k-hop BFS oracle: unrolled MIN-relaxation rounds (Bellman–Ford
+    * on the uniform-weight graph) — equal to the engine's frontier
+    * BFS because first-reached IS min-hop under unit weights. */
+  private val duckBfsHops: String = {
+    def round(t: Int): String =
+      s"""r$t AS (SELECT node, MIN(dist) AS dist FROM (
+         |          SELECT node, dist FROM r${t - 1}
+         |          UNION ALL
+         |          SELECT e0.dst AS node, r${t - 1}.dist + 1 AS dist
+         |          FROM r${t - 1} JOIN e0 ON e0.src = r${t - 1}.node)
+         |        GROUP BY node)""".stripMargin
+    s"""WITH $duckShingleBody,
+       |e0 AS (SELECT ida AS src, idb AS dst FROM pairs
+       |       UNION ALL SELECT idb, ida FROM pairs),
+       |nd AS (SELECT DISTINCT src AS node FROM e0),
+       |r0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nd
+       |       WHERE node % ${Dedup.bfsSeedMod} = 0),
+       |${(1 to Dedup.bfsMaxHops).map(round).mkString(",\n")}
+       |SELECT node AS doc_id, dist FROM r${Dedup.bfsMaxHops}
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -1612,6 +1647,99 @@ object SparkEntry {
         |SELECT l_returnflag, n,
         |  CASE WHEN den = 0 THEN NULL ELSE num / den END AS r
         |FROM mm ORDER BY l_returnflag""".stripMargin,
+    // OLS trend: the same exact-moment discipline; X = epoch seconds
+    // since 2024-01-01, Y = round(1e4*value); slope/day, intercept,
+    // r^2 are fixed IEEE expressions over the exact sums
+    "q_ols_trend" ->
+      """WITH b AS (SELECT event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+        |               - 1704067200 AS x,
+        |             CAST(round(value * 10000) AS BIGINT) AS y
+        |           FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |        CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |        CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        |      FROM b GROUP BY 1),
+        |mm AS (SELECT event_type, n,
+        |         n * sxy - sx * sy AS num,
+        |         n * sxx - sx * sx AS denx,
+        |         n * syy - sy * sy AS deny, sx, sy
+        |       FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN denx <= 0 THEN NULL
+        |       ELSE num / denx * 86400.0 / 10000.0 END AS slope_per_day,
+        |  CASE WHEN denx <= 0 THEN NULL
+        |       ELSE (sy - num / denx * sx) / n / 10000.0 END AS intercept,
+        |  CASE WHEN denx <= 0 OR deny <= 0 THEN NULL
+        |       ELSE num * num / (denx * deny) END AS r2
+        |FROM mm ORDER BY event_type""".stripMargin,
+    // Welch t: same exact-moment discipline, arms by user parity,
+    // FILTER counts (BIGINT by construction), fixed IEEE t/df
+    "q_ab_test" ->
+      """WITH b AS (SELECT event_type, user_id % 2 AS arm,
+        |             CAST(round(value * 10000) AS BIGINT) AS y
+        |           FROM events),
+        |m AS (SELECT event_type,
+        |        count(*) FILTER (WHERE arm = 0) AS n0,
+        |        count(*) FILTER (WHERE arm = 1) AS n1,
+        |        CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS DOUBLE)
+        |          AS s0,
+        |        CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS DOUBLE)
+        |          AS s1,
+        |        CAST(SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y
+        |                 ELSE 0 END) AS DOUBLE) AS ss0,
+        |        CAST(SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y
+        |                 ELSE 0 END) AS DOUBLE) AS ss1
+        |      FROM b GROUP BY 1),
+        |mm AS (SELECT event_type, n0, n1,
+        |         s0 / n0 AS m0, s1 / n1 AS m1,
+        |         (ss0 - s0 * s0 / n0) / (n0 - 1) AS v0,
+        |         (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1
+        |       FROM m),
+        |z AS (SELECT event_type, n0, n1, m0, m1, v0, v1,
+        |        v0 / n0 + v1 / n1 AS se2
+        |      FROM mm)
+        |SELECT event_type, n0, n1,
+        |  CASE WHEN n0 = 0 THEN NULL ELSE m0 / 10000.0 END AS mean_a,
+        |  CASE WHEN n1 = 0 THEN NULL ELSE m1 / 10000.0 END AS mean_b,
+        |  CASE WHEN n0 <= 1 OR n1 <= 1 OR se2 <= 0 THEN NULL
+        |       ELSE (m0 - m1) / sqrt(se2) END AS t_welch,
+        |  CASE WHEN n0 <= 1 OR n1 <= 1 OR se2 <= 0 THEN NULL
+        |       ELSE se2 * se2
+        |            / (v0 / n0 * (v0 / n0) / (n0 - 1)
+        |               + v1 / n1 * (v1 / n1) / (n1 - 1)) END AS df_welch
+        |FROM z ORDER BY event_type""".stripMargin,
+    // Last-touch attribution: the strictly-prior ignore-nulls carry,
+    // epoch-micros times, integer-div gap, whole-row staleness cut
+    "q_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+        |           FROM events),
+        |c AS (SELECT *,
+        |        last_value(CASE WHEN event_type IN ('click', 'view')
+        |                        THEN event_id END IGNORE NULLS)
+        |          OVER w AS touch_id,
+        |        last_value(CASE WHEN event_type IN ('click', 'view')
+        |                        THEN event_type END IGNORE NULLS)
+        |          OVER w AS touch_type,
+        |        last_value(CASE WHEN event_type IN ('click', 'view')
+        |                        THEN t_us END IGNORE NULLS)
+        |          OVER w AS touch_t_us
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT *, touch_id IS NOT NULL
+        |        AND t_us - touch_t_us <= ${Relational.attributionWindowSec}000000
+        |          AS fresh
+        |      FROM c WHERE event_type = 'purchase')
+        |SELECT event_id AS purchase_id, user_id, t_us AS purchase_t_us,
+        |  value,
+        |  CASE WHEN fresh THEN touch_id END AS touch_id,
+        |  CASE WHEN fresh THEN touch_type END AS touch_type,
+        |  CASE WHEN fresh THEN (t_us - touch_t_us) // 1000000 END AS gap_s
+        |FROM p ORDER BY purchase_id""".stripMargin,
     // SCD2: state-change collapse + validity intervals; epoch-micros
     // BIGINT bounds (the no-raw-TIMESTAMP oracle convention)
     "q_scd2" ->
@@ -1788,6 +1916,31 @@ object SparkEntry {
          |SELECT source, n_docs, n_langs, h_q,
          |  CAST(h_q AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 65536.0)
          |    AS h_bits
+         |FROM h ORDER BY source""".stripMargin
+    },
+    // Mutual information I(lang; source): per-cell fixed-point
+    // log2(N*c_ls / (c_l*c_s)), integer-weighted sum per source —
+    // the ladder is sign-correct for under-represented cells
+    "q_mutual_info" -> {
+      val (fx, fxz) = graft.functions.FixLog2
+        .ctesSql("fx", "b", "n_tot * c", "c_l * c_s")
+      s"""WITH s AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+         |           FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+         |cl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS c_l
+         |       FROM s GROUP BY 1),
+         |cs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS c_s
+         |       FROM s GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM s),
+         |b AS (SELECT s.source, s.lang, s.c, cl.c_l, cs.c_s, nt.n_tot
+         |      FROM s JOIN cl USING (lang) JOIN cs USING (source), nt),
+         |$fx,
+         |h AS (SELECT source, MAX(c_s) AS n_docs, MAX(n_tot) AS n_tot,
+         |        count(*) AS n_cells,
+         |        CAST(SUM(CAST(c AS HUGEINT) * fx_out) AS BIGINT) AS mi_q
+         |      FROM $fxz GROUP BY 1)
+         |SELECT source, n_docs, n_cells, mi_q,
+         |  CAST(mi_q AS DOUBLE) / (CAST(n_tot AS DOUBLE) * 65536.0)
+         |    AS mi_bits
          |FROM h ORDER BY source""".stripMargin
     },
     // Naive Bayes: DuckDB retrains the model (counts + two log2
@@ -2248,6 +2401,7 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "q_dedup_clusters" -> duckClusters,
     "q_pagerank" -> duckPagerank,
+    "q_bfs_hops" -> duckBfsHops,
     // canonical edges make each triangle x<y<z appear exactly once as
     // e(x,y) ⋈ e(y,z) closed by e(x,z) — same shared pair CTEs
     "q_triangles" ->

@@ -936,6 +936,79 @@ object Dedup {
     triangleCountsDeg(e).orderBy(col("doc_id"))
   }
 
+  /** BFS seed predicate (doc_id divisibility) and hop cap — sized so
+    * the fixture populates every distance class 0..2 while the seed
+    * set stays a strict subset of the graph. */
+  private[graft] val bfsSeedMod = 5L
+  private[graft] val bfsMaxHops = 3
+
+  /** k-hop BFS distances over the verified near-dup graph — the
+    * reachability member of the graph family ([[qDedupClusters]]
+    * membership, [[qPagerank]] centrality, [[qTriangles]] density):
+    * min-hop distance from a seed set (doc_id ≡ 0 mod [[bfsSeedMod]])
+    * to every node within [[bfsMaxHops]] undirected hops — the
+    * "contamination blast radius" query (seeds = known-bad docs, the
+    * result = everything transitively near-duplicate within k steps).
+    * Unreached nodes emit no row (standard BFS contract). FRONTIER
+    * form, not Bellman–Ford relaxation of the full distance table:
+    * each round joins only the newly-settled rows against the edge
+    * list, anti-joins the visited set, and min-aggregates ties — a
+    * node settles exactly once at its first (= minimal) hop count,
+    * so the per-round cost is Σ deg(frontier), not |V|·deg. Every
+    * round's frontier/visited persist (the loop-carried frames the
+    * [[qPagerank]] persistence rule covers — without it each round
+    * re-executes the whole union/anti-join prefix, doubling work per
+    * hop). Integer distances ⇒ hash-exact against the oracle's
+    * unrolled min-relaxation CTEs (equal by the uniform-weight
+    * shortest-path argument: first-reached IS min-hop).
+    *
+    * Scale shape: per hop ONE edge-keyed equi-join carrying
+    * O(Σ deg(frontier)) rows + a node-keyed min agg + an anti-join
+    * against visited — the Pregel BFS cost; the near-dup edge frame
+    * is pairs-sized and shared (same persist key) with PageRank. */
+  def qBfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).select(col("ida"), col("idb"))
+    val e = memoizedPersisted(spark, s"pr-edges|$sfDir")(
+      pairs.select(col("ida").as("src"), col("idb").as("dst"))
+        .unionByName(pairs.select(col("idb").as("src"), col("ida").as("dst"))))
+    val seeds = memoizedPersisted(spark, s"bfs-seeds|$sfDir")(
+      e.select(col("src").as("node")).distinct()
+        .filter(col("node") % bfsSeedMod === 0)
+        .withColumn("dist", lit(0L)))
+    bfsFrom(e, seeds, bfsMaxHops, Some(s"bfs|$sfDir"))
+      .select(col("node").as("doc_id"), col("dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The frontier-BFS core [[qBfsHops]] applies to the near-dup
+    * graph, factored generic over any directed (src, dst) edge frame
+    * and (node, dist=0) seed frame — the fixture's near-dup clusters
+    * are shallow cliques (nothing sits ≥ 2 hops from a seed at ANY
+    * seed density), so the deep-frontier behavior is spec-covered on
+    * a crafted chain graph, the [[graft.engine.Relational.dqChecks]]
+    * convention. `memoKey` persists each round's settled frontier
+    * (loop-carried frames — without it each hop re-executes the
+    * whole union/anti-join prefix). */
+  private[graft] def bfsFrom(e: DataFrame, seeds: DataFrame,
+      maxHops: Int, memoKey: Option[String] = None): DataFrame = {
+    var visited = seeds
+    var frontier = seeds
+    for (h <- 1 to maxHops) {
+      val step = frontier.withColumnRenamed("node", "src")
+        .join(e, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((min(col("dist")) + 1).as("dist"))
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+      val newly = memoKey match {
+        case Some(k) => memoizedPersisted(e.sparkSession, s"$k-v$h")(step)
+        case None => step
+      }
+      visited = visited.unionByName(newly)
+      frontier = newly
+    }
+    visited
+  }
+
   /** Per-node triangle counts of a CANONICAL (ida < idb, distinct)
     * edge frame — the generic wedge-join core [[qTriangles]] applies
     * to the near-dup graph, factored for direct spec coverage on

@@ -750,6 +750,60 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Last-touch attribution lookback window (seconds). Sized so the
+    * fixture exercises BOTH branches — attributed conversions and
+    * organic ones whose latest touch is stale. */
+  val attributionWindowSec = 259200L // 72 h
+
+  /** Last-touch conversion attribution — the marketing-analytics
+    * application of the [[qAsofJoin]] carry: each purchase is
+    * attributed to the user's most recent STRICTLY-PRIOR touch event
+    * (click or view) within [[attributionWindowSec]]; a conversion
+    * with no fresh touch stays a row with NULL attribution (organic).
+    * One user-keyed sort pass computes all three carried touch fields
+    * (id, type, epoch-micros time) in a single WindowExec — the
+    * ignore-nulls last() over ROWS … 1 PRECEDING is the as-of
+    * semantics without a range join, and the (ts, event_id) ordering
+    * makes simultaneous-timestamp ties deterministic. Times emit as
+    * epoch micros (the no-raw-TIMESTAMP oracle convention); the
+    * staleness cut nulls all three touch columns together so the
+    * output never shows a half-attributed row.
+    *
+    * Scale shape: ONE shuffle on user_id and one ordered pass over
+    * each user's events — O(events log events/user) with no
+    * O(touches×conversions) blowup however bursty the touch stream;
+    * the filter to conversions happens after the carry, so nothing
+    * downstream carries event volume beyond the conversion rows. */
+  def qAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type") === "click" || col("event_type") === "view"
+    def carry(c: Column, name: String): Column =
+      last(when(isTouch, c), ignoreNulls = true).over(w).as(name)
+    val withTouch = ev
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("t_us"), col("value"),
+        carry(col("event_id"), "touch_id"),
+        carry(col("event_type"), "touch_type"),
+        carry(col("t_us"), "touch_t_us"))
+      .filter(col("event_type") === "purchase")
+    val fresh = col("touch_id").isNotNull &&
+      (col("t_us") - col("touch_t_us")) <= attributionWindowSec * 1000000L
+    withTouch.select(col("event_id").as("purchase_id"), col("user_id"),
+        col("t_us").as("purchase_t_us"), col("value"),
+        when(fresh, col("touch_id")).as("touch_id"),
+        when(fresh, col("touch_type")).as("touch_type"),
+        // integer div, never `/`: Spark's `/` is double division and
+        // a double-rounded quotient can truncate across an integer
+        // boundary differently than exact integer division
+        when(fresh, expr("(t_us - touch_t_us) div 1000000")).as("gap_s"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Generic MERGE application — the engine primitive under
     * [[qMergeUpsert]] and the streaming upsert sink
     * ([[StreamingOps.upsertSink]]). Contract: `base` and `changes`
@@ -1537,6 +1591,124 @@ object Relational {
         when(col("den") === 0, lit(null)).otherwise(col("num") / col("den"))
           .as("r"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-type OLS trend line — the regression member of the
+    * exact-moment stats family ([[qCorrelation]] association,
+    * [[qOutliers]] dispersion): value regressed on event time, slope
+    * β = (nΣXY − ΣXΣY)/(nΣX² − (ΣX)²) and intercept α = (ΣY − βΣX)/n
+    * per event type. Same integer-quantization discipline: X = epoch
+    * seconds since 2024-01-01 (the corpus origin — keeps X ≈ 10⁷, so
+    * the decimal products stay far from any width cliff), Y =
+    * round(10⁴·value); every moment accumulates in DECIMAL(38,0) via
+    * decimal(19,0) per-row widening (a long·long X·X would be safe at
+    * this magnitude but the discipline is uniform — magnitude
+    * reasoning doesn't survive schema drift). The final α/β/r² are
+    * fixed IEEE expressions over correctly-rounded double conversions
+    * of the exact sums — bit-identical in any engine — with β and r²
+    * NULL for degenerate (constant-X or constant-Y) groups in both
+    * engines. β is reported per DAY (86400·slope/10⁴ value-units/day)
+    * so the number means something at a glance; α in value units.
+    *
+    * Scale shape: one narrow map-side-combined scan into a
+    * \|types\|-row agg — nothing after the scan carries event volume;
+    * the moments are additive monoids, so the production form
+    * maintains them incrementally (the [[qAggIncremental]] merge). */
+  def qOlsTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = 1704067200L // 2024-01-01T00:00:00Z, the corpus origin
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"),
+        (col("ts").cast("long") - t0).as("x"),
+        round(col("value") * 10000).cast("long").as("y"))
+    def isum(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+    def iprod(a: Column, b: Column): Column =
+      sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
+    val m = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), isum(col("x")).as("sx"),
+        isum(col("y")).as("sy"), iprod(col("x"), col("x")).as("sxx"),
+        iprod(col("y"), col("y")).as("syy"),
+        iprod(col("x"), col("y")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"),
+        col("sx"), col("sy"))
+    m.select(col("event_type"), col("n"),
+        when(col("denx") <= 0, lit(null))
+          .otherwise(col("num") / col("denx") * lit(86400d) / lit(10000d))
+          .as("slope_per_day"),
+        when(col("denx") <= 0, lit(null))
+          .otherwise((col("sy") - col("num") / col("denx") * col("sx"))
+            / col("n") / lit(10000d))
+          .as("intercept"),
+        when(col("denx") <= 0 || col("deny") <= 0, lit(null))
+          .otherwise(col("num") * col("num") / (col("denx") * col("deny")))
+          .as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Welch two-sample t-test per event type — the experiment-readout
+    * member of the exact-moment stats family ([[qCorrelation]],
+    * [[qOlsTrend]]): arms assigned by the hash-bucket convention
+    * (user_id parity — in production a salted hash of the unit id,
+    * the same determinism), t = (m̄₀−m̄₁)/√(s₀²/n₀+s₁²/n₁) with
+    * Welch–Satterthwaite dof. Both arms' moments come out of ONE
+    * conditional aggregation pass (no self-join, no second scan);
+    * the integer quantization Y = round(10⁴·value) cancels in t (it
+    * is scale-invariant) and divides back out of the reported means.
+    * Sample variances, t and df are fixed IEEE expressions over
+    * correctly-rounded double conversions of the exact decimal sums
+    * — hash-identical in any engine; degenerate arms (n ≤ 1) or a
+    * zero standard error yield NULL t/df in both.
+    *
+    * Scale shape: one narrow map-side-combined scan into a
+    * \|types\|-row agg, additive-monoid moments (incrementally
+    * maintainable, the [[qAggIncremental]] merge) — the readout is
+    * O(types) however many trillion exposure rows the experiment
+    * logs. */
+  def qAbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"), (col("user_id") % 2).as("arm"),
+        round(col("value") * 10000).cast("long").as("y"))
+    def arm(a: Int): Column = col("arm") === a
+    def n(a: Int): Column = count(when(arm(a), 1))
+    def s(a: Int): Column =
+      sum(when(arm(a), col("y")).otherwise(lit(0L)).cast("decimal(38,0)"))
+        .cast("double")
+    def ss(a: Int): Column = {
+      val y = when(arm(a), col("y")).otherwise(lit(0L)).cast("decimal(19,0)")
+      sum(y * y).cast("double")
+    }
+    val m = ev.groupBy(col("event_type"))
+      .agg(n(0).as("n0"), s(0).as("s0"), ss(0).as("ss0"),
+        n(1).as("n1"), s(1).as("s1"), ss(1).as("ss1"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        (col("s0") / col("n0")).as("m0"), (col("s1") / col("n1")).as("m1"),
+        ((col("ss0") - col("s0") * col("s0") / col("n0"))
+          / (col("n0") - 1)).as("v0"),
+        ((col("ss1") - col("s1") * col("s1") / col("n1"))
+          / (col("n1") - 1)).as("v1"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        col("m0"), col("m1"), col("v0"), col("v1"),
+        (col("v0") / col("n0") + col("v1") / col("n1")).as("se2"))
+    m.select(col("event_type"), col("n0"), col("n1"),
+        // empty-arm guard: IEEE x/0 and SQL-NULL division semantics
+        // differ across engines, so the branch is explicit
+        when(col("n0") === 0, lit(null)).otherwise(col("m0") / 10000d)
+          .as("mean_a"),
+        when(col("n1") === 0, lit(null)).otherwise(col("m1") / 10000d)
+          .as("mean_b"),
+        when(col("n0") <= 1 || col("n1") <= 1 || col("se2") <= 0, lit(null))
+          .otherwise((col("m0") - col("m1")) / sqrt(col("se2")))
+          .as("t_welch"),
+        when(col("n0") <= 1 || col("n1") <= 1 || col("se2") <= 0, lit(null))
+          .otherwise(col("se2") * col("se2")
+            / (col("v0") / col("n0") * (col("v0") / col("n0"))
+                / (col("n0") - 1)
+              + col("v1") / col("n1") * (col("v1") / col("n1"))
+                / (col("n1") - 1)))
+          .as("df_welch"))
+      .orderBy(col("event_type"))
   }
 
   /** CMS depth/width for [[qJoinCard]] — width sized so ε = 1/w keeps

@@ -1846,6 +1846,56 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Mutual information I(lang; source) — the dependence member of
+    * the information-theoretic family ([[qEntropyMix]] H per source,
+    * [[qChi2Divergence]] χ² distance): how many bits knowing the
+    * source tells you about the language, the data-mixture
+    * "redundancy between axes" diagnostic (I = 0 ⇔ every source has
+    * the corpus language mix; I = H(lang) ⇔ source determines
+    * language). Emitted per source as that source's contribution
+    * Σ_l c_ls·L(N·c_ls, c_l·c_s) in integer 2⁻¹⁶-bit·doc units —
+    * the per-source rows SUM to the corpus MI — with `mi_bits`
+    * dividing by N·65536 once at the end. The [[graft.functions
+    * .FixLog2]] ladder is sign-correct for num < den (the shifted
+    * quotient keeps ≥ 25 mantissa bits for any BIGINT pair), so
+    * over-represented cells add and under-represented cells subtract
+    * exactly as the real log₂ does; products N·c_ls and c_l·c_s
+    * bound the op at N < 2³¹ cells-max — past that, prescale both
+    * operands by a common shift (exactly cancels inside the log).
+    * NULL langs are excluded upfront (a lang join would silently
+    * drop them mid-query — the explicit filter keeps both engines'
+    * cell sets identical by construction).
+    *
+    * Scale shape: one corpus scan into the \|sources×langs\| agg;
+    * marginals and the total are broadcast back onto that mix-sized
+    * frame — post-scan cost is independent of corpus volume, and
+    * the counts are additive monoids (the [[graft.engine.Relational
+    * .qAggIncremental]] maintenance story). */
+  def qMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+      .filter(col("lang").isNotNull)
+    val cls = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val cl = cls.groupBy(col("lang")).agg(sum(col("c")).cast("long").as("c_l"))
+    val cs = cls.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("c_s"))
+    val nt = cls.agg(sum(col("c")).cast("long").as("n_tot"))
+    val j = cls.join(broadcast(cl), Seq("lang"))
+      .join(broadcast(cs), Seq("source"))
+      .crossJoin(broadcast(nt))
+    graft.functions.FixLog2
+      .withFixLog2(j, col("n_tot") * col("c"), col("c_l") * col("c_s"), "l_q")
+      .groupBy(col("source"))
+      .agg(max(col("c_s")).as("n_docs"), max(col("n_tot")).as("n_tot"),
+        count(lit(1)).as("n_cells"),
+        sum(col("c").cast("decimal(19,0)") * col("l_q").cast("decimal(19,0)"))
+          .cast("long").as("mi_q"))
+      .select(col("source"), col("n_docs"), col("n_cells"), col("mi_q"),
+        (col("mi_q").cast("double")
+          / (col("n_tot").cast("double") * lit(65536.0))).as("mi_bits"))
+      .orderBy(col("source"))
+  }
+
   /** Trained multinomial Naive Bayes language classifier — the
     * supervised twin of the heuristic [[qLangId]], and the engine's
     * "train a model inside the pipeline" demonstrator (the fastText

@@ -366,6 +366,31 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("ols trend / ab test: one map-side-combined agg pass, no join, no window") {
+    for (q <- Seq(graft.engine.Relational.qOlsTrend(spark, sf0001),
+        graft.engine.Relational.qAbTest(spark, sf0001))) {
+      val p = plan(q)
+      // the moment family is a single partial/final hash agg — a
+      // window or any join means the one-pass formulation regressed
+      // (e.g. A/B re-joined its arms instead of conditional-agg)
+      assert(!p.contains("Window"), p)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+      assert("(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin|cartesian|nestedloop"
+        .r.findAllIn(p).isEmpty, p)
+    }
+  }
+
+  test("attribution: one user-keyed exchange, one WindowExec, no join") {
+    val p = plan(graft.engine.Relational.qAttribution(spark, sf0001))
+    // all three touch carries must share one window pass over one
+    // user-keyed shuffle; a range join or a second exchange is the
+    // O(touches x conversions) regression this formulation avoids
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size == 1, p)
+    assert("(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin|cartesian|nestedloop"
+      .r.findAllIn(p).isEmpty, p)
+  }
+
   test("indel fuzzy join: deletion-variant equi-join, no cartesian") {
     // the ORACLE is a brute-force cross join (completeness theorem);
     // the Spark plan must never be — blocking keys keep it equi

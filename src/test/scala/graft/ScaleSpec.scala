@@ -376,6 +376,89 @@ class ScaleSpec extends SparkSpec {
     assert(got.forall(r => !r._3.isNaN && math.abs(r._3) <= 1.0))
   }
 
+  test("ols trend: slope/intercept/r2 equal a BigDecimal recompute") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("ts").cast("long"), col("value"))
+      .as[(String, Long, Double)].collect().toSeq
+    val expect = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val xy = rows.map(r =>
+        (BigInt(r._2 - 1704067200L), BigInt(math.round(r._3 * 10000))))
+      val n = rows.size.toLong
+      def d(b: BigInt): Double = BigDecimal(b).toDouble
+      val sx = d(xy.map(_._1).sum); val sy = d(xy.map(_._2).sum)
+      val sxx = d(xy.map(p => p._1 * p._1).sum)
+      val syy = d(xy.map(p => p._2 * p._2).sum)
+      val sxy = d(xy.map(p => p._1 * p._2).sum)
+      val num = n * sxy - sx * sy
+      val denx = n * sxx - sx * sx; val deny = n * syy - sy * sy
+      (t, n, num / denx * 86400d / 10000d,
+        (sy - num / denx * sx) / n / 10000d, num * num / (denx * deny))
+    }
+    val got = graft.engine.Relational.qOlsTrend(spark, sf0001)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // r2 well-formed; value is drawn independently of time in the
+    // fixture, so r2 lands near 0 — the recompute equality is the
+    // real check, this is the sanity rail
+    assert(got.forall(r => r._5 >= 0 && r._5 <= 1.0))
+  }
+
+  test("ab test: Welch t/df equal a BigDecimal recompute; both branches live") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), col("user_id") % 2, col("value"))
+      .as[(String, Long, Double)].collect().toSeq
+    val expect = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      def d(b: BigInt): Double = BigDecimal(b).toDouble
+      def arm(a: Long) = {
+        val ys = rows.filter(_._2 == a).map(r => BigInt(math.round(r._3 * 10000)))
+        val n = ys.size.toLong
+        val s = d(ys.sum); val ss = d(ys.map(y => y * y).sum)
+        (n, s / n, (ss - s * s / n) / (n - 1))
+      }
+      val (n0, m0, v0) = arm(0); val (n1, m1, v1) = arm(1)
+      val se2 = v0 / n0 + v1 / n1
+      (t, n0, n1, m0 / 10000d, m1 / 10000d, (m0 - m1) / math.sqrt(se2),
+        se2 * se2 / (v0 / n0 * (v0 / n0) / (n0 - 1)
+          + v1 / n1 * (v1 / n1) / (n1 - 1)))
+    }
+    val got = graft.engine.Relational.qAbTest(spark, sf0001)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // arms are hash-balanced and the null assignment means |t| is
+    // small — the A/A sanity a real experiment framework ships with
+    assert(got.forall(r => math.abs(r._6) < 5.0 && r._7 > 1.0))
+  }
+
+  test("attribution: equals an ordered-walk recompute; organic rows exist") {
+    val got = graft.engine.Relational.qAttribution(spark, sf0001)
+      .as[(Long, Long, Long, Double, Option[Long], Option[String],
+        Option[Long])].collect().toSeq
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")), col("value"))
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    val win = graft.engine.Relational.attributionWindowSec * 1000000L
+    val expect = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var lastTouch: Option[(Long, String, Long)] = None
+      rows.sortBy(r => (r._4, r._1)).flatMap { r =>
+        val out = if (r._3 == "purchase") {
+          val fresh = lastTouch.filter(t => r._4 - t._3 <= win)
+          Some((r._1, r._2, r._4, r._5, fresh.map(_._1), fresh.map(_._2),
+            fresh.map(t => (r._4 - t._3) / 1000000L)))
+        } else None
+        if (r._3 == "click" || r._3 == "view")
+          lastTouch = Some((r._1, r._3, r._4))
+        out
+      }
+    }.sortBy(_._1)
+    assert(got == expect && got.nonEmpty)
+    // both branches live: attributed AND organic conversions exist
+    assert(got.exists(_._5.isDefined) && got.exists(_._5.isEmpty))
+    // every attributed touch strictly precedes its purchase
+    assert(got.forall(_._7.forall(_ >= 0)))
+  }
+
   test("interval sweep: equals a driver-side sweep-line recompute") {
     val got = graft.engine.Relational.qIntervalSweep(spark, sf0001)
       .as[(String, Long)].collect().toSeq

@@ -740,6 +740,41 @@ class TextOpsSpec extends SparkSpec {
     assert(out.exists(_._3 > 1))
   }
 
+  test("mutual info: engine mi_q equals the FixLog2 driver recompute; sums to corpus MI") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val out = TextOps.qMutualInfo(spark, sf0001)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val counts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("lang").isNotNull)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val cL = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val cS = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nTot = counts.map(_._3).sum
+    val bySrc = counts.groupBy(_._1)
+    assert(out.map(_._1).toSet == bySrc.keySet)
+    out.foreach { case (src, nDocs, nCells, miQ, miBits) =>
+      val cells = bySrc(src)
+      assert(nDocs == cS(src) && nCells == cells.size)
+      val miRef = cells.map { case (_, l, c) =>
+        c * graft.functions.FixLog2.ref(nTot * c, cL(l) * cS(src))
+      }.sum
+      assert(miQ == miRef, s"mi_q mismatch for $src")
+      assert(miBits == miQ.toDouble / (nTot.toDouble * 65536.0))
+    }
+    // the fixed-point per-source contributions sum to the true corpus
+    // MI within ladder tolerance (16 mantissa rounds ~ 2e-5 bits/cell)
+    val miTrue = counts.map { case (s, l, c) =>
+      val p = c.toDouble / nTot
+      p * math.log(nTot.toDouble * c / (cL(l).toDouble * cS(s))) /
+        math.log(2.0)
+    }.sum
+    assert(math.abs(out.map(_._5).sum - miTrue) < 1e-3)
+    // under-represented cells exist, so the ladder's negative-log
+    // (num < den) path is actually exercised, not just compiled
+    assert(counts.exists { case (s, l, c) => nTot * c < cL(l) * cS(s) })
+  }
+
   test("temperature mix: equals a driver recompute; low-resource langs upsampled") {
     val out = TextOps.qTemperatureMix(spark, sf0001)
       .as[(Long, String, Long, Long, Long)].collect().toSeq
