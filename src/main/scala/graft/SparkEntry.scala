@@ -70,6 +70,12 @@ object SparkEntry {
     // market-basket co-purchase pairs (in-row pair generation,
     // zero self-joins — plan-guarded)
     "q_copurchase" -> Relational.qCopurchase _,
+    // A-priori frequent triples (L1-pruned in-row fan, no self-join)
+    "q_itemsets3" -> Relational.qItemsets3 _,
+    // RFM quintile segmentation within nation (deterministic ntile)
+    "q_rfm" -> Relational.qRfm _,
+    // (x,y)->z confidence/lift rules from the frequent triples
+    "q_assoc_rules" -> Relational.qAssocRules _,
     // 2-D Pareto frontier via a sharded distributed prefix scan;
     // oracle is the independent NOT EXISTS domination formulation
     "q_skyline" -> Relational.qSkyline _,
@@ -2029,6 +2035,94 @@ object SparkEntry {
         |FROM pairs GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b
         |LIMIT 100""".stripMargin,
+    // Frequent triples: the oracle is the naive 3-way self-join over
+    // L1-restricted items (A-priori monotonicity makes the L1 cut
+    // output-invariant, so both formulations agree exactly)
+    "q_itemsets3" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |               FROM lineitem),
+        |l1 AS (SELECT l_partkey FROM items GROUP BY 1
+        |       HAVING count(*) >= ${Relational.itemsetMinSupport}),
+        |e2 AS (SELECT i.l_orderkey, i.l_partkey
+        |       FROM items i JOIN l1 USING (l_partkey)),
+        |t AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |        c.l_partkey AS part_c
+        |      FROM e2 a
+        |      JOIN e2 b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      JOIN e2 c ON b.l_orderkey = c.l_orderkey
+        |        AND b.l_partkey < c.l_partkey)
+        |SELECT part_a, part_b, part_c, count(*) AS n_orders
+        |FROM t GROUP BY 1, 2, 3
+        |HAVING count(*) >= ${Relational.itemsetMinSupport}
+        |ORDER BY n_orders DESC, part_a, part_b, part_c""".stripMargin,
+    // RFM: decimal-exact monetary sums order the quintile sort
+    // identically; ntile ties broken by custkey (total order)
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey AS custkey,
+        |        max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000)
+        |          AS r_s,
+        |        count(*) AS f,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |          AS m
+        |      FROM orders GROUP BY 1),
+        |j AS (SELECT per.*, c.c_nationkey AS nationkey
+        |      FROM per JOIN customer c ON c.c_custkey = per.custkey),
+        |q AS (SELECT custkey, nationkey, r_s, f, m,
+        |        ntile(5) OVER (PARTITION BY nationkey
+        |          ORDER BY r_s, custkey) AS r_q,
+        |        ntile(5) OVER (PARTITION BY nationkey
+        |          ORDER BY f, custkey) AS f_q,
+        |        ntile(5) OVER (PARTITION BY nationkey
+        |          ORDER BY m, custkey) AS m_q
+        |      FROM j)
+        |SELECT custkey, nationkey, r_s, f, m, r_q, f_q, m_q,
+        |  r_q * 100 + f_q * 10 + m_q AS segment
+        |FROM q ORDER BY custkey""".stripMargin,
+    // Association rules: the same naive-join support CTEs, three
+    // rules per frequent triple, fixed IEEE conf/lift divisions
+    "q_assoc_rules" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |               FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |         AS n_baskets FROM items),
+        |isup AS (SELECT l_partkey AS cons, count(*) AS s_cons
+        |         FROM items GROUP BY 1),
+        |psup AS (SELECT a.l_partkey AS ant_a, b.l_partkey AS ant_b,
+        |           count(*) AS s_ant
+        |         FROM items a JOIN items b
+        |           ON a.l_orderkey = b.l_orderkey
+        |          AND a.l_partkey < b.l_partkey
+        |         GROUP BY 1, 2),
+        |l1 AS (SELECT l_partkey FROM items GROUP BY 1
+        |       HAVING count(*) >= ${Relational.itemsetMinSupport}),
+        |e2 AS (SELECT i.l_orderkey, i.l_partkey
+        |       FROM items i JOIN l1 USING (l_partkey)),
+        |tri AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |          c.l_partkey AS pc, count(*) AS s3
+        |        FROM e2 a
+        |        JOIN e2 b ON a.l_orderkey = b.l_orderkey
+        |          AND a.l_partkey < b.l_partkey
+        |        JOIN e2 c ON b.l_orderkey = c.l_orderkey
+        |          AND b.l_partkey < c.l_partkey
+        |        GROUP BY 1, 2, 3
+        |        HAVING count(*) >= ${Relational.itemsetMinSupport}),
+        |rules AS (SELECT pa AS ant_a, pb AS ant_b, pc AS cons, s3
+        |            FROM tri
+        |          UNION ALL
+        |          SELECT pa, pc, pb, s3 FROM tri
+        |          UNION ALL
+        |          SELECT pb, pc, pa, s3 FROM tri)
+        |SELECT r.ant_a, r.ant_b, r.cons, r.s3, p.s_ant, i.s_cons,
+        |  CAST(r.s3 AS DOUBLE) / p.s_ant AS confidence,
+        |  CAST(r.s3 AS DOUBLE) / p.s_ant * nb.n_baskets / i.s_cons
+        |    AS lift
+        |FROM rules r
+        |JOIN psup p ON p.ant_a = r.ant_a AND p.ant_b = r.ant_b
+        |JOIN isup i ON i.cons = r.cons
+        |CROSS JOIN nb
+        |ORDER BY confidence DESC, lift DESC, r.ant_a, r.ant_b,
+        |  r.cons""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

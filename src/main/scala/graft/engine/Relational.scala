@@ -1883,6 +1883,149 @@ object Relational {
       .limit(100)
   }
 
+  /** RFM customer segmentation — the classic lifecycle-marketing
+    * readout: per customer, Recency (last order epoch-sec), Frequency
+    * (order count) and Monetary (exact-decimal revenue sum), each cut
+    * into quintiles WITHIN the customer's nation (ntile(5), ties
+    * broken by custkey so the rank — and therefore the hash — is
+    * total-order deterministic), packed into the familiar 3-digit
+    * segment code (555 = best across all three axes). Monetary sums
+    * ride the [[dsum]] decimal(18,4) discipline, so the doubles the
+    * quintile sort orders are bit-identical across engines.
+    *
+    * Scale shape: one map-side-combined scan of orders into a
+    * \|customers\|-row frame, the nation dim broadcast; the three
+    * ntiles share ONE nation-keyed exchange (same partition key,
+    * three in-partition sorts). Nations are a bounded domain but
+    * customers-per-nation is not — at 100 TB the quintile cut
+    * becomes the two-pass histogram/percentile form (the
+    * [[graft.engine.TextOps.qQualityCalibrated]] note); the fixture
+    * exercises the exact window. */
+  def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val per = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("timestamp").cast("long")).as("r_s"),
+        count(lit(1)).as("f"), dsum(col("o_totalprice")).as("m"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    def quintile(m: Column, n: String): Column =
+      ntile(5).over(Window.partitionBy(col("c_nationkey"))
+        .orderBy(m, col("o_custkey"))).as(n)
+    per.select(col("o_custkey").as("custkey"),
+        col("c_nationkey").as("nationkey"),
+        col("r_s"), col("f"), col("m"),
+        quintile(col("r_s"), "r_q"), quintile(col("f"), "f_q"),
+        quintile(col("m"), "m_q"))
+      .withColumn("segment",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Frequent-itemset min support — 2 keeps every fixture SF
+    * non-degenerate (94 triples at sf0.001, 12 at sf0.01) while the
+    * A-priori level-1 prune still bites. */
+  private[graft] val itemsetMinSupport = 2L
+
+  /** Frequent TRIPLE mining (A-priori level 3) — the association-rule
+    * step past [[qCopurchase]]'s pair support: every unordered part
+    * triple appearing in ≥ [[itemsetMinSupport]] orders. A-priori
+    * monotonicity drives the cost: baskets are first restricted to
+    * FREQUENT ITEMS (L1 — any triple containing an infrequent item
+    * cannot be frequent), which collapses the in-row triple fan from
+    * C(m,3) over raw baskets to C(m',3) over the surviving items; the
+    * L2 sub-pair prune is the documented next level (same
+    * restrict-then-generate shape against the [[qCopurchase]] pair
+    * table) — at the fixture's bounded basket width the L1 cut
+    * already prunes most of the fan. Triples are generated IN-ROW
+    * from each restricted basket's sorted set (a < b < c by
+    * construction, the [[qCopurchase]] convention) — no self-join of
+    * the fact table ever happens (plan-guarded), where the naive
+    * 3-way self-join re-shuffles the 100 TB fact three times and
+    * fans hot orders cubically. Integer supports ⇒ hash-exact.
+    *
+    * Scale shape: one distinct pass (item-in-basket), a map-side-
+    * combined L1 agg broadcast back, one regroup shuffle, then the
+    * bounded in-row fan into a partial/final support agg. Unbounded
+    * production baskets get the per-basket item cap ([[qCopurchase]]'s
+    * guard, not needed at the fixture's ≤7-item orders). */
+  def qItemsets3(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val l1 = e.groupBy(col("item")).agg(count(lit(1)).as("s"))
+      .filter(col("s") >= itemsetMinSupport).select(col("item"))
+    val baskets = e.join(broadcast(l1), Seq("item"), "left_semi")
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .filter(size(col("ps")) >= 3)
+    val triples = baskets.select(explode(flatten(flatten(
+      transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), (b, j) =>
+          transform(slice(col("ps"), i + j + lit(3), size(col("ps"))),
+            c => struct(a.as("part_a"), b.as("part_b"),
+              c.as("part_c")))))))).as("t"))
+    triples.select(col("t.part_a").as("part_a"),
+        col("t.part_b").as("part_b"), col("t.part_c").as("part_c"))
+      .groupBy(col("part_a"), col("part_b"), col("part_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= itemsetMinSupport)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"),
+        col("part_c"))
+  }
+
+  /** Association rules from the frequent triples — the readout
+    * [[qItemsets3]] exists for: every (x, y) → z rule per frequent
+    * triple (antecedents are sorted sub-pairs of a < b < c, so all
+    * three rules per triple come out of one in-row explode), with
+    * confidence = sup(xyz)/sup(xy) and lift = conf·N/sup(z). Supports
+    * are exact integers; conf/lift are fixed IEEE divisions over
+    * their exact double conversions — hash-identical in any engine.
+    *
+    * Scale shape: the rule frame is \|frequent triples\|×3 rows —
+    * BROADCAST onto the pair-support and item-support aggs (each a
+    * map-side-combined scan; the pair agg reuses [[qCopurchase]]'s
+    * in-row fan, never a self-join), so nothing rule-sized ever
+    * shuffles the fact; the basket count rides the 1-row broadcast
+    * cross join (the [[qJoinCard]] count-frame pattern). */
+  def qAssocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val nb = e.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemSup = e.groupBy(col("item").as("cons"))
+      .agg(count(lit(1)).as("s_cons"))
+    val baskets = e.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val pairSup = baskets.select(explode(flatten(transform(col("ps"),
+        (a, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+          b => struct(a.as("ant_a"), b.as("ant_b")))))).as("p"))
+      .groupBy(col("p.ant_a").as("ant_a"), col("p.ant_b").as("ant_b"))
+      .agg(count(lit(1)).as("s_ant"))
+    val rules = qItemsets3(spark, sfDir)
+      .select(explode(array(
+        struct(col("part_a").as("ant_a"), col("part_b").as("ant_b"),
+          col("part_c").as("cons"), col("n_orders").as("s3")),
+        struct(col("part_a").as("ant_a"), col("part_c").as("ant_b"),
+          col("part_b").as("cons"), col("n_orders").as("s3")),
+        struct(col("part_b").as("ant_a"), col("part_c").as("ant_b"),
+          col("part_a").as("cons"), col("n_orders").as("s3")))).as("r"))
+      .select(col("r.ant_a").as("ant_a"), col("r.ant_b").as("ant_b"),
+        col("r.cons").as("cons"), col("r.s3").as("s3"))
+    pairSup.join(broadcast(rules), Seq("ant_a", "ant_b"))
+      .join(broadcast(itemSup), Seq("cons"))
+      .crossJoin(broadcast(nb))
+      .select(col("ant_a"), col("ant_b"), col("cons"), col("s3"),
+        col("s_ant"), col("s_cons"),
+        (col("s3").cast("double") / col("s_ant")).as("confidence"),
+        (col("s3").cast("double") / col("s_ant") * col("n_baskets")
+          / col("s_cons")).as("lift"))
+      .orderBy(col("confidence").desc, col("lift").desc,
+        col("ant_a"), col("ant_b"), col("cons"))
+  }
+
   /** Incremental JOIN-view maintenance — the join member of the MV
     * family ([[qAggIncremental]] counts/sums, [[qDistinctIncremental]]
     * sketches): a materialized revenue-per-(month, priority) rollup

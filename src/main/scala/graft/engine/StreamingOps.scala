@@ -38,6 +38,26 @@ case class Scd2Out(
     valid_from_us: Long,
     valid_to_us: Long)
 
+/** A valued user event for the streaming attribution maintainer. */
+case class ValuedEvent(
+    user_id: Long,
+    ts: java.sql.Timestamp,
+    event_id: Long,
+    event_type: String,
+    value: Double)
+
+/** One streamed conversion with its last-touch attribution (touch
+  * columns null when the latest touch is stale or absent — organic,
+  * the batch [[graft.engine.Relational.qAttribution]] contract). */
+case class AttributionOut(
+    purchase_id: Long,
+    user_id: Long,
+    purchase_t_us: Long,
+    value: Double,
+    touch_id: Option[Long],
+    touch_type: Option[String],
+    gap_s: Option[Long])
+
 /** Streaming transformations beyond the reference's pass-through
   * pipelines (SURVEY.md §2.5/§2.8 note these as absent in the
   * reference but part of the rebuild surface): event-time windowed
@@ -914,6 +934,90 @@ object StreamingOps {
             val last = batch.last
             val (cs, cf) = cur.get
             state.update((cs, cf, tsNanos(last.ts), last.event_id))
+            state.setTimeoutTimestamp(last.ts.getTime + idleEvictMillis)
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming last-touch attribution — the always-on twin of
+    * [[Relational.qAttribution]]: each arriving purchase is emitted
+    * with its user's most recent STRICTLY-prior click/view within
+    * `windowSec`, or NULL attribution (organic) when the latest
+    * touch is stale or absent. State is ONE (touch_id, touch_type,
+    * touch_t_us, lastTsNanos, lastEventId) record per ACTIVE user —
+    * the carried touch plus the chain-head order key; same
+    * conventions as [[transitionStream]]/[[scd2Stream]]: in-batch
+    * micros-precision (ts, event_id) sort, order-violation SKIP
+    * (a batch whose head predates the stored horizon drops the
+    * carried touch rather than attributing against the future,
+    * counted on `graft.attribution.skippedCarries`), event-time
+    * eviction (an evicted user's next purchase is organic — a
+    * dropped attribution, never a fabricated one). Replayed in
+    * event-time order the emitted rows equal the batch pass exactly
+    * (the sliced-replay spec). Shuffle: the single user-keyed
+    * exchange. */
+  def attributionStream(events: DataFrame,
+      windowSec: Long = Relational.attributionWindowSec,
+      watermarkDelay: String = "10 minutes",
+      idleEvictMillis: Long = 86400000L): Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    def tsNanos(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
+    def tsMicros(t: java.sql.Timestamp): Long =
+      math.floorDiv(tsNanos(t), 1000L)
+    val skipped = events.sparkSession.sparkContext
+      .longAccumulator("graft.attribution.skippedCarries")
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("value").cast("double").as("value"))
+      .as[ValuedEvent]
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, String, Long, Long, Long),
+          AttributionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[ValuedEvent],
+            state: GroupState[(Long, String, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq.sortBy(e => (tsNanos(e.ts), e.event_id))
+            val head = batch.head
+            val hTs = tsNanos(head.ts)
+            // carried touch; touch_id = -1 encodes "none" in the
+            // state tuple (state encoders want flat primitives)
+            var touch: Option[(Long, String, Long)] =
+              state.getOption match {
+                case Some((tid, tty, tus, lTs, lId))
+                    if lTs < hTs || (lTs == hTs && lId <= head.event_id) =>
+                  if (tid >= 0) Some((tid, tty, tus)) else None
+                case Some(_) =>
+                  skipped.add(1L)
+                  None
+                case None => None
+              }
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[AttributionOut]
+            batch.foreach { e =>
+              if (e.event_type == "purchase") {
+                val pUs = tsMicros(e.ts)
+                val fresh =
+                  touch.filter(t => pUs - t._3 <= windowSec * 1000000L)
+                out += AttributionOut(e.event_id, uid, pUs, e.value,
+                  fresh.map(_._1), fresh.map(_._2),
+                  fresh.map(t => (pUs - t._3) / 1000000L))
+              }
+              if (e.event_type == "click" || e.event_type == "view")
+                touch = Some((e.event_id, e.event_type, tsMicros(e.ts)))
+            }
+            val last = batch.last
+            val (tid, tty, tus) = touch.getOrElse((-1L, "", 0L))
+            state.update((tid, tty, tus, tsNanos(last.ts), last.event_id))
             state.setTimeoutTimestamp(last.ts.getTime + idleEvictMillis)
             out.iterator
           }

@@ -391,6 +391,16 @@ class PlanShapeSpec extends SparkSpec {
       .r.findAllIn(p).isEmpty, p)
   }
 
+  test("itemsets3: in-row triple fan — the fact never self-joins") {
+    val p = plan(graft.engine.Relational.qItemsets3(spark, sf0001))
+    // the naive 3-way self-join re-shuffles the fact three times and
+    // fans hot orders cubically; the only join allowed is the L1
+    // broadcast semi-join (the A-priori restriction)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("indel fuzzy join: deletion-variant equi-join, no cartesian") {
     // the ORACLE is a brute-force cross join (completeness theorem);
     // the Spark plan must never be — blocking keys keep it equi

@@ -459,6 +459,103 @@ class ScaleSpec extends SparkSpec {
     assert(got.forall(_._7.forall(_ >= 0)))
   }
 
+  test("rfm: equals a driver recompute with exact ANSI ntile semantics") {
+    val got = graft.engine.Relational.qRfm(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double, Int, Int, Int, Int)]
+      .collect().toSeq
+    val orders = Tables(spark, sf0001, "orders")
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").cast("long"),
+        col("o_totalprice"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val nat = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .as[(Long, Long)].collect().toMap
+    val per = orders.groupBy(_._1).map { case (ck, os) =>
+      val m = os.map(o => BigDecimal(o._3).setScale(4)).sum.toDouble
+      (ck, nat(ck), os.map(_._2).max, os.size.toLong, m)
+    }.toSeq
+    // ANSI ntile: first (n mod k) buckets carry one extra row
+    def ntileOf(idx: Int, n: Int, k: Int): Int = {
+      val q = n / k; val r = n % k
+      if (idx < r * (q + 1)) idx / (q + 1) + 1
+      else r + (idx - r * (q + 1)) / q + 1
+    }
+    def quintiles(sortedKeys: Seq[Long]): Map[Long, Int] =
+      sortedKeys.zipWithIndex.map { case (ck, i) =>
+        ck -> ntileOf(i, sortedKeys.size, 5)
+      }.toMap
+    val expect = per.groupBy(_._2).toSeq.flatMap { case (nk, rows) =>
+      val rq = quintiles(rows.sortBy(r => (r._3, r._1)).map(_._1))
+      val fq = quintiles(rows.sortBy(r => (r._4, r._1)).map(_._1))
+      val mq = quintiles(rows.sortBy(r => (r._5, r._1)).map(_._1))
+      rows.map { case (ck, _, r, f, m) =>
+        (ck, nk, r, f, m, rq(ck), fq(ck), mq(ck),
+          rq(ck) * 100 + fq(ck) * 10 + mq(ck))
+      }
+    }.sortBy(_._1)
+    assert(got == expect && got.nonEmpty)
+    // segmentation is non-trivial: more than one segment exists and
+    // every quintile value 1..5 appears somewhere
+    assert(got.map(_._9).distinct.size > 1)
+    assert((1 to 5).forall(v => got.exists(_._6 == v)))
+  }
+
+  test("itemsets3: equals a driver A-priori recompute; prune is output-invariant") {
+    val got = graft.engine.Relational.qItemsets3(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val baskets = Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted).toSeq
+    // UNPRUNED brute force: count every raw triple, then cut — the
+    // engine's L1 restriction must not change the answer (A-priori
+    // monotonicity), so equality against THIS is the stronger check
+    val support = baskets.flatMap(_.combinations(3)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val minSup = graft.engine.Relational.itemsetMinSupport
+    val expect = support.toSeq.filter(_._2 >= minSup)
+      .map { case (t, n) => (t(0), t(1), t(2), n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }
+    assert(got == expect && got.nonEmpty)
+    // the min-support cut is non-vacuous: support-1 triples exist and
+    // are excluded. (The L1 prune is output-invariant and does NOT
+    // bite at sf0.001 — all 200 parts are frequent; it bites as the
+    // part universe outgrows basket coverage at larger SFs.)
+    assert(support.size > got.size)
+  }
+
+  test("assoc rules: conf/lift equal a driver recompute; lift discriminates") {
+    val got = graft.engine.Relational.qAssocRules(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    val baskets = Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted).toSeq
+    val nb = baskets.size.toLong
+    val iSup = baskets.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val pSup = baskets.flatMap(_.combinations(2)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val minSup = graft.engine.Relational.itemsetMinSupport
+    val tri = baskets.flatMap(_.combinations(3)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap.filter(_._2 >= minSup)
+    val expect = tri.toSeq.flatMap { case (t, s3) =>
+      Seq((t(0), t(1), t(2)), (t(0), t(2), t(1)), (t(1), t(2), t(0)))
+        .map { case (x, y, z) =>
+          val conf = s3.toDouble / pSup(Seq(x, y))
+          (x, y, z, s3, pSup(Seq(x, y)), iSup(z), conf,
+            conf * nb / iSup(z))
+        }
+    }.sortBy { case (a, b, c, _, _, _, conf, lift) =>
+      (-conf, -lift, a, b, c)
+    }
+    assert(got == expect && got.nonEmpty)
+    // lift spreads: some rule beats independence, orders distinguish
+    assert(got.exists(_._8 > 1.0) && got.map(_._7).distinct.size > 1)
+  }
+
   test("interval sweep: equals a driver-side sweep-line recompute") {
     val got = graft.engine.Relational.qIntervalSweep(spark, sf0001)
       .as[(String, Long)].collect().toSeq

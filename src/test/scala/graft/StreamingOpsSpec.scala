@@ -250,6 +250,67 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("streaming attribution: cross-trigger carry, staleness cut; sliced replay equals batch") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Tables
+    // (a) crafted: u9's click in trigger 1 attributes the purchase in
+    // trigger 2 (cross-trigger carry); the purchase in trigger 3 sits
+    // 80 h past the touch — beyond the 72 h window — and must emit
+    // ORGANIC (null attribution), not a stale touch
+    val craft = tmpDir("attrcraft")
+    val t0 = java.sql.Timestamp.valueOf("2021-01-01 10:00:00")
+    def plus(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    val mk = Seq(
+      (9L, t0, 1L, "click", 5.0),
+      (9L, plus(300000L), 2L, "purchase", 7.0),
+      (9L, plus(1000L * 3600 * 80), 3L, "purchase", 9.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    (1L to 3L).foreach { i =>
+      mk.filter(col("event_id") === i).coalesce(1)
+        .write.parquet(s"$craft/s$i")
+    }
+    val cs = spark.readStream.schema(mk.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(craft)
+    val got1 = runToMemory(graft.engine.StreamingOps
+        .attributionStream(cs, idleEvictMillis = 1000L * 86400 * 3650)
+        .toDF, "attr_craft")
+      .as[(Long, Long, Long, Double, Option[Long], Option[String],
+        Option[Long])].collect().toSet
+    val t0us = t0.getTime * 1000L
+    assert(got1 == Set(
+      (2L, 9L, t0us + 300000000L, 7.0, Some(1L), Some("click"),
+        Some(300L)),
+      (3L, 9L, t0us + 1000000L * 3600 * 80, 9.0, None, None, None)))
+    // (b) the maintenance claim: replaying the fixture in three
+    // event-time-ordered slices emits EXACTLY the batch attribution
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val sliced = ev.withColumn("slice",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val srcDir = tmpDir("attrsrc")
+    (1 to 3).foreach { s =>
+      sliced.filter(col("slice") === s).drop("slice")
+        .coalesce(1).write.parquet(s"$srcDir/s$s")
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+    val got = runToMemory(graft.engine.StreamingOps
+        .attributionStream(stream, idleEvictMillis = 1000L * 86400 * 3650)
+        .toDF, "attr_full")
+      .as[(Long, Long, Long, Double, Option[Long], Option[String],
+        Option[Long])].collect().toSet
+    val expect = graft.engine.Relational.qAttribution(spark, sf0001)
+      .as[(Long, Long, Long, Double, Option[Long], Option[String],
+        Option[Long])].collect().toSet
+    assert(got == expect && got.nonEmpty)
+    // both branches crossed the stream too
+    assert(got.exists(_._5.isDefined) && got.exists(_._5.isEmpty))
+  }
+
   test("streaming doc pipeline: batch-identical features, quality floor, content dedup") {
     import org.apache.spark.sql.functions.col
     import graft.engine.{TextOps, TimeOps}
