@@ -76,6 +76,8 @@ object SparkEntry {
     "q_rfm" -> Relational.qRfm _,
     // (x,y)->z confidence/lift rules from the frequent triples
     "q_assoc_rules" -> Relational.qAssocRules _,
+    // anti-entropy diff vs a derived drifted replica (which keys)
+    "q_snapshot_diff" -> Relational.qSnapshotDiff _,
     // 2-D Pareto frontier via a sharded distributed prefix scan;
     // oracle is the independent NOT EXISTS domination formulation
     "q_skyline" -> Relational.qSkyline _,
@@ -2123,6 +2125,36 @@ object SparkEntry {
         |CROSS JOIN nb
         |ORDER BY confidence DESC, lift DESC, r.ant_a, r.ant_b,
         |  r.cons""".stripMargin,
+    // Snapshot diff: the oracle re-derives the md5-bucket drift model
+    // and the full-outer compare (corruption-model convention)
+    "q_snapshot_diff" -> {
+      def hex4(v: String): String =
+        (0 until 4).map(k =>
+          s"(strpos('0123456789abcdef', substring($v, ${k + 1}, 1)) - 1)" +
+            s" * ${math.pow(16, 3 - k).toInt}")
+          .mkString("(", " + ", ")")
+      s"""WITH o AS (SELECT o_orderkey AS k, o_custkey AS ck,
+        |             o_totalprice AS p FROM orders),
+        |hb AS (SELECT k, ck, p,
+        |         ${hex4("md5(CAST(k AS VARCHAR))")} % 100 AS b
+        |       FROM o),
+        |snap AS (SELECT k, ck, p + 1.0 AS p FROM hb WHERE b < 4
+        |         UNION ALL SELECT k, ck, p FROM hb WHERE b >= 8
+        |         UNION ALL SELECT k + 1000000000, ck, p FROM hb
+        |         WHERE b >= 96),
+        |d AS (SELECT coalesce(o.k, s.k) AS k, o.ck AS ck_old,
+        |        s.ck AS ck_new, o.p AS p_old, s.p AS p_new
+        |      FROM o FULL OUTER JOIN snap s ON o.k = s.k)
+        |SELECT k,
+        |  CASE WHEN p_old IS NULL THEN 'added'
+        |       WHEN p_new IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS op,
+        |  p_old, p_new
+        |FROM d
+        |WHERE p_old IS NULL OR p_new IS NULL
+        |   OR p_old <> p_new OR ck_old <> ck_new
+        |ORDER BY k""".stripMargin
+    },
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

@@ -1922,6 +1922,46 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  /** Anti-entropy snapshot diff — the WHICH-rows companion to
+    * [[qTableChecksum]]'s WHETHER: given a base table and a drifted
+    * replica, emit every added / removed / changed key (equal rows
+    * drop out). The replica is derived deterministically from the
+    * base (md5-bucket drift model: buckets 0–3 get a price bump,
+    * 4–7 are deleted, ≥96 fabricate inserts under shifted keys), so
+    * the oracle re-derives the whole scenario — the corruption-model
+    * convention of the fuzzy-join family. Comparison is null-safe
+    * per column; the 'changed' branch requires both sides present.
+    *
+    * Scale shape: ONE key-co-partitioned full-outer join — a
+    * key-bucketed layout makes it co-located ([[graft.engine.Scale]]),
+    * and the production form projects each side to (key, row-digest)
+    * first so the join carries 16-byte hashes instead of full rows
+    * (the [[qTableChecksum]] canonical-format machinery); the fixture
+    * compares columns directly so the oracle stays transparent.
+    * Output is diff-sized (the drift fraction), never table-sized. */
+  def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        col("o_totalprice").as("p"))
+    def b: Column = Tables.md5Bucket(col("k"))
+    val snap = o.filter(b < 4)
+      .select(col("k"), col("ck"), (col("p") + 1.0d).as("p"))
+      .unionByName(o.filter(b >= 8))
+      .unionByName(o.filter(b >= 96)
+        .select((col("k") + 1000000000L).as("k"), col("ck"), col("p")))
+    val d = o.select(col("k"), col("ck").as("ck_old"), col("p").as("p_old"))
+      .join(snap.select(col("k"), col("ck").as("ck_new"),
+        col("p").as("p_new")), Seq("k"), "full_outer")
+    d.filter(col("p_old").isNull || col("p_new").isNull
+        || col("p_old") =!= col("p_new") || col("ck_old") =!= col("ck_new"))
+      .select(col("k"),
+        when(col("p_old").isNull, "added")
+          .when(col("p_new").isNull, "removed")
+          .otherwise("changed").as("op"),
+        col("p_old"), col("p_new"))
+      .orderBy(col("k"))
+  }
+
   /** Frequent-itemset min support — 2 keeps every fixture SF
     * non-degenerate (94 triples at sf0.001, 12 at sf0.01) while the
     * A-priori level-1 prune still bites. */

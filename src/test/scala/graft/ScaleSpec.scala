@@ -556,6 +556,34 @@ class ScaleSpec extends SparkSpec {
     assert(got.exists(_._8 > 1.0) && got.map(_._7).distinct.size > 1)
   }
 
+  test("snapshot diff: equals a driver recompute; all three op classes live") {
+    val got = graft.engine.Relational.qSnapshotDiff(spark, sf0001)
+      .as[(Long, String, Option[Double], Option[Double])].collect().toSeq
+    val o = Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)].collect().toSeq
+    def bucket(k: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(h, 16) % 100
+    }
+    val expect = o.flatMap { case (k, p) =>
+      bucket(k) match {
+        case b if b < 4 =>
+          Seq((k, "changed", Some(p), Some(p + 1.0d)))
+        case b if b < 8 =>
+          Seq((k, "removed", Some(p), None))
+        case b if b >= 96 =>
+          Seq((k + 1000000000L, "added", None, Some(p)))
+        case _ => Nil
+      }
+    }.sortBy(_._1)
+    assert(got == expect && got.nonEmpty)
+    assert(Set("added", "removed", "changed")
+      .subsetOf(got.map(_._2).toSet))
+  }
+
   test("interval sweep: equals a driver-side sweep-line recompute") {
     val got = graft.engine.Relational.qIntervalSweep(spark, sf0001)
       .as[(String, Long)].collect().toSeq
