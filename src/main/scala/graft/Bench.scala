@@ -59,6 +59,10 @@ object Bench {
     "q_scd2",             // SCD2 validity-interval build (r15)
     "q_ols_trend",        // exact-moment regression readout (r15)
     "q_attribution",      // last-touch as-of carry over events (r15)
+    "q_rfm",              // quintile segmentation, shared window pass (r15)
+    "q_itemsets3",        // A-priori in-row triple fan (r15)
+    "q_snapshot_diff",    // anti-entropy full-outer diff (r15)
+    "q_hist_quantile",    // mergeable histogram MV + rank walk (r15)
     "q_table_checksum",   // order-independent replication checksums (r15)
     "q_bm25",             // BM25 postings retrieval (r15)
     "q_chi2_divergence",  // source-mix drift QA (r15)

@@ -78,6 +78,8 @@ object SparkEntry {
     "q_assoc_rules" -> Relational.qAssocRules _,
     // anti-entropy diff vs a derived drifted replica (which keys)
     "q_snapshot_diff" -> Relational.qSnapshotDiff _,
+    // mergeable histogram-quantile MV (rank-bounded median bucket)
+    "q_hist_quantile" -> Relational.qHistQuantile _,
     // 2-D Pareto frontier via a sharded distributed prefix scan;
     // oracle is the independent NOT EXISTS domination formulation
     "q_skyline" -> Relational.qSkyline _,
@@ -2155,6 +2157,26 @@ object SparkEntry {
         |   OR p_old <> p_new OR ck_old <> ck_new
         |ORDER BY k""".stripMargin
     },
+    // Histogram MV: the oracle is the FULL single-pass histogram —
+    // equality IS the merge claim (the MV-family convention); window
+    // sums carry the HUGEINT-ban casts
+    "q_hist_quantile" ->
+      """WITH b AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events),
+        |h AS (SELECT event_type, v // 1000 AS bkt, count(*) AS cnt
+        |      FROM b GROUP BY 1, 2),
+        |c AS (SELECT event_type, bkt, cnt,
+        |        CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY event_type)
+        |          AS BIGINT) AS n
+        |      FROM h)
+        |SELECT event_type, bkt, cnt, cum,
+        |  (cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2)
+        |    AS is_median_bucket
+        |FROM c ORDER BY event_type, bkt""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

@@ -575,6 +575,68 @@ object Relational {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Mergeable histogram-quantile MV — the quantile member of the
+    * MV-merge family ([[qAggIncremental]] sums, [[qDistinctIncremental]]
+    * sketches, [[qTopkIncremental]] leaderboards, [[qChecksumIncremental]]
+    * verification): exact quantiles do NOT merge (a median of medians
+    * is not the median), so the maintainable form is a fixed-grid
+    * HISTOGRAM — per-(type, bucket) counts are a commutative monoid,
+    * merged here from the stored-vs-arriving md5 split (the family's
+    * arrival-cut convention) and emitted with the cumulative rank
+    * walk and the median-bucket flag (prev cum < ⌈n/2⌉ ≤ cum): the
+    * ⌈n/2⌉-th order statistic provably lies in the flagged bucket,
+    * so the estimate's error is bounded by the grid width (10 value
+    * units at the centi-scale ÷1000 grid) — by RANK, not by a
+    * value-distance claim an adversarial gap distribution would
+    * break. Values are positive (integer `div` = floor); all
+    * arithmetic integer ⇒ hash-exact.
+    *
+    * Scale shape: two map-side-combined histogram aggs (each shuffle
+    * carries ≤ \|types×buckets\| partials regardless of event
+    * volume), a bucket-grain merge agg, and the cum walk on the
+    * \|types×buckets\|-row frame — at 100 TB the stored term is the
+    * MV table and maintenance cost is the delta scan only. */
+  def qHistQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+    val bucket = Tables.md5Bucket(col("event_id"))
+    def hist(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), expr("v div 1000").as("bkt"))
+      .agg(count(lit(1)).as("pc"))
+    val stored = hist(ev.filter(bucket < 90)) // the MV, on disk in prod
+    val arriving = hist(ev.filter(bucket >= 90))
+    val merged = stored.unionByName(arriving)
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(sum(col("pc")).cast("long").as("cnt"))
+    histQuantileOf(merged)
+  }
+
+  /** The cumulative-rank walk over a (event_type, bkt, cnt) histogram
+    * frame — [[qHistQuantile]]'s readout, factored so the streaming
+    * maintainer ([[StreamingOps.applyHistBatch]]) loads its MV through
+    * the identical tail. */
+  private[graft] def histQuantileOf(hist: DataFrame): DataFrame = {
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(totW))
+      .select(col("event_type"), col("bkt"), col("cnt"), col("cum"),
+        (col("cum") - col("cnt") < expr("(n + 1) div 2")
+          && col("cum") >= expr("(n + 1) div 2")).as("is_median_bucket"))
+      .orderBy(col("event_type"), col("bkt"))
+  }
+
+  /** The per-batch histogram projection shared by [[qHistQuantile]]
+    * and the streaming maintainer: centi-quantized value, ÷1000 grid. */
+  private[graft] def histOf(events: DataFrame): DataFrame = events
+    .select(col("event_type"),
+      round(col("value") * 100).cast("long").as("v"))
+    .groupBy(col("event_type"), expr("v div 1000").as("bkt"))
+    .agg(count(lit(1)).as("cnt"))
+
   /** Incremental DISTINCT-count maintenance — the sketch member of
     * the MV-merge family: exact counts and sums merge as a monoid
     * ([[qAggIncremental]]), but COUNT(DISTINCT) does NOT — the only

@@ -389,6 +389,75 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** Merge ONE micro-batch of raw events into the histogram-quantile
+    * MV ([[Relational.qHistQuantile]]'s streaming half). Replay
+    * safety here comes from BOOKKEEPING, not algebra — the deliberate
+    * contrast with [[applyPrioritySampleBatch]]: per-bucket counts
+    * are a bag monoid, so re-applying a replayed batch (foreachBatch
+    * is at-least-once) would silently DOUBLE-COUNT where the
+    * sampler's set-semantics merge is idempotent. The MV therefore
+    * carries the last applied batch id on every row (atomic with the
+    * data under the same staged swap); a batch whose id is ≤ the
+    * stored one is a no-op. Crash recovery composes: a COMPLETE
+    * orphaned staging already carries its batch id, so promote-then-
+    * replay hits the no-op branch; an incomplete staging is dropped
+    * and the replay applies exactly once. */
+  def applyHistBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val basePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val mv = new org.apache.hadoop.fs.Path(basePath, "mv")
+    val staging = new org.apache.hadoop.fs.Path(basePath, "mv_staging")
+    val old = new org.apache.hadoop.fs.Path(basePath, "mv_old")
+    val success = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
+    if (fs.exists(success)) {
+      fs.delete(mv, true); fs.rename(staging, mv)
+    } else fs.delete(staging, true)
+    fs.delete(old, true)
+    val histB = Relational.histOf(batch)
+    val merged =
+      if (fs.exists(mv)) {
+        val cur = spark.read.parquet(mv.toString)
+        val last = cur.agg(max(col("last_bid"))).head().getLong(0)
+        if (batchId <= last) return // replayed batch — already folded
+        cur.select(col("event_type"), col("bkt"), col("cnt"))
+          .unionByName(histB)
+          .groupBy(col("event_type"), col("bkt"))
+          .agg(sum(col("cnt")).cast("long").as("cnt"))
+          .withColumn("last_bid", lit(batchId))
+      } else histB.withColumn("last_bid", lit(batchId))
+    merged.coalesce(1).write.parquet(staging.toString)
+    if (fs.exists(mv)) fs.rename(mv, old)
+    fs.rename(staging, mv)
+    fs.delete(old, true)
+  }
+
+  /** Always-on histogram maintenance: each micro-batch of raw events
+    * folds into the per-(type, bucket) count MV. */
+  def histSink(events: DataFrame, stateDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, bid: Long) =>
+        applyHistBatch(b, stateDir, bid))
+      .trigger(trigger)
+      .start()
+
+  /** The maintained histogram in [[Relational.qHistQuantile]]'s exact
+    * output shape (cumulative walk, median-bucket flag) — after the
+    * stream has seen the whole corpus this row-equals the batch
+    * query. */
+  def loadHistQuantile(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    Relational.histQuantileOf(
+      spark.read.parquet(s"$stateDir/mv")
+        .select(col("event_type"), col("bkt"), col("cnt")))
+
   /** The maintained sample, in [[TextOps.qPrioritySample]]'s exact
     * output shape (rank split, τ, ŵ = max(w, τ)) — after the stream
     * has seen the whole corpus this row-equals the batch query. */

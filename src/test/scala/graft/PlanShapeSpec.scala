@@ -391,6 +391,36 @@ class PlanShapeSpec extends SparkSpec {
       .r.findAllIn(p).isEmpty, p)
   }
 
+  test("rfm: one window exchange shared by the three quintiles, dim broadcast") {
+    val p = plan(graft.engine.Relational.qRfm(spark, sf0001))
+    // exactly two hash exchanges — the per-customer agg shuffle and
+    // ONE nation-keyed window exchange shared by all three ntiles
+    // (a third means they stopped sharing); the customer dim must
+    // ride a broadcast, never a shuffle join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("Window".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
+  }
+
+  test("snapshot diff: one key-keyed full-outer join, no cartesian") {
+    val p = plan(graft.engine.Relational.qSnapshotDiff(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("FullOuter"), p)
+    // base and replica join ONCE on the key — a bucketed layout makes
+    // this co-located (zero-exchange) at scale
+    assert("(?i)fullouter".r.findAllIn(p).size == 1, p)
+  }
+
+  test("hist quantile: grid-sized aggs, no join anywhere") {
+    val p = plan(graft.engine.Relational.qHistQuantile(spark, sf0001))
+    assert("(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin|cartesian|nestedloop"
+      .r.findAllIn(p).isEmpty, p)
+    // partial/final hash aggs below the merge; the cum walk windows
+    // run on the grid-sized frame
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("itemsets3: in-row triple fan — the fact never self-joins") {
     val p = plan(graft.engine.Relational.qItemsets3(spark, sf0001))
     // the naive 3-way self-join re-shuffles the fact three times and

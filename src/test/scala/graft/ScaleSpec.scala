@@ -556,6 +556,35 @@ class ScaleSpec extends SparkSpec {
     assert(got.exists(_._8 > 1.0) && got.map(_._7).distinct.size > 1)
   }
 
+  test("hist quantile: merge equals full recompute; median bucket holds the order stat") {
+    val got = graft.engine.Relational.qHistQuantile(spark, sf0001)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val n = rows.size.toLong
+      val hist = rows.groupBy(_._2 / 1000).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val cums = hist.scanLeft(0L)(_ + _._2).tail
+      hist.zip(cums).map { case ((bkt, cnt), cum) =>
+        (t, bkt, cnt, cum,
+          cum - cnt < (n + 1) / 2 && cum >= (n + 1) / 2)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == expect && got.nonEmpty)
+    // exactly ONE median bucket per type, and the ceil(n/2)-th order
+    // statistic really lies inside it (the rank guarantee)
+    val byType = got.groupBy(_._1)
+    byType.foreach { case (t, rows) =>
+      assert(rows.count(_._5) == 1, s"median buckets for $t")
+      val mb = rows.find(_._5).get._2
+      val vs = ev.filter(_._1 == t).map(_._2).sorted
+      val orderStat = vs(((vs.size + 1) / 2) - 1)
+      assert(orderStat / 1000 == mb, s"order stat outside bucket for $t")
+    }
+  }
+
   test("snapshot diff: equals a driver recompute; all three op classes live") {
     val got = graft.engine.Relational.qSnapshotDiff(spark, sf0001)
       .as[(Long, String, Option[Double], Option[Double])].collect().toSeq

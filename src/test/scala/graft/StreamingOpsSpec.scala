@@ -496,6 +496,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(recovered == expect)
   }
 
+  test("hist-quantile maintenance: sliced stream equals batch; replayed batch id is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val srcDir = tmpDir("hsrc")
+    (0 to 2).foreach { i =>
+      ev.filter(col("event_id") % 3 === i).coalesce(1)
+        .write.parquet(s"$srcDir/s$i")
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val stateDir = tmpDir("hstate")
+    val q = graft.engine.StreamingOps.histSink(
+      stream, stateDir, tmpDir("hckpt"))
+    q.awaitTermination()
+    val got = graft.engine.StreamingOps.loadHistQuantile(spark, stateDir)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    val expect = graft.engine.Relational.qHistQuantile(spark, sf0001)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+    // counts are a bag monoid: re-applying an ALREADY-SEEN batch id
+    // must be a bookkept no-op (the double-count hazard the sampler's
+    // set algebra doesn't have)
+    graft.engine.StreamingOps.applyHistBatch(
+      spark.read.parquet(s"$srcDir/s2"), stateDir, batchId = 0L)
+    val replayed = graft.engine.StreamingOps
+      .loadHistQuantile(spark, stateDir)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(replayed == expect)
+    // while a genuinely NEW batch id does fold in (counts grow)
+    graft.engine.StreamingOps.applyHistBatch(
+      spark.read.parquet(s"$srcDir/s2"), stateDir, batchId = 99L)
+    val grown = graft.engine.StreamingOps
+      .loadHistQuantile(spark, stateDir)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(grown.map(_._3).sum > expect.map(_._3).sum)
+  }
+
   test("ANN index as a catalog table: per-cell compaction preserves rows, cuts files") {
     import org.apache.spark.sql.functions.col
     import graft.engine.Similarity
