@@ -65,14 +65,21 @@ object StreamScale {
   /** Run a streaming DataFrame to the noop sink with one micro-batch
     * per input file; wall time + per-batch durations from the
     * engine's progress events. */
-  private def measure(df: DataFrame, nRows: Long): RunStats = {
-    val t0 = System.nanoTime()
-    val q = df.writeStream.format("noop")
+  private def measure(df: DataFrame, nRows: Long): RunStats =
+    measureQuery(t0 => df.writeStream.format("noop")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("ssck").toString)
-      .start()
+      .start(), nRows)
+
+  /** The same measurement for a query the caller starts itself (e.g.
+    * a foreachBatch MV sink, which owns its write path). */
+  private def measureQuery(
+      start: Long => org.apache.spark.sql.streaming.StreamingQuery,
+      nRows: Long): RunStats = {
+    val t0 = System.nanoTime()
+    val q = start(t0)
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     val prog = q.recentProgress.toSeq
@@ -128,12 +135,16 @@ object StreamScale {
   private def writeUserEvents(spark: SparkSession, n: Long, files: Int,
       dir: String): Unit = {
     import spark.implicits._
-    // 50k active users, 7 event types, 2 ms event spacing —
-    // time-sliced like writeDocs so the watermark advances per batch
+    // 50k active users, 7 event types (the marketing trio included so
+    // the attribution maintainer does real carry work), 2 ms event
+    // spacing — time-sliced like writeDocs so the watermark advances
+    // per batch
+    val types = IndexedSeq("view", "click", "purchase", "signup",
+      "error", "t5", "t6")
     spark.range(n).map { id =>
       (id % 50000, new java.sql.Timestamp(1617171780000L + id * 2), id,
-        s"t${id % 7}")
-    }.toDF("user_id", "ts", "event_id", "event_type")
+        types((id % 7).toInt), (id % 10000) / 10.0)
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
       .repartitionByRange(files, org.apache.spark.sql.functions.col("ts"))
       .write.mode("overwrite").json(dir)
   }
@@ -142,7 +153,8 @@ object StreamScale {
     StructField("user_id", LongType),
     StructField("ts", TimestampType),
     StructField("event_id", LongType),
-    StructField("event_type", StringType)))
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
 
   private def streamOf(spark: SparkSession, dir: String,
       schema: StructType): DataFrame =
@@ -316,6 +328,19 @@ object StreamScale {
       StreamingOps.scd2Stream(
         streamOf(spark, s"$root/uev", userEventSchema)).toDF(), nEvents)
 
+    // 4c) streaming attribution: keyed (touch, order-key) state,
+    //    3 carried fields/user, conversion-sized output
+    val attr = measure(
+      StreamingOps.attributionStream(
+        streamOf(spark, s"$root/uev", userEventSchema)).toDF(), nEvents)
+
+    // 4d) histogram-MV maintenance: foreachBatch owns its write path
+    //    (staged parquet swap + batch-id bookkeeping per trigger)
+    val hist = measureQuery(_ =>
+      StreamingOps.histSink(
+        streamOf(spark, s"$root/uev", userEventSchema),
+        s"$root/hstate", s"$root/hckpt"), nEvents)
+
     println("{\"metric\":\"stream_rows_per_sec\"," +
       s""""value":${(docs.rows / docs.wallSec).round},"unit":"rows/s",""" +
       s""""state_store":"${if (rocks) "rocksdb" else "default"}",""" +
@@ -324,7 +349,9 @@ object StreamScale {
       s"""${joined.json("interval_join")},""" +
       s"""${hop.json("hop_window")},""" +
       s"""${trans.json("transition_stream")},""" +
-      s"""${scd2.json("scd2_stream")}}}""")
+      s"""${scd2.json("scd2_stream")},""" +
+      s"""${attr.json("attribution_stream")},""" +
+      s"""${hist.json("hist_mv_sink")}}}""")
     spark.stop()
   }
 }
