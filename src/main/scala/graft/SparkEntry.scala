@@ -80,6 +80,8 @@ object SparkEntry {
     "q_snapshot_diff" -> Relational.qSnapshotDiff _,
     // mergeable histogram-quantile MV (rank-bounded median bucket)
     "q_hist_quantile" -> Relational.qHistQuantile _,
+    // Benford first-digit drift, exact fixed-point expectation
+    "q_benford" -> Relational.qBenford _,
     // 2-D Pareto frontier via a sharded distributed prefix scan;
     // oracle is the independent NOT EXISTS domination formulation
     "q_skyline" -> Relational.qSkyline _,
@@ -2177,6 +2179,30 @@ object SparkEntry {
         |  (cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2)
         |    AS is_median_bucket
         |FROM c ORDER BY event_type, bkt""".stripMargin,
+    // Benford: the same two log2 ladders re-derived in CTEs; all
+    // BIGINT arithmetic, no transcendental anywhere
+    "q_benford" -> {
+      val (ld, ldz) = graft.functions.FixLog2
+        .ctesSql("ld", "base", "d + 1", "d")
+      val (lt, ltz) = graft.functions.FixLog2
+        .ctesSql("lt", ldz, "10", "1")
+      s"""WITH vv AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |              AS v
+        |            FROM orders),
+        |ob AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+        |         AS d, count(*) AS n_d
+        |       FROM vv WHERE v >= 1 GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM ob),
+        |base AS (SELECT ob.d, ob.n_d, nn.n FROM ob, nn),
+        |$ld,
+        |$lt,
+        |fin AS (SELECT d, n_d, (n * ld_out) // lt_out AS exp_d
+        |        FROM $ltz)
+        |SELECT d, n_d, exp_d,
+        |  (100 * ((n_d - exp_d) * (n_d - exp_d))) // exp_d
+        |    AS chi2_centi
+        |FROM fin ORDER BY d""".stripMargin
+    },
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

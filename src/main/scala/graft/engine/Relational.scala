@@ -1984,6 +1984,48 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  /** Benford first-digit drift check — the forensic member of the DQ
+    * family ([[qDqChecks]] declared constraints, [[qSkewReport]]
+    * distribution shape, [[graft.engine.TextOps.qChi2Divergence]]
+    * categorical drift): the leading digit of order totals in cents
+    * against Benford's law, with the expectation computed EXACTLY in
+    * fixed point — p_d = log10(1+1/d) is libm in any naive
+    * formulation, but log10(1+1/d) = log2((d+1)/d)/log2(10), and
+    * both logs come off the [[graft.functions.FixLog2]] ladder as
+    * integers, so e_d = n·L(d+1, d) div L(10, 1) and the per-digit
+    * χ² term 100·(n_d−e_d)² div e_d are pure BIGINT arithmetic —
+    * hash-exact, no transcendental anywhere. First digit via the
+    * exact integer→string cast (both engines format integers
+    * identically; a double format would NOT be portable). Long
+    * products bound the op at n ≈ 3·10⁸ rows (dev²·100 < 2⁶³);
+    * past that the χ² term prescales by a common shift — the
+    * [[qCorrelation]] quantization move.
+    *
+    * Scale shape: one narrow scan into a 9-row digit agg; the two
+    * log ladders and the χ² arithmetic run on 9 rows. (Real invoice
+    * fraud screens run exactly this query per vendor/month — the
+    * GROUP BY extension is one added key.) */
+  def qBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables(spark, sfDir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"))
+      .filter(col("v") >= 1)
+    val obs = v
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_d"))
+    val tot = obs.agg(sum(col("n_d")).cast("long").as("n"))
+    val base = obs.crossJoin(broadcast(tot))
+    val withLd = graft.functions.FixLog2
+      .withFixLog2(base, col("d") + 1, col("d"), "l_d")
+    val withL10 = graft.functions.FixLog2
+      .withFixLog2(withLd, lit(10L), lit(1L), "l_10")
+    withL10
+      .withColumn("exp_d", expr("n * l_d div l_10"))
+      .select(col("d"), col("n_d"), col("exp_d"),
+        expr("100 * ((n_d - exp_d) * (n_d - exp_d)) div exp_d")
+          .as("chi2_centi"))
+      .orderBy(col("d"))
+  }
+
   /** Anti-entropy snapshot diff — the WHICH-rows companion to
     * [[qTableChecksum]]'s WHETHER: given a base table and a drifted
     * replica, emit every added / removed / changed key (equal rows

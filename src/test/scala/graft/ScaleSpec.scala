@@ -585,6 +585,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("benford: equals a FixLog2.ref recompute; expectation is true Benford") {
+    val got = graft.engine.Relational.qBenford(spark, sf0001)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val vs = Tables(spark, sf0001, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long"))
+      .as[Long].collect().filter(_ >= 1)
+    val obs = vs.map(_.toString.head.asDigit).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = obs.values.sum
+    val l10 = graft.functions.FixLog2.ref(10L, 1L)
+    val expect = obs.toSeq.sorted.map { case (d, nd) =>
+      val ed = n * graft.functions.FixLog2.ref(d + 1L, d.toLong) / l10
+      (d, nd, ed, 100L * (nd - ed) * (nd - ed) / ed)
+    }
+    assert(got == expect && got.nonEmpty)
+    // the fixed-point expectation IS Benford's law (30.1%, 17.6%, ...)
+    val e1 = got.find(_._1 == 1).get._3.toDouble / n
+    assert(math.abs(e1 - 0.30103) < 1e-3, s"p(1)=$e1")
+    // all nine digit classes observed at this SF
+    assert(got.map(_._1) == (1 to 9))
+  }
+
   test("snapshot diff: equals a driver recompute; all three op classes live") {
     val got = graft.engine.Relational.qSnapshotDiff(spark, sf0001)
       .as[(Long, String, Option[Double], Option[Double])].collect().toSeq
