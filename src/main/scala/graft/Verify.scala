@@ -19,13 +19,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: run each dump on a daemon thread with a hard
+    // time budget, so ONE pathological query (the r15 find: a plan-time
+    // optimizer hang, which `catch Throwable` cannot catch because it
+    // never terminates) logs loudly and the rest of the round's
+    // correctness artifact still gets written.
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_MS", "600000").toLong
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val t = new Thread(() => {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }, s"verify-$name")
+      t.setDaemon(true)
+      t.start()
+      t.join(budgetMs)
+      if (t.isAlive) {
+        System.err.println(
+          s"[verify] $name TIMED OUT after ${budgetMs}ms — skipping (no dump)")
+        t.interrupt()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

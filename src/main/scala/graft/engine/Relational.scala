@@ -2016,8 +2016,12 @@ object Relational {
     val base = obs.crossJoin(broadcast(tot))
     val withLd = graft.functions.FixLog2
       .withFixLog2(base, col("d") + 1, col("d"), "l_d")
-    val withL10 = graft.functions.FixLog2
-      .withFixLog2(withLd, lit(10L), lit(1L), "l_10")
+    // l_10 = L(10,1) has literal inputs — fold it on the driver via the
+    // bit-identical ref twin instead of stacking a SECOND 16-step ladder:
+    // two chained ladders (~100 multiply-referencing Projects) push Spark
+    // 4's CollapseProject traversal into combinatorial planning time.
+    val withL10 = withLd
+      .withColumn("l_10", lit(graft.functions.FixLog2.ref(10L, 1L)))
     withL10
       .withColumn("exp_d", expr("n * l_d div l_10"))
       .select(col("d"), col("n_d"), col("exp_d"),

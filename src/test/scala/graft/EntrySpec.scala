@@ -11,15 +11,29 @@ package graft
   * physical planning for all of `SparkEntry.queries`, no execution. */
 class EntrySpec extends SparkSpec {
 
-  test("every registered query analyzes and plans at sf0.001") {
+  test("every registered query analyzes and plans at sf0.001 within budget") {
+    // Per-query time budget: a plan-TIME hang (the r15 find: two chained
+    // FixLog2 ladders sent CollapseProject combinatorial, so `sbt test`
+    // and the driver's Verify both stalled forever instead of going red)
+    // must be a NAMED red test, never an eternal wait. 60 s is ~100x the
+    // slowest legitimate planning time observed (q_entropy_mix ~0.6 s).
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try {
-          fn(spark, sf0001).queryExecution.executedPlan
-          None
-        } catch { case e: Throwable =>
-          Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(300)}")
-        }
+        val res = new java.util.concurrent.atomic.AtomicReference[Option[String]](
+          Some(s"$name: did not finish planning within 60s"))
+        val t = new Thread(() => {
+          try {
+            fn(spark, sf0001).queryExecution.executedPlan
+            res.set(None)
+          } catch { case e: Throwable =>
+            res.set(Some(
+              s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(300)}"))
+          }
+        }, s"entry-plan-$name")
+        t.setDaemon(true)
+        t.start()
+        t.join(60000L)
+        res.get()
     }
     assert(failures.isEmpty,
       s"${failures.size} queries fail to plan:\n${failures.mkString("\n")}")

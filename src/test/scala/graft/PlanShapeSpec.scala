@@ -666,4 +666,31 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstMatchIn(s).get.group(1)
     assert(read.split(",").length <= 3, read) // doc_id, source, text
   }
+
+  test("FixLog2 ladder queries: planning stays linear (time + tree-size bound)") {
+    // The r15 regression class: ONE 16-step withFixLog2 ladder is ~50
+    // stacked Projects and plans in well under a second, but a SECOND
+    // ladder chained onto the first sent Spark 4's CollapseProject
+    // traversal combinatorial (q_benford: 25+ min of driver CPU before
+    // the write even started, on a 9-row frame). Guard every ladder
+    // call site: optimization must finish in seconds, and the
+    // optimized tree must stay ladder-sized — so a future Spark
+    // upgrade or a new chained-ladder call site goes red here, not in
+    // an eternal Verify stall.
+    val ladderQueries = Seq("q_entropy_mix", "q_mutual_info",
+      "q_nb_classify", "q_idf_cosine_pairs", "q_benford")
+    for (name <- ladderQueries) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val t0 = System.nanoTime()
+      val opt = df.queryExecution.optimizedPlan
+      df.queryExecution.executedPlan
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec < 30.0,
+        s"$name planning took ${sec}s — CollapseProject blow-up?")
+      val nodes = opt.collect { case p => p }.size +
+        opt.expressions.map(_.collect { case e => e }.size).sum
+      assert(nodes < 5000,
+        s"$name optimized plan carries $nodes nodes — ladder not collapsing?")
+    }
+  }
 }
