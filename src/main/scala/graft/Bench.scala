@@ -94,6 +94,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bounded-frame windows are audited (see KNOWN-BOUNDED sites);
+    // keep their single-partition WARN out of the round artifacts
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     val qs = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -21,6 +21,11 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bounded-frame windows are audited (see KNOWN-BOUNDED sites);
+    // keep their single-partition WARN out of the round artifacts
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     val names = which.map(Seq(_)).getOrElse(Bench.headline)
     names.foreach { n =>

@@ -18,6 +18,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's single-partition WARN: every unpartitioned window in
+    // the engine runs on an audited bounded frame (shard carries, k+1
+    // priority rows, |langs| codes — see the KNOWN-BOUNDED comments at
+    // each site), so the warning is pure noise in the round artifacts.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Per-query watchdog: run each dump on a daemon thread with a hard
     // time budget, so ONE pathological query (the r15 find: a plan-time

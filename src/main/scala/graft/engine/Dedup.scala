@@ -470,7 +470,10 @@ object Dedup {
     * and the whole pipeline is integer: norms² and dots are integer
     * sums, the threshold test is the exact rational
     * (5·dot)² ≥ 16·‖a‖²·‖b‖² in DECIMAL(38,0) (cos ≥ 4/5 squared,
-    * no rounding anywhere), and only the reported `cos` column
+    * no rounding anywhere — every operand is widened to decimal
+    * BEFORE any multiply, so no LONG product can wrap; exact for
+    * dot < 6.3·10¹⁸, i.e. the full long range, and
+    * ‖a‖²·‖b‖² < 6.25·10³⁶), and only the reported `cos` column
     * touches doubles (three correctly-rounded IEEE ops).
     *
     * Candidate generation is the norm-suffix prefix filter — the
@@ -511,7 +514,8 @@ object Dedup {
     val prefix = vec
       .withColumn("rem", sum(col("w") * col("w")).over(wWin))
       .join(n2, Seq("doc_id"))
-      .filter(col("rem") * lit(25L) >= col("n2") * lit(16L))
+      .filter(col("rem").cast("decimal(19,0)") * lit(25L)
+        >= col("n2").cast("decimal(19,0)") * lit(16L))
       .select(col("doc_id"), col("shingle"))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
@@ -532,10 +536,10 @@ object Dedup {
     dots
       .join(n2.select(col("doc_id").as("ida"), col("n2").as("n2a")), "ida")
       .join(n2.select(col("doc_id").as("idb"), col("n2").as("n2b")), "idb")
-      .filter((col("dot_q") * lit(5L)).cast("decimal(19,0)")
-          * (col("dot_q") * lit(5L)).cast("decimal(19,0)")
+      .filter((col("dot_q").cast("decimal(19,0)") * lit(5L))
+          * (col("dot_q").cast("decimal(19,0)") * lit(5L))
         >= col("n2a").cast("decimal(19,0)")
-          * (col("n2b") * lit(16L)).cast("decimal(19,0)"))
+          * (col("n2b").cast("decimal(19,0)") * lit(16L)))
       .select(col("ida"), col("idb"), col("dot_q"),
         (col("dot_q").cast("double")
           / sqrt(col("n2a").cast("double") * col("n2b").cast("double")))

@@ -529,8 +529,11 @@ object Relational {
     val ev = Tables(spark, sfDir, "events")
     val tmax = ev.agg(max(unix_micros(col("ts"))).as("tu"))
     ev.crossJoin(broadcast(tmax))
+      // integer `div`, not floor(double /): past ~1e16 µs deltas the
+      // double's rounding error crosses integer boundaries and would
+      // diverge from the oracle's BIGINT floor-division
       .withColumn("age_h",
-        floor((col("tu") - unix_micros(col("ts"))) / lit(3600000000L)))
+        expr("(tu - unix_micros(ts)) div 3600000000"))
       .filter(col("age_h") < 24)
       .withColumn("wt",
         expr("shiftleft(cast(1 as bigint), cast(23 - age_h as int))"))
@@ -1284,6 +1287,9 @@ object Relational {
       .orderBy(col("p_retailprice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = g.withColumn("lmax", max(col("msize")).over(wLocal))
+    // KNOWN-BOUNDED global window over the |shards|-row carry table
+    // (price-domain-sized, not data-sized); its WindowExec WARN is
+    // expected — see Scale.shardedPrefixSum
     val wShard = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = g.groupBy(col("shard")).agg(max(col("msize")).as("smax"))

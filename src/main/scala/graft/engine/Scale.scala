@@ -108,6 +108,11 @@ object Scale {
     val wLocal = Window.partitionBy(col("__shard")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = g.withColumn("__lsum", sum(col("__v")).over(wLocal))
+    // KNOWN-BOUNDED global window: the frame is the per-shard carry
+    // table (shard-count rows, 16 here), never the data volume — the
+    // WindowExec single-partition WARN this emits is expected and
+    // harmless (a constant partition key cannot silence it: Spark 4's
+    // EliminateWindowPartitions folds it away again)
     val wShard = Window.orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = g.groupBy(col("__shard")).agg(sum(col("__v")).as("__ssum"))

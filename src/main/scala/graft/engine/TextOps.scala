@@ -1674,6 +1674,8 @@ object TextOps {
     * window and the 1-row τ broadcast both run on k+1 rows. */
   private[graft] def prioritySampleOf(top: DataFrame): DataFrame = {
     val k = prioritySampleK
+    // KNOWN-BOUNDED global window: the input is the k+1-row priority
+    // frame, never the corpus; its WindowExec WARN is expected
     val w = Window.orderBy(col("prio").desc, col("doc_id"))
     val ranked = top.withColumn("rn", row_number().over(w))
     val tau = ranked.filter(col("rn") === k + 1)
@@ -1883,6 +1885,15 @@ object TextOps {
     val j = cls.join(broadcast(cl), Seq("lang"))
       .join(broadcast(cs), Seq("source"))
       .crossJoin(broadcast(nt))
+      // Loud guard at the documented N < 2^31 product bound: past it
+      // Spark's LONG multiply would WRAP silently where the DuckDB
+      // oracle's BIGINT multiply throws — fail symmetrically instead.
+      .withColumn("n_tot",
+        when(col("n_tot") < lit(1L << 31), col("n_tot"))
+          .otherwise(raise_error(concat(
+            lit("qMutualInfo: n_tot exceeds the 2^31 exactness bound "
+              + "(prescale both log operands by a common shift): "),
+            col("n_tot").cast("string")))))
     graft.functions.FixLog2
       .withFixLog2(j, col("n_tot") * col("c"), col("c_l") * col("c_s"), "l_q")
       .groupBy(col("source"))
@@ -1957,6 +1968,7 @@ object TextOps {
         col("d_l"), col("d_tot"), "l_prior")
       .select(col("lang"), col("l_prior"))
     val lcodes = nl.select(col("lang"))
+      // KNOWN-BOUNDED global window (|langs| rows); WARN expected
       .withColumn("code",
         row_number().over(Window.orderBy(col("lang"))).cast("long"))
     val scored = testTok.join(pp, Seq("term"))

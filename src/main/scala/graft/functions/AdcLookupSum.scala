@@ -17,12 +17,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * probed posting list, which makes it exactly the kind of site the
   * [[DotProduct]] precedent earned its expression for.
   *
-  * Semantics are identical to the HOF formulation — strict
+  * Semantics are identical to the HOF formulation FOR CODES ≥ −1
+  * (the entire PQ domain — codes are unsigned byte indices): strict
   * left-to-right double summation, null if either array is null,
   * lengths differ (zip_with's null padding nulls the sum), any
   * element is null, or a code indexes outside its subspace table
-  * (element_at's invalid-index null). `AdcLookupSumSpec` pins the
-  * equivalence on randomized inputs across both codegen paths. */
+  * (element_at's invalid-index null). For codes ≤ −2 the two
+  * diverge by design: `try_element_at` resolves negative indices
+  * from the array END (non-null sum) while this expression nulls —
+  * out-of-domain garbage should read as "no distance", never as a
+  * silently wrong lookup. `AdcLookupSumSpec` pins the equivalence
+  * on randomized in-domain inputs across both codegen paths and
+  * documents the negative-code divergence. */
 case class AdcLookupSum(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
