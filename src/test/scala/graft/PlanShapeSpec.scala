@@ -424,11 +424,15 @@ class PlanShapeSpec extends SparkSpec {
   test("itemsets3: in-row triple fan — the fact never self-joins") {
     val p = plan(graft.engine.Relational.qItemsets3(spark, sf0001))
     // the naive 3-way self-join re-shuffles the fact three times and
-    // fans hot orders cubically; the only join allowed is the L1
-    // broadcast semi-join (the A-priori restriction)
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // fans hot orders cubically; the only joins allowed are the two
+    // A-priori restrictions — the L1 item semi-join and the L2
+    // frequent-pair semi-join — so every join in the plan must be a
+    // LeftSemi (of an agg, never fact-vs-fact), and nothing cartesian
     assert(!p.contains("CartesianProduct"), p)
-    assert("BroadcastHashJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty && joins.forall(_.contains("LeftSemi")),
+      s"non-semi join in plan:\n$p")
   }
 
   test("indel fuzzy join: deletion-variant equi-join, no cartesian") {
