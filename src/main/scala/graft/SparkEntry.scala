@@ -82,6 +82,8 @@ object SparkEntry {
     "q_hist_quantile" -> Relational.qHistQuantile _,
     // Benford first-digit drift, exact fixed-point expectation
     "q_benford" -> Relational.qBenford _,
+    // per-group (order-year) Benford chi^2 screen, ranked worst-first
+    "q_benford_by" -> Relational.qBenfordBy _,
     // 2-D Pareto frontier via a sharded distributed prefix scan;
     // oracle is the independent NOT EXISTS domination formulation
     "q_skyline" -> Relational.qSkyline _,
@@ -2202,6 +2204,36 @@ object SparkEntry {
         |  (100 * ((n_d - exp_d) * (n_d - exp_d))) // exp_d
         |    AS chi2_centi
         |FROM fin ORDER BY d""".stripMargin
+    },
+    // Per-group Benford: ONE ld ladder over the completed
+    // group x digit domain; L(10,1) is the same driver-side constant
+    // the engine folds (FixLog2.ref — bit-identical by FixLog2Spec)
+    "q_benford_by" -> {
+      val (ld, ldz) = graft.functions.FixLog2
+        .ctesSql("ld", "base", "d + 1", "d")
+      val l10 = graft.functions.FixLog2.ref(10L, 1L)
+      s"""WITH vv AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |              CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |            FROM orders),
+        |ob AS (SELECT yr,
+        |         CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+        |           AS d, count(*) AS n_d
+        |       FROM vv WHERE v >= 1 GROUP BY 1, 2),
+        |nn AS (SELECT yr, CAST(SUM(n_d) AS BIGINT) AS n FROM ob
+        |       GROUP BY 1 HAVING SUM(n_d) >= 50),
+        |dg AS (SELECT CAST(range AS INTEGER) AS d FROM range(1, 10)),
+        |base AS (SELECT nn.yr, dg.d, nn.n,
+        |           COALESCE(ob.n_d, 0) AS n_d
+        |         FROM nn CROSS JOIN dg
+        |         LEFT JOIN ob ON ob.yr = nn.yr AND ob.d = dg.d),
+        |$ld,
+        |fin AS (SELECT yr, n, n_d, (n * ld_out) // $l10 AS exp_d
+        |        FROM $ldz)
+        |SELECT yr, MAX(n) AS n_orders,
+        |  CAST(SUM((100 * ((n_d - exp_d) * (n_d - exp_d))) // exp_d)
+        |    AS BIGINT) AS chi2_centi
+        |FROM fin GROUP BY yr
+        |ORDER BY chi2_centi DESC, yr""".stripMargin
     },
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events

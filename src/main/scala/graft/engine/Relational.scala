@@ -2036,6 +2036,59 @@ object Relational {
       .orderBy(col("d"))
   }
 
+  /** Per-group Benford screen — [[qBenford]] with the one added key
+    * its scaladoc promises, making the forensic check a real DQ
+    * operator: first-digit χ² per ORDER YEAR, ranked worst-first, so
+    * a single drifting slice (one booking period with fabricated
+    * totals) surfaces instead of averaging away in the corpus-wide
+    * statistic. Exactness is inherited: one [[graft.functions
+    * .FixLog2]] ladder for L(d+1, d), the constant L(10, 1) folded
+    * on the driver, all-BIGINT χ². Two deltas vs the global screen:
+    * (a) the digit domain is completed per group (groups × digits
+    * 1–9 via a broadcast 9-row cross join) so MISSING digits
+    * contribute their full expected count — per-slice frames are
+    * small enough that a digit can genuinely be absent, and skipping
+    * it would understate the divergence; (b) groups below n = 50
+    * are dropped (HAVING on the group total) — the χ² approximation
+    * needs expected counts ≥ ~5 and e₉ = ⌊n·L(10/9)/L(10)⌋ hits 0
+    * below n ≈ 22, where the per-digit integer division (and the
+    * oracle's `//`) would divide by zero; a forensic screen has no
+    * business scoring 20-row slices anyway.
+    *
+    * Scale shape: one narrow scan into a (groups × 9)-digit agg —
+    * both keys map-side combined — then ladder + χ² on the
+    * group-domain-sized frame; output is |groups| rows. The group
+    * key generalizes to clerk/vendor/month at identical shape. */
+  def qBenfordBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables(spark, sfDir, "orders")
+      .select(year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .filter(col("v") >= 1)
+    val obs = v
+      .select(col("yr"),
+        substring(col("v").cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy(col("yr"), col("d")).agg(count(lit(1)).as("n_d"))
+    val tot = obs.groupBy(col("yr"))
+      .agg(sum(col("n_d")).cast("long").as("n"))
+      .filter(col("n") >= 50)
+    val digits = spark.range(1, 10)
+      .select(col("id").cast("int").as("d"))
+    val base = tot.crossJoin(broadcast(digits))
+      .join(obs, Seq("yr", "d"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+    val withLd = graft.functions.FixLog2
+      .withFixLog2(base, col("d") + 1, col("d"), "l_d")
+    withLd
+      .withColumn("l_10", lit(graft.functions.FixLog2.ref(10L, 1L)))
+      .withColumn("exp_d", expr("n * l_d div l_10"))
+      .withColumn("chi2_d",
+        expr("100 * ((n_d - exp_d) * (n_d - exp_d)) div exp_d"))
+      .groupBy(col("yr"))
+      .agg(max(col("n")).as("n_orders"),
+        sum(col("chi2_d")).cast("long").as("chi2_centi"))
+      .orderBy(col("chi2_centi").desc, col("yr"))
+  }
+
   /** Anti-entropy snapshot diff — the WHICH-rows companion to
     * [[qTableChecksum]]'s WHETHER: given a base table and a drifted
     * replica, emit every added / removed / changed key (equal rows

@@ -682,7 +682,7 @@ class PlanShapeSpec extends SparkSpec {
     // upgrade or a new chained-ladder call site goes red here, not in
     // an eternal Verify stall.
     val ladderQueries = Seq("q_entropy_mix", "q_mutual_info",
-      "q_nb_classify", "q_idf_cosine_pairs", "q_benford")
+      "q_nb_classify", "q_idf_cosine_pairs", "q_benford", "q_benford_by")
     for (name <- ladderQueries) {
       val df = SparkEntry.queries(name)(spark, sf0001)
       val t0 = System.nanoTime()

@@ -607,6 +607,32 @@ class ScaleSpec extends SparkSpec {
     assert(got.map(_._1) == (1 to 9))
   }
 
+  test("benford by group: equals a per-year ref recompute; zero-count digits contribute") {
+    val got = graft.engine.Relational.qBenfordBy(spark, sf0001)
+      .as[(Int, Long, Long)].collect().toSeq
+    val vs = Tables(spark, sf0001, "orders")
+      .select(year(col("o_orderdate")),
+        round(col("o_totalprice") * 100).cast("long"))
+      .as[(Int, Long)].collect().filter(_._2 >= 1)
+    val l10 = graft.functions.FixLog2.ref(10L, 1L)
+    val expect = vs.groupBy(_._1).view.mapValues { rows =>
+      val obs = rows.map(_._2.toString.head.asDigit).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val n = obs.values.sum
+      // FULL digit domain 1..9 — absent digits contribute (0-e)^2/e
+      val chi2 = (1 to 9).map { d =>
+        val nd = obs.getOrElse(d, 0L)
+        val ed = n * graft.functions.FixLog2.ref(d + 1L, d.toLong) / l10
+        100L * (nd - ed) * (nd - ed) / ed
+      }.sum
+      (n, chi2)
+    }.toSeq.collect { case (yr, (n, chi2)) if n >= 50 => (yr, n, chi2) }
+      .sortBy { case (yr, _, chi2) => (-chi2, yr) }
+    assert(got == expect && got.nonEmpty)
+    // the group key discriminates: not all slices score identically
+    assert(got.map(_._3).distinct.size > 1)
+  }
+
   test("snapshot diff: equals a driver recompute; all three op classes live") {
     val got = graft.engine.Relational.qSnapshotDiff(spark, sf0001)
       .as[(Long, String, Option[Double], Option[Double])].collect().toSeq
