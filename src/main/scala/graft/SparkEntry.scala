@@ -237,6 +237,8 @@ object SparkEntry {
     // through symmetric-delete blocking — complete for lev ≤ 2, so
     // its oracle is the plain brute-force cross join
     "q_fuzzy_indel" -> Dedup.qFuzzyIndel _,
+    // lev<=3 via PassJoin-style segment blocking (3-edit corruption)
+    "q_fuzzy_lev3" -> Dedup.qFuzzyLev3 _,
     "q_dedup_minhash" -> Dedup.qDedupMinhash _,
     "q_dedup_clusters" -> Dedup.qDedupClusters _,
     // per-cluster golden record: packed-argmax survivor + conflict
@@ -764,6 +766,53 @@ object SparkEntry {
        |  CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS dist
        |FROM probe p CROSS JOIN c
        |WHERE levenshtein(p.probe_name, c.c_name) <= 2
+       |ORDER BY probe_id, match_id""".stripMargin
+  }
+
+  /** 3-edit corruption brute-force oracle: the engine's segment
+    * blocking is completeness-proven, so DuckDB independently
+    * recomputes the FULL cross-join answer with no blocking to
+    * mirror (the duckFuzzyIndel convention at a bucket<5 probe set,
+    * which keeps the deliberate quadratic bounded). */
+  private val duckFuzzyLev3: String = {
+    def hex4(v: String, s: Int): String =
+      (0 until 4).map(k =>
+        s"(strpos('0123456789abcdef', substring($v, ${s + k}, 1)) - 1) * ${math.pow(16, 3 - k).toInt}")
+        .mkString("(", " + ", ")")
+    s"""WITH c AS (SELECT c_custkey, c_name FROM customer),
+       |hb AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS hx
+       |       FROM c),
+       |bkt AS (SELECT c_custkey FROM hb WHERE ${hex4("hx", 1)} % 100 < 5),
+       |hc AS (SELECT c_custkey, md5('fz3|' || CAST(c_custkey AS VARCHAR))
+       |         AS hx
+       |       FROM c),
+       |par AS (SELECT c_custkey,
+       |          ${hex4("hx", 1)} % 9 AS pd, ${hex4("hx", 5)} % 9 AS pi,
+       |          ${hex4("hx", 9)} % 26 AS il,
+       |          ${hex4("hx", 13)} % 26 AS sl,
+       |          ${hex4("hx", 17)} % 12 AS ps
+       |        FROM hc),
+       |pr0 AS (SELECT c.c_custkey, c_name, pi, il, sl, ps,
+       |          substring(c_name, 1, pd) ||
+       |          substring(c_name, pd + 2, length(c_name)) AS delname
+       |        FROM c JOIN par ON par.c_custkey = c.c_custkey
+       |        JOIN bkt ON bkt.c_custkey = c.c_custkey),
+       |pr1 AS (SELECT c_custkey, sl, ps,
+       |          substring(delname, 1, pi)
+       |            || substring('abcdefghijklmnopqrstuvwxyz', il + 1, 1)
+       |            || substring(delname, pi + 1, length(delname))
+       |            AS insname
+       |        FROM pr0),
+       |probe AS (SELECT c_custkey AS probe_id,
+       |            substring(insname, 1, ps)
+       |              || substring('abcdefghijklmnopqrstuvwxyz', sl + 1, 1)
+       |              || substring(insname, ps + 2, length(insname))
+       |              AS probe_name
+       |          FROM pr1)
+       |SELECT p.probe_id, c.c_custkey AS match_id,
+       |  CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS dist
+       |FROM probe p CROSS JOIN c
+       |WHERE levenshtein(p.probe_name, c.c_name) <= 3
        |ORDER BY probe_id, match_id""".stripMargin
   }
 
@@ -2588,6 +2637,7 @@ object SparkEntry {
     "q_fuzzy_join" -> duckFuzzy,
     "q_fuzzy_jw" -> duckFuzzyJw,
     "q_fuzzy_indel" -> duckFuzzyIndel,
+    "q_fuzzy_lev3" -> duckFuzzyLev3,
     // (shingle, source)-distinct inverted index, then a source-keyed
     // self-join — 1-based tk[i..i+2] over i = 1..len-2 mirrors
     // shinglesFromTokens' sequence(0, size-3) exactly

@@ -834,6 +834,132 @@ object Dedup {
       .orderBy(col("probe_id"), col("match_id"))
   }
 
+  /** Segment blocking keys for the INDEXED (clean) side of the
+    * partition-based fuzzy join ([[fuzzyLinkSegments]]): the string
+    * split into τ+1 contiguous segments (first `len mod (τ+1)`
+    * segments one char longer — the even split, reproduced exactly
+    * by the probe side), each hashed with its (length, index)
+    * context so only same-partitioning occurrences join. τ+1 keys
+    * per row — CONSTANT fan, vs [[delNeighborhood]]'s O(L²) for
+    * τ = 2 and O(L³) were it extended to τ = 3. */
+  private[graft] def segmentKeys(s: Column, tau: Int): Column = {
+    val L = length(s)
+    val kk = lit(tau + 1)
+    val r = pmod(L, kk)
+    val q = ((L - r) / kk).cast("int")
+    transform(sequence(lit(0), lit(tau)), i => {
+      val start = (i * q + least(i, r)).cast("int")
+      val len = (q + when(i < r, lit(1)).otherwise(lit(0))).cast("int")
+      xxhash64(concat_ws("|", L.cast("string"), i.cast("string"),
+        s.substr(start + 1, len)))
+    })
+  }
+
+  /** Probe-side candidate keys of [[fuzzyLinkSegments]]: for every
+    * candidate clean length ℓc ∈ [ℓp−τ, ℓp+τ] (ℓc ≥ τ+1), every
+    * segment index, and every alignment shift δ ∈ [−τ, τ], the
+    * probe substring of the segment's length at the shifted start —
+    * hashed under the same (ℓc, i) context. In-row-deduped; fan
+    * bounded by (2τ+1)²·(τ+1) = 196 at τ = 3 (invalid starts
+    * filtered), independent of string length. */
+  private[graft] def segmentProbeKeys(s: Column, tau: Int): Column = {
+    val lp = length(s)
+    val kk = lit(tau + 1)
+    array_distinct(flatten(flatten(
+      transform(sequence(lp - tau, lp + tau), lc => {
+        val r = pmod(lc, kk)
+        val q = ((lc - r) / kk).cast("int")
+        transform(sequence(lit(0), lit(tau)), i => {
+          val pb = (i * q + least(i, r)).cast("int")
+          val len = (q + when(i < r, lit(1)).otherwise(lit(0))).cast("int")
+          filter(transform(sequence(lit(-tau), lit(tau)), d => {
+            val pa = (pb + d).cast("int")
+            when(lc >= kk && pa >= 0 && pa <= lp - len,
+              xxhash64(concat_ws("|", lc.cast("string"), i.cast("string"),
+                s.substr(pa + 1, len))))
+              .otherwise(lit(null))
+          }), x => x.isNotNull)
+        })
+      }))))
+  }
+
+  /** Partition-based (PassJoin-style, Li et al. ICDE'11) blocked
+    * fuzzy link for levenshtein ≤ τ — the GENERAL-τ member of the
+    * fuzzy family, shipped at τ = 3 where [[fuzzyLinkIndel]]'s
+    * symmetric-delete fan turns cubic (D₃ is ~987 variants at
+    * L = 18 vs [[segmentKeys]]' constant 4 + ~100 probe keys; the
+    * q-gram COUNTING filter alternative is also complete but needs a
+    * per-pair count aggregation over the full q-gram fan, a heavier
+    * shuffle than this equi-join). THE completeness theorem: split
+    * the clean string into τ+1 segments; an optimal alignment of a
+    * qualifying pair spends ≤ τ edits, so some segment is edit-free
+    * and appears EXACTLY in the probe, and its occurrence shifts by
+    * at most the edits before it (≤ τ) — so the pair shares a
+    * (length, index, shift) key and the exact levenshtein verify
+    * (below the pair-dedup exchange, the measured [[fuzzyLink]]
+    * discipline) recovers precisely the brute-force output. Both
+    * sides need length ≥ τ+1 (a zero-length segment blocks nothing);
+    * shorter strings belong to a trivial length-bucketed brute-force
+    * side channel, not needed at the fixture's 15+-char names.
+    *
+    * Scale shape: clean explodes ×(τ+1), probe ×≲100 in-row-deduped
+    * 8-byte keys; the join fan is Σ_k df_probe(k)·df_clean(k) —
+    * segment keys carry (length, index, content) entropy, so the fan
+    * tracks name entropy like [[fuzzyLinkIndel]]'s but from a
+    * constant per-row key budget; verification collapses to
+    * O(matches) before any exchange. */
+  private[graft] def fuzzyLinkSegments(probes: DataFrame,
+      clean: DataFrame, tau: Int): DataFrame = {
+    val pk = probes.select(col("probe_id"), col("probe_name"),
+      explode(segmentProbeKeys(col("probe_name"), tau)).as("sk"))
+    val ck = Tables.spread(clean).select(col("match_id"), col("clean_name"),
+      explode(segmentKeys(col("clean_name"), tau)).as("sk"))
+    pk.join(ck, "sk")
+      .select(col("probe_id"), col("match_id"),
+        levenshtein(col("probe_name"), col("clean_name")).cast("long")
+          .as("dist"))
+      .filter(col("dist") <= tau)
+      .distinct()
+  }
+
+  /** Fuzzy join under a 3-EDIT corruption model — one md5-derived
+    * deletion, then one insertion, then one substitution (net
+    * levenshtein ≤ 3 with alignment shifts crossing all three), the
+    * case both [[qFuzzyJoin]]'s substitution pigeonhole and
+    * [[qFuzzyIndel]]'s ≤2-deletion neighborhoods provably cannot
+    * block. Re-linked by [[fuzzyLinkSegments]] at τ = 3. The probe
+    * set is md5-bucket < 5 (half [[qFuzzyIndel]]'s) — the oracle is
+    * the brute-force cross join + levenshtein filter (the strongest
+    * check: DuckDB computes the full answer with no blocking to
+    * mirror), and the smaller probe side keeps that oracle's
+    * quadratic honest-by-construction cost bounded. */
+  def qFuzzyLev3(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val h = md5(concat(lit("fz3|"), col("c_custkey").cast("string")))
+    def hex4(start: Int): Column =
+      conv(substring(h, start, 4), 16, 10).cast("int")
+    val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+    val name = col("c_name")
+    val pd = hex4(1) % 9
+    val pi = hex4(5) % 9
+    val li = alpha.substr(hex4(9) % 26 + 1, lit(1))
+    val ls = alpha.substr(hex4(13) % 26 + 1, lit(1))
+    val ps = hex4(17) % 12
+    val del = concat(name.substr(lit(1), pd),
+      name.substr(pd + 2, length(name)))
+    val ins = concat(del.substr(lit(1), pi), li,
+      del.substr(pi + 1, length(del)))
+    val dirty = concat(ins.substr(lit(1), ps), ls,
+      ins.substr(ps + 2, length(ins)))
+    val probes = cust.filter(Tables.md5Bucket(col("c_custkey")) < 5)
+      .select(col("c_custkey").as("probe_id"), dirty.as("probe_name"))
+    val clean = cust.select(col("c_custkey").as("match_id"),
+      col("c_name").as("clean_name"))
+    fuzzyLinkSegments(probes, clean, tau = 3)
+      .orderBy(col("probe_id"), col("match_id"))
+  }
+
   /** PageRank micro-unit scale: ranks are BIGINTs in units of 1e−12.
     * Integer arithmetic end-to-end (floor division, integer sums) is
     * what makes an ITERATIVE fixpoint hash-exact across engines and

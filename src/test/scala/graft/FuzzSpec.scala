@@ -165,6 +165,65 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("segment blocking: complete for levenshtein <= 3 random edits") {
+    // the Dedup.segmentKeys/segmentProbeKeys PassJoin theorem,
+    // fuzzed: for ANY pair within levenshtein 3 (both lengths >= 4),
+    // some clean segment must appear exactly in the probe within
+    // its +-3 shift window under the same (length, index) context —
+    // a counterexample would mean q_fuzzy_lev3's "oracle = brute
+    // force" equality rests on luck, not the theorem
+    val rnd = new scala.util.Random(31)
+    val tau = 3
+    def segs(s: String): Set[String] = {
+      val L = s.length; val k = tau + 1; val r = L % k; val q = L / k
+      (0 to tau).map { i =>
+        val start = i * q + math.min(i, r)
+        val len = q + (if (i < r) 1 else 0)
+        s"$L|$i|${s.substring(start, start + len)}"
+      }.toSet
+    }
+    def probeKeys(s: String): Set[String] = {
+      val lp = s.length
+      (for {
+        lc <- (lp - tau) to (lp + tau); if lc >= tau + 1
+        r = lc % (tau + 1); q = lc / (tau + 1)
+        i <- 0 to tau
+        pb = i * q + math.min(i, r)
+        len = q + (if (i < r) 1 else 0)
+        d <- -tau to tau
+        pa = pb + d; if pa >= 0 && pa <= lp - len
+      } yield s"$lc|$i|${s.substring(pa, pa + len)}").toSet
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val alpha = "abcd"
+    for (trial <- 1 to 2000) {
+      val base = Seq.fill(4 + rnd.nextInt(16))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      var s = base
+      for (_ <- 1 to rnd.nextInt(4)) {
+        val op = rnd.nextInt(3)
+        val i = rnd.nextInt(s.length + (if (op == 1) 1 else 0))
+        s = op match {
+          case 0 => s.updated(i, alpha(rnd.nextInt(alpha.length)))
+          case 1 => s.take(i) + alpha(rnd.nextInt(alpha.length)) +
+            s.drop(i)
+          case 2 => if (s.length > 4) s.take(i) + s.drop(i + 1) else s
+        }
+      }
+      val d = lev(base, s)
+      if (d <= tau && s.length >= tau + 1)
+        assert((segs(base) & probeKeys(s)).nonEmpty,
+          s"trial $trial: no shared segment key for '$base' ~ '$s' (lev $d)")
+    }
+  }
+
   test("deletion neighborhood: complete for levenshtein <= 2 random edits") {
     // the Dedup.delNeighborhood blocking theorem, fuzzed: for ANY
     // pair within levenshtein 2 (random substitutions/insertions/

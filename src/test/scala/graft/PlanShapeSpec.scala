@@ -442,6 +442,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
   }
 
+  test("lev3 fuzzy join: segment-key equi-join, no cartesian") {
+    // same convention at tau=3: PassJoin segment blocking keeps the
+    // plan an equi-join while the oracle brute-forces the cross join
+    val p = plan(graft.engine.Dedup.qFuzzyLev3(spark, sf0001))
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+  }
+
   test("passage dedup: one explode, no join — a single passage-keyed shuffle") {
     val p = plan(graft.engine.TextOps.qPassageDedup(spark, sf0001))
     // one Generate (the passage posexplode); the keep-first marking is
