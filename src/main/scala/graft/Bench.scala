@@ -42,6 +42,7 @@ object Bench {
     "q_fuzzy_join",       // blocked record linkage + levenshtein (r14)
     "q_fuzzy_indel",      // deletion-neighborhood indel linkage (r15)
     "q_fuzzy_jw",         // Jaro-Winkler re-score, native expression (r15)
+    "q_fuzzy_lev3",       // PassJoin segment blocking, lev<=3 (r16)
     "q_copurchase",       // in-row co-occurrence pair mining (r14)
     "q_dedup_clusters",   // connected components (driver union-find)
     "q_dedup_clusters_dist", // same via distributed star contraction
@@ -66,6 +67,7 @@ object Bench {
     "q_table_checksum",   // order-independent replication checksums (r15)
     "q_bm25",             // BM25 postings retrieval (r15)
     "q_chi2_divergence",  // source-mix drift QA (r15)
+    "q_benford_by",       // per-group forensic Benford screen (r16)
     "q_pagerank",         // iterative graph analytics, integer-exact (r13)
     "q_triangles",        // degree-ordered wedge join (r15)
     "q_cosine_topk",      // brute-force similarity

@@ -2244,25 +2244,42 @@ object Relational {
     val baskets = e.groupBy(col("ok"))
       .agg(sort_array(collect_set(col("item"))).as("ps"))
       .filter(size(col("ps")) >= 2)
-    val pairSup = baskets.select(explode(flatten(transform(col("ps"),
-        (a, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
-          b => struct(a.as("ant_a"), b.as("ant_b")))))).as("p"))
-      .groupBy(col("p.ant_a").as("ant_a"), col("p.ant_b").as("ant_b"))
+    val bpairs = baskets.select(col("ok"),
+        explode(flatten(transform(col("ps"),
+          (a, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+            b => struct(a.as("pa"), b.as("pb")))))).as("p"))
+      .select(col("ok"), col("p.pa").as("pa"), col("p.pb").as("pb"))
+    val pairSup = bpairs
+      .groupBy(col("pa").as("ant_a"), col("pb").as("ant_b"))
       .agg(count(lit(1)).as("s_ant"))
-    // frequent triples from the SAME basket frame (one distinct pass,
-    // one basket agg — the exchange is shared with the pair fan;
-    // measured 6.2 s → 2.2 s vs re-running qItemsets3's build). The
-    // L1 restriction is cost-only and output-invariant (A-priori
-    // monotonicity, spec-proven), so the unrestricted fan — bounded
-    // C(m,3)/order at the fixture's basket width — yields the
-    // identical frequent set.
-    val tri = baskets.filter(size(col("ps")) >= 3)
-      .select(explode(flatten(flatten(
-        transform(col("ps"), (a, i) =>
-          transform(slice(col("ps"), i + 2, size(col("ps"))), (b, j) =>
-            transform(slice(col("ps"), i + j + lit(3), size(col("ps"))),
-              c => struct(a.as("part_a"), b.as("part_b"),
-                c.as("part_c")))))))).as("t"))
+    // frequent triples from the SAME basket-pair fan that feeds the
+    // rule antecedents (one distinct pass, one basket agg, one pair
+    // explode — measured 6.2 s → 2.2 s vs re-running qItemsets3's
+    // build), with [[qItemsets3]]'s L2 edge prune reusing pairSup as
+    // the edge support: triples generate only from each basket's
+    // L2-frequent pair graph (wedge at the minimum vertex, closed iff
+    // the third edge survives). Output-invariant by A-priori
+    // monotonicity — pairSup here counts all ≥2-item baskets, a
+    // superset of any triple's baskets, so it upper-bounds triple
+    // support (the sf0.01 fan measurement lives at [[qItemsets3]]).
+    val l2 = pairSup.filter(col("s_ant") >= itemsetMinSupport)
+      .select(col("ant_a").as("pa"), col("ant_b").as("pb"))
+    val pe = bpairs.join(l2, Seq("pa", "pb"), "left_semi")
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_list(struct(col("pa"), col("pb"))))
+        .as("pe"))
+      .filter(size(col("pe")) >= 3)
+    val tri = pe.select(explode(flatten(
+        transform(col("pe"), (p, i) =>
+          transform(
+            filter(slice(col("pe"), i + 2, size(col("pe"))),
+              q => q.getField("pa") === p.getField("pa")
+                && array_contains(col("pe"),
+                  struct(p.getField("pb").as("pa"),
+                    q.getField("pb").as("pb")))),
+            q => struct(p.getField("pa").as("part_a"),
+              p.getField("pb").as("part_b"),
+              q.getField("pb").as("part_c")))))).as("t"))
       .select(col("t.part_a").as("part_a"),
         col("t.part_b").as("part_b"), col("t.part_c").as("part_c"))
       .groupBy(col("part_a"), col("part_b"), col("part_c"))

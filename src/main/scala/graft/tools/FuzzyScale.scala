@@ -72,6 +72,23 @@ object FuzzyScale {
     del.substring(0, pi) + li + del.substring(pi)
   }
 
+  /** One deletion, one insertion, one substitution — net lev ≤ 3
+    * with alignment shifts crossing all three edits; only the
+    * segment blocking ([[Dedup.fuzzyLinkSegments]]) covers it. */
+  private[tools] def corruptLev3(id: Long): String = {
+    val h = md5hex(s"fzlev3|$id")
+    def hex4(start: Int): Int = Integer.parseInt(h.substring(start, start + 4), 16)
+    val s = nameOf(id)
+    val pd = hex4(0) % s.length
+    val del = s.substring(0, pd) + s.substring(pd + 1)
+    val pi = hex4(4) % (del.length + 1)
+    val li = ('a' + hex4(8) % 26).toChar
+    val ins = del.substring(0, pi) + li + del.substring(pi)
+    val cs = ins.toCharArray
+    cs(hex4(12) % cs.length) = ('a' + hex4(16) % 26).toChar
+    new String(cs)
+  }
+
   def main(args: Array[String]): Unit = {
     val nRows = if (args.nonEmpty) args(0).toInt else 200000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -130,6 +147,31 @@ object FuzzyScale {
       f"all-pairs) wall=$wallI%.1f s")
     assert(selfI == nProbes,
       s"indel planted recall broken: $selfI != $nProbes")
+
+    // ---- lev<=3 pass: one deletion + one insertion + one
+    // substitution, re-linked through the PassJoin segment blocking
+    // (Dedup.fuzzyLinkSegments, tau=3) — the class where D3
+    // symmetric-delete would fan ~987 variants/row while segments
+    // stay at 4 clean + ~100 probe keys
+    val t2 = System.nanoTime()
+    val probes3 = spark.range(0, nRows, 2)
+      .mapPartitions(_.map(id => (id, corruptLev3(id))))
+      .toDF("probe_id", "probe_name")
+    val linked3 = Dedup.fuzzyLinkSegments(probes3, clean, tau = 3).cache()
+    val matches3 = linked3.count()
+    val self3 = linked3.filter(col("probe_id") === col("match_id")).count()
+    val wall3 = (System.nanoTime() - t2) / 1e9
+    val pk3 = probes3.select(col("probe_id"),
+      explode(Dedup.segmentProbeKeys(col("probe_name"), 3)).as("sk"))
+    val ck3 = clean.select(col("match_id"),
+      explode(Dedup.segmentKeys(col("clean_name"), 3)).as("sk"))
+    val fan3 = pk3.join(ck3, "sk").count()
+    println(f"lev3 rows=$nRows probes=$nProbes matches=$matches3 " +
+      f"planted_recall=$self3/$nProbes candFan=$fan3 " +
+      f"(${fan3 / nProbes}%d/probe, ${100.0 * fan3 / quad}%.4f%% of " +
+      f"all-pairs) wall=$wall3%.1f s")
+    assert(self3 == nProbes,
+      s"lev3 planted recall broken: $self3 != $nProbes")
     spark.stop()
   }
 }
