@@ -84,6 +84,21 @@ object SparkEntry {
     "q_benford" -> Relational.qBenford _,
     // per-group (order-year) Benford chi^2 screen, ranked worst-first
     "q_benford_by" -> Relational.qBenfordBy _,
+    // skew-proof salted join: oracle is the PLAIN join — salting must
+    // be row-invisible (r16)
+    "q_salted_join" -> Relational.qSaltedJoin _,
+    // Morton-interleave clustering key + 2-D box probe; oracle
+    // recomputes the 16-bit interleave in BIGINT (r16)
+    "q_zorder" -> Relational.qZorder _,
+    // exact weighted median per group over the collapsed value domain
+    "q_weighted_median" -> Relational.qWeightedMedian _,
+    // per-doc character-entropy gibberish screen (FixLog2, one ladder
+    // per frame — never chained)
+    "q_char_entropy" -> TextOps.qCharEntropy _,
+    // PMI bigram collocation mining (integer log2 over the bigram vocab)
+    "q_collocations" -> TextOps.qCollocations _,
+    // Flesch reading-ease in exact milli-units (regexp_count only)
+    "q_readability" -> TextOps.qReadability _,
     // 2-D Pareto frontier via a sharded distributed prefix scan;
     // oracle is the independent NOT EXISTS domination formulation
     "q_skyline" -> Relational.qSkyline _,
@@ -2284,6 +2299,114 @@ object SparkEntry {
         |FROM fin GROUP BY yr
         |ORDER BY chi2_centi DESC, yr""".stripMargin
     },
+    // The salted join's arbiter is the UNSALTED join: any row lost or
+    // duplicated by the salt breaks the hash.
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zorder" -> {
+      val terms = (0 until 16).map(i =>
+        s"(((an >> $i) & 1) << ${2 * i}) | " +
+          s"(((bn >> $i) & 1) << ${2 * i + 1})").mkString(" | ")
+      s"""WITH b AS (SELECT CAST(min(l_partkey) AS BIGINT) AS plo,
+        |             CAST(max(l_partkey) AS BIGINT) AS phi,
+        |             CAST(min(l_suppkey) AS BIGINT) AS slo,
+        |             CAST(max(l_suppkey) AS BIGINT) AS shi
+        |           FROM lineitem),
+        |f AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |        plo, phi, slo, shi
+        |      FROM lineitem, b
+        |      WHERE l_partkey <= plo + (phi - plo) // 4
+        |        AND l_suppkey <= slo + (shi - slo) // 4),
+        |n AS (SELECT l_orderkey, l_linenumber,
+        |        CASE WHEN phi = plo THEN 0 ELSE least(65535, greatest(0,
+        |          ((l_partkey - plo) * 65535) // (phi - plo))) END AS an,
+        |        CASE WHEN shi = slo THEN 0 ELSE least(65535, greatest(0,
+        |          ((l_suppkey - slo) * 65535) // (shi - slo))) END AS bn
+        |      FROM f)
+        |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z
+        |FROM n ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+    "q_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |               AS vw
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |        sum(vw) OVER (PARTITION BY l_returnflag ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(vw) OVER (PARTITION BY l_returnflag) AS tot
+        |      FROM g)
+        |SELECT l_returnflag, min(v) AS median_cents,
+        |  CAST(min(tot) AS BIGINT) AS total_w
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Two FixLog2 ladders on DIFFERENT frames (per-(doc,char) counts,
+    // then per-doc totals) joined by doc_id — the engine mirrors this
+    // shape exactly (one ladder per frame, never chained).
+    "q_char_entropy" -> {
+      val (lc, lcz) = graft.functions.FixLog2.ctesSql("lc", "cnt", "c", "1")
+      val (ln, lnz) = graft.functions.FixLog2
+        .ctesSql("ln", "s", "n_chars_seen", "1")
+      s"""WITH ix AS (SELECT doc_id, text,
+        |        unnest(generate_series(1, CAST(length(text) AS INTEGER)))
+        |          AS i
+        |      FROM documents),
+        |ch AS (SELECT doc_id, substr(text, i, 1) AS ch FROM ix),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |$lc,
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_seen,
+        |        CAST(sum(c * lc_out) AS BIGINT) AS s_clc
+        |      FROM $lcz GROUP BY 1),
+        |$ln
+        |SELECT doc_id, n_chars_seen,
+        |  (n_chars_seen * ln_out - s_clc) // n_chars_seen AS ent_q16,
+        |  ((n_chars_seen * ln_out - s_clc) // n_chars_seen) < 196608
+        |    AS low_entropy
+        |FROM $lnz ORDER BY doc_id""".stripMargin
+    },
+    "q_collocations" -> {
+      val (pm, pmz) = graft.functions.FixLog2
+        .ctesSql("pm", "pos", "c_xy * n_bi", "c_x * c_y")
+      s"""WITH t AS (SELECT $duckTokens AS tk FROM documents),
+        |uni AS (SELECT w, count(*) AS cu FROM
+        |          (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+        |px AS (SELECT tk,
+        |        unnest(generate_series(1, CAST(len(tk) - 1 AS INTEGER)))
+        |          AS i
+        |       FROM t WHERE len(tk) >= 2),
+        |p AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM px),
+        |bi AS (SELECT w1, w2, count(*) AS c_xy FROM p GROUP BY 1, 2
+        |       HAVING count(*) >= 3),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM p),
+        |base AS (SELECT b.w1, b.w2, b.c_xy, ux.cu AS c_x, uy.cu AS c_y,
+        |           nb.n_bi
+        |         FROM bi b
+        |         JOIN uni ux ON b.w1 = ux.w
+        |         JOIN uni uy ON b.w2 = uy.w
+        |         CROSS JOIN nb),
+        |pos AS (SELECT * FROM base WHERE c_xy * n_bi > c_x * c_y),
+        |$pm
+        |SELECT w1, w2, c_xy, pm_out AS pmi_q16 FROM $pmz
+        |ORDER BY pmi_q16 DESC, w1, w2 LIMIT 100""".stripMargin
+    },
+    "q_readability" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+        |    AS words,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |    AS sents,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS syll
+        |FROM documents)
+        |SELECT doc_id, lang, words, sents, syll,
+        |  206835 - (1015 * words) // sents - (84600 * syll) // words
+        |    AS flesch_milli
+        |FROM b WHERE words >= 1 ORDER BY doc_id""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

@@ -2358,4 +2358,103 @@ object Relational {
         sum(col("psum")).cast("double").as("revenue"))
       .orderBy(col("month"), col("o_orderpriority"))
   }
+
+  /** Skew-proof salted fact⋈dim join, registered end-to-end — the
+    * query face of [[Scale.saltedJoin]] (until now spec-only): the
+    * big side takes a uniform salt in [0, 8), the small side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt), so one hot orderkey spreads over 8 reducers
+    * instead of stalling a single task. Row-level output is
+    * IDENTICAL to the unsalted join by construction (the salt only
+    * moves shuffle placement, never matches), which is exactly what
+    * the oracle arbitrates: the DuckDB side is the PLAIN join — any
+    * lost or duplicated row under salting breaks the hash.
+    *
+    * Scale shape: when AQE's skew splitting can't see the skew (a
+    * single hot key inside one partition of a non-AQE stage, or a
+    * downstream agg pinned to the join partitioning), this is the
+    * manual fallback; the 8× small-side replication is the entire
+    * overhead. Quantities ride as exact integers (round→long). */
+  def qSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("okey"),
+        round(col("l_quantity")).cast("long").as("qty"))
+    val ord = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    Scale.saltedJoin(li, ord, "okey", buckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Z-order (Morton) clustering key + 2-D box probe — the query
+    * face of [[Scale.zorderValue]]/[[Scale.writeZordered]]: each
+    * dimension is affinely mapped onto [0, 2¹⁶) from its table-stat
+    * bounds (stand-in here: a 1-row min/max agg, the one bounded
+    * driver collect) and bit-interleaved; sorting files by `z`
+    * gives row-group min/max stats tight in BOTH dimensions, so a
+    * box predicate prunes ~sel₁·sel₂ of the table instead of the
+    * single-column sort's ~sel₁ ([[graft.tools.ZorderScale]]
+    * measures the gap). The registered query emits the z-value for
+    * every row in the lower-left quarter box — the probe whose scan
+    * the layout accelerates — and the oracle recomputes the full
+    * interleave in BIGINT.
+    *
+    * Exactness envelope: the normalizer computes (c−lo)·65535 in
+    * LONG then divides through DOUBLE; the product stays < 2⁵³ and
+    * 1/(hi−lo) dwarfs the quotient's half-ulp while hi−lo < ~2³⁰,
+    * so truncation lands on the oracle's integer `//` everywhere in
+    * (and far beyond) the fixture key ranges — a 100 TB writer with
+    * wider domains prescales, exactly like the table-stats bounds
+    * it would already read. */
+  def qZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val r = li.agg(
+      min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+      min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long"))
+      .head()
+    val (pLo, pHi, sLo, sHi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    li.filter(col("l_partkey") <= lit(pLo + (pHi - pLo) / 4) &&
+        col("l_suppkey") <= lit(sLo + (sHi - sLo) / 4))
+      .withColumn("z", Scale.zorderValue(col("l_partkey"), col("l_suppkey"),
+        pLo, pHi, sLo, sHi))
+      .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Exact weighted median per group — the order statistic the
+    * mean-based outlier family ([[qOutliers]]) can't give: per
+    * return flag, the smallest price (cents) whose cumulative
+    * quantity weight reaches half the group total. Ties collapse
+    * FIRST (groupBy (flag, price) with map-side combine), so the
+    * cumulative window runs over the distinct-value domain — a
+    * rows-frame over collapsed values equals the range-frame over
+    * raw rows, without per-row tie-order sensitivity — and the
+    * group total rides the same single flag-keyed Exchange as a
+    * whole-partition frame.
+    *
+    * Scale shape: one map-combined agg shrinks the corpus to
+    * |flags × distinct prices|, then one window Exchange over that
+    * reduced frame; nothing after the first agg carries row volume.
+    * All arithmetic is BIGINT (cents / integral quantities). */
+  def qWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"),
+        round(col("l_quantity")).cast("long").as("w"))
+    val g = li.groupBy(col("l_returnflag"), col("v"))
+      .agg(sum(col("w")).as("vw"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    g.withColumn("cum", sum(col("vw")).over(wCum))
+      .withColumn("tot", sum(col("vw")).over(wTot))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("v")).as("median_cents"), min(col("tot")).as("total_w"))
+      .orderBy(col("l_returnflag"))
+  }
 }

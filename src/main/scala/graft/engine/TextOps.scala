@@ -1989,4 +1989,124 @@ object TextOps {
         (col("lang_true") === col("pred")).as("correct"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-document character-entropy screen — the gibberish / broken-
+    * encoding / repetition detector next to the token-level quality
+    * family ([[qQualityFilter]] thresholds, [[qRepetitionStats]]
+    * n-gram repetition): natural prose sits near 4 bits of character
+    * entropy, base64 blobs higher, stuck-key and template spam far
+    * lower, so a low-entropy flag catches junk the word-level
+    * filters miss. Exact fixed point throughout: n·H = n·L(n,1) −
+    * Σ c·L(c,1) in 2⁻¹⁶-bit units off the [[graft.functions
+    * .FixLog2]] ladder — one ladder per frame, never chained (the
+    * q_benford planning lesson), joined by doc_id. Exact while
+    * n·L(n,1) < 2⁶³, i.e. document length < ~2⁴¹ chars.
+    *
+    * Scale shape: the char explode is the corpus-char-sized shuffle
+    * every substring/windowing op in this family already pays
+    * ([[qSubstringDedup]]); both ladders then run on collapsed
+    * frames (per-doc distinct chars ≤ alphabet; per-doc totals). */
+  def qCharEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val counts = d
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val withLc = graft.functions.FixLog2
+      .withFixLog2(counts, col("c"), lit(1L), "l_c")
+    val sums = withLc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars_seen"),
+        sum(col("c") * col("l_c")).as("s_clc"))
+    graft.functions.FixLog2
+      .withFixLog2(sums, col("n_chars_seen"), lit(1L), "l_n")
+      .withColumn("ent_q16",
+        expr("(n_chars_seen * l_n - s_clc) div n_chars_seen"))
+      .select(col("doc_id"), col("n_chars_seen"), col("ent_q16"),
+        (col("ent_q16") < lit(3L * 65536L)).as("low_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PMI collocation mining — the corpus-phrase detector ("new york",
+    * "machine learning") behind phrase-aware tokenizers and stop-
+    * phrase lists: pointwise mutual information of adjacent token
+    * pairs, PMI = log2(N·c_xy / (c_x·c_y)), computed EXACTLY as one
+    * [[graft.functions.FixLog2]] ladder over the bigram vocabulary
+    * (the [[qMutualInfo]] integer-log discipline at pair rather
+    * than cell granularity). Support floor c_xy ≥ 3 kills the
+    * hapax-pair noise PMI famously amplifies; ties are impossible
+    * in the emitted top-100 because the ORDER BY closes over the
+    * pair key. Long products bound the op at N < 2³¹ tokens — past
+    * that the raise_error guard fires loudly (the [[qMutualInfo]]
+    * convention) rather than wrapping where the oracle errors.
+    *
+    * Scale shape: one token explode + two vocab-sized aggs (bigram
+    * and unigram counts, both map-side combined), two vocab⋈vocab
+    * equi-joins for the marginals, broadcast 1-row N; the ladder
+    * runs on the support-filtered bigram vocab only. The positivity
+    * cut runs BELOW the ladder as its exact integer equivalent
+    * (PMI > 0 ⟺ c_xy·N > c_x·c_y): a filter referencing the ladder
+    * output would be alias-substituted through all ~50 Projects by
+    * PushPredicateThroughNonJoin, expanding ~3¹⁶ — the q_benford
+    * planning-blowup class in predicate-pushdown clothing (r16,
+    * jstack-confirmed); the ladder tolerates no expression above it
+    * that the optimizer may rewrite THROUGH it. */
+  def qCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir, "documents")
+      .select(tokens(col("text")).as("tk"))
+    val uni = t.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val pairs = t.filter(size(col("tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 3)
+    val nBi = pairs.agg(count(lit(1)).as("n_bi"))
+    val base = bi
+      .join(uni.select(col("w").as("w1"), col("cu").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(nBi))
+      .withColumn("n_bi", when(col("n_bi") < (1L << 31), col("n_bi"))
+        .otherwise(raise_error(lit(
+          "q_collocations: N >= 2^31 tokens — prescale before the PMI products"))))
+      .filter(col("c_xy") * col("n_bi") > col("c_x") * col("c_y"))
+    graft.functions.FixLog2
+      .withFixLog2(base, col("c_xy") * col("n_bi"),
+        col("c_x") * col("c_y"), "pmi_q16")
+      .select(col("w1"), col("w2"), col("c_xy"), col("pmi_q16"))
+      .orderBy(col("pmi_q16").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  /** Flesch reading-ease screen in exact milli-units — the
+    * readability member of the quality family: complexity prose
+    * metrics gate grade-level mixes the way [[qQualityFilter]]
+    * gates junk. Words = maximal [a-z]+ runs, sentences = maximal
+    * [.!?]+ runs (floored at 1), syllables ≈ maximal vowel-group
+    * runs — the classical hyphenation-free approximation; every
+    * count is a codegen'd regexp_count over constructs with
+    * identical Java/RE2 semantics, and the score
+    * 206835 − (1015·W) div S − (84600·Y) div W stays in BIGINT, so
+    * the whole screen is hash-exact with zero floating point.
+    *
+    * Scale shape: pure narrow projection — no shuffle at all; the
+    * scan prunes to (doc_id, lang, text). */
+  def qReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        regexp_count(lower(col("text")), lit("[a-z]+"))
+          .cast("long").as("words"),
+        greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+"))
+          .cast("long")).as("sents"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("long").as("syll"))
+      .filter(col("words") >= 1)
+      .withColumn("flesch_milli",
+        expr("206835 - (1015 * words) div sents - (84600 * syll) div words"))
+      .orderBy(col("doc_id"))
+  }
 }

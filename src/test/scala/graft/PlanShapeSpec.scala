@@ -688,8 +688,15 @@ class PlanShapeSpec extends SparkSpec {
     // optimized tree must stay ladder-sized — so a future Spark
     // upgrade or a new chained-ladder call site goes red here, not in
     // an eternal Verify stall.
+    // q_collocations / q_char_entropy joined the list in r16 —
+    // q_collocations was the second member of the class found live: a
+    // filter on the ladder OUTPUT is alias-substituted through all ~50
+    // Projects by PushPredicateThroughNonJoin (~3^16 expansion; OOM at
+    // sf0.001); the cut now runs below the ladder as its exact integer
+    // equivalent (PMI > 0 <=> c_xy*N > c_x*c_y).
     val ladderQueries = Seq("q_entropy_mix", "q_mutual_info",
-      "q_nb_classify", "q_idf_cosine_pairs", "q_benford", "q_benford_by")
+      "q_nb_classify", "q_idf_cosine_pairs", "q_benford", "q_benford_by",
+      "q_collocations", "q_char_entropy")
     for (name <- ladderQueries) {
       val df = SparkEntry.queries(name)(spark, sf0001)
       val t0 = System.nanoTime()

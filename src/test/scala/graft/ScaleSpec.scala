@@ -834,4 +834,38 @@ class ScaleSpec extends SparkSpec {
     // every other hour matches its seasonal baseline exactly
     assert(out.count(_._6) == 2)
   }
+
+  test("weighted median query: equals a driver recompute; salted join keeps the salt in the plan") {
+    // q_weighted_median vs an independent driver-side weighted median
+    // over the raw rows (lower weighted median: smallest v whose
+    // cumulative weight reaches half the total, ties pre-collapsed).
+    val raw = Tables(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_quantity")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = raw.groupBy(_._1).map { case (f, rows) =>
+      val byV = rows.groupBy(_._2).map { case (v, g) =>
+        (v, g.map(_._3).sum) }.toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      var cum = 0L
+      val med = byV.collectFirst {
+        case (v, w) if { cum += w; cum * 2 >= tot } => v }.get
+      f -> ((med, tot))
+    }
+    val got = engine.Relational.qWeightedMedian(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, s"weighted median mismatch: $got vs $expect")
+
+    // q_salted_join: the salt must actually reach the join — the
+    // oracle (plain join) can't see a silently-simplified salt, only
+    // the plan can. Both the big-side salt column and the small-side
+    // explode have to survive optimization.
+    val plan = engine.Relational.qSaltedJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt optimized away:\n$plan")
+    assert(plan.toLowerCase.contains("explode"),
+      s"small-side salt replication missing:\n$plan")
+  }
 }

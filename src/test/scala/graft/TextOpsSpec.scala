@@ -874,4 +874,63 @@ class TextOpsSpec extends SparkSpec {
     val acc = out.count(_._5).toDouble / out.length
     assert(acc > 0.15 && acc < 0.7, s"accuracy $acc")
   }
+
+  test("char entropy: equals a FixLog2.ref driver recompute per document") {
+    import graft.functions.FixLog2
+    val docs = engine.Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.filter(_._2.nonEmpty).map { case (id, text) =>
+      val counts = text.groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val sClc = counts.map(c => c * FixLog2.ref(c, 1L)).sum
+      id -> ((n * FixLog2.ref(n, 1L) - sClc) / n)
+    }.toMap
+    val got = TextOps.qCharEntropy(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect, "char entropy mismatch")
+    // prose should sit comfortably above the 3-bit screen
+    val flags = TextOps.qCharEntropy(spark, sf0001).collect()
+      .map(r => r.getBoolean(3))
+    assert(flags.forall(!_), "natural prose flagged low-entropy")
+  }
+
+  test("collocations: PMI equals a FixLog2.ref recompute over driver-counted bigrams") {
+    import graft.functions.FixLog2
+    val texts = engine.Tables(spark, sf0001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val tok = texts.map(_.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toSeq)
+    val uni = tok.flatten.groupBy(identity).map { case (w, g) =>
+      w -> g.length.toLong }
+    val pairs = tok.filter(_.length >= 2)
+      .flatMap(t => t.zip(t.tail))
+    val nBi = pairs.length.toLong
+    val bi = pairs.groupBy(identity).map { case (p, g) =>
+      p -> g.length.toLong }.filter(_._2 >= 3)
+    val expect = bi.collect {
+      case ((w1, w2), cxy) if cxy * nBi > uni(w1) * uni(w2) =>
+        (w1, w2) -> FixLog2.ref(cxy * nBi, uni(w1) * uni(w2))
+    }.toSeq.sortBy { case ((w1, w2), pmi) => (-pmi, w1, w2) }.take(100)
+    val got = TextOps.qCollocations(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toSeq
+    assert(got == expect, s"PMI mismatch: got ${got.take(3)}… vs ${expect.take(3)}…")
+  }
+
+  test("readability: equals a driver regex recompute in exact milli-units") {
+    val docs = engine.Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      val words = "[a-z]+".r.findAllIn(text.toLowerCase).length.toLong
+      val sents = math.max(1L, "[.!?]+".r.findAllIn(text).length.toLong)
+      val syll = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      if (words >= 1)
+        Some(id -> (206835L - 1015L * words / sents - 84600L * syll / words))
+      else None
+    }.toMap
+    val got = TextOps.qReadability(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(got == expect, "flesch_milli mismatch")
+  }
 }
