@@ -53,6 +53,9 @@ object Bench {
     "q_bpe_tokens",       // pinned-merge-table BPE walk (r13)
     "q_unigram_score",    // vocabulary join + per-doc agg (r6)
     "q_bigram_lm",        // self-trained bigram LM scoring (r15)
+    "q_bigram_ppl",       // held-out exact-log perplexity filter (r16)
+    "q_collocations",     // PMI bigram mining, integer log2 (r16)
+    "q_char_entropy",     // per-doc char-entropy screen (r16)
     "q_range_join",       // non-equi join via bucketed equi-join
     "q_merge_upsert",     // CDC MERGE decomposition (r13)
     "q_interval_sweep",   // sweep-line concurrency, sharded prefix scan (r14)
@@ -65,6 +68,9 @@ object Bench {
     "q_snapshot_diff",    // anti-entropy full-outer diff (r15)
     "q_hist_quantile",    // mergeable histogram MV + rank walk (r15)
     "q_table_checksum",   // order-independent replication checksums (r15)
+    "q_weighted_median",  // exact weighted order statistic (r16)
+    "q_salted_join",      // skew-spread join, oracle-identical rows (r16)
+    "q_zorder",           // Morton clustering key + 2-D box probe (r16)
     "q_bm25",             // BM25 postings retrieval (r15)
     "q_chi2_divergence",  // source-mix drift QA (r15)
     "q_benford_by",       // per-group forensic Benford screen (r16)

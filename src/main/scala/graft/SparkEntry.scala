@@ -99,6 +99,9 @@ object SparkEntry {
     "q_collocations" -> TextOps.qCollocations _,
     // Flesch reading-ease in exact milli-units (regexp_count only)
     "q_readability" -> TextOps.qReadability _,
+    // held-out bigram cross-entropy (CCNet-style perplexity filter);
+    // exact code lengths off one FixLog2 ladder per MODEL frame
+    "q_bigram_ppl" -> TextOps.qBigramPpl _,
     // 2-D Pareto frontier via a sharded distributed prefix scan;
     // oracle is the independent NOT EXISTS domination formulation
     "q_skyline" -> Relational.qSkyline _,
@@ -2392,6 +2395,57 @@ object SparkEntry {
         |$pm
         |SELECT w1, w2, c_xy, pm_out AS pmi_q16 FROM $pmz
         |ORDER BY pmi_q16 DESC, w1, w2 LIMIT 100""".stripMargin
+    },
+    // Three independent ladder CTE sets (pair / context / default
+    // model frames); the held-out bigram stream joins the finished
+    // tables — the engine mirrors this one-ladder-per-frame shape.
+    "q_bigram_ppl" -> {
+      def hex4(v: String): String =
+        (0 until 4).map(k =>
+          s"(strpos('0123456789abcdef', substring($v, ${1 + k}, 1)) - 1)" +
+            s" * ${math.pow(16, 3 - k).toInt}")
+          .mkString("(", " + ", ")")
+      val bucket = hex4("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+      val (pc, pcz) = graft.functions.FixLog2
+        .ctesSql("pc", "pj", "c1 + v", "c2 + 1")
+      val (cc, ccz) = graft.functions.FixLog2
+        .ctesSql("cc", "c1v", "c1 + v", "1")
+      val (dc, dcz) = graft.functions.FixLog2
+        .ctesSql("dc", "vv", "v", "1")
+      s"""WITH t AS (SELECT doc_id,
+        |        $duckTokens AS tk,
+        |        $bucket AS bkt
+        |      FROM (SELECT doc_id, coalesce(text, '') AS text
+        |            FROM documents)),
+        |btr AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM
+        |          (SELECT tk, unnest(generate_series(1,
+        |             CAST(len(tk) - 1 AS INTEGER))) AS i
+        |           FROM t WHERE bkt < 80 AND len(tk) >= 2)),
+        |c2t AS (SELECT w1, w2, count(*) AS c2 FROM btr GROUP BY 1, 2),
+        |c1t AS (SELECT w1, count(*) AS c1 FROM btr GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM
+        |         (SELECT unnest(tk) AS tok FROM t WHERE bkt < 80)),
+        |pj AS (SELECT c2t.w1, c2t.w2, c2t.c2, c1t.c1, vv.v
+        |       FROM c2t JOIN c1t USING (w1) CROSS JOIN vv),
+        |$pc,
+        |c1v AS (SELECT c1t.w1, c1t.c1, vv.v FROM c1t CROSS JOIN vv),
+        |$cc,
+        |$dc,
+        |bhe AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM
+        |          (SELECT doc_id, tk, unnest(generate_series(1,
+        |             CAST(len(tk) - 1 AS INTEGER))) AS i
+        |           FROM t WHERE bkt >= 80 AND len(tk) >= 2)),
+        |j AS (SELECT b.doc_id,
+        |        COALESCE(p.pc_out, c.cc_out, d.dc_out) AS cost
+        |      FROM bhe b
+        |      LEFT JOIN $pcz p ON b.w1 = p.w1 AND b.w2 = p.w2
+        |      LEFT JOIN $ccz c ON b.w1 = c.w1
+        |      CROSS JOIN $dcz d)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+        |  CAST(sum(cost) AS BIGINT) AS nll_q16,
+        |  CAST(sum(cost) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS xent_q16
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q_readability" ->
       """WITH b AS (SELECT doc_id, lang,

@@ -2082,6 +2082,68 @@ object TextOps {
       .limit(100)
   }
 
+  /** Held-out bigram cross-entropy — the CCNet-style perplexity
+    * filter, and the exact-log upgrade [[qBigramLm]]'s scaladoc
+    * deferred (its probability-SUM score predates [[graft.functions
+    * .FixLog2]]): train an add-1 bigram LM on the md5-80% split
+    * ([[Tables.md5Bucket]], the one deterministic split convention),
+    * then charge every held-out bigram its exact code length
+    * −log2 p = L(c1+V, c2+1) in 2⁻¹⁶-bit units, with the standard
+    * add-1 backoff chain for unseen events (pair unseen → 1/(c1+V);
+    * context unseen → 1/V). Per-doc bits-per-bigram is THE
+    * pretraining quality signal: wiki-like prose scores low,
+    * boilerplate/gibberish high.
+    *
+    * Ladder discipline (the q_benford / q_collocations lessons): one
+    * ladder per MODEL frame — pair costs on the trained-bigram
+    * vocab, context costs on the context vocab, the default cost on
+    * the 1-row V frame — and the corpus-sized held-out bigram stream
+    * only ever JOINS those finished tables on plain attributes;
+    * nothing above a ladder gets rewritten through it. Scale shape:
+    * one train-side explode + two vocab aggs, one held-out explode,
+    * two vocab equi-joins + a broadcast 1-row default, one per-doc
+    * agg; costs ≤ 63·2¹⁶ so per-doc sums stay in BIGINT to ~2⁴⁰
+    * bigrams per document. */
+  def qBigramPpl(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("tk"))
+    val isTrain = Tables.md5Bucket(col("doc_id")) < 80
+    def bigrams(t: DataFrame): DataFrame = t
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (x, i) -> " +
+          "named_struct('w1', x, 'w2', element_at(tk, CAST(i + 2 AS INT))))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val train = d.filter(isTrain)
+    val biTr = bigrams(train)
+    val c2 = biTr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = biTr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = train.select(explode(col("tk")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("long").as("v"))
+    val pairModel = graft.functions.FixLog2.withFixLog2(
+        c2.join(c1, Seq("w1")).crossJoin(broadcast(v)),
+        col("c1") + col("v"), col("c2") + lit(1L), "pair_cost")
+      .select(col("w1"), col("w2"), col("pair_cost"))
+    val ctxModel = graft.functions.FixLog2.withFixLog2(
+        c1.crossJoin(broadcast(v)),
+        col("c1") + col("v"), lit(1L), "ctx_cost")
+      .select(col("w1"), col("ctx_cost"))
+    val defModel = graft.functions.FixLog2
+      .withFixLog2(v, col("v"), lit(1L), "def_cost")
+      .select(col("def_cost"))
+    bigrams(d.filter(!isTrain))
+      .join(pairModel, Seq("w1", "w2"), "left")
+      .join(ctxModel, Seq("w1"), "left")
+      .crossJoin(broadcast(defModel))
+      .withColumn("cost",
+        coalesce(col("pair_cost"), col("ctx_cost"), col("def_cost")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"), sum(col("cost")).as("nll_q16"))
+      .withColumn("xent_q16", expr("nll_q16 div n_bi"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Flesch reading-ease screen in exact milli-units — the
     * readability member of the quality family: complexity prose
     * metrics gate grade-level mixes the way [[qQualityFilter]]

