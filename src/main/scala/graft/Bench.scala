@@ -69,6 +69,7 @@ object Bench {
     "q_hist_quantile",    // mergeable histogram MV + rank walk (r15)
     "q_table_checksum",   // order-independent replication checksums (r15)
     "q_weighted_median",  // exact weighted order statistic (r16)
+    "q_cusum",            // sequential change-point screen (r16)
     "q_salted_join",      // skew-spread join, oracle-identical rows (r16)
     "q_zorder",           // Morton clustering key + 2-D box probe (r16)
     "q_bm25",             // BM25 postings retrieval (r15)

@@ -84,6 +84,9 @@ object SparkEntry {
     "q_benford" -> Relational.qBenford _,
     // per-group (order-year) Benford chi^2 screen, ranked worst-first
     "q_benford_by" -> Relational.qBenfordBy _,
+    // CUSUM change-point screen: the prefix-sum/running-min closed
+    // form of the max(0, s+d) recursion, integer-scaled (r16)
+    "q_cusum" -> Relational.qCusum _,
     // skew-proof salted join: oracle is the PLAIN join — salting must
     // be row-invisible (r16)
     "q_salted_join" -> Relational.qSaltedJoin _,
@@ -2302,6 +2305,37 @@ object SparkEntry {
         |FROM fin GROUP BY yr
         |ORDER BY chi2_centi DESC, yr""".stripMargin
     },
+    "q_cusum" ->
+      """WITH ev AS (SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+        |       FROM events),
+        |rng AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |spine AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+        |          FROM ty, rng),
+        |cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+        |        FROM ev GROUP BY 1, 2),
+        |ser AS (SELECT s.event_type, s.h, COALESCE(cnt.c, 0) AS c
+        |        FROM spine s LEFT JOIN cnt
+        |          ON cnt.event_type = s.event_type AND cnt.h = s.h),
+        |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS t,
+        |          CAST(count(*) AS BIGINT) AS nh
+        |        FROM ser GROUP BY 1),
+        |pp AS (SELECT ser.event_type, ser.h, ser.c, tot.t,
+        |         CAST(SUM(ser.c * tot.nh - tot.t) OVER
+        |           (PARTITION BY ser.event_type ORDER BY ser.h
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS p
+        |       FROM ser JOIN tot USING (event_type)),
+        |ss AS (SELECT event_type, h, c, t,
+        |         p - least(CAST(0 AS BIGINT), CAST(MIN(p) OVER
+        |           (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT)) AS cusum_scaled
+        |       FROM pp)
+        |SELECT event_type, h, c, cusum_scaled,
+        |  (cusum_scaled > 3 * t) AS alarm
+        |FROM ss ORDER BY event_type, h""".stripMargin,
     // The salted join's arbiter is the UNSALTED join: any row lost or
     // duplicated by the salt breaks the hash.
     "q_salted_join" ->

@@ -2359,6 +2359,60 @@ object Relational {
       .orderBy(col("month"), col("o_orderpriority"))
   }
 
+  /** CUSUM change-point screen — the sequential drift detector next
+    * to the per-hour [[qAnomalySeries]] MAD screen: a level SHIFT
+    * that never trips the per-point 3σ bar (say +20% volume
+    * sustained for days) accumulates in the one-sided CUSUM
+    * s_i = max(0, s_{i-1} + (x_i − k)) and alarms. The recursion is
+    * not a SQL window, but its closed form is:
+    * s_i = p_i − min(0, min_{j≤i} p_j) with p the running sum of
+    * deviations — so two stacked same-key ordered windows (running
+    * sum, then running min) compute it exactly. Everything stays
+    * INTEGER by scaling: deviations d = N·c − T (N spine hours, T
+    * total events per type) sum to zero by construction, making k
+    * the exact mean rate with no division anywhere; the alarm bar
+    * 3·T in scaled units = three average-hours of cumulative excess.
+    * Exact while T·N < 2⁶³ (10¹² events over 10⁵ hours clears it).
+    *
+    * Scale shape: the [[qAnomalySeries]] spine discipline (zero-
+    * filled hour domain — a missing hour is a deviation, not a
+    * missing row); one (type, hour) map-combined agg, a broadcast
+    * |types|-row totals join, ONE type-keyed window Exchange for
+    * both window passes; nothing after the agg carries event
+    * volume. */
+  def qCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+    cusumSeries(ev).orderBy(col("event_type"), col("h"))
+  }
+
+  /** The detector core over an (event_type, h: long) frame, factored
+    * so the spec can plant level shifts (the [[anomalySeries]]
+    * convention). */
+  private[graft] def cusumSeries(ev: DataFrame): DataFrame = {
+    val rng = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(rng))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val series = spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val tot = series.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("nh"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    series.join(broadcast(tot), Seq("event_type"))
+      .withColumn("p", sum(col("c") * col("nh") - col("t")).over(w))
+      .withColumn("cusum_scaled",
+        col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select(col("event_type"), col("h"), col("c"), col("cusum_scaled"),
+        (col("cusum_scaled") > lit(3L) * col("t")).as("alarm"))
+  }
+
   /** Skew-proof salted fact⋈dim join, registered end-to-end — the
     * query face of [[Scale.saltedJoin]] (until now spec-only): the
     * big side takes a uniform salt in [0, 8), the small side is

@@ -835,6 +835,38 @@ class ScaleSpec extends SparkSpec {
     assert(out.count(_._6) == 2)
   }
 
+  test("cusum: closed form equals the max(0,s+d) recursion; sustained shift alarms, steady series stays silent") {
+    // steady: 200 hours at exactly the mean rate -> cusum pinned at 0.
+    // shifted: 150 hours at 10/h then 50 hours at 13/h (+30% sustained
+    // -- the level-shift class a per-point 3-sigma bar never trips).
+    val rows =
+      (0 until 200).flatMap(h => Seq.fill(10)(("steady", h.toLong))) ++
+      (0 until 200).flatMap(h =>
+        Seq.fill(if (h < 150) 10 else 13)(("shifted", h.toLong)))
+    val ev = rows.toDF("event_type", "h")
+    val out = engine.Relational.cusumSeries(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // driver recompute via the DIRECT recursion s = max(0, s + d) --
+    // the spec arbitrates the closed-form identity itself
+    for (ty <- Seq("steady", "shifted")) {
+      val cs = (0 until 200).map(h => out((ty, h.toLong))._1)
+      val t = cs.sum
+      var s = 0L
+      for (h <- 0 until 200) {
+        s = math.max(0L, s + (cs(h) * 200 - t))
+        assert(out((ty, h.toLong))._2 == s,
+          s"$ty@$h: closed form ${out((ty, h.toLong))._2} != recursion $s")
+      }
+    }
+    assert((0 until 200).forall(h => !out(("steady", h.toLong))._3),
+      "steady series alarmed")
+    assert((0 until 150).forall(h => !out(("shifted", h.toLong))._3),
+      "alarm before the shift")
+    assert((160 until 200).exists(h => out(("shifted", h.toLong))._3),
+      "sustained +30% shift never alarmed")
+  }
+
   test("weighted median query: equals a driver recompute; salted join keeps the salt in the plan") {
     // q_weighted_median vs an independent driver-side weighted median
     // over the raw rows (lower weighted median: smallest v whose
