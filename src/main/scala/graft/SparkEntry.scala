@@ -95,6 +95,8 @@ object SparkEntry {
     "q_zorder" -> Relational.qZorder _,
     // exact weighted median per group over the collapsed value domain
     "q_weighted_median" -> Relational.qWeightedMedian _,
+    // p25/p50/p75 equal-frequency bands in the same one-window pass
+    "q_weighted_quantiles" -> Relational.qWeightedQuantiles _,
     // per-doc character-entropy gibberish screen (FixLog2, one ladder
     // per frame — never chained)
     "q_char_entropy" -> TextOps.qCharEntropy _,
@@ -2381,6 +2383,23 @@ object SparkEntry {
         |  CAST(min(tot) AS BIGINT) AS total_w
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_weighted_quantiles" ->
+      """WITH g AS (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |               AS vw
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |        sum(vw) OVER (PARTITION BY l_returnflag ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(vw) OVER (PARTITION BY l_returnflag) AS tot
+        |      FROM g)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cum * 4 >= tot THEN v END) AS p25_cents,
+        |  min(CASE WHEN cum * 2 >= tot THEN v END) AS p50_cents,
+        |  min(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS p75_cents,
+        |  CAST(min(tot) AS BIGINT) AS total_w
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // Two FixLog2 ladders on DIFFERENT frames (per-(doc,char) counts,
     // then per-doc totals) joined by doc_id — the engine mirrors this
     // shape exactly (one ladder per frame, never chained).

@@ -2494,6 +2494,35 @@ object Relational {
     * |flags × distinct prices|, then one window Exchange over that
     * reduced frame; nothing after the first agg carries row volume.
     * All arithmetic is BIGINT (cents / integral quantities). */
+  /** Weighted quartile bands — [[qWeightedMedian]] generalized to
+    * p25/p50/p75 in the SAME single window pass: the three order
+    * statistics are conditional mins over the one cumulative-weight
+    * column (4·cum ≥ k·tot, k = 1,2,3), so equal-frequency banding
+    * costs exactly what the median alone costs — one map-combined
+    * tie-collapse agg plus one group-keyed window Exchange. The
+    * integer cross-multiplied thresholds keep every comparison in
+    * BIGINT (no fractional ranks anywhere). */
+  def qWeightedQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"),
+        round(col("l_quantity")).cast("long").as("w"))
+    val g = li.groupBy(col("l_returnflag"), col("v"))
+      .agg(sum(col("w")).as("vw"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    g.withColumn("cum", sum(col("vw")).over(wCum))
+      .withColumn("tot", sum(col("vw")).over(wTot))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cum") * 4 >= col("tot"), col("v"))).as("p25_cents"),
+        min(when(col("cum") * 2 >= col("tot"), col("v"))).as("p50_cents"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).as("p75_cents"),
+        min(col("tot")).as("total_w"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def qWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir, "lineitem")
       .select(col("l_returnflag"),

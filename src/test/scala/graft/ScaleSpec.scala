@@ -890,6 +890,16 @@ class ScaleSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == expect, s"weighted median mismatch: $got vs $expect")
 
+    // the quartile-band generalization: monotone bands, and its p50
+    // IS the weighted median (same definition, same pass)
+    val bands = engine.Relational.qWeightedQuantiles(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((f, (p25, p50, p75)) <- bands) {
+      assert(p25 <= p50 && p50 <= p75, s"$f bands not monotone")
+      assert(p50 == expect(f)._1, s"$f p50 != weighted median")
+    }
+
     // q_salted_join: the salt must actually reach the join — the
     // oracle (plain join) can't see a silently-simplified salt, only
     // the plan can. Both the big-side salt column and the small-side
