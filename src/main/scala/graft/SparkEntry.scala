@@ -107,6 +107,9 @@ object SparkEntry {
     // held-out bigram cross-entropy (CCNet-style perplexity filter);
     // exact code lengths off one FixLog2 ladder per MODEL frame
     "q_bigram_ppl" -> TextOps.qBigramPpl _,
+    // hashing-trick vectorizer: 1024 signed md5 buckets, vocabulary-
+    // free and merge-free across shards
+    "q_feature_hash" -> TextOps.qFeatureHash _,
     // 2-D Pareto frontier via a sharded distributed prefix scan;
     // oracle is the independent NOT EXISTS domination formulation
     "q_skyline" -> Relational.qSkyline _,
@@ -2448,6 +2451,23 @@ object SparkEntry {
         |$pm
         |SELECT w1, w2, c_xy, pm_out AS pmi_q16 FROM $pmz
         |ORDER BY pmi_q16 DESC, w1, w2 LIMIT 100""".stripMargin
+    },
+    "q_feature_hash" -> {
+      def hex(v: String, p: Int): String =
+        s"(strpos('0123456789abcdef', substring($v, $p, 1)) - 1)"
+      val h4 = (0 until 4).map(k =>
+        s"${hex("h", 1 + k)} * ${math.pow(16, 3 - k).toInt}")
+        .mkString("(", " + ", ")")
+      s"""WITH t AS (SELECT doc_id, unnest($duckTokens) AS w
+        |           FROM documents),
+        |hh AS (SELECT doc_id, md5('fh|' || w) AS h FROM t),
+        |f AS (SELECT doc_id, $h4 % 1024 AS bucket,
+        |        CASE WHEN ${hex("h", 5)} % 2 = 0 THEN 1 ELSE -1 END AS s
+        |      FROM hh)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(sum(s) AS BIGINT) AS weight
+        |FROM f GROUP BY 1, 2 HAVING sum(s) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin
     },
     // Three independent ladder CTE sets (pair / context / default
     // model frames); the held-out bigram stream joins the finished

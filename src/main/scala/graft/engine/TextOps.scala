@@ -2082,6 +2082,36 @@ object TextOps {
       .limit(100)
   }
 
+  /** Hashing-trick vectorizer (Weinberger et al., ICML'09) — the
+    * fixed-width featurizer behind linear quality classifiers at
+    * corpus scale: every token hashes to one of 1024 buckets with a
+    * ±1 sign bit, so the feature space is CLOSED (no vocabulary
+    * build, no OOV path, merge-free across shards) and the signed
+    * sum makes collisions cancel in expectation. Both hashes ride
+    * the engine's one deterministic hash convention ([[Tables
+    * .md5Bucket]]): bucket = first 4 md5 hex digits mod 1024, sign =
+    * 5th digit parity — seedless and engine-reproducible, so the
+    * sparse (doc, bucket, weight) rows hash-match DuckDB exactly.
+    *
+    * Scale shape: one token explode into a (doc, bucket) map-combined
+    * agg — the term-frequency cost class; output is min(tokens,
+    * 1024) rows per doc and the feature width never grows with the
+    * corpus. */
+  def qFeatureHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val h = md5(concat(lit("fh|"), col("w")))
+    tok.select(col("doc_id"),
+        pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(1024L))
+          .as("bucket"),
+        when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("s"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("s")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
   /** Held-out bigram cross-entropy — the CCNet-style perplexity
     * filter, and the exact-log upgrade [[qBigramLm]]'s scaladoc
     * deferred (its probability-SUM score predates [[graft.functions

@@ -956,6 +956,27 @@ class TextOpsSpec extends SparkSpec {
     assert(expect.nonEmpty && expect.values.map(_._3).toSet.size >= 1)
   }
 
+  test("feature hashing: equals a driver md5 recompute; zero-weight buckets dropped") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = engine.Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map { w =>
+        val h = md5hex("fh|" + w)
+        val bucket = Integer.parseInt(h.substring(0, 4), 16) % 1024
+        val s = if (Integer.parseInt(h.substring(4, 5), 16) % 2 == 0) 1L else -1L
+        (id, bucket.toLong) -> s
+      }
+    }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      .filter(_._2 != 0L)
+    val got = TextOps.qFeatureHash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect, "feature-hash vector mismatch")
+  }
+
   test("readability: equals a driver regex recompute in exact milli-units") {
     val docs = engine.Tables(spark, sf0001, "documents")
       .select("doc_id", "text").collect()
