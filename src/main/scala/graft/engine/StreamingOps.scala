@@ -448,6 +448,126 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** Streaming CUSUM maintenance — the sequential face of
+    * [[Relational.qCusum]] with the reference rate k = kNum/kDen
+    * FIXED (the textbook deployment: k comes from a training window;
+    * the batch query's mean-k needs the whole series). The closed
+    * form s = p − min(0, min-prefix p) makes the detector a segment
+    * MONOID, so one |types|-row state table suffices:
+    * (last_h, p_end, min_p) folds a batch of CLOSED hourly counts as
+    *   p_end' = p_end + Σ_seg d,
+    *   min_p' = min(min_p, p_end + min-prefix_seg)
+    * with d = c·kDen − kNum per hour and gap hours zero-filled
+    * (d = −kNum) from the spine — a missing hour is a deviation,
+    * never a missing row. Hours at or before last_h are DISCARDED
+    * (the upstream watermark owns closed-ness — the streaming-dedup
+    * convention); replayed batch ids are no-ops (the MV-maintenance
+    * bookkeeping). State is |types| rows regardless of stream
+    * volume; the in-batch fold is one type-keyed window over the
+    * batch's own hours. */
+  def applyCusumBatch(batch: DataFrame, stateDir: String,
+      batchId: Long, kNum: Long, kDen: Long): Unit = {
+    val spark = batch.sparkSession
+    val basePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val mv = new org.apache.hadoop.fs.Path(basePath, "mv")
+    val staging = new org.apache.hadoop.fs.Path(basePath, "mv_staging")
+    val old = new org.apache.hadoop.fs.Path(basePath, "mv_old")
+    val success = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
+    if (fs.exists(success)) {
+      fs.delete(mv, true); fs.rename(staging, mv)
+    } else fs.delete(staging, true)
+    fs.delete(old, true)
+    val st: Option[DataFrame] =
+      if (fs.exists(mv)) Some(spark.read.parquet(mv.toString)) else None
+    for (cur <- st) {
+      val last = cur.agg(max(col("last_bid"))).head().getLong(0)
+      if (batchId <= last) return // replayed batch — already folded
+    }
+    val state = st.map(_.select(col("event_type"), col("last_h"),
+        col("p_end"), col("min_p")))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, last_h BIGINT, p_end BIGINT, min_p BIGINT")))
+    val rows = batch.select(col("event_type"), col("h").cast("long"),
+      col("c").cast("long"))
+    val keyed = rows.join(state, Seq("event_type"), "left")
+      .filter(col("last_h").isNull || col("h") > col("last_h"))
+    // zero-fill the gap from the state's last hour (new types start at
+    // their own first hour — no synthetic history)
+    val spine = keyed.groupBy(col("event_type"))
+      .agg(coalesce(min(col("last_h")) + 1, min(col("h"))).as("h_from"),
+        max(col("h")).as("h_to"))
+      .select(col("event_type"),
+        explode(sequence(col("h_from"), col("h_to"))).as("h"))
+    val seg = spine.join(rows, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        (coalesce(col("c"), lit(0L)) * lit(kDen) - lit(kNum)).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val folded = seg
+      .withColumn("lp", sum(col("d")).over(w))
+      .withColumn("segmin", min(col("lp")).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("h")).as("seg_last_h"),
+        max_by(col("lp"), col("h")).as("seg_sum"),
+        min(col("segmin")).as("seg_min"))
+    val merged = folded.join(state, Seq("event_type"), "full")
+      .select(col("event_type"),
+        coalesce(col("seg_last_h"), col("last_h")).as("last_h"),
+        (coalesce(col("p_end"), lit(0L)) +
+          coalesce(col("seg_sum"), lit(0L))).as("p_end"),
+        when(col("seg_min").isNull, // untouched type: state rides along
+          coalesce(col("min_p"), lit(Long.MaxValue)))
+          .otherwise(least(coalesce(col("min_p"), lit(Long.MaxValue)),
+            coalesce(col("p_end"), lit(0L)) + col("seg_min")))
+          .as("min_p"))
+      .withColumn("last_bid", lit(batchId))
+    merged.coalesce(1).write.parquet(staging.toString)
+    if (fs.exists(mv)) fs.rename(mv, old)
+    fs.rename(staging, mv)
+    fs.delete(old, true)
+  }
+
+  /** Always-on CUSUM maintenance over an event stream: hourly
+    * tumbling counts close under the watermark (append mode emits a
+    * window exactly once), and each closed batch folds into the
+    * |types|-row detector state. */
+  def cusumSink(events: DataFrame, stateDir: String,
+      checkpointDir: String, kNum: Long, kDen: Long,
+      watermarkDelay: String = "1 hour",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        expr("unix_micros(window.start) div 3600000000").as("h"),
+        col("c"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, bid: Long) =>
+        applyCusumBatch(b, stateDir, bid, kNum, kDen))
+      .trigger(trigger)
+      .start()
+
+  /** The maintained detector readout: current CUSUM per type in
+    * kDen-scaled units, s = p_end − min(0, min_p), with the alarm
+    * at the caller's bar (same scale). */
+  def loadCusum(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, alarmScaled: Long): DataFrame =
+    spark.read.parquet(s"$stateDir/mv")
+      .select(col("event_type"), col("last_h"),
+        (col("p_end") - least(lit(0L), col("min_p"))).as("cusum_scaled"))
+      .withColumn("alarm", col("cusum_scaled") > lit(alarmScaled))
+
   /** The maintained histogram in [[Relational.qHistQuantile]]'s exact
     * output shape (cumulative walk, median-bucket flag) — after the
     * stream has seen the whole corpus this row-equals the batch

@@ -837,4 +837,50 @@ class StreamingOpsSpec extends SparkSpec {
       b2.toDF("key", "status", "price", "seq"), baseDir, nb)
     assert(readState() == expect)
   }
+
+  test("cusum maintenance: sliced fold equals the sequential recursion; gap hours zero-filled; replay is a no-op") {
+    val dir = tmpDir("cusum-mv")
+    // k = 10/1. steady: exactly 10/h -> s pinned at 0. shifted: 10/h
+    // for 60 h then 14/h (the sustained +40% a per-point bar misses).
+    // gappy: 10/h with hour 45 MISSING entirely -> the spine must
+    // charge it d = -k, not skip it.
+    def c(ty: String, h: Int): Option[Long] = ty match {
+      case "steady"  => Some(10L)
+      case "shifted" => Some(if (h < 60) 10L else 14L)
+      case "gappy"   => if (h == 45) None else Some(10L)
+    }
+    val types = Seq("steady", "shifted", "gappy")
+    val series = for {
+      ty <- types; h <- 0 until 90; v <- c(ty, h)
+    } yield (ty, h.toLong, v)
+    def recursion(ty: String, upto: Int): Long = {
+      var s = 0L
+      for (h <- 0 until upto)
+        s = math.max(0L, s + c(ty, h).getOrElse(0L) - 10L)
+      s
+    }
+    val slices = Seq(0 until 30, 30 until 60, 60 until 90)
+    for ((sl, bid) <- slices.zipWithIndex) {
+      val b = series.filter(r => sl.contains(r._2.toInt))
+        .toDF("event_type", "h", "c")
+      StreamingOps.applyCusumBatch(b, dir, bid.toLong, kNum = 10L, kDen = 1L)
+      val got = StreamingOps.loadCusum(spark, dir, alarmScaled = 30L)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      for (ty <- types)
+        assert(got(ty) == recursion(ty, sl.end),
+          s"$ty after ${sl.end} h: ${got(ty)} != ${recursion(ty, sl.end)}")
+    }
+    val fin = StreamingOps.loadCusum(spark, dir, alarmScaled = 30L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(!fin("steady") && !fin("gappy") && fin("shifted"),
+      s"alarm states wrong: $fin")
+    // replayed batch id: state unchanged
+    val before = StreamingOps.loadCusum(spark, dir, 30L).collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    StreamingOps.applyCusumBatch(
+      series.toDF("event_type", "h", "c"), dir, 2L, 10L, 1L)
+    val after = StreamingOps.loadCusum(spark, dir, 30L).collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    assert(after == before, "replayed batch mutated the state")
+  }
 }
