@@ -70,6 +70,9 @@ object Bench {
     "q_table_checksum",   // order-independent replication checksums (r15)
     "q_weighted_median",  // exact weighted order statistic (r16)
     "q_cusum",            // sequential change-point screen (r16)
+    "q_psi",              // population-stability drift screen (r16)
+    "q_chao1",            // vocabulary-coverage estimator (r16)
+    "q_feature_hash",     // hashing-trick vectorizer (r16)
     "q_salted_join",      // skew-spread join, oracle-identical rows (r16)
     "q_zorder",           // Morton clustering key + 2-D box probe (r16)
     "q_bm25",             // BM25 postings retrieval (r15)

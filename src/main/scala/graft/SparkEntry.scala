@@ -87,6 +87,9 @@ object SparkEntry {
     // CUSUM change-point screen: the prefix-sum/running-min closed
     // form of the max(0, s+d) recursion, integer-scaled (r16)
     "q_cusum" -> Relational.qCusum _,
+    // PSI value-distribution drift between half-range windows, exact
+    // fixed-point terms in 2^-16 bits * A*B units (r16)
+    "q_psi" -> Relational.qPsi _,
     // skew-proof salted join: oracle is the PLAIN join — salting must
     // be row-invisible (r16)
     "q_salted_join" -> Relational.qSaltedJoin _,
@@ -110,6 +113,9 @@ object SparkEntry {
     // hashing-trick vectorizer: 1024 signed md5 buckets, vocabulary-
     // free and merge-free across shards
     "q_feature_hash" -> TextOps.qFeatureHash _,
+    // Chao1 vocabulary-richness estimate per source (bias-corrected,
+    // milli-scaled BIGINT cross-multiplication)
+    "q_chao1" -> TextOps.qChao1 _,
     // 2-D Pareto frontier via a sharded distributed prefix scan;
     // oracle is the independent NOT EXISTS domination formulation
     "q_skyline" -> Relational.qSkyline _,
@@ -2310,6 +2316,37 @@ object SparkEntry {
         |FROM fin GROUP BY yr
         |ORDER BY chi2_centi DESC, yr""".stripMargin
     },
+    "q_psi" -> {
+      val (lq, lqz) = graft.functions.FixLog2
+        .ctesSql("lq", "base", "a * tb", "b * ta")
+      s"""WITH ev AS (SELECT
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |         CAST(round(value * 1e6) AS BIGINT) AS vq
+        |       FROM events),
+        |bounds AS (SELECT MIN(vq) AS lo, MAX(vq) AS hi,
+        |             MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+        |binned AS (SELECT
+        |    least(9, ((vq - lo) * 10) // (hi - lo + 1)) AS bin,
+        |    (h < (h0 + h1 + 1) // 2) AS is_ref
+        |  FROM ev, bounds),
+        |cnts AS (SELECT bin,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM binned GROUP BY 1),
+        |dom AS (SELECT CAST(range AS BIGINT) AS bin,
+        |    COALESCE(n_ref, 0) + 1 AS a, COALESCE(n_cur, 0) + 1 AS b
+        |  FROM range(0, 10) LEFT JOIN cnts ON cnts.bin = range),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta,
+        |          CAST(SUM(b) AS BIGINT) AS tb FROM dom),
+        |base AS (SELECT dom.bin, dom.a, dom.b, tot.ta, tot.tb
+        |         FROM dom CROSS JOIN tot),
+        |$lq
+        |SELECT bin, a - 1 AS n_ref, b - 1 AS n_cur,
+        |  (a * tb - b * ta) * lq_out AS psi_term_scaled
+        |FROM $lqz ORDER BY bin""".stripMargin
+    },
     "q_cusum" ->
       """WITH ev AS (SELECT event_type,
         |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
@@ -2452,6 +2489,18 @@ object SparkEntry {
         |SELECT w1, w2, c_xy, pm_out AS pmi_q16 FROM $pmz
         |ORDER BY pmi_q16 DESC, w1, w2 LIMIT 100""".stripMargin
     },
+    "q_chao1" ->
+      s"""WITH tf AS (SELECT source, w, count(*) AS c FROM
+        |    (SELECT source, unnest($duckTokens) AS w FROM documents)
+        |    GROUP BY 1, 2),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS s_obs,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tf GROUP BY 1)
+        |SELECT source, s_obs, f1, f2,
+        |  1000 * s_obs + (1000 * f1 * (f1 - 1)) // (2 * (f2 + 1))
+        |    AS chao1_milli
+        |FROM agg ORDER BY source""".stripMargin,
     "q_feature_hash" -> {
       def hex(v: String, p: Int): String =
         s"(strpos('0123456789abcdef', substring($v, $p, 1)) - 1)"

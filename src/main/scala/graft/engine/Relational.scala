@@ -2359,6 +2359,64 @@ object Relational {
       .orderBy(col("month"), col("o_orderpriority"))
   }
 
+  /** Population stability index — the score-drift screen the model-
+    * monitoring world runs on every feature ([[qCusum]] watches
+    * volume in time, PSI watches a VALUE DISTRIBUTION between a
+    * reference and a current window): 10 fixed-width bins over the
+    * micro-quantized value, reference = first half of the hour
+    * range, current = second, PSI = Σ (p−q)·log2(p/q). Exact fixed
+    * point: with add-1-smoothed bin counts a, b and totals A, B the
+    * per-bin term scales to (a·B − b·A)·L(a·B, b·A) — integer, sign-
+    * safe (both factors flip together, so every term ≥ 0 like the
+    * real PSI), in units of 2⁻¹⁶ bits · A·B (the caller divides by
+    * A·B once, outside the hash). One [[graft.functions.FixLog2]]
+    * ladder on the 10-row bin frame. Exact while A·B < 2·10¹²; past
+    * that the raise_error guard fires loudly (the [[graft.engine
+    * .TextOps.qMutualInfo]] convention).
+    *
+    * Scale shape: one narrow scan into a (bin, side) map-combined
+    * agg — nothing after it carries event volume; bounds/mid-hour
+    * from a broadcast 1-row agg; bin domain completed from a
+    * broadcast 10-row range so empty bins still contribute their
+    * smoothed mass. */
+  def qPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        round(col("value") * 1e6).cast("long").as("vq"))
+    psiOf(ev)
+  }
+
+  /** The PSI core over an (h: long, vq: long) frame, factored so the
+    * spec can plant distribution shifts. */
+  private[graft] def psiOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    val bounds = ev.agg(min(col("vq")).as("lo"), max(col("vq")).as("hi"),
+      min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .select(
+        expr("least(9, ((vq - lo) * 10) div (hi - lo + 1))").as("bin"),
+        expr("h < (h0 + h1 + 1) div 2").as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val dom = spark.range(0, 10).select(col("id").as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        (coalesce(col("n_ref"), lit(0L)) + 1L).as("a"),
+        (coalesce(col("n_cur"), lit(0L)) + 1L).as("b"))
+    val tot = dom.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val base = dom.crossJoin(broadcast(tot))
+      .withColumn("ta", when(col("ta") * col("tb") < 2000000000000L,
+        col("ta")).otherwise(raise_error(lit(
+          "q_psi: A*B exceeds the 2e12 exactness bound — prescale the bins"))))
+    graft.functions.FixLog2
+      .withFixLog2(base, col("a") * col("tb"), col("b") * col("ta"), "l_q")
+      .select(col("bin"), col("a") - 1L as "n_ref", col("b") - 1L as "n_cur",
+        ((col("a") * col("tb") - col("b") * col("ta")) * col("l_q"))
+          .as("psi_term_scaled"))
+      .orderBy(col("bin"))
+  }
+
   /** CUSUM change-point screen — the sequential drift detector next
     * to the per-hour [[qAnomalySeries]] MAD screen: a level SHIFT
     * that never trips the per-point 3σ bar (say +20% volume

@@ -2082,6 +2082,35 @@ object TextOps {
       .limit(100)
   }
 
+  /** Chao1 vocabulary-richness estimator (Chao 1984, bias-corrected
+    * form) — the coverage question every corpus slice raises at
+    * 100 TB: how much vocabulary has this source NOT shown yet? The
+    * abundance-based estimate Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1)) needs
+    * only the singleton/doubleton counts of the term-frequency
+    * distribution, and its milli-scaled form is pure BIGINT
+    * cross-multiplication — no floating point, hash-exact. A source
+    * whose f₁ dwarfs f₂ is mostly unseen (keep crawling); f₁ → 0
+    * means the vocabulary is saturated (more data adds tokens, not
+    * words).
+    *
+    * Scale shape: one token explode into the (source, term) agg
+    * (map-combined, the term-frequency cost class), then a count-of-
+    * counts agg on the vocab-sized frame; output is |sources|
+    * rows. */
+  def qChao1(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables(spark, sfDir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(count(lit(1)).as("s_obs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_milli",
+        expr("1000 * s_obs + (1000 * f1 * (f1 - 1)) div (2 * (f2 + 1))"))
+      .orderBy(col("source"))
+  }
+
   /** Hashing-trick vectorizer (Weinberger et al., ICML'09) — the
     * fixed-width featurizer behind linear quality classifiers at
     * corpus scale: every token hashes to one of 1024 buckets with a

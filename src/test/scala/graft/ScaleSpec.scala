@@ -867,6 +867,50 @@ class ScaleSpec extends SparkSpec {
       "sustained +30% shift never alarmed")
   }
 
+  test("psi: identical halves score exactly zero; a planted shift is positive; terms equal FixLog2.ref") {
+    import graft.functions.FixLog2
+    // hours 0..9 = reference, 10..19 = current. Same 200-point value
+    // mix in both halves -> every bin has a = b AND ta = tb, so each
+    // term (a*tb - b*ta)*L is exactly 0 -- PSI's no-drift fixed point.
+    val mix = (0 until 200).map(i => (i % 97).toLong * 1000L)
+    val same = (mix.map(v => (3L, v)) ++ mix.map(v => (15L, v)))
+      .toDF("h", "vq")
+    val zero = engine.Relational.psiOf(same).collect()
+    assert(zero.forall(_.getLong(3) == 0L), "no-drift PSI not exactly 0")
+    // planted shift: current half squeezed into the top decile
+    val shifted = (mix.map(v => (3L, v)) ++
+      mix.map(v => (15L, 90000L + (v % 6000L)))).toDF("h", "vq")
+    val out = engine.Relational.psiOf(shifted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._4).sum > 0L, "shift not detected")
+    assert(out.forall(_._4 >= 0L), "a PSI term went negative")
+    // term-level exactness vs the driver-side ladder twin
+    val ta = out.map(_._2 + 1).sum; val tb = out.map(_._3 + 1).sum
+    for ((bin, nr, nc, term) <- out) {
+      val (a, b) = (nr + 1, nc + 1)
+      val expect = (a * tb - b * ta) * FixLog2.ref(a * tb, b * ta)
+      assert(term == expect, s"bin $bin: $term != $expect")
+    }
+  }
+
+  test("chao1: equals a driver recompute of the bias-corrected estimator") {
+    val tf = engine.Tables(spark, sf0001, "documents")
+      .select("source", "text").collect()
+      .flatMap(r => Option(r.getString(1)).getOrElse("").trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).map((r.getString(0), _)))
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val expect = tf.groupBy(_._1._1).map { case (src, terms) =>
+      val counts = terms.values.toSeq
+      val (f1, f2) = (counts.count(_ == 1L).toLong, counts.count(_ == 2L).toLong)
+      src -> ((counts.size.toLong, f1, f2,
+        1000L * counts.size + (1000L * f1 * (f1 - 1)) / (2L * (f2 + 1))))
+    }
+    val got = engine.TextOps.qChao1(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"chao1 mismatch: $got vs $expect")
+  }
+
   test("weighted median query: equals a driver recompute; salted join keeps the salt in the plan") {
     // q_weighted_median vs an independent driver-side weighted median
     // over the raw rows (lower weighted median: smallest v whose
