@@ -116,6 +116,9 @@ object SparkEntry {
     // Chao1 vocabulary-richness estimate per source (bias-corrected,
     // milli-scaled BIGINT cross-multiplication)
     "q_chao1" -> TextOps.qChao1 _,
+    // MinHash estimate-error audit over the verified pair set (the
+    // fourth sketch-audit: HLL/GK/CMS/MinHash)
+    "q_minhash_err" -> Dedup.qMinhashErr _,
     // 2-D Pareto frontier via a sharded distributed prefix scan;
     // oracle is the independent NOT EXISTS domination formulation
     "q_skyline" -> Relational.qSkyline _,
@@ -3421,6 +3424,19 @@ object SparkEntry {
     // P <= (1-0.64)^32 ~= 5e-15 — so the oracle is the same exact
     // inverted-index Jaccard SQL.
     "q_dedup_minhash" -> duckShingleCte,
+    // the MinHash audit oracle: exact inter/union per verified pair,
+    // TRUE within_bound — a broken signature flips booleans (the
+    // q_cms_err pattern; the estimate itself never leaves the query)
+    "q_minhash_err" ->
+      s"""WITH $duckShingleBody,
+        |iu AS (SELECT c.ida, c.idb, CAST(c.inter AS BIGINT) AS inter,
+        |         CAST(na.n + nb.n - c.inter AS BIGINT) AS uni
+        |       FROM common c
+        |       JOIN sizes na ON na.doc_id = c.ida
+        |       JOIN sizes nb ON nb.doc_id = c.idb
+        |       JOIN pairs p ON p.ida = c.ida AND p.idb = c.idb)
+        |SELECT ida, idb, inter, uni, TRUE AS within_bound FROM iu
+        |ORDER BY ida, idb""".stripMargin,
     // the CMS bound oracle is the exact top-30 with TRUE per row —
     // the q_approx_err pattern: a sketch over- or under-count at any
     // term flips a boolean and breaks the hash

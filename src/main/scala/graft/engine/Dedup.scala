@@ -1247,6 +1247,41 @@ object Dedup {
         xxhash64(element_at(sig, 2 * b + 1),
           element_at(sig, 2 * b + 2)).as("sig")))
 
+  /** MinHash estimate-error audit — the fourth member of the sketch-
+    * audit family (HLL `q_approx_err`, GK `q_approx_pct`, CMS
+    * `q_cms_err`, same pattern): the signature VALUE is
+    * implementation-defined and never leaves the query; what IS
+    * portable is the estimator's concentration — E[match/k] = J and
+    * per-pair P(|match/k − J| > 23/64) ≤ 2e^(−2·64·(23/64)²) ≈ 6·10⁻⁸
+    * by Hoeffding, so `within_bound` is TRUE on every emitted row
+    * and a broken signature (bad coefficients, a monotone re-hash,
+    * a slice/band off-by-one) flips booleans and breaks the hash.
+    * The bound check is exact integer cross-multiplication:
+    * |match·uni − 64·inter| ≤ 23·uni. Runs over the VERIFIED pair
+    * set, so it audits precisely the signatures the dedup pipeline
+    * acted on; inter/uni come off the same shingle-hash sets the
+    * verifier used. */
+  def qMinhashErr(spark: SparkSession, sfDir: String): DataFrame = {
+    val withSh = cachedSigSets(spark, sfDir, n = 3, k = 64)
+    minhashPairs(spark, sfDir).select(col("ida"), col("idb"))
+      .join(withSh.select(col("doc_id").as("ida"), col("sh").as("sa"),
+        col("sig").as("siga")), "ida")
+      .join(withSh.select(col("doc_id").as("idb"), col("sh").as("sb"),
+        col("sig").as("sigb")), "idb")
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        (size(col("sa")) + size(col("sb"))).cast("long").as("sab"),
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("match64"))
+      .select(col("ida"), col("idb"), col("inter"),
+        (col("sab") - col("inter")).as("uni"), col("match64"))
+      .select(col("ida"), col("idb"), col("inter"), col("uni"),
+        (abs(col("match64") * col("uni") - lit(64L) * col("inter")) <=
+          lit(23L) * col("uni")).as("within_bound"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
   /** The verified near-dup pair set (unordered) — shared by
     * [[qDedupMinhash]] and the clustering pass [[qDedupClusters]]. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
