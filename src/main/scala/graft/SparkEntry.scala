@@ -90,6 +90,9 @@ object SparkEntry {
     // PSI value-distribution drift between half-range windows, exact
     // fixed-point terms in 2^-16 bits * A*B units (r16)
     "q_psi" -> Relational.qPsi _,
+    // correlation-aware 2-D outliers: adjugate Mahalanobis as exact
+    // integer ratios, top-20 by the quadratic form (r16)
+    "q_mahalanobis" -> Relational.qMahalanobis _,
     // skew-proof salted join: oracle is the PLAIN join — salting must
     // be row-invisible (r16)
     "q_salted_join" -> Relational.qSaltedJoin _,
@@ -2319,6 +2322,34 @@ object SparkEntry {
         |FROM fin GROUP BY yr
         |ORDER BY chi2_centi DESC, yr""".stripMargin
     },
+    // int128 (HUGEINT) internally — exact like Spark's DECIMAL(38,0);
+    // only BIGINT/boolean columns reach the output
+    "q_mahalanobis" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |         CAST(round(l_quantity) AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS y
+        |       FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx0,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy0,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy0
+        |      FROM li),
+        |c AS (SELECT n, sx, sy,
+        |        n * sxx0 - sx * sx AS mxx,
+        |        n * syy0 - sy * sy AS myy,
+        |        n * sxy0 - sx * sy AS mxy
+        |      FROM m),
+        |q AS (SELECT li.l_orderkey, li.l_linenumber, li.x, li.y,
+        |        myy * (n*x - sx) * (n*x - sx)
+        |          - 2 * mxy * (n*x - sx) * (n*y - sy)
+        |          + mxx * (n*y - sy) * (n*y - sy) AS qq,
+        |        mxx * myy - mxy * mxy AS dd
+        |      FROM li, c)
+        |SELECT l_orderkey, l_linenumber, x, y, (qq > 9 * dd) AS flagged
+        |FROM q ORDER BY qq DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
     "q_psi" -> {
       val (lq, lqz) = graft.functions.FixLog2
         .ctesSql("lq", "base", "a * tb", "b * ta")

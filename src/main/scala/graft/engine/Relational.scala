@@ -2359,6 +2359,58 @@ object Relational {
       .orderBy(col("month"), col("o_orderpriority"))
   }
 
+  /** 2-D Mahalanobis outlier screen — the CORRELATION-AWARE member
+    * of the outlier family ([[qOutliers]] per-axis σ, [[qOutliersRobust]]
+    * MAD): a point can sit within 3σ on both axes yet be wildly
+    * improbable for the JOINT distribution (high quantity at a low
+    * price when the two run together). For 2×2 the inverse needs no
+    * linear algebra — the adjugate makes D² a ratio of integers:
+    * with scatter moments Mxx = nΣx²−(Σx)², Myy, Mxy and
+    * u = n·x−Σx, v = n·y−Σy, D² = n²·(z−μ)ᵀΣ⁻¹(z−μ) · … reduces to
+    *   Q / det,  Q = Myy·u² − 2·Mxy·u·v + Mxx·v²,  det = MxxMyy−Mxy²,
+    * so the screen Q > 9·det (χ²₂ ≈ 98.9th pct) and the top-20
+    * ranking (det is row-constant ⇒ order by Q) are EXACT integer
+    * comparisons in DECIMAL(38,0) — no division, no sqrt, no libm.
+    * Fixture magnitudes bound every product below 10³⁷ (y in whole
+    * dollars keeps v² ≤ 4·10²¹); at 10¹² rows the moments prescale
+    * by a common shift first, the [[qCorrelation]] family convention.
+    *
+    * Scale shape: one map-combined moment agg (1 row), broadcast
+    * back over the narrow scan; the per-row quadratic form is pure
+    * codegen'd decimal arithmetic; TakeOrdered keeps the global
+    * top-20 at per-partition-heap cost. */
+  def qMahalanobis(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val m = li.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(d19(col("x"))).cast("decimal(38,0)").as("sx"),
+        sum(d19(col("y"))).cast("decimal(38,0)").as("sy"),
+        sum(d19(col("x")) * d19(col("x"))).cast("decimal(38,0)").as("sxx0"),
+        sum(d19(col("y")) * d19(col("y"))).cast("decimal(38,0)").as("syy0"),
+        sum(d19(col("x")) * d19(col("y"))).cast("decimal(38,0)").as("sxy0"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxx0") - col("sx") * col("sx")).as("mxx"),
+        (col("n") * col("syy0") - col("sy") * col("sy")).as("myy"),
+        (col("n") * col("sxy0") - col("sx") * col("sy")).as("mxy"))
+    li.crossJoin(broadcast(m))
+      .withColumn("u", col("n") * d19(col("x")) - col("sx"))
+      .withColumn("v", col("n") * d19(col("y")) - col("sy"))
+      .withColumn("qq", col("myy") * col("u") * col("u")
+        - lit(2) * col("mxy") * col("u") * col("v")
+        + col("mxx") * col("v") * col("v"))
+      .withColumn("dd", col("mxx") * col("myy") - col("mxy") * col("mxy"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+        (col("qq") > lit(9) * col("dd")).as("flagged"),
+        col("qq"))
+      .orderBy(col("qq").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+      .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+        col("flagged"))
+  }
+
   /** Population stability index — the score-drift screen the model-
     * monitoring world runs on every feature ([[qCusum]] watches
     * volume in time, PSI watches a VALUE DISTRIBUTION between a

@@ -893,6 +893,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("mahalanobis: equals an exact BigInt driver recompute of the adjugate form") {
+    val rows = Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, BigInt(r.getLong(2)),
+        BigInt(r.getLong(3))))
+    val n = BigInt(rows.length)
+    val sx = rows.map(_._3).sum; val sy = rows.map(_._4).sum
+    val mxx = n * rows.map(r => r._3 * r._3).sum - sx * sx
+    val myy = n * rows.map(r => r._4 * r._4).sum - sy * sy
+    val mxy = n * rows.map(r => r._3 * r._4).sum - sx * sy
+    val dd = mxx * myy - mxy * mxy
+    val scored = rows.map { case (ok, ln, x, y) =>
+      val u = n * x - sx; val v = n * y - sy
+      val q = myy * u * u - BigInt(2) * mxy * u * v + mxx * v * v
+      (ok, ln, x.toLong, y.toLong, q > BigInt(9) * dd, q)
+    }.sortBy { case (ok, ln, _, _, _, q) => (-q, ok, ln) }.take(20)
+      .map(t => (t._1, t._2, t._3, t._4, t._5))
+    val got = engine.Relational.qMahalanobis(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == scored.toSeq, s"mahalanobis top-20 mismatch")
+  }
+
   test("chao1: equals a driver recompute of the bias-corrected estimator") {
     val tf = engine.Tables(spark, sf0001, "documents")
       .select("source", "text").collect()
