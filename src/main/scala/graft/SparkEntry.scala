@@ -93,6 +93,9 @@ object SparkEntry {
     // correlation-aware 2-D outliers: adjugate Mahalanobis as exact
     // integer ratios, top-20 by the quadratic form (r16)
     "q_mahalanobis" -> Relational.qMahalanobis _,
+    // time-weighted average per user: exact decimal hold-products,
+    // one IEEE division at the end (r16)
+    "q_twa" -> Relational.qTwa _,
     // skew-proof salted join: oracle is the PLAIN join — salting must
     // be row-invisible (r16)
     "q_salted_join" -> Relational.qSaltedJoin _,
@@ -2322,6 +2325,25 @@ object SparkEntry {
         |FROM fin GROUP BY yr
         |ORDER BY chi2_centi DESC, yr""".stripMargin
     },
+    // milli-units keep num < 2^53: DuckDB's HUGEINT->double is not
+    // correctly rounded past 2^53 (the 1-ulp class this query hit
+    // live at micro-units); below it both conversions are exact
+    "q_twa" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS t,
+        |         CAST(round(value * 1000) AS BIGINT) AS vq
+        |       FROM events),
+        |l AS (SELECT user_id, t, vq,
+        |        lead(t) OVER (PARTITION BY user_id
+        |          ORDER BY t, event_id) AS t_next
+        |      FROM ev),
+        |a AS (SELECT user_id,
+        |        CAST(sum((t_next - t) * vq) AS BIGINT) AS num,
+        |        CAST(sum(t_next - t) AS BIGINT) AS den
+        |      FROM l WHERE t_next IS NOT NULL GROUP BY 1)
+        |SELECT user_id, den AS span_millis,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twa_milli
+        |FROM a ORDER BY user_id""".stripMargin,
     // int128 (HUGEINT) internally — exact like Spark's DECIMAL(38,0);
     // only BIGINT/boolean columns reach the output
     "q_mahalanobis" ->

@@ -2359,6 +2359,44 @@ object Relational {
       .orderBy(col("month"), col("o_orderpriority"))
   }
 
+  /** Time-weighted average — the metric every sampled gauge needs
+    * (billing meters, queue depths, sensor reads): the plain mean
+    * over-weights bursts of dense samples, TWA holds each reading
+    * for exactly the interval it was current:
+    * Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t₀) per user. Exactness discipline:
+    * MILLI-quantized values × MILLIsecond holds keep the numerator
+    * below 2⁵³ (a year of holds × 10³-magnitude values ≈ 3·10¹³),
+    * where a LONG is exactly representable as a double in BOTH
+    * engines — the first cut of this query accumulated micro×micro
+    * into DECIMAL(38,0)/HUGEINT and hash-diverged by 1 ulp on 8/150
+    * rows: DuckDB's HUGEINT→double conversion is NOT correctly
+    * rounded past 2⁵³ (upper·2⁶⁴ + lower in double arithmetic),
+    * while Spark's Decimal→double is. Below 2⁵³ both conversions
+    * are the identity, so the single IEEE division at the end is
+    * bit-identical. Single-event users have no holding interval and
+    * are dropped in both engines.
+    *
+    * Scale shape: one user-keyed window Exchange (the lead) feeding
+    * a map-combined per-user agg on the same partitioning — Catalyst
+    * reuses the exchange, nothing shuffles twice. */
+  def qTwa(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000").as("t"),
+        round(col("value") * 1000).cast("long").as("vq"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    ev.withColumn("t_next", lead(col("t"), 1).over(w))
+      .filter(col("t_next").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum((col("t_next") - col("t")) * col("vq")).as("num"),
+        sum(col("t_next") - col("t")).as("den"))
+      .select(col("user_id"), col("den").as("span_millis"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("twa_milli"))
+      .orderBy(col("user_id"))
+  }
+
   /** 2-D Mahalanobis outlier screen — the CORRELATION-AWARE member
     * of the outlier family ([[qOutliers]] per-axis σ, [[qOutliersRobust]]
     * MAD): a point can sit within 3σ on both axes yet be wildly

@@ -893,6 +893,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("twa: equals a driver recompute (milli-exact holds, one IEEE division)") {
+    val rows = Tables(spark, sf0001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000"),
+        round(col("value") * 1000).cast("long"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = rows.groupBy(_._1).collect {
+      case (u, evs) if evs.length >= 2 =>
+        val s = evs.sortBy(e => (e._2, e._4))
+        val holds = s.zip(s.tail).map { case (a, b) => (b._2 - a._2, a._3) }
+        val num = holds.map { case (dt, v) => dt * v }.sum
+        val den = holds.map(_._1).sum
+        u -> ((den, num.toDouble / den.toDouble))
+    }
+    val got = engine.Relational.qTwa(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect, "twa mismatch")
+    assert(got.nonEmpty)
+  }
+
   test("mahalanobis: equals an exact BigInt driver recompute of the adjugate form") {
     val rows = Tables(spark, sf0001, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
