@@ -73,6 +73,7 @@ object Bench {
     "q_psi",              // population-stability drift screen (r16)
     "q_mahalanobis",      // correlation-aware 2-D outliers (r16)
     "q_twa",              // time-weighted average per user (r16)
+    "q_asof_nearest",     // two-sided nearest as-of w/ tolerance (r16)
     "q_chao1",            // vocabulary-coverage estimator (r16)
     "q_feature_hash",     // hashing-trick vectorizer (r16)
     "q_salted_join",      // skew-spread join, oracle-identical rows (r16)

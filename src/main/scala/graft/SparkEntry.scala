@@ -96,6 +96,9 @@ object SparkEntry {
     // time-weighted average per user: exact decimal hold-products,
     // one IEEE division at the end (r16)
     "q_twa" -> Relational.qTwa _,
+    // nearest-within-tolerance as-of (merge_asof direction='nearest'),
+    // one union+window pass feeding both directions (r16)
+    "q_asof_nearest" -> Relational.qAsofNearest _,
     // skew-proof salted join: oracle is the PLAIN join — salting must
     // be row-invisible (r16)
     "q_salted_join" -> Relational.qSaltedJoin _,
@@ -1417,6 +1420,35 @@ object SparkEntry {
         |SELECT e.event_id, e.k, o.oid
         |FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.t >= o.t
         |ORDER BY event_id""".stripMargin,
+    // independent formulation: TWO DuckDB ASOF joins (backward >=,
+    // strictly-forward <) against the engine's one-pass union+window
+    "q_asof_nearest" ->
+      """WITH ev AS (SELECT user_id AS k,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
+        |         event_id, event_type
+        |       FROM events),
+        |o AS (SELECT k, t, max(event_id) AS oid FROM ev
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |e AS (SELECT k, t, event_id FROM ev
+        |      WHERE event_type = 'purchase'),
+        |p AS (SELECT e.event_id, e.k, e.t, o.t AS pt, o.oid AS poid
+        |      FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.t >= o.t),
+        |nx AS (SELECT e.event_id, o.t AS nt, o.oid AS noid
+        |       FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.t < o.t),
+        |j AS (SELECT p.event_id, p.k,
+        |        p.t - p.pt AS dtp, nx.nt - p.t AS dtn, p.poid, nx.noid
+        |      FROM p JOIN nx USING (event_id)),
+        |d AS (SELECT *,
+        |        (dtp IS NOT NULL AND dtp <= 14400 AND
+        |         (dtn IS NULL OR dtp <= dtn OR dtn > 14400)) AS pick_prev,
+        |        (dtn IS NOT NULL AND dtn <= 14400) AS maybe_next
+        |      FROM j)
+        |SELECT event_id, k,
+        |  CASE WHEN pick_prev THEN poid
+        |       WHEN maybe_next THEN noid END AS oid,
+        |  CASE WHEN pick_prev THEN -dtp
+        |       WHEN maybe_next THEN dtn END AS dt_sec
+        |FROM d ORDER BY event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,

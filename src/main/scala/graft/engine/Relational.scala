@@ -815,6 +815,70 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-within-tolerance as-of join — the two-sided sibling of
+    * [[qAsofJoin]]'s backward carry (pandas merge_asof
+    * direction='nearest'): each purchase takes the CLOSER of the
+    * user's last at-or-prior and first strictly-following CLICK,
+    * prior winning exact-distance ties, NULL when neither falls
+    * within the 4 h tolerance — the feature-store lookup where a
+    * reading slightly AFTER the label time beats one a week before.
+    * Same union-tag-window shape, ONE key-ordered sort pass feeding
+    * BOTH directions: the backward carry is last(ignoreNulls) over
+    * (unbounded, current) — same-timestamp clicks sort before
+    * purchases (side tag) so dt = 0 lands here — and the forward
+    * carry is first(ignoreNulls) over (current, unbounded); each
+    * direction's (t, id) pair rides one struct, so a carried id can
+    * never pair with the other candidate's distance. No range join,
+    * no O(clicks×purchases) fan, integer epoch-seconds arithmetic
+    * throughout. The oracle is an INDEPENDENT formulation — two
+    * native DuckDB ASOF joins.
+    *
+    * Scale shape: one shuffle on the key, one WindowExec evaluating
+    * both frames over the same sort — the [[qAsofJoin]] cost with a
+    * second carried column. */
+  def qAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val tol = 14400L // 4 h: prior, following AND null branches all live
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id").as("k"), col("ts").cast("long").as("t"),
+        col("event_id"), col("event_type"))
+    val o = ev.filter(col("event_type") === "click")
+      .groupBy(col("k"), col("t"))
+      .agg(max(col("event_id")).as("oid"))
+    val e = ev.filter(col("event_type") === "purchase")
+      .select(col("k"), col("t"), col("event_id"))
+    val tagged = o
+      .select(col("k"), col("t"),
+        struct(col("t").as("ot"), col("oid").as("oid")).as("ocand"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"))
+      .unionByName(e.select(col("k"), col("t"),
+        lit(null).cast("struct<ot:bigint,oid:bigint>").as("ocand"),
+        lit(1).as("side"), col("event_id")))
+    val ord = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("prev", last(col("ocand"), ignoreNulls = true).over(wB))
+      .withColumn("next", first(col("ocand"), ignoreNulls = true).over(wF))
+      .filter(col("side") === 1)
+      .withColumn("dt_prev",
+        when(col("prev").isNotNull, col("t") - col("prev.ot")))
+      .withColumn("dt_next",
+        when(col("next").isNotNull, col("next.ot") - col("t")))
+      .withColumn("pick_prev",
+        col("dt_prev").isNotNull && col("dt_prev") <= tol &&
+          (col("dt_next").isNull || col("dt_prev") <= col("dt_next") ||
+            col("dt_next") > tol))
+      .withColumn("pick_next",
+        !col("pick_prev") && col("dt_next").isNotNull &&
+          col("dt_next") <= tol)
+      .select(col("event_id"), col("k"),
+        when(col("pick_prev"), col("prev.oid"))
+          .when(col("pick_next"), col("next.oid")).as("oid"),
+        when(col("pick_prev"), -col("dt_prev"))
+          .when(col("pick_next"), col("dt_next")).as("dt_sec"))
+      .orderBy(col("event_id"))
+  }
+
   /** Last-touch attribution lookback window (seconds). Sized so the
     * fixture exercises BOTH branches — attributed conversions and
     * organic ones whose latest touch is stale. */

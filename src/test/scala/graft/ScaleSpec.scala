@@ -893,6 +893,46 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("nearest as-of: prior/following/null branches all live; picks within tolerance and closest-wins") {
+    val out = engine.Relational.qAsofNearest(spark, sf0001).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val dts = out.flatMap(_._3)
+    assert(dts.exists(_ < 0), "no prior pick exercised")
+    assert(dts.exists(_ > 0), "no following pick exercised")
+    assert(out.exists(_._3.isEmpty), "no out-of-tolerance null exercised")
+    assert(dts.forall(d => math.abs(d) <= 14400L), "pick outside tolerance")
+    assert(out.forall(r => r._2.isDefined == r._3.isDefined),
+      "oid and dt_sec must be null together")
+    // closest-wins, prior on ties: recompute from the raw frames
+    val raw = Tables(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long"),
+        col("event_type"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val o: Map[Long, Seq[Long]] = raw.filter(_._4 == "click")
+      .groupBy(_._2).map { case (k, g) =>
+        k -> g.map(_._3).distinct.sorted.toSeq }
+    val e = raw.filter(_._4 == "purchase").map(r => (r._1, r._2, r._3))
+    val expect = e.map { case (eid, k, t) =>
+      val ts = o.getOrElse(k, Seq.empty[Long])
+      val prev = ts.filter(_ <= t).lastOption.map(ot => t - ot)
+        .filter(_ <= 14400L)
+      val next = ts.filter(_ > t).headOption.map(ot => ot - t)
+        .filter(_ <= 14400L)
+      val dt = (prev, next) match {
+        case (Some(p), Some(n)) => Some(if (p <= n) -p else n)
+        case (Some(p), None) => Some(-p)
+        case (None, Some(n)) => Some(n)
+        case _ => None
+      }
+      eid -> dt
+    }.toMap
+    assert(out.map(r => r._1 -> r._3).toMap == expect,
+      "nearest-pick distances diverge from the driver recompute")
+  }
+
   test("twa: equals a driver recompute (milli-exact holds, one IEEE division)") {
     val rows = Tables(spark, sf0001, "events")
       .select(col("user_id"), expr("unix_micros(ts) div 1000"),
