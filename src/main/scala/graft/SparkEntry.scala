@@ -99,6 +99,9 @@ object SparkEntry {
     // nearest-within-tolerance as-of (merge_asof direction='nearest'),
     // one union+window pass feeding both directions (r16)
     "q_asof_nearest" -> Relational.qAsofNearest _,
+    // Lorenz-Gini revenue concentration; global rank via the sharded
+    // prefix scan, one integral division (r16)
+    "q_gini_concentration" -> Relational.qGiniConcentration _,
     // skew-proof salted join: oracle is the PLAIN join — salting must
     // be row-invisible (r16)
     "q_salted_join" -> Relational.qSaltedJoin _,
@@ -1420,6 +1423,22 @@ object SparkEntry {
         |SELECT e.event_id, e.k, o.oid
         |FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.t >= o.t
         |ORDER BY event_id""".stripMargin,
+    "q_gini_concentration" ->
+      """WITH s AS (SELECT user_id,
+        |         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+        |           AS s
+        |       FROM events GROUP BY 1),
+        |r AS (SELECT s,
+        |        row_number() OVER (ORDER BY s, user_id) AS i FROM s),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(s) AS HUGEINT) AS ssum,
+        |        CAST(sum(CAST(i AS HUGEINT) * s) AS HUGEINT) AS sis
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  CAST(ssum AS BIGINT) AS total_milli,
+        |  CAST((1000000 * (2 * sis - (n + 1) * ssum)) // (n * ssum)
+        |    AS BIGINT) AS gini_micro
+        |FROM a""".stripMargin,
     // independent formulation: TWO DuckDB ASOF joins (backward >=,
     // strictly-forward <) against the engine's one-pass union+window
     "q_asof_nearest" ->

@@ -2423,6 +2423,43 @@ object Relational {
       .orderBy(col("month"), col("o_orderpriority"))
   }
 
+  /** Gini concentration of per-user revenue — the whale-dependence
+    * KPI (how unequal is spend across users?), distinct from the
+    * Gini–SIMPSON mix diversity in [[graft.engine.TextOps
+    * .qDiversity]]: the Lorenz-curve coefficient
+    * G = (2·Σ i·s₍ᵢ₎ − (n+1)·Σs) / (n·Σs) over ascending-sorted user
+    * totals, emitted as an exact integer in micro units — the whole
+    * derivation is integer sums plus ONE integral division (Spark
+    * DECIMAL(38,0) `div` ≡ DuckDB HUGEINT `//`).
+    *
+    * Scale shape: the global rank i is the classic single-partition
+    * window trap ([[graft.engine.Scale.shardedPrefixSum]] scaladoc);
+    * here it rides that sharded prefix scan instead — an
+    * order-preserving value-range shard (width from a 1-row bounded
+    * max agg, the table-stats stand-in), per-shard parallel
+    * cumulative COUNT, and the |shards|-row carry broadcast — so the
+    * ranking never funnels the user table through one task. The
+    * user agg before it map-combines event volume away. */
+  def qGiniConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 1000).cast("long")).as("s"))
+    val mx = s.agg(max(col("s"))).head().getLong(0)
+    val ranked = Scale.shardedPrefixSum(s,
+      shard = expr(s"s div ${mx / 16 + 1}"),
+      order = Seq(col("s"), col("user_id")),
+      value = lit(1L), cumName = "i")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    ranked
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(d19(col("s"))).cast("decimal(38,0)").as("ssum"),
+        sum(d19(col("i")) * d19(col("s"))).cast("decimal(38,0)").as("sis"))
+      .select(col("n").cast("long").as("n_users"),
+        col("ssum").cast("long").as("total_milli"),
+        expr("CAST((1000000 * (2 * sis - (n + 1) * ssum)) div (n * ssum)" +
+          " AS BIGINT)").as("gini_micro"))
+  }
+
   /** Time-weighted average — the metric every sampled gauge needs
     * (billing meters, queue depths, sensor reads): the plain mean
     * over-weights bursts of dense samples, TWA holds each reading

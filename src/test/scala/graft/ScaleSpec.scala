@@ -893,6 +893,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("gini concentration: equals an exact BigInt driver recompute") {
+    val s = Tables(spark, sf0001, "events").groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 1000).cast("long")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = s.sortBy(t => (t._2, t._1)).map(t => BigInt(t._2))
+    val n = BigInt(sorted.length); val ssum = sorted.sum
+    val sis = sorted.zipWithIndex
+      .map { case (v, i) => v * BigInt(i + 1) }.sum
+    val gini = (BigInt(1000000) * (BigInt(2) * sis - (n + 1) * ssum)) /
+      (n * ssum)
+    val got = engine.Relational.qGiniConcentration(spark, sf0001)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((n.toLong, ssum.toLong, gini.toLong)),
+      s"gini mismatch: $got vs ($n, $ssum, $gini)")
+    // sanity: a Lorenz Gini lives in [0, 1)
+    assert(got.getLong(2) >= 0L && got.getLong(2) < 1000000L)
+  }
+
   test("nearest as-of: prior/following/null branches all live; picks within tolerance and closest-wins") {
     val out = engine.Relational.qAsofNearest(spark, sf0001).collect()
       .map(r => (r.getLong(0),
