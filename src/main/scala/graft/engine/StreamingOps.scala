@@ -416,12 +416,21 @@ object StreamingOps {
       fs.delete(mv, true); fs.rename(staging, mv)
     } else fs.delete(staging, true)
     fs.delete(old, true)
+    // Empty micro-batch (append-mode watermark lag makes batch 0 empty
+    // on EVERY first run): folding it would write a ZERO-ROW state MV,
+    // and the next batch's replay check would then read a null
+    // max(last_bid) — the r16 wedge. Skipping is replay-safe: an empty
+    // batch's fold is a no-op, so re-applying it after a restart is too.
+    if (batch.isEmpty) return
     val histB = Relational.histOf(batch)
     val merged =
       if (fs.exists(mv)) {
         val cur = spark.read.parquet(mv.toString)
-        val last = cur.agg(max(col("last_bid"))).head().getLong(0)
-        if (batchId <= last) return // replayed batch — already folded
+        // null-safe: a zero-row MV (pre-fix deployments) must recover,
+        // not NPE — treat it as "no batch applied yet"
+        val lastRow = cur.agg(max(col("last_bid"))).head()
+        if (!lastRow.isNullAt(0) && batchId <= lastRow.getLong(0))
+          return // replayed batch — already folded
         cur.select(col("event_type"), col("bkt"), col("cnt"))
           .unionByName(histB)
           .groupBy(col("event_type"), col("bkt"))
@@ -479,11 +488,21 @@ object StreamingOps {
       fs.delete(mv, true); fs.rename(staging, mv)
     } else fs.delete(staging, true)
     fs.delete(old, true)
+    // Empty micro-batch — append mode emits NOTHING in batch 0 (the
+    // watermark lags one batch), so the first real run of [[cusumSink]]
+    // hits this with an empty frame. Folding it anyway would persist a
+    // zero-row MV whose max(last_bid) is null and wedge every later
+    // batch (and every restart, since the empty MV survives). Skipping
+    // is replay-safe: an empty batch's fold is a no-op.
+    if (batch.isEmpty) return
     val st: Option[DataFrame] =
       if (fs.exists(mv)) Some(spark.read.parquet(mv.toString)) else None
     for (cur <- st) {
-      val last = cur.agg(max(col("last_bid"))).head().getLong(0)
-      if (batchId <= last) return // replayed batch — already folded
+      // null-safe: a zero-row MV (pre-fix deployments) must recover,
+      // not NPE — treat it as "no batch applied yet"
+      val lastRow = cur.agg(max(col("last_bid"))).head()
+      if (!lastRow.isNullAt(0) && batchId <= lastRow.getLong(0))
+        return // replayed batch — already folded
     }
     val state = st.map(_.select(col("event_type"), col("last_h"),
         col("p_end"), col("min_p")))

@@ -882,5 +882,64 @@ class StreamingOpsSpec extends SparkSpec {
     val after = StreamingOps.loadCusum(spark, dir, 30L).collect().toSeq
       .map(_.toSeq).sortBy(_.toString)
     assert(after == before, "replayed batch mutated the state")
+    // an explicitly EMPTY batch (append mode's batch 0) must be a
+    // no-op, not a zero-row state overwrite
+    StreamingOps.applyCusumBatch(
+      series.toDF("event_type", "h", "c").limit(0), dir, 99L, 10L, 1L)
+    val afterEmpty = StreamingOps.loadCusum(spark, dir, 30L).collect()
+      .toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(afterEmpty == before, "empty batch mutated the state")
+  }
+
+  test("cusumSink end-to-end: append-mode empty batch 0 does not wedge the state; restart replays clean") {
+    // Watermarked append-mode aggs emit NOTHING in batch 0 (the
+    // watermark lags one batch) — the r16 wedge folded that empty
+    // frame into a zero-row MV whose null max(last_bid) NPE'd every
+    // later batch AND every restart. This drives the real sink over a
+    // two-file stream so the empty batch 0 is actually exercised.
+    val hourUs = 3600000000L
+    val h0 = 1617170400000000L / hourUs * hourUs // aligned hour ≤ T0
+    def ev(ty: String, us: Long): String =
+      s"""{"event_type":"$ty","ts_us":$us}"""
+    val inDir = tmpDir("cusum-e2e-in")
+    // hour 0: 5 events, hour 1: 1, hour 2: 4; k = 2/h ⇒ cusum
+    // s₀ = 3, s₁ = 2, s₂ = 4 on the closed prefix
+    val f1 = (0 until 5).map(i => ev("t", h0 + i * 60000000L)) ++
+      Seq(ev("t", h0 + hourUs + 60000000L)) ++
+      (0 until 4).map(i => ev("t", h0 + 2 * hourUs + i * 60000000L))
+    // the flush record pushes the watermark far past hour 2; its own
+    // window never closes, so type "flush" must NOT reach the state
+    val f2 = Seq(ev("flush", h0 + 1000 * hourUs))
+    for ((lines, i) <- Seq(f1, f2).zipWithIndex) {
+      val f = new java.io.File(inDir, s"b$i.jsonl")
+      Files.write(f.toPath,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stateDir = tmpDir("cusum-e2e-mv")
+    val ckpt = tmpDir("cusum-e2e-ckpt")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("event_type STRING, ts_us LONG")
+        .option("maxFilesPerTrigger", 1).json(inDir)
+        .select($"event_type",
+          org.apache.spark.sql.functions.timestamp_micros($"ts_us")
+            .as("ts"))
+      val q = StreamingOps.cusumSink(stream, stateDir, ckpt,
+        kNum = 2L, kDen = 1L)
+      q.awaitTermination() // pre-fix: StreamingQueryException (NPE)
+    }
+    run()
+    val got = StreamingOps.loadCusum(spark, stateDir, alarmScaled = 30L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set("t"), s"state types: ${got.keySet}")
+    assert(got("t") == ((h0 / hourUs + 2, 4L, false)), s"got: $got")
+    // restart on the same checkpoint with no new data: replay-safe
+    run()
+    val again = StreamingOps.loadCusum(spark, stateDir, alarmScaled = 30L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(again == got, s"restart mutated the cusum state: $again")
   }
 }
