@@ -36,6 +36,10 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val t = new Thread(() => {
+        // job group = the query name, so a timeout can actually CANCEL
+        // running Spark jobs instead of relying on interrupt alone
+        spark.sparkContext.setJobGroup(s"verify-$name",
+          s"Verify dump: $name", interruptOnCancel = true)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
@@ -48,6 +52,14 @@ object Verify {
       if (t.isAlive) {
         System.err.println(
           s"[verify] $name TIMED OUT after ${budgetMs}ms — skipping (no dump)")
+        // cancels EXECUTING jobs (tasks are interrupted and their
+        // resources released); the interrupt below is only a nudge for
+        // driver-side work. Known leak, accepted for a parachute: a
+        // CATALYST PLANNING spin never polls the interrupt flag, so a
+        // plan-time hang keeps burning one core on the daemon thread
+        // for the rest of the run — the watchdog's job is to save the
+        // round's artifact, not that core.
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
         t.interrupt()
       }
     }

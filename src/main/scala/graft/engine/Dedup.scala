@@ -910,10 +910,28 @@ object Dedup {
     * O(matches) before any exchange. */
   private[graft] def fuzzyLinkSegments(probes: DataFrame,
       clean: DataFrame, tau: Int): DataFrame = {
+    // LOUD domain guard (not a silent recall hole): the completeness
+    // theorem above needs length ≥ τ+1 on BOTH sides — a shorter
+    // string yields zero-length segments that block nothing, so it
+    // would silently drop every candidate while the brute-force
+    // oracle still finds them. The guard wraps the GENERATOR INPUT
+    // (not a sibling projection column): a row the explode emits zero
+    // keys for is dropped before any other column is evaluated, so
+    // only here is the check guaranteed to run for every input row.
+    // Until the length-bucketed short-string side channel exists, any
+    // such row must fail the query, not the recall.
+    def guarded(keys: Column, name: Column, side: String): Column =
+      when(length(name) <= tau, raise_error(concat(lit(
+        s"fuzzyLinkSegments: $side string shorter than tau+1=${tau + 1}" +
+          " — segment blocking is incomplete there; short strings need" +
+          " the length-bucketed brute-force side channel: "), name)))
+        .otherwise(keys)
     val pk = probes.select(col("probe_id"), col("probe_name"),
-      explode(segmentProbeKeys(col("probe_name"), tau)).as("sk"))
+      explode(guarded(segmentProbeKeys(col("probe_name"), tau),
+        col("probe_name"), "probe")).as("sk"))
     val ck = Tables.spread(clean).select(col("match_id"), col("clean_name"),
-      explode(segmentKeys(col("clean_name"), tau)).as("sk"))
+      explode(guarded(segmentKeys(col("clean_name"), tau),
+        col("clean_name"), "clean")).as("sk"))
     pk.join(ck, "sk")
       .select(col("probe_id"), col("match_id"),
         levenshtein(col("probe_name"), col("clean_name")).cast("long")

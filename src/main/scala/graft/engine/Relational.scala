@@ -1344,6 +1344,13 @@ object Relational {
   def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables(spark, sfDir, "part")
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    // shard balance argument (the [[graft.engine.Scale.balancedShards]]
+    // audit): the sharded frame is DISTINCT price points, and TPC-H
+    // retailprice is 9xx–21xx with near-uniform distinct-value density
+    // (price = f(partkey) mod bounded terms), so fixed 100-unit bins
+    // hold ≈equal numbers of distinct prices at every SF — a
+    // domain-bounded argument, unlike the heavy-tailed revenue case
+    // that forced qGiniConcentration onto histogram-derived cuts
     val g = p.groupBy(col("p_retailprice"))
       .agg(max(col("p_size")).as("msize"))
       .withColumn("shard", floor(col("p_retailprice") / 100).cast("long"))
@@ -1398,6 +1405,10 @@ object Relational {
         .as("x"))
       .select(col("x.day").as("day"), col("x.delta").as("delta"))
     val g = deltas.groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    // shard balance argument (the balancedShards audit): the sharded
+    // frame is one row per DISTINCT change day, so a month shard holds
+    // ≤ 31 rows by the calendar — balanced regardless of how skewed
+    // the underlying order volume is
     Scale.shardedPrefixSum(g, trunc(col("day"), "month"),
         Seq(col("day")), col("delta"), "n_open")
       .select(col("day").cast("string").as("day"), col("n_open"))
@@ -2434,19 +2445,28 @@ object Relational {
     *
     * Scale shape: the global rank i is the classic single-partition
     * window trap ([[graft.engine.Scale.shardedPrefixSum]] scaladoc);
-    * here it rides that sharded prefix scan instead — an
-    * order-preserving value-range shard (width from a 1-row bounded
-    * max agg, the table-stats stand-in), per-shard parallel
-    * cumulative COUNT, and the |shards|-row carry broadcast — so the
-    * ranking never funnels the user table through one task. The
-    * user agg before it map-combines event volume away. */
+    * here it rides that sharded prefix scan instead — shards from
+    * [[graft.engine.Scale.balancedShards]] (histogram-derived
+    * QUANTILE-balanced cut points, ≈ n/16 users per shard), per-shard
+    * parallel cumulative COUNT, and the |shards|-row carry broadcast
+    * — so the ranking never funnels the user table through one task.
+    * The first cut of this query used uniform VALUE-range bins
+    * (`s div (max/16+1)`) — exactly wrong for the heavy-tailed spend
+    * this query exists to measure (on Zipf revenue ~all users land in
+    * bin 0 and the scan degenerates to one near-corpus partition at
+    * 100×; `ScaleSpec` plants that distribution and pins the
+    * balance). The user agg map-combines event volume away, and the
+    * per-user frame is session-persisted so the boundary passes and
+    * the ranked scan share one materialization. Empty/all-null input
+    * degrades to the constant shard instead of NPE'ing (r16
+    * advisory). */
   def qGiniConcentration(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables(spark, sfDir, "events")
-      .groupBy(col("user_id"))
-      .agg(sum(round(col("value") * 1000).cast("long")).as("s"))
-    val mx = s.agg(max(col("s"))).head().getLong(0)
+    val s = Dedup.memoizedPersisted(spark, s"gini-users|$sfDir")(
+      Tables(spark, sfDir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 1000).cast("long")).as("s")))
     val ranked = Scale.shardedPrefixSum(s,
-      shard = expr(s"s div ${mx / 16 + 1}"),
+      shard = Scale.balancedShards(s, col("s"), shards = 16),
       order = Seq(col("s"), col("user_id")),
       value = lit(1L), cumName = "i")
     def d19(c: Column) = c.cast("decimal(19,0)")
@@ -2596,8 +2616,14 @@ object Relational {
         (coalesce(col("n_ref"), lit(0L)) + 1L).as("a"),
         (coalesce(col("n_cur"), lit(0L)) + 1L).as("b"))
     val tot = dom.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    // overflow-safe guard: the A·B product itself is what can exceed
+    // 2⁶³ in the regime this guard exists for (~3·10⁹ events per half
+    // at 100 TB), and a wrapped LONG product could slip back under the
+    // bound — compare in DECIMAL(38,0), where 2⁶³·2⁶³ < 10³⁸ cannot wrap
     val base = dom.crossJoin(broadcast(tot))
-      .withColumn("ta", when(col("ta") * col("tb") < 2000000000000L,
+      .withColumn("ta", when(
+        col("ta").cast("decimal(38,0)") * col("tb").cast("decimal(38,0)")
+          < lit(2000000000000L).cast("decimal(38,0)"),
         col("ta")).otherwise(raise_error(lit(
           "q_psi: A*B exceeds the 2e12 exactness bound — prescale the bins"))))
     graft.functions.FixLog2

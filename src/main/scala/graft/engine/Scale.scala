@@ -89,6 +89,111 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Quantile-balanced, ORDER-PRESERVING shard assignment for a value
+    * column — the boundary derivation every value-domain
+    * [[shardedPrefixSum]] caller should use when the value
+    * distribution is not known to be benign. Uniform value-range bins
+    * (`v div (max/k + 1)`) are skew-fragile: on heavy-tailed data
+    * (revenue, degree, token counts — precisely what concentration
+    * queries measure) ~all rows land in bin 0 and the "parallel"
+    * local scan degenerates to one near-corpus partition. This
+    * instead derives cut points from a fixed-grid histogram so each
+    * shard covers ≈ n/k rows REGARDLESS of the distribution:
+    *
+    *  1. one bounded agg → (min, max, n);
+    *  2. one map-combined grid count (≤ `gridBins` rows to the
+    *     driver — the table-stats stand-in, same contract as
+    *     [[writeZordered]]'s bounds agg);
+    *  3. a driver walk emits a cut after every ≈ n/k rows, and the
+    *     returned expression is a sum of `shards−1` codegen'd `v ≥
+    *     cut` comparisons — monotone in v by construction, so the
+    *     order-preservation contract of [[shardedPrefixSum]] holds.
+    *
+    * One linear grid is NOT enough on its own: a distribution spanning
+    * many orders of magnitude (true Zipf spend) parks most rows in the
+    * bottom grid bin, reproducing the failure one level down. So bins
+    * still heavier than n/k are iteratively REFINED — each pass
+    * rescans only the overloaded ranges and sub-grids them, until
+    * every bin is under target or one value wide (≤ log_grid(range) ≈
+    * 2–3 passes in practice, hard-capped). A single VALUE heavier
+    * than n/k still collapses the shards it spans — inherent, equal
+    * values cannot be split by an order-preserving key.
+    *
+    * Runs 2 + refinement bounded passes over `df`, so pass a
+    * persisted/memoized frame. Empty or all-null input returns the
+    * constant shard 0 rather than NPE'ing (the r16 advisory), and any
+    * long-range value domain is safe — widths are clamped ≥ 1 and
+    * negatives shift through the min. */
+  def balancedShards(df: DataFrame, value: Column, shards: Int,
+      gridBins: Int = 4096): Column = {
+    require(shards >= 1 && gridBins >= shards,
+      s"balancedShards: need gridBins >= shards >= 1, got $shards/$gridBins")
+    // one narrow projection all passes share; `div` (not `/`) keeps
+    // the binning EXACT integral arithmetic at any long magnitude
+    val vd = df.select(value.cast("long").as("__v"))
+    val b = vd.agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+      count(col("__v")).as("n")).head()
+    if (b.isNullAt(0) || b.getLong(2) == 0L) return lit(0)
+    val (lo, hi, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val limit = math.max(1L, n / shards)
+    // (start, width, count) histogram segments, refined in place;
+    // driver state is bounded: ≤ refinePerPass·subBins new segments
+    // per pass, empty sub-bins dropped
+    case class Seg(start: Long, width: Long, count: Long)
+    def subWidth(span: Long, bins: Int): Long =
+      math.max(1L, span / bins + 1)
+    val w0 = subWidth(hi - lo + 1, gridBins)
+    var segs: Vector[Seg] = vd
+      .groupBy(expr(s"(__v - ${lo}L) div ${w0}L").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => Seg(lo + r.getLong(0) * w0, w0, r.getLong(1)))
+      .toVector
+    // refine the heaviest overloaded bins; a few passes flatten even
+    // log-range-spanning skew (each level divides the width by the
+    // sub-grid), and the when-chain per pass stays codegen-small
+    val refinePerPass = 128
+    val subBins = 1024
+    var pass = 0
+    while (pass < 8 && segs.exists(s => s.count > limit && s.width > 1)) {
+      val over = segs.filter(s => s.count > limit && s.width > 1)
+        .sortBy(-_.count).take(refinePerPass)
+      val widths = over.map(s => subWidth(s.width, subBins))
+      val tag = over.zipWithIndex.foldRight(
+        lit(null).cast("struct<g:int,f:bigint>")) { case ((s, i), acc) =>
+        when(col("__v") >= s.start && col("__v") < s.start + s.width,
+          struct(lit(i).as("g"),
+            expr(s"(__v - ${s.start}L) div ${widths(i)}L").as("f")))
+          .otherwise(acc)
+      }
+      val sub = vd.select(tag.as("t")).filter(col("t").isNotNull)
+        .groupBy(col("t.g").as("g"), col("t.f").as("f"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => Seg(
+          over(r.getInt(0)).start + r.getLong(1) * widths(r.getInt(0)),
+          widths(r.getInt(0)), r.getLong(2)))
+      val refined = over.map(s => s.start -> s.width).toSet
+      segs = (segs.filterNot(s => refined((s.start, s.width))) ++ sub)
+        .toVector
+      pass += 1
+    }
+    val cutVals = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cum = 0L
+    var j = 1
+    for (s <- segs.sortBy(_.start)) {
+      cum += s.count
+      // a segment heavier than several targets emits ONE cut (equal
+      // cut values would only manufacture empty shards)
+      if (j < shards && cum >= j * n / shards) {
+        cutVals += s.start + s.width
+        while (j < shards && cum >= j * n / shards) j += 1
+      }
+    }
+    cutVals.toSeq
+      .map(cv => when(value.cast("long") >= cv, 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+  }
+
   /** Two-level distributed running SUM — the sharded prefix scan
     * behind `Relational.qIntervalSweep`, `TextOps.qSamplePps` and
     * `tools.PrefixScale` (and, in its MAX form, `qSkyline`): the

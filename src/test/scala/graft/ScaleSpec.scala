@@ -33,6 +33,63 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("balancedShards: planted Zipf balances where uniform value bins collapse; order-preserving; degenerate inputs safe") {
+    // Zipf-ish per-user revenue: s(r) = 1e9/r — the whale distribution
+    // qGiniConcentration measures. Uniform value-domain bins
+    // (s div (max/16+1), the r16 cut) park 99.6% of these rows in
+    // shard 0; the histogram-derived cuts must hold every shard near
+    // n/16.
+    val n = 4000
+    val rows = (1 to n).map(i => (i.toLong, 1000000000L / i))
+    val df = rows.toDF("id", "s").repartition(8).persist()
+    try {
+      val mx = rows.map(_._2).max
+      val uniformShard0 = rows.count(_._2 / (mx / 16 + 1) == 0)
+      assert(uniformShard0 >= (n * 0.9).toInt,
+        s"test premise: uniform bins should collapse, got $uniformShard0")
+      val sh = Scale.balancedShards(df, col("s"), shards = 16)
+      val per = df.withColumn("sh", sh)
+        .groupBy("sh").agg(count(lit(1)).as("c"),
+          min("s").as("mn"), max("s").as("mx"))
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(per.map(_._2).sum == n)
+      assert(per.forall(p => p._1 >= 0 && p._1 < 16), s"shards: $per")
+      val target = n / 16
+      assert(per.map(_._2).max <= 2L * target,
+        s"unbalanced shards: ${per.toSeq}")
+      assert(per.length >= 12, s"too few live shards: ${per.toSeq}")
+      // order-preserving: shard value ranges must not overlap
+      for (Array(a, b) <- per.sortBy(_._1).sliding(2) if per.length > 1)
+        assert(a._4 <= b._3,
+          s"shard ranges overlap: $a vs $b")
+    } finally df.unpersist()
+    // degenerate inputs: empty and all-null frames → constant shard,
+    // no NPE (the r16 advisory); a single hot value degrades to one
+    // shard rather than failing
+    val empty = Seq.empty[(Long, Long)].toDF("id", "s")
+    assert(empty.withColumn("sh",
+      Scale.balancedShards(empty, col("s"), 16)).count() == 0)
+    val nulls = Seq((1L, None: Option[Long]), (2L, None))
+      .toDF("id", "s")
+    assert(nulls.withColumn("sh", Scale.balancedShards(nulls, col("s"), 16))
+      .select("sh").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    val hot = Seq.fill(100)((1L, 42L)).toDF("id", "s")
+    assert(hot.withColumn("sh", Scale.balancedShards(hot, col("s"), 16))
+      .select("sh").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    // negative domain: still exact and order-preserving
+    val neg = (-50 to 50).map(i => (i.toLong, i.toLong)).toDF("id", "s")
+    val negPer = neg.withColumn("sh",
+        Scale.balancedShards(neg, col("s"), 4))
+      .groupBy("sh").agg(count(lit(1)).as("c"), min("s").as("mn"),
+        max("s").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(negPer.map(_._2).sum == 101)
+    for (Array(a, b) <- negPer.sliding(2) if negPer.length > 1)
+      assert(a._4 <= b._3, s"negative-domain ranges overlap: $a vs $b")
+  }
+
   test("salted join: identical rows, salt in the shuffle key") {
     // skewed big side: one hot key with 10k rows + a long tail
     val big = ((1 to 10000).map(i => (1L, i)) ++
