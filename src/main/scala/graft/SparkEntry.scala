@@ -356,11 +356,13 @@ object SparkEntry {
     // fitted path, both codegen paths against one oracle
     "q_pq_assign" -> Similarity.qPqAssign _,
     "q_pq_assign_expr" -> Similarity.qPqAssignExpr _,
-    // rows-only by design (iterative k-means has no SQL oracle; the
-    // spec pins argmin + SSE-monotonicity instead)
+    // ORACLE-BACKED since r17: the 1e−6-lattice integer Lloyd makes
+    // the 3-iteration fixpoint an exact relational recurrence, so the
+    // oracle unrolls it as DuckDB CTEs (the q_pagerank integerization
+    // move; the spec still re-derives the fixpoint driver-side)
     "q_embed_cluster" -> Similarity.qEmbedCluster _,
-    // rows-only by design (cell-bounded semantic dedup on top of the
-    // k-means fixpoint; the spec re-derives the keep-list exactly)
+    // ORACLE-BACKED since r17: integer Lloyd cells + integer cosine
+    // test + a recursive min-label closure replay the keep-list
     "q_semdedup_keep" -> Similarity.qSemdedupKeep _,
     // §2.9 north-star: multimodal binary columns
     "q_media_meta" -> Multimodal.qMediaMeta _,
@@ -392,11 +394,14 @@ object SparkEntry {
     // re-runs sequence packing on the real tokenizer arithmetic
     "q_bpe_tokens" -> TextOps.qBpeTokens _,
     "q_pack_bpe" -> TextOps.qPackBpe _,
-    // the TRAINING half of the BPE surface — rows-only by design
-    // (iterative argmax fixpoint, the k-means precedent; TextOpsSpec
-    // re-derives the table with an independent classic trainer), plus
-    // the forced-distributed twin exercising the rounds path on real
-    // data (the q_dedup_clusters_dist pattern)
+    // the TRAINING half of the BPE surface — ORACLE-BACKED since r17:
+    // the 16 argmax rounds unroll as DuckDB CTE stages (per round: a
+    // pair-count aggregate, a deterministic top-1, and a
+    // replace-to-fixpoint rewrite — the q_bpe_tokens recursive-CTE
+    // trick applied to TRAINING), on top of TextOpsSpec's independent
+    // classic-trainer re-derivation; plus the forced-distributed twin
+    // exercising the rounds path on real data (same output, same
+    // oracle — the q_dedup_clusters_dist pattern)
     "q_bpe_train" -> TextOps.qBpeTrain _,
     "q_bpe_train_dist" -> TextOps.qBpeTrainDist _,
     // MOSS-style character-level near-dup via shared winnow
@@ -588,6 +593,102 @@ object SparkEntry {
        |$codeCols
        |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
+
+  /** Integer-exact Lloyd as an unrolled DuckDB CTE chain — the oracle
+    * for the quantized k-means family ([[graft.engine.Similarity
+    * .kmeansCentroidsQuantFrom]]): vectors quantize onto the 1e−6
+    * lattice with the engine-identical round(x·1e6) (HALF_UP in both
+    * engines), seeds are the k lowest vec_ids (cid = vec_id rank − 1),
+    * each iteration assigns by the exact-integer −2·x·c + |c|² argmin
+    * (ties to the lowest cid) and re-rounds the cell mean onto the
+    * lattice as (2s+n)//(2n) — DuckDB's truncating `//` ≡ the engine's
+    * Scala Long division; empty cells keep their centroid. All values
+    * stay below 2⁵³, so the DOUBLE-list arithmetic is exact on both
+    * sides. Emits CTEs e (quantized corpus), u (per-dim unnest), kk
+    * (cell count), c0..c`iters` (centroids) and af (the FINAL
+    * assignment). Valid in the fixture regime where the engine's
+    * hash-spaced fit sample is the whole corpus (n < 2·128·k — every
+    * SF fixture for both callers; see kmeansCentroidsQuantCached).
+    * Every CTE is MATERIALIZED: each c\_i is referenced twice (the
+    * next assignment and the empty-cell LEFT JOIN), so DuckDB's
+    * default inlining re-evaluates the chain 2^iters times — measured
+    * live: sf0.01 passes in seconds, sf0.1 burned 50+ CPU-minutes
+    * before the hint. */
+  private def duckLloydCtes(kSql: String, iters: Int): String = {
+    val dims = Similarity.embDim
+    def assign(name: String, cents: String): String =
+      s"""$name AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY -2*list_inner_product(e.vq, c.cq)
+         |               + list_inner_product(c.cq, c.cq), c.cid) AS rn
+         |  FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val head =
+      s"""e AS MATERIALIZED (SELECT vec_id,
+         |       list_transform(embedding::DOUBLE[],
+         |                      x -> round(x * 1000000.0)) AS vq
+         |     FROM embeddings),
+         |u AS MATERIALIZED (SELECT vec_id, unnest(vq) AS x,
+         |        unnest(range(1, ${dims + 1})) AS d FROM e),
+         |kk AS MATERIALIZED (SELECT $kSql AS k FROM e LIMIT 1),
+         |c0 AS MATERIALIZED (SELECT rn - 1 AS cid, vq AS cq FROM
+         |        (SELECT vq, row_number() OVER (ORDER BY vec_id) AS rn
+         |         FROM e), kk
+         |       WHERE rn <= kk.k)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${assign(s"a$i", s"c${i - 1}")},
+         |s$i AS MATERIALIZED (SELECT a.cid, u.d, CAST(count(*) AS BIGINT) AS n,
+         |          CAST(sum(u.x) AS BIGINT) AS s
+         |        FROM a$i a JOIN u USING (vec_id) GROUP BY a.cid, u.d),
+         |n$i AS MATERIALIZED (SELECT cid,
+         |          list(CAST((2*s + n) // (2*n) AS DOUBLE) ORDER BY d)
+         |            AS cq
+         |        FROM s$i GROUP BY cid),
+         |c$i AS MATERIALIZED (SELECT p.cid, coalesce(f.cq, p.cq) AS cq
+         |        FROM c${i - 1} p LEFT JOIN n$i f USING (cid))""".stripMargin
+    }
+    (head +: rounds :+ assign("af", s"c$iters")).mkString(",\n")
+  }
+
+  /** The k-means fixpoint oracle (k = 8, 3 Lloyd iterations). */
+  private lazy val embedClusterOracle: String =
+    s"""WITH ${duckLloydCtes("8", iters = 3)}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM af
+       |ORDER BY vec_id""".stripMargin
+
+  /** The SemDeDup keep-list oracle: the Lloyd chain at k = ⌈√n⌉
+    * (floor 8, the engine's semdedupCells), within-cell pairs kept by
+    * the INTEGER cosine test (cos ≥ 2/5 ⟺ dq ≥ 0 ∧ 25·dq² ≥
+    * 4·|a|²·|b|², HUGEINT ≡ the engine's decimal(38,0)), a recursive
+    * min-label closure over the undirected edge set (each id reaches
+    * its whole component, so min(reached) < id ⟺ id is not its
+    * component's minimum), and the survivors in vec_id order. */
+  private lazy val semdedupKeepOracle: String =
+    s"""WITH RECURSIVE ${duckLloydCtes(
+        "greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT))", iters = 3)},
+       |nq AS MATERIALIZED (SELECT vec_id,
+       |         CAST(list_inner_product(vq, vq) AS HUGEINT) AS n2
+       |       FROM e),
+       |pr AS MATERIALIZED (SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |         CAST(list_inner_product(ea.vq, eb.vq) AS HUGEINT) AS dq,
+       |         na.n2 AS na2, nb.n2 AS nb2
+       |       FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |       JOIN e ea ON ea.vec_id = a.vec_id
+       |       JOIN e eb ON eb.vec_id = b.vec_id
+       |       JOIN nq na ON na.vec_id = a.vec_id
+       |       JOIN nq nb ON nb.vec_id = b.vec_id),
+       |ed AS MATERIALIZED (SELECT ida, idb FROM pr
+       |       WHERE dq >= 0 AND 25*dq*dq >= 4*na2*nb2),
+       |bi AS MATERIALIZED (SELECT ida AS s, idb AS t FROM ed
+       |       UNION ALL SELECT idb, ida FROM ed),
+       |reach(id, lbl) AS (
+       |  SELECT s, t FROM bi
+       |  UNION
+       |  SELECT r.id, bi.t FROM reach r JOIN bi ON bi.s = r.lbl),
+       |drp AS (SELECT id FROM (SELECT id, min(lbl) AS m FROM reach
+       |                        GROUP BY id) WHERE m < id)
+       |SELECT e.vec_id FROM e LEFT JOIN drp ON drp.id = e.vec_id
+       |WHERE drp.id IS NULL ORDER BY vec_id""".stripMargin
 
   /** Shared CTE chain ending in the verified J ≥ 0.8 near-dup `pairs`
     * — consumed by the pair queries and the recursive clusters oracle. */
@@ -3219,6 +3320,13 @@ object SparkEntry {
     // same SQL.
     "q_kmeans_assign" -> kmeansAssignOracle,
     "q_kmeans_assign_expr" -> kmeansAssignOracle,
+    // the FULL k-means fixpoint (r17, previously rows-only): three
+    // unrolled integer-exact Lloyd iterations — see duckLloydCtes for
+    // the lattice/rounding contract with the engine
+    "q_embed_cluster" -> embedClusterOracle,
+    // SemDeDup keep-list (r17, previously rows-only): Lloyd chain at
+    // ⌈√n⌉ cells + integer cosine + recursive min-label closure
+    "q_semdedup_keep" -> semdedupKeepOracle,
     "q_pq_assign" -> pqAssignOracle,
     "q_pq_assign_expr" -> pqAssignOracle,
     // IVF ANN: centroids = first ⌈√n⌉ corpus vectors, inner-product

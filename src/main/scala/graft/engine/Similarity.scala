@@ -1019,8 +1019,9 @@ object Similarity {
           col("score").as("rrf"))
     }
 
-  /** Embedding-table vector width (FIXTURES.md §B). */
-  private val embDim = 64
+  /** Embedding-table vector width (FIXTURES.md §B). Referenced by the
+    * SparkEntry oracle generators (the per-dimension unnest range). */
+  private[graft] val embDim = 64
 
   /** Max centroid count for the unrolled literal-projection argmin.
     * Each literal centroid inlines `dim` double constants plus a dot
@@ -1199,6 +1200,102 @@ object Similarity {
     cent
   }
 
+  // ──────────────────────────────────────────────────────────────
+  // Integer-exact Lloyd (the ORACLE-BACKED k-means path)
+  // ──────────────────────────────────────────────────────────────
+
+  /** Quantization unit for the integer-exact Lloyd path: vectors live
+    * on a 1e−6 lattice (|v| < 0.6 on this corpus ⇒ |vq| < 6·10⁵), so
+    * every distance, dot product and per-cell sum is an EXACT integer
+    * comfortably below 2⁵³ — representable without error in the
+    * engine's double arithmetic AND DuckDB's, which is what lets the
+    * k-means fixpoint be hash-checked against an unrolled-CTE oracle
+    * (the q_pagerank integerization precedent; the decimal-mean path
+    * [[kmeansCentroidsFrom]] stays for the IVF quantizers, whose
+    * queries remain rows-only). round(x·1e6) is identical in both
+    * engines (HALF_UP away from zero — the [[qLabelCentroids]]
+    * precedent). */
+  private[graft] val kmeansQuantUnit = 1e6
+
+  /** Quantized corpus: vec_id + round(v·1e6) as INTEGER-VALUED double
+    * arrays. Session-persisted for the same reason [[corpus]] is,
+    * plus one more: the elementwise `transform` is a higher-order
+    * function, which de-codegens every expression CollapseProject
+    * merges it under ([[asDouble]] scaladoc) — materializing the
+    * quantized arrays once keeps the hot assignment/dot scans above
+    * it fully codegen'd. At 100 TB the lattice copy would be written
+    * at ingest instead. */
+  private def corpusQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.memoizedPersisted(spark, s"corpusq|$sfDir")(
+      corpusPlan(spark, sfDir).select(col("vec_id"),
+        transform(col("v"), x => round(x * kmeansQuantUnit)).as("v")))
+
+  /** Deterministic Lloyd over a QUANTIZED corpus — every step integer:
+    * assignment is the exact-integer squared-distance argmin (ties to
+    * the lowest cid, [[nearestCell]] — all values < 2⁵³ so its double
+    * arithmetic is exact), and the centroid update rounds the exact
+    * rational mean onto the lattice as (2s+n)/(2n) in TRUNCATING
+    * integer division (Scala `/` ≡ DuckDB `//`; round-half-up for the
+    * non-negative sums here). The 0.5-unit centroid rounding is 1e−6
+    * of the value scale — far below any real cluster boundary — and
+    * it is what makes the 3-iteration fixpoint an exact relational
+    * recurrence a DuckDB CTE chain can replay verbatim. Same
+    * dataflow as [[kmeansCentroidsFrom]]: one narrow assignment
+    * projection + one k×(dim+1) map-combined LONG agg per iteration,
+    * empty cells keep their centroid. */
+  private[graft] def kmeansCentroidsQuantFrom(e: DataFrame, k: Int,
+      iters: Int): IndexedSeq[IndexedSeq[Double]] = {
+    var cent: IndexedSeq[IndexedSeq[Double]] = e
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(cent.length == k, s"corpus has fewer than $k seed vectors")
+    for (_ <- 1 to iters) {
+      val aggs = count(lit(1)).as("n") +:
+        (0 until embDim).map(i =>
+          sum(element_at(col("v"), i + 1).cast("long")).as(s"s$i"))
+      val rows = e.select(col("v"), nearestCell(cent).as("cid"))
+        .groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getInt(0) -> r).toMap
+      cent = cent.indices.map { cid =>
+        rows.get(cid) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            (0 until embDim).map(i =>
+              ((2L * r.getLong(2 + i) + n) / (2L * n)).toDouble)
+          case None => cent(cid)
+        }
+      }
+    }
+    cent
+  }
+
+  /** [[kmeansCentroidsQuantFrom]] over the session-memoized quantized
+    * corpus, fit on [[kmeansFitSample]] like the decimal path. Oracle
+    * regime note: below n ≤ 2·128·k the hash-spaced sample IS the
+    * corpus (the modulus n/(128k) truncates to 1), which holds at
+    * every SF fixture for both callers (k = 8 and k = ⌈√n⌉); past it
+    * the xxhash-spaced fit has no SQL twin and the queries would need
+    * to go rows-only again — the driver only ever runs SF fixtures. */
+  private def kmeansCentroidsQuantCached(spark: SparkSession,
+      sfDir: String, k: Int, iters: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val key = (spark, s"quant|$sfDir|$k|$iters")
+    val hit = kmeansCentMemo.synchronized {
+      kmeansCentMemo.filterInPlace((kk, _) => !kk._1.sparkContext.isStopped)
+      kmeansCentMemo.remove(key).map { v => kmeansCentMemo.put(key, v); v }
+    }
+    hit.getOrElse {
+      val e = corpusQ(spark, sfDir)
+      val n = corpusCount(spark, sfDir)
+      val c = kmeansCentroidsQuantFrom(kmeansFitSample(e, k, n), k, iters)
+      kmeansCentMemo.synchronized {
+        kmeansCentMemo.put(key, c)
+        while (kmeansCentMemo.size > kmeansCentMemoCap)
+          kmeansCentMemo.remove(kmeansCentMemo.head._1)
+      }
+      c
+    }
+  }
+
   /** SemDeDup end-to-end: the semantic-dedup keep-list. k-means cells
     * bound the candidate space, exact cosine verifies within-cell
     * pairs, connected components collapses transitive
@@ -1219,46 +1316,63 @@ object Similarity {
     * [[literalArgminMaxK]] cells). The edge list reuses the dedup
     * pipeline's hybrid labeler: driver union-find when it fits
     * (near-dup edges are sparse), alternating-star rounds otherwise.
-    * Iterative + data-dependent cells → no SQL oracle (rows-only);
-    * [[SimilaritySpec]] re-derives the whole keep-list independently
-    * and asserts exact equality. */
+    *
+    * ORACLE-BACKED since r17 (previously rows-only): the whole
+    * pipeline runs on the 1e−6 integer lattice — the integer Lloyd
+    * ([[kmeansCentroidsQuantFrom]]) and an integer cosine test
+    * (cos ≥ tNum/tDen ⟺ dq ≥ 0 ∧ tDen²·dq² ≥ tNum²·|a|²·|b|², no
+    * sqrt, no division — dq² up to ~10²⁷ rides decimal(38,0) ≡
+    * HUGEINT), so a DuckDB CTE chain (unrolled Lloyd + a recursive
+    * min-label closure) replays it hash-exactly. [[SimilaritySpec]]
+    * still re-derives the keep-list independently on the driver. */
   def qSemdedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
     // the near-dup bar for THIS corpus (same as qEmbedNearDup's: the
     // synthetic embeddings plant duplicates at cos ≈ 0.4+; real text
     // embeddings would put the SemDeDup knob at ~0.95). The fixture
     // path routes the Lloyd fixpoint through the session memo — the
     // cells are fit once per corpus, as in production
-    val e = corpus(spark, sfDir)
+    val e = corpusQ(spark, sfDir)
     val k = semdedupCells(corpusCount(spark, sfDir))
-    semdedupKeepWithCentroids(e, threshold = 0.4,
-      kmeansCentroidsCached(spark, sfDir, k, iters = 3, e,
-        corpusCount(spark, sfDir)))
+    semdedupKeepWithCentroids(e, tNum = 2, tDen = 5,
+      kmeansCentroidsQuantCached(spark, sfDir, k, iters = 3))
   }
 
   /** The keep-list given already-fit centroids — lets a caller that
     * needs the centroids for its own measurements (SemScale's
-    * cell-size audit) fit them exactly once. */
+    * cell-size audit) fit them exactly once. `e` must be a QUANTIZED
+    * corpus (integer-valued vectors, [[corpusQ]]); the near-dup bar
+    * is the rational tNum/tDen ∈ (0, 1]. Zero vectors are out of
+    * domain (the integer test degenerates to 0 ≥ 0; none exist in
+    * any corpus here). */
   private[graft] def semdedupKeepWithCentroids(e: DataFrame,
-      threshold: Double,
+      tNum: Int, tDen: Int,
       cent: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
-    // norms computed ONCE per vector before the self-join (n sqrt's,
-    // not n² — the same argument qEmbedNearDup documents); the
-    // per-pair filter is then a single dot product. The assignment
-    // scan (k×dim dots per row) feeds BOTH join sides — without the
-    // persist it runs twice, since Spark does not share the aliased
-    // subtrees; labelComponents is eager (it persists + counts the
-    // pair list), so the bracket is safe to release immediately after.
+    // squared norms computed ONCE per vector before the self-join
+    // (n dots, not n² — the same argument qEmbedNearDup documents);
+    // the per-pair test is then one dot product plus integer
+    // comparisons. The assignment scan (k×dim dots per row) feeds
+    // BOTH join sides — without the persist it runs twice, since
+    // Spark does not share the aliased subtrees; labelComponents is
+    // eager (it persists + counts the pair list), so the bracket is
+    // safe to release immediately after.
     val assigned = e.select(col("vec_id"), col("v"),
-      nearestCell(cent).as("cid"), l2norm(col("v")).as("nrm"))
+      nearestCell(cent).as("cid"), dot(col("v"), col("v")).as("n2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lhs = assigned.select(col("cid"), col("vec_id").as("ida"),
-      col("v").as("va"), col("nrm").as("na"))
+      col("v").as("va"), col("n2").as("na2"))
     val rhs = assigned.select(col("cid"), col("vec_id").as("idb"),
-      col("v").as("vb"), col("nrm").as("nb"))
+      col("v").as("vb"), col("n2").as("nb2"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
     val pairs = lhs.join(rhs, Seq("cid"))
       .filter(col("ida") < col("idb"))
-      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
-        >= threshold)
+      .withColumn("dq", dot(col("va"), col("vb")))
+      // cos ≥ tNum/tDen on the lattice, exactly: every quantity in the
+      // squared comparison is an exact integer (dq ≤ ~2.3e13 ⇒ dq² ≤
+      // ~5.3e26 < 10³⁸), so the boundary pair is decided identically
+      // in both engines — no IEEE sqrt or division anywhere
+      .filter(col("dq") >= 0 &&
+        d38(col("dq")) * d38(col("dq")) * lit(tDen * tDen)
+          >= d38(col("na2")) * d38(col("nb2")) * lit(tNum * tNum))
       .select(col("ida"), col("idb"))
     val labeled = Dedup.labelComponents(pairs, driverEdgeLimit = 1000000L)
     assigned.unpersist()
@@ -1408,16 +1522,19 @@ object Similarity {
       .orderBy(col("label"))
   }
 
-  /** Final k-means cluster assignment (k=8, 3 Lloyd iterations).
-    * No SQL oracle BY DESIGN (like the HLL sketch): the centroid
-    * fixpoint is iterative distributed computation, not a relational
-    * expression — the driver records the rows-only check and
-    * [[SimilaritySpec]] pins the semantics instead (argmin property
-    * vs. a driver-side recomputation, SSE monotonicity, cluster-count
-    * sanity). */
+  /** Final k-means cluster assignment (k=8, 3 Lloyd iterations) —
+    * ORACLE-BACKED since r17 (previously rows-only): the fit runs on
+    * the 1e−6 integer lattice ([[kmeansCentroidsQuantFrom]]), whose
+    * recurrence — exact integer argmin, truncating-division centroid
+    * rounding — is precisely replayable as three unrolled DuckDB CTE
+    * iterations (the q_pagerank integerization move applied to the
+    * k-means family). [[SimilaritySpec]] additionally re-derives the
+    * whole fixpoint on the driver in integer arithmetic and asserts
+    * exact equality; the decimal-mean fit stays at
+    * [[kmeansCentroids]] for the IVF quantizers. */
   def qEmbedCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val cent = kmeansCentroids(spark, sfDir, k = 8, iters = 3)
-    corpus(spark, sfDir)
+    val cent = kmeansCentroidsQuantCached(spark, sfDir, k = 8, iters = 3)
+    corpusQ(spark, sfDir)
       .select(col("vec_id"), nearestCell(cent).cast("long").as("cluster"))
       .orderBy(col("vec_id"))
   }

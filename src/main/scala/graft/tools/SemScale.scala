@@ -70,15 +70,20 @@ object SemScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // quantized onto the production pipeline's 1e−6 lattice (the r17
+    // integer-exact path): exact copies stay cos = 1 and noise pairs
+    // stay ~0 — the planted contrast is quantization-invariant
     val e = spark.range(0L, nVecs, 1L, cpus.toInt).as[Long]
-      .mapPartitions(_.map(id => (id, vecOf(id).toSeq)))
+      .mapPartitions(_.map(id => (id,
+        vecOf(id).map(x => math.rint(x * 1e6)).toSeq)))
       .toDF("vec_id", "v")
 
     val k = Similarity.semdedupCells(nVecs)
     val t0 = System.nanoTime()
     // fit once, reuse for both the keep-list and the cell-size audit
-    val cent = Similarity.kmeansCentroidsFrom(e, k, iters = 3)
-    val kept = Similarity.semdedupKeepWithCentroids(e, threshold = 0.9, cent)
+    val cent = Similarity.kmeansCentroidsQuantFrom(e, k, iters = 3)
+    val kept = Similarity.semdedupKeepWithCentroids(e, tNum = 9, tDen = 10,
+        cent)
       .as[Long].collect().toSet
     val secs = (System.nanoTime() - t0) / 1e9
 

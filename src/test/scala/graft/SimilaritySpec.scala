@@ -236,16 +236,46 @@ class SimilaritySpec extends SparkSpec {
     val sses = byIter.map(sse)
     assert(sses.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 },
       sses.toString)
-    // final assignment = independent argmin (full squared distance,
-    // ties to lowest cid; the engine drops the |x|^2 term instead)
+    // qEmbedCluster (the ORACLE-BACKED quantized path since r17):
+    // full driver-side re-derivation of the INTEGER Lloyd fixpoint —
+    // quantize with the engine-identical HALF_UP round(x·1e6), seed
+    // with the k lowest vec_ids, three iterations of exact-integer
+    // argmin (ties to lowest cid) + truncating (2s+n)/(2n) mean
+    // rounding — then assert EXACT assignment equality
     val out = Similarity.qEmbedCluster(spark, sf0001)
       .as[(Long, Long)].collect().toSeq
     assert(out.map(_._1) == vecs.keys.toSeq.sorted)
-    val cent = byIter.last
-    out.foreach { case (id, cl) =>
-      val ds = cent.map(d2(vecs(id), _))
-      assert(cl == ds.indexOf(ds.min), s"vec $id")
+    val vq: Map[Long, IndexedSeq[Long]] = vecs.view.mapValues(_.map(x =>
+      BigDecimal(x * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      .toIndexedSeq).toMap
+    def d2q(a: IndexedSeq[Long], c: IndexedSeq[Long]): Long =
+      a.lazyZip(c).map((x, y) => (x - y) * (x - y)).sum
+    def argmin(cent: IndexedSeq[IndexedSeq[Long]],
+        v: IndexedSeq[Long]): Int = {
+      val ds = cent.map(d2q(v, _))
+      ds.indexOf(ds.min) // indexOf = first minimum = lowest cid
     }
+    val ids = vecs.keys.toSeq.sorted
+    var qcent: IndexedSeq[IndexedSeq[Long]] =
+      ids.take(k).map(vq).toIndexedSeq
+    for (_ <- 1 to 3) {
+      val members = ids.groupBy(id => argmin(qcent, vq(id)))
+      qcent = qcent.indices.map { cid =>
+        members.get(cid) match {
+          case Some(ms) =>
+            val n = ms.size.toLong
+            (0 until vq(ids.head).length).map { i =>
+              val s = ms.map(id => vq(id)(i)).sum
+              (2L * s + n) / (2L * n)
+            }.toIndexedSeq
+          case None => qcent(cid)
+        }
+      }
+    }
+    val expect = ids.map(id => (id, argmin(qcent, vq(id)).toLong))
+    assert(out == expect, out.zip(expect).filter(p => p._1 != p._2)
+      .take(5).toString)
     // non-degenerate clustering: every cell ends up populated (the
     // corpus is balanced and far larger than k) and no single cell
     // swallows the corpus — measured 49–72 of 500 per cell at sf0.001
@@ -477,25 +507,52 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    // same parameters the engine derives: n=500 → ⌈√500⌉ = 23 cells,
-    // 3 iterations (the √n formula is spec'd in NearestCentroidSpec)
-    val cent = Similarity.kmeansCentroids(spark, sf0001,
-      k = Similarity.semdedupCells(500), iters = 3)
-    def d2(a: Seq[Double], c: IndexedSeq[Double]): Double =
-      a.lazyZip(c).map((x, y) => (x - y) * (x - y)).sum
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      def dot(x: Seq[Double], y: Seq[Double]) =
-        x.lazyZip(y).map(_ * _).foldLeft(0.0)(_ + _)
-      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    }
-    val cell = vecs.map { case (id, v) =>
-      val ds = cent.map(d2(v, _)); id -> ds.indexOf(ds.min)
+    // the r17 integer pipeline, re-derived from scratch: quantize with
+    // HALF_UP round(x·1e6), integer Lloyd at the engine-derived
+    // n=500 → ⌈√500⌉ = 23 cells / 3 iterations (the √n formula is
+    // spec'd in NearestCentroidSpec), integer cosine bar 2/5
+    val vq: Map[Long, IndexedSeq[Long]] = vecs.map { case (id, v) =>
+      id -> v.map(x => BigDecimal(x * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toIndexedSeq
     }.toMap
-    val byId = vecs.toMap
+    def d2q(a: IndexedSeq[Long], c: IndexedSeq[Long]): Long =
+      a.lazyZip(c).map((x, y) => (x - y) * (x - y)).sum
+    def argmin(cent: IndexedSeq[IndexedSeq[Long]],
+        v: IndexedSeq[Long]): Int = {
+      val ds = cent.map(d2q(v, _)); ds.indexOf(ds.min)
+    }
     val ids = vecs.map(_._1)
+    val k = Similarity.semdedupCells(500)
+    var cent: IndexedSeq[IndexedSeq[Long]] =
+      ids.sorted.take(k).map(vq).toIndexedSeq
+    for (_ <- 1 to 3) {
+      val members = ids.groupBy(id => argmin(cent, vq(id)))
+      cent = cent.indices.map { cid =>
+        members.get(cid) match {
+          case Some(ms) =>
+            val n = ms.size.toLong
+            (0 until 64).map { i =>
+              val s = ms.map(id => vq(id)(i)).sum
+              (2L * s + n) / (2L * n)
+            }.toIndexedSeq
+          case None => cent(cid)
+        }
+      }
+    }
+    val cell = ids.map(id => id -> argmin(cent, vq(id))).toMap
+    // integer cosine: cos ≥ 2/5 ⟺ dq ≥ 0 ∧ 25·dq² ≥ 4·|a|²·|b|²
+    // (BigInt squares — dq² overflows a Long)
+    def qualifies(a: IndexedSeq[Long], b: IndexedSeq[Long]): Boolean = {
+      val dq = a.lazyZip(b).map(_ * _).sum
+      val na2 = a.map(x => x * x).sum
+      val nb2 = b.map(x => x * x).sum
+      dq >= 0 &&
+        BigInt(25) * BigInt(dq) * BigInt(dq) >=
+          BigInt(4) * BigInt(na2) * BigInt(nb2)
+    }
     val edges = for {
       i <- ids; j <- ids
-      if i < j && cell(i) == cell(j) && cos(byId(i), byId(j)) >= 0.4
+      if i < j && cell(i) == cell(j) && qualifies(vq(i), vq(j))
     } yield (i, j)
     assert(edges.nonEmpty) // planted near-dups land in shared cells
     // driver union-find (the same transitive-closure semantics,
