@@ -544,6 +544,70 @@ object SparkEntry {
       |           AS bpe_str,
       |         length(s) - length(replace(s, chr(31), '')) - 1 AS n_bpe
       |       FROM enc WHERE r = ${TextOps.bpeMerges.length + 1})""".stripMargin
+  /** The BPE TRAINER re-derived in pure SQL — the [[duckBpeCte]]
+    * encode trick applied to training (the r16 verdict's inversion
+    * note): the vocabulary starts as per-word chr(31)-delimited
+    * code-point symbol strings with corpus counts, and each of the
+    * nMerges rounds is three UNROLLED CTE stages —
+    *
+    *  1. `p_r`: adjacent-pair counts (overlaps included, the Sennrich
+    *     get_stats convention) via str_split + positional unnest;
+    *  2. `w_r`: the round's winner under the engine's deterministic
+    *     tie-break ORDER BY n DESC, a, b LIMIT 1 (ASCII corpus ⇒
+    *     DuckDB's byte order ≡ the JVM's UTF-16 order);
+    *  3. `rw_r`/`v_r`: the vocabulary rewrite — a per-round recursive
+    *     CTE repeating the non-overlapping `replace` to fixpoint,
+    *     which equals the engine's left-to-right mergePass (the
+    *     duckBpeCte-proven equivalence).
+    *
+    * Rounds with no pairs left go empty and stay empty (cross joins
+    * with the empty `w_r`), matching the engine's early stop. All
+    * non-recursive CTEs are MATERIALIZED — each `v_r` is referenced
+    * by both the next pair count and the next rewrite, so default
+    * inlining would re-derive the whole prefix per round (the
+    * duckLloydCtes lesson). Same oracle for the driver-fit and
+    * forced-distributed queries: both paths share mergePass, so their
+    * outputs are row-identical by construction. */
+  private lazy val duckBpeTrainOracle: String = {
+    val nm = TextOps.bpeTrainMerges
+    def pat(w: String) = s"chr(31)||$w.a||chr(31)||$w.b||chr(31)"
+    def rep(w: String) = s"chr(31)||$w.a||$w.b||chr(31)"
+    val head =
+      s"""tok0 AS MATERIALIZED (SELECT unnest($duckTokens) AS word
+         |  FROM documents),
+         |v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         |  chr(31) || regexp_replace(word, '(.)', concat('\\1', chr(31)), 'g')
+         |    AS s
+         |  FROM tok0 GROUP BY word)""".stripMargin
+    val rounds = (1 to nm).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT ss[j] AS a, ss[j+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, ss, unnest(range(2, len(ss)-1)) AS j
+         |        FROM (SELECT cnt, str_split(s, chr(31)) AS ss
+         |              FROM v${r - 1}))
+         |  GROUP BY 1, 2),
+         |w$r AS MATERIALIZED (
+         |  SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |rw$r AS (
+         |  SELECT word, cnt, s FROM v${r - 1}
+         |  UNION ALL
+         |  SELECT t.word, t.cnt, replace(t.s, ${pat("w")}, ${rep("w")})
+         |  FROM rw$r t, w$r w
+         |  WHERE contains(t.s, ${pat("w")})),
+         |v$r AS MATERIALIZED (
+         |  SELECT t.word, t.cnt, t.s FROM rw$r t, w$r w
+         |  WHERE NOT contains(t.s, ${pat("w")}))""".stripMargin
+    }
+    val union = (1 to nm).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, a, b, n AS pair_count FROM w$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |${(head +: rounds).mkString(",\n")}
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** The TextOps.qualityScore formula over (text, tk) — kept verbatim
     * in both oracles that use it. */
   private val duckQuality =
@@ -3604,6 +3668,13 @@ object SparkEntry {
         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
         |  md5(string_agg(bpe_str, ' ' ORDER BY j)) AS bpe_fp
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The BPE TRAINER (r17, previously rows-only): 16 argmax rounds
+    // unrolled as CTE stages, each re-deriving the merge winner and
+    // replaying the vocabulary rewrite — see duckBpeTrainOracle. The
+    // forced-distributed twin is row-identical by construction (shared
+    // mergePass), so it carries the same oracle.
+    "q_bpe_train" -> duckBpeTrainOracle,
+    "q_bpe_train_dist" -> duckBpeTrainOracle,
     // The packing twin on BPE arithmetic — same shard-local window and
     // integer // as q_pack_sequences, counts from the recursive CTE.
     "q_pack_bpe" ->

@@ -21,13 +21,13 @@ class DocsSpec extends AnyFunSuite {
     // rows-only queries are a deliberate, enumerated exception — a new
     // query silently missing its oracle must fail here, not pass with
     // a weaker rows-only check. Current exceptions: the HLL sketch
-    // (hash-dependent), the three k-means-derived ops, and the two
-    // BPE trainer paths (all iterative fixpoints — not relational
-    // expressions; SimilaritySpec/TextOpsSpec pin their semantics by
-    // exact driver re-derivation).
+    // (hash-dependent) and the two Lloyd-fitted ANN quantizers, whose
+    // DECIMAL-mean fixpoints have no SQL twin (the integerized k-means
+    // and BPE-trainer families gained oracles in r17;
+    // SimilaritySpec/AnnScale pin these last two by exact driver
+    // re-derivation and recall audits).
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-      == Set("q_approx_distinct", "q_embed_cluster", "q_semdedup_keep",
-        "q_ann_ivf_km", "q_ann_pq", "q_bpe_train", "q_bpe_train_dist"))
+      == Set("q_approx_distinct", "q_ann_ivf_km", "q_ann_pq"))
   }
 
   test("README query counts match SparkEntry") {
