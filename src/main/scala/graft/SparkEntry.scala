@@ -99,6 +99,9 @@ object SparkEntry {
     // nearest-within-tolerance as-of (merge_asof direction='nearest'),
     // one union+window pass feeding both directions (r16)
     "q_asof_nearest" -> Relational.qAsofNearest _,
+    // strict (allow_exact_matches=false) as-of: side tags swapped so
+    // same-bucket features are invisible — the leakage-safe lookup
+    "q_asof_strict" -> Relational.qAsofStrict _,
     // Lorenz-Gini revenue concentration; global rank via the sharded
     // prefix scan, one integral division (r16)
     "q_gini_concentration" -> Relational.qGiniConcentration _,
@@ -1633,6 +1636,22 @@ object SparkEntry {
         |  CASE WHEN pick_prev THEN -dtp
         |       WHEN maybe_next THEN dtn END AS dt_sec
         |FROM d ORDER BY event_id""".stripMargin,
+    // strict as-of: DuckDB's native ASOF LEFT JOIN with the `>`
+    // comparator — the engine's swapped-side-tag carry, independently
+    // formulated; 10-minute buckets keep the exact-boundary branch
+    // live at every SF
+    "q_asof_strict" ->
+      """WITH ev AS (SELECT user_id AS k,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 600000000 AS t,
+        |         event_id, event_type
+        |       FROM events),
+        |o AS (SELECT k, t, max(event_id) AS oid FROM ev
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |e AS (SELECT k, t, event_id FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.k, o.oid
+        |FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.t > o.t
+        |ORDER BY event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,

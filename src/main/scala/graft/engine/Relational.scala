@@ -879,6 +879,48 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Strict as-of join (pandas merge_asof allow_exact_matches=False):
+    * for each purchase, the user's most recent click STRICTLY BEFORE
+    * the purchase's 10-minute bucket — the leakage-safe feature
+    * lookup, where a feature stamped in the SAME window as the label
+    * must not be visible. Same union-tag one-pass shape as
+    * [[qAsofJoin]], with the SIDE TAGS SWAPPED: purchases (side 0)
+    * sort before same-bucket clicks (side 1), so the backward
+    * ignore-nulls carry can only see clicks from strictly earlier
+    * buckets — the inclusive/strict distinction is one integer in the
+    * sort key, not a different plan. The 10-minute bucketing is what
+    * makes the boundary branch LIVE in every fixture (same-bucket
+    * click+purchase collisions exist at sf0.001/0.01/0.1: 2/7/66);
+    * the oracle is DuckDB's native ASOF LEFT JOIN with the strict
+    * `>` comparator — an independent formulation.
+    *
+    * Scale shape: identical to [[qAsofJoin]] — one shuffle on the
+    * key, one ordered pass, no range join. */
+  def qAsofStrict(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id").as("k"),
+        expr("unix_micros(ts) div 600000000").as("t"),
+        col("event_id"), col("event_type"))
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy(col("k"), col("t"))
+      .agg(max(col("event_id")).as("oid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("k"), col("t"), col("event_id"))
+    val tagged = p
+      .select(col("k"), col("t"), lit(null).cast("long").as("oid"),
+        lit(0).as("side"), col("event_id"))
+      .unionByName(c.select(col("k"), col("t"), col("oid"),
+        lit(1).as("side"), lit(null).cast("long").as("event_id")))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_oid", last(col("oid"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("k"), col("last_oid").as("oid"))
+      .orderBy(col("event_id"))
+  }
+
   /** Last-touch attribution lookback window (seconds). Sized so the
     * fixture exercises BOTH branches — attributed conversions and
     * organic ones whose latest touch is stale. */

@@ -4,49 +4,80 @@ import graft.engine.TextOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev evidence for the BPE-encode scale shape: synthesizes a corpus
-  * far beyond the SF fixtures — `nDocs` documents of 100 tokens each,
-  * drawn deterministically from a 10k-word letter-only vocabulary
-  * (letters dense in the pinned merge table, so the walk actually
-  * merges) — and runs the full [[TextOps.bpeAccounting]] pipeline:
-  * tokenize, per-partition-memoized encode, count, stream build. The
-  * expected corpus BPE-token total is closed-form from the same
-  * generator (driver-side encode of the 10k vocabulary + occurrence
-  * arithmetic), so correctness at scale is exact, not sampled.
-  * Generation happens executor-side (mapPartitions over a range) —
-  * the driver never holds the corpus. Usage:
-  *   sbt "runMain graft.tools.BpeScale [nDocs]"   # default 100000
+/** Dev evidence for the BPE scale shape — two experiments in one
+  * harness, both on a synthetic corpus far beyond the SF fixtures
+  * (`nDocs` documents × 100 tokens drawn deterministically from a
+  * `vocab`-word letter-only vocabulary; letters dense in the pinned
+  * merge table so walks actually merge; generation executor-side —
+  * the driver never holds the corpus):
   *
-  * Measured (local[32]): nDocs=1,000,000 → 100,000,000 corpus tokens
-  * encoded to 530,000,000 subwords in 6.3–8.0 s (≈12.5M tokens/s+),
-  * totals exactly equal to the closed form; nDocs=100,000 → 3.3 s.
-  * Trainer at the same scale (16 merges over the corpus): the
-  * forced-distributed round loop learns the IDENTICAL table to the
-  * driver classic fit — 12.0 s vs 3.1 s, which is exactly why the
-  * hybrid prefers the driver path whenever the dictionary fits.
+  *  1. ENCODE (default args): the full [[TextOps.bpeAccounting]]
+  *     pipeline, checked exactly against a closed-form total (encode
+  *     the vocabulary once driver-side + occurrence arithmetic).
+  *  2. TRAIN (nMerges arg): [[TextOps.bpeTrainOn]]'s BOTH branches at
+  *     real merge counts — the driver classic fit vs the forced
+  *     distributed round loop — asserting the learned tables are
+  *     IDENTICAL and recording wall/merge for each. The corpus-sized
+  *     work (tokenize + groupBy(word)) happens once in either branch;
+  *     after that cost is a function of the DICTIONARY, so the
+  *     crossover is a dictionary-size story: at 10k distinct words
+  *     the in-memory loop is ~50× cheaper per merge than a Spark
+  *     round (pure scheduling overhead); at a 1M-word dictionary the
+  *     per-merge walls converge to the same order — and past driver
+  *     memory only the distributed loop exists at all, which is why
+  *     the hybrid keys on dictionary size, not speed.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.BpeScale [nDocs] [nMerges] [vocab]"
+  *   # defaults: 100000 16 10000
+  *
+  * Measured (local[32]): ENCODE nDocs=1,000,000 → 100,000,000 corpus
+  * tokens encoded to 530,000,000 subwords in 6.3–8.0 s (≈12.5M
+  * tokens/s+), totals exactly equal to the closed form; nDocs=100,000
+  * → 3.3 s. TRAIN: see BASELINE.md §BPE-train (r17) for the 5000-merge
+  * / 100M-token / 1M-dictionary record.
   */
 object BpeScale {
-  private val vocabSize = 10000
   private val docLen = 100
   private val letters = "ethanriosw" // merge-table-dense alphabet
 
-  /** Deterministic word k: length 3–10, letters from the dense set. */
-  private[tools] def wordOf(k: Int): String = {
-    val len = 3 + (k * 2654435761L % 8).toInt.abs
+  /** splitmix64 finalizer (the SemScale convention) — load-bearing
+    * here: the r16 generator was LINEAR in (k, j), whose mod-10
+    * letters and mod-8 lengths repeat with period 40 — the "10k
+    * vocabulary" was effectively 40 distinct strings, far too small
+    * to say anything about dictionary-sized training cost. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic word k: hash-mixed length 3–10 (+4 for vocabularies
+    * past 100k so 1M ids stay ~distinct strings), letters from the
+    * dense set. A ~0.5% birthday-collision rate at 1M is fine — the
+    * harness prints the REALIZED distinct count and all exactness
+    * checks key on string identity, not id identity. */
+  private[tools] def wordOf(k: Int, vocab: Int): String = {
+    val extra = if (vocab > 100000) 4 else 0
+    val len = 3 + extra + (mix(k.toLong) & 7L).toInt
     val sb = new StringBuilder(len)
     var j = 0
     while (j < len) {
-      sb.append(letters(((k * 31L + j * 131L) % letters.length).toInt))
+      sb.append(letters(
+        ((mix(k.toLong * 1000003L + j) >>> 40) % letters.length).toInt))
       j += 1
     }
     sb.result()
   }
 
-  private[tools] def slotWord(d: Long, j: Int): Int =
-    ((d * 31L + j * 7L) % vocabSize).toInt
+  private[tools] def slotWord(d: Long, j: Int, vocab: Int): Int =
+    ((d * 31L + j * 7L) % vocab).toInt
 
   def main(args: Array[String]): Unit = {
-    val nDocs = if (args.nonEmpty) args(0).toInt else 100000
+    val nDocs = if (args.length > 0) args(0).toInt else 100000
+    val nMerges = if (args.length > 1) args(1).toInt else 16
+    val vocab = if (args.length > 2) args(2).toInt else 10000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -57,13 +88,14 @@ object BpeScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val vs = vocab
     val docs = spark.range(0L, nDocs.toLong, 1L, cpus.toInt)
       .as[Long].mapPartitions { it =>
         it.map { d =>
           val sb = new StringBuilder
           var j = 0
           while (j < docLen) {
-            sb.append(wordOf(slotWord(d, j)))
+            sb.append(wordOf(slotWord(d, j, vs), vs))
             sb.append(' ')
             j += 1
           }
@@ -78,39 +110,47 @@ object BpeScale {
       .collect()(0)
     val secs = (System.nanoTime() - t0) / 1e9
 
-    // closed form: encode the 10k vocabulary once driver-side, then
-    // sum each slot's word length over the generator arithmetic
-    val encLen = Array.tabulate(vocabSize)(k =>
-      TextOps.bpeEncode(wordOf(k)).length.toLong)
+    // closed form: encode the vocabulary once driver-side, then sum
+    // each slot's word length over the generator arithmetic
+    val encLen = Array.tabulate(vocab)(k =>
+      TextOps.bpeEncode(wordOf(k, vocab)).length.toLong)
     var expBpe = 0L
     var d = 0L
     while (d < nDocs) {
       var j = 0
-      while (j < docLen) { expBpe += encLen(slotWord(d, j)); j += 1 }
+      while (j < docLen) { expBpe += encLen(slotWord(d, j, vocab)); j += 1 }
       d += 1
     }
     val expTok = nDocs.toLong * docLen
+    val distinctWords =
+      (0 until vocab).view.map(wordOf(_, vocab)).toSet.size
     val ok = agg.getLong(0) == expTok && agg.getLong(1) == expBpe
-    println(f"BpeScale nDocs=$nDocs tokens=${agg.getLong(0)} " +
+    println(f"BpeScale nDocs=$nDocs vocab=$vocab (distinct words " +
+      f"$distinctWords) tokens=${agg.getLong(0)} " +
       f"bpe=${agg.getLong(1)} expected=($expTok, $expBpe) " +
       f"exact=$ok secs=$secs%.1f")
     if (!ok) sys.exit(1)
 
     // trainer evidence at the same scale: the distributed round loop
     // (the even-the-dictionary-overflows branch) must learn the exact
-    // table the driver classic fit learns on the full corpus
+    // table the driver classic fit learns on the full corpus, at any
+    // merge count; walls are recorded per merge because the crossover
+    // question is per-round cost vs dictionary size
     val t1 = System.nanoTime()
-    val dist = TextOps.bpeTrainOn(docs, nMerges = 16, driverVocabLimit = -1L)
+    val dist = TextOps.bpeTrainOn(docs, nMerges = nMerges,
+        driverVocabLimit = -1L)
       .collect().map(_.toSeq).toSeq
     val distSecs = (System.nanoTime() - t1) / 1e9
     val t2 = System.nanoTime()
-    val drv = TextOps.bpeTrainOn(docs, nMerges = 16,
+    val drv = TextOps.bpeTrainOn(docs, nMerges = nMerges,
         driverVocabLimit = Long.MaxValue)
       .collect().map(_.toSeq).toSeq
     val drvSecs = (System.nanoTime() - t2) / 1e9
-    val tOk = dist == drv
-    println(f"BpeScale train nDocs=$nDocs 16 merges: dist=$distSecs%.1f s " +
-      f"driver=$drvSecs%.1f s identical=$tOk")
+    val tOk = dist == drv && dist.size == nMerges
+    println(f"BpeScale train nDocs=$nDocs vocab=$vocab merges=$nMerges: " +
+      f"dist=$distSecs%.1f s (${distSecs / nMerges * 1000}%.0f ms/merge) " +
+      f"driver=$drvSecs%.1f s (${drvSecs / nMerges * 1000}%.0f ms/merge) " +
+      f"identical=$tOk learned=${dist.size}")
     if (!tOk) sys.exit(1)
     spark.stop()
   }

@@ -1009,6 +1009,43 @@ class ScaleSpec extends SparkSpec {
       "nearest-pick distances diverge from the driver recompute")
   }
 
+  test("strict as-of: equals a driver recompute; exact-boundary branch is live") {
+    val out = graft.engine.Relational.qAsofStrict(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // driver recompute on the same 10-minute buckets
+    val raw = Tables(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 600000000"), col("event_type"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicks: Map[Long, Seq[(Long, Long)]] = raw
+      .filter(_._4 == "click")
+      .groupBy(_._2).map { case (k, g) =>
+        k -> g.groupBy(_._3).map { case (t, cg) =>
+          (t, cg.map(_._1).max) }.toSeq.sortBy(_._1)
+      }
+    val purchases = raw.filter(_._4 == "purchase")
+    val expect = purchases.map { case (eid, k, t, _) =>
+      (eid, k, clicks.getOrElse(k, Seq.empty)
+        .filter(_._1 < t).lastOption.map(_._2))
+    }.sortBy(_._1).toSeq
+    assert(out.toSeq == expect,
+      "strict as-of diverges from the driver recompute")
+    // the allow_exact_matches=false distinction must be OBSERVABLE:
+    // at least one purchase shares a bucket with a click (so the
+    // inclusive carry would pick it) yet the strict result differs
+    val inclusive = purchases.map { case (eid, k, t, _) =>
+      eid -> clicks.getOrElse(k, Seq.empty)
+        .filter(_._1 <= t).lastOption.map(_._2)
+    }.toMap
+    val strictMap = expect.map(r => r._1 -> r._3).toMap
+    assert(purchases.exists(p => inclusive(p._1) != strictMap(p._1)),
+      "exact-boundary branch dead: strict ≡ inclusive on this fixture")
+    // and both branches of the output are live
+    assert(out.exists(_._3.isDefined) && out.exists(_._3.isEmpty))
+  }
+
   test("twa: equals a driver recompute (milli-exact holds, one IEEE division)") {
     val rows = Tables(spark, sf0001, "events")
       .select(col("user_id"), expr("unix_micros(ts) div 1000"),
