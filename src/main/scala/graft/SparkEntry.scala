@@ -328,9 +328,9 @@ object SparkEntry {
     "q_ann_lsh_lit" -> ((s, d) => { lshOracleGuard(s, d)
       Similarity.qAnnLshLit(s, d) }),
     "q_ann_ivf_lit" -> Similarity.qAnnIvfLit _,
-    // rows-only by design (the Lloyd-fitted quantizer is an iterative
-    // fixpoint, no SQL oracle — the q_embed_cluster precedent; the
-    // spec re-derives the full ranked list driver-side instead)
+    // ORACLE-BACKED since r17: the quantizer is the integer Lloyd
+    // (the q_embed_cluster lattice), so cells/probes/ranks all replay
+    // as DuckDB CTEs; the spec still re-derives the ranked list
     "q_ann_ivf_km" -> Similarity.qAnnIvfKm _,
     // reciprocal-rank fusion of the two ANN lists — duckAnnLsh rides
     // inside this oracle (and the recall audit's) as a CTE, so both
@@ -722,6 +722,41 @@ object SparkEntry {
     s"""WITH ${duckLloydCtes("8", iters = 3)}
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM af
        |ORDER BY vec_id""".stripMargin
+
+  /** The Lloyd-fitted IVF oracle (r17, previously rows-only): the
+    * integer Lloyd chain at k = ⌈√n⌉ floor 16 (the engine's ivfCells)
+    * — its final assignment `af` IS the posting-list index; per-query
+    * probes are the same exact-integer d2 argmin kept to the top 2
+    * (≡ the engine's augmented inner-product TopCells order, ties to
+    * the lowest cid); the cosine re-rank runs on the RAW double
+    * vectors exactly like the first-k IVF oracle. */
+  private lazy val annIvfKmOracle: String =
+    s"""WITH ${duckLloydCtes(
+        "greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))", iters = 3)},
+       |er AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |      FROM embeddings),
+       |pq AS (SELECT vec_id AS qid, vq FROM e WHERE vec_id < 50),
+       |pc AS (SELECT qid, cid FROM (
+       |    SELECT pq.qid, c.cid, row_number() OVER (PARTITION BY pq.qid
+       |      ORDER BY -2*list_inner_product(pq.vq, c.cq)
+       |               + list_inner_product(c.cq, c.cq), c.cid) AS rn
+       |    FROM pq CROSS JOIN c3 c) WHERE rn <= 2),
+       |cand AS (SELECT qid, a2.vec_id AS nid FROM pc JOIN af a2 USING (cid)
+       |         WHERE a2.vec_id <> qid),
+       |s AS (SELECT qid, nid,
+       |        list_inner_product(eq.v, en.v)
+       |          / (sqrt(list_inner_product(eq.v, eq.v))
+       |             * sqrt(list_inner_product(en.v, en.v))) AS score
+       |      FROM cand
+       |      JOIN er eq ON eq.vec_id = qid
+       |      JOIN er en ON en.vec_id = nid),
+       |r AS (SELECT qid, nid, score,
+       |        row_number() OVER (PARTITION BY qid
+       |                           ORDER BY score DESC, nid) AS rank
+       |      FROM s)
+       |SELECT qid, nid, rank, score FROM r
+       |WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
 
   /** The SemDeDup keep-list oracle: the Lloyd chain at k = ⌈√n⌉
     * (floor 8, the engine's semdedupCells), within-cell pairs kept by
@@ -3417,6 +3452,9 @@ object SparkEntry {
     // bit-identical list_inner_product, so cells and ranks reproduce
     // at any n-derived cell count.
     "q_ann_ivf" -> duckAnnIvf,
+    // Lloyd-fitted IVF (r17, previously rows-only) — integer-lattice
+    // quantizer CTEs + the shared raw-vector cosine tail
+    "q_ann_ivf_km" -> annIvfKmOracle,
     // the codegen-path twins: the LSH one forces the loop expression
     // against the SAME oracle (identical bits is the point); the IVF
     // one pins k=16 — the literal branch's own domain — so its oracle

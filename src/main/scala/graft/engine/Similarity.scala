@@ -695,23 +695,35 @@ object Similarity {
     * while the ENTIRE retrieval dataflow — assignment expression,
     * probe fan, candidate equi-join, cosine re-rank — is shared code:
     * the [[augmentCentroids]] reduction routes the L2 argmin through
-    * the same `TopCells` inner-product machinery. The Lloyd fixpoint
-    * is iterative (no SQL oracle — the `q_embed_cluster` precedent),
-    * so this registers rows-only and [[SimilaritySpec]] re-derives
+    * the same `TopCells` inner-product machinery.
+    *
+    * ORACLE-BACKED since r17 (previously rows-only): the quantizer is
+    * the INTEGER Lloyd ([[kmeansCentroidsQuantFrom]], the
+    * q_embed_cluster lattice), so cells and probes are exact-integer
+    * argmins a DuckDB CTE chain replays; the augmented inner-product
+    * scores are integers plus a half-integer bias — still exact
+    * doubles — and the cosine re-rank was always on raw vectors
+    * (list_inner_product-exact). [[SimilaritySpec]] still re-derives
     * the full ranked list driver-side and asserts exact equality. */
   def qAnnIvfKm(spark: SparkSession, sfDir: String): DataFrame = {
     val e = annCorpus(spark, sfDir)
     val k = ivfCells(corpusCount(spark, sfDir))
     val cent = augmentCentroids(
-      kmeansCentroidsCached(spark, sfDir, k, iters = 3, e,
-        corpusCount(spark, sfDir)))
+      kmeansCentroidsQuantCached(spark, sfDir, k, iters = 3))
+    // assignment space = the quantized lattice (the fit's space);
+    // SCORING space stays the raw double vectors, so the assigned
+    // frame carries raw v and derives the lattice vector inline (a
+    // HOF — interpreted, but this is the one-time memoized index
+    // build; at real scale the lattice copy is written at ingest)
+    val vecQ = augmentVec(transform(col("v"),
+      x => round(x * kmeansQuantUnit)))
     // the Lloyd quantizer's cells differ from the fused index's
     // first-k cells, so this path memoizes its OWN assignment frame
     val assigned = Dedup.memoizedPersisted(spark, s"ivfassignedkm|$sfDir")(
       e.select(col("vec_id"), col("v"),
-        ivfCellCol(cent, v = augmentVec(col("v"))).as("cid")))
+        ivfCellCol(cent, v = vecQ).as("cid")))
     annIvfRank(spark, sfDir, e, assigned, cent, forceLit = false,
-      memoSuffix = Some(s"km|$sfDir"), vec = augmentVec(col("v")))
+      memoSuffix = Some(s"km|$sfDir"), vec = vecQ)
       .orderBy(col("qid"), col("rank"))
   }
 

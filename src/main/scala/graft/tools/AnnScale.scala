@@ -273,16 +273,20 @@ object AnnScale {
     assigned.unpersist()
 
     // ---- IVF-KM: the same ⌈√n⌉ cells LLOYD-FITTED (the shipped
-    // qAnnIvfKm quantizer — kmeansCentroidsFrom, 3 iterations, L2
-    // assignment via the augmentCentroids reduction through the same
-    // TopCells path). The first-k audit above measures the oracle
-    // quantizer's skew; this one measures what fitting buys back.
+    // qAnnIvfKm quantizer — the r17 INTEGER Lloyd on the 1e−6
+    // lattice, 3 iterations, L2 assignment via the augmentCentroids
+    // reduction through the same TopCells path). The first-k audit
+    // above measures the oracle quantizer's skew; this one measures
+    // what fitting buys back.
     t0 = System.nanoTime()
+    val quant = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => round(x * Similarity.kmeansQuantUnit))
     val centKm = Similarity.augmentCentroids(
-      Similarity.kmeansCentroidsFrom(
+      Similarity.kmeansCentroidsQuantFrom(
         Similarity.kmeansFitSample(
-          e.select(col("vec_id"), col("v")), k, n), k, iters = 3))
-    val va = Similarity.augmentVec(col("v"))
+          e.select(col("vec_id"), quant(col("v")).as("v")), k, n),
+        k, iters = 3))
+    val va = Similarity.augmentVec(quant(col("v")))
     val assignedKm = e.select(col("vec_id"), col("v"),
         Similarity.ivfCellCol(centKm, v = va).as("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -21,13 +21,13 @@ class DocsSpec extends AnyFunSuite {
     // rows-only queries are a deliberate, enumerated exception — a new
     // query silently missing its oracle must fail here, not pass with
     // a weaker rows-only check. Current exceptions: the HLL sketch
-    // (hash-dependent) and the two Lloyd-fitted ANN quantizers, whose
-    // DECIMAL-mean fixpoints have no SQL twin (the integerized k-means
-    // and BPE-trainer families gained oracles in r17;
-    // SimilaritySpec/AnnScale pin these last two by exact driver
-    // re-derivation and recall audits).
+    // (hash-dependent) and IVF-PQ, whose per-subspace DECIMAL-mean
+    // codebook fixpoints have no SQL twin yet (the integerized
+    // k-means family, the Lloyd-fitted IVF and the BPE trainer all
+    // gained oracles in r17; SimilaritySpec/AnnScale pin PQ by recall
+    // audit and exact spec re-derivation).
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-      == Set("q_approx_distinct", "q_ann_ivf_km", "q_ann_pq"))
+      == Set("q_approx_distinct", "q_ann_pq"))
   }
 
   test("README query counts match SparkEntry") {

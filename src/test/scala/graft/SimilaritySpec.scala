@@ -401,7 +401,36 @@ class SimilaritySpec extends SparkSpec {
         transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     val k = Similarity.ivfCells(vecs.length.toLong)
-    val cent = Similarity.kmeansCentroids(spark, sf0001, k, iters = 3)
+    // the r17 integer-lattice quantizer, re-derived from scratch (the
+    // q_embed_cluster recompute: HALF_UP round(x·1e6) quantize, seeds
+    // = k lowest vec_ids, 3 iterations of integer argmin + truncating
+    // (2s+n)/(2n) mean rounding)
+    val vq: Map[Long, IndexedSeq[Long]] = vecs.map { case (id, v) =>
+      id -> v.map(x => BigDecimal(x * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toIndexedSeq
+    }.toMap
+    def d2q(a: IndexedSeq[Long], c: IndexedSeq[Long]): Long =
+      a.lazyZip(c).map((x, y) => (x - y) * (x - y)).sum
+    val ids = vecs.map(_._1)
+    var centQ: IndexedSeq[IndexedSeq[Long]] =
+      ids.sorted.take(k).map(vq).toIndexedSeq
+    for (_ <- 1 to 3) {
+      val members = ids.groupBy { id =>
+        val ds = centQ.map(d2q(vq(id), _)); ds.indexOf(ds.min)
+      }
+      centQ = centQ.indices.map { cid =>
+        members.get(cid) match {
+          case Some(ms) =>
+            val n = ms.size.toLong
+            (0 until 64).map { i =>
+              val s = ms.map(id => vq(id)(i)).sum
+              (2L * s + n) / (2L * n)
+            }.toIndexedSeq
+          case None => centQ(cid)
+        }
+      }
+    }
+    val cent = centQ.map(_.map(_.toDouble))
     // the engine's strict left-to-right double sum — scores must match
     // BIT-exactly, not approximately
     def seqDot(a: Seq[Double], b: Seq[Double]): Double =
@@ -409,16 +438,17 @@ class SimilaritySpec extends SparkSpec {
     def cos(a: Seq[Double], b: Seq[Double]): Double =
       seqDot(a, b) / (math.sqrt(seqDot(a, a)) * math.sqrt(seqDot(b, b)))
     // the constant-coordinate reduction, recomputed independently:
-    // score(v, c) = [v, 1]·[c, −|c|²/2]; argmax ⇔ L2 argmin
+    // score(vq, c) = [vq, 1]·[c, −|c|²/2]; argmax ⇔ L2 argmin — in
+    // ASSIGNMENT space (the lattice); cosine scoring stays raw
     val aug = cent.map(cv => cv :+ (-0.5 * cv.map(x => x * x).sum))
-    def cellScores(v: Seq[Double]): IndexedSeq[Double] =
-      aug.map(c => seqDot(v :+ 1.0, c))
-    val cellOf = vecs.map { case (id, v) =>
-      val s = cellScores(v)
+    def cellScores(id: Long): IndexedSeq[Double] =
+      aug.map(c => seqDot(vq(id).map(_.toDouble) :+ 1.0, c))
+    val cellOf = vecs.map { case (id, _) =>
+      val s = cellScores(id)
       id -> s.indexOf(s.max) // first max = lowest cid on ties
     }.toMap
     val expected = vecs.filter(_._1 < 50).flatMap { case (qid, qv) =>
-      val s = cellScores(qv)
+      val s = cellScores(qid)
       val probes = s.zipWithIndex
         .sortBy { case (sc, i) => (-sc, i) }.take(2).map(_._2).toSet
       vecs.filter { case (nid, _) => nid != qid && probes(cellOf(nid)) }
