@@ -351,9 +351,9 @@ object SparkEntry {
     // each hash-checked against the same DuckDB oracle
     "q_kmeans_assign" -> Similarity.qKmeansAssign _,
     "q_kmeans_assign_expr" -> Similarity.qKmeansAssignExpr _,
-    // IVF-PQ: rows-only by design (Lloyd-fitted subspace codebooks —
-    // the q_ann_ivf_km precedent; the spec pins recall vs exact
-    // truth, AnnScale the compression ratio)
+    // ORACLE-BACKED since r17: per-subspace integer-lattice Lloyd
+    // codebooks + exact-integer ADC — the last Lloyd-derived query to
+    // gain a full hash oracle
     "q_ann_pq" -> Similarity.qAnnPq _,
     // fixed-codebook PQ encode — the oracle-checked twin of the
     // fitted path, both codegen paths against one oracle
@@ -757,6 +757,115 @@ object SparkEntry {
        |SELECT qid, nid, rank, score FROM r
        |WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
+
+  /** The IVF-PQ oracle (r17, previously rows-only — the LAST
+    * Lloyd-derived query to gain one): per-subspace integer Lloyd
+    * codebooks ([[graft.engine.Similarity.pqCodebooksQuantFrom]]'s
+    * recurrence as unrolled CTEs over the (j, cid) state table),
+    * lattice encode, the first-⌈√n⌉ raw-vector IVF probe (shared with
+    * duckAnnIvf), EXACT-INTEGER ADC (query quantized onto the same
+    * lattice ⇒ every per-subspace distance and the 8-term sum are
+    * integers < 2⁵³), shortlist 32 by (adc, nid), exact raw cosine
+    * top-3. */
+  private lazy val annPqOracle: String = {
+    val m = Similarity.pqSubspaces
+    val sd = Similarity.pqSubDim
+    val ks = Similarity.pqCodebookSize
+    val iters = 3
+    def d2(x: String, c: String) =
+      s"-2*list_inner_product($x, $c) + list_inner_product($c, $c)"
+    def sub(v: String, j: String) = s"$v[$j*$sd+1 : $j*$sd+$sd]"
+    val head =
+      s"""eq AS MATERIALIZED (SELECT vec_id,
+         |  list_transform(embedding::DOUBLE[],
+         |                 x -> round(x * 1000000.0)) AS vq
+         |  FROM embeddings),
+         |er AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |squ AS MATERIALIZED (SELECT vec_id, (d0-1)//$sd AS j,
+         |    (d0-1)%$sd + 1 AS d, x
+         |  FROM (SELECT vec_id, unnest(vq) AS x,
+         |          unnest(range(1, ${m * sd + 1})) AS d0 FROM eq)),
+         |js AS (SELECT unnest(range(0, $m)) AS j),
+         |sds AS (SELECT rn - 1 AS cid, vq FROM
+         |        (SELECT vq, row_number() OVER (ORDER BY vec_id) AS rn
+         |         FROM eq) WHERE rn <= $ks),
+         |b0 AS MATERIALIZED (SELECT js.j, sds.cid,
+         |    ${sub("sds.vq", "js.j")} AS cw
+         |  FROM sds CROSS JOIN js)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pa$i AS MATERIALIZED (SELECT vec_id, j, cid FROM (
+         |  SELECT eq.vec_id, b.j, b.cid,
+         |    row_number() OVER (PARTITION BY eq.vec_id, b.j
+         |      ORDER BY ${d2(sub("eq.vq", "b.j"), "b.cw")}, b.cid) AS rn
+         |  FROM eq CROSS JOIN b${i - 1} b) WHERE rn = 1),
+         |ps$i AS (SELECT a.j, a.cid, s.d, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(s.x) AS BIGINT) AS sm
+         |  FROM pa$i a JOIN squ s ON s.vec_id = a.vec_id AND s.j = a.j
+         |  GROUP BY 1, 2, 3),
+         |pn$i AS (SELECT j, cid,
+         |    list(CAST((2*sm + n) // (2*n) AS DOUBLE) ORDER BY d) AS cw
+         |  FROM ps$i GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT p.j, p.cid,
+         |    coalesce(f.cw, p.cw) AS cw
+         |  FROM b${i - 1} p LEFT JOIN pn$i f
+         |    ON f.j = p.j AND f.cid = p.cid)""".stripMargin
+    }
+    val tail =
+      s"""pcodes AS MATERIALIZED (SELECT vec_id, j, cid AS code FROM (
+         |  SELECT eq.vec_id, b.j, b.cid,
+         |    row_number() OVER (PARTITION BY eq.vec_id, b.j
+         |      ORDER BY ${d2(sub("eq.vq", "b.j"), "b.cw")}, b.cid) AS rn
+         |  FROM eq CROSS JOIN b$iters b) WHERE rn = 1),
+         |c AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM er
+         |  WHERE vec_id < (SELECT greatest(16,
+         |    CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM er)),
+         |a AS (SELECT er.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY er.vec_id
+         |      ORDER BY list_inner_product(er.v, c.cv) DESC, c.cid) AS rn
+         |  FROM er CROSS JOIN c),
+         |assign AS MATERIALIZED (SELECT vec_id, cid FROM a WHERE rn = 1),
+         |p AS (SELECT er.vec_id AS qid, c.cid,
+         |    row_number() OVER (PARTITION BY er.vec_id
+         |      ORDER BY list_inner_product(er.v, c.cv) DESC, c.cid) AS rn
+         |  FROM er CROSS JOIN c
+         |  WHERE er.vec_id < ${Similarity.recallMaxQid}),
+         |probes AS MATERIALIZED (SELECT qid, cid FROM p WHERE rn <= 2),
+         |qq AS MATERIALIZED (SELECT vec_id AS qid, vq FROM eq
+         |  WHERE vec_id < ${Similarity.recallMaxQid}),
+         |cand AS (SELECT pr.qid, a2.vec_id AS nid
+         |  FROM probes pr JOIN assign a2 USING (cid)
+         |  WHERE a2.vec_id <> pr.qid),
+         |adc AS MATERIALIZED (SELECT cd.qid, cd.nid, SUM(
+         |    list_inner_product(${sub("qq.vq", "pc.j")},
+         |                       ${sub("qq.vq", "pc.j")})
+         |  - 2*list_inner_product(${sub("qq.vq", "pc.j")}, b.cw)
+         |  + list_inner_product(b.cw, b.cw)) AS adc
+         |  FROM cand cd
+         |  JOIN pcodes pc ON pc.vec_id = cd.nid
+         |  JOIN b$iters b ON b.j = pc.j AND b.cid = pc.code
+         |  JOIN qq ON qq.qid = cd.qid
+         |  GROUP BY 1, 2),
+         |short AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc, nid) AS rn FROM adc)
+         |  WHERE rn <= ${Similarity.pqShortlist}),
+         |sc AS (SELECT s.qid, s.nid,
+         |    list_inner_product(eqv.v, env.v)
+         |      / (sqrt(list_inner_product(eqv.v, eqv.v))
+         |         * sqrt(list_inner_product(env.v, env.v))) AS score
+         |  FROM short s
+         |  JOIN er eqv ON eqv.vec_id = s.qid
+         |  JOIN er env ON env.vec_id = s.nid),
+         |r AS (SELECT qid, nid, score,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY score DESC, nid) AS rank
+         |  FROM sc)
+         |SELECT qid, nid, rank, score FROM r
+         |WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin
+    s"""WITH ${(head +: rounds :+ tail).mkString(",\n")}""".stripMargin
+  }
 
   /** The SemDeDup keep-list oracle: the Lloyd chain at k = ⌈√n⌉
     * (floor 8, the engine's semdedupCells), within-cell pairs kept by
@@ -3455,6 +3564,9 @@ object SparkEntry {
     // Lloyd-fitted IVF (r17, previously rows-only) — integer-lattice
     // quantizer CTEs + the shared raw-vector cosine tail
     "q_ann_ivf_km" -> annIvfKmOracle,
+    // IVF-PQ (r17, previously rows-only) — per-subspace lattice
+    // codebooks, exact-integer ADC, raw-cosine re-rank
+    "q_ann_pq" -> annPqOracle,
     // the codegen-path twins: the LSH one forces the loop expression
     // against the SAME oracle (identical bits is the point); the IVF
     // one pins k=16 — the literal branch's own domain — so its oracle

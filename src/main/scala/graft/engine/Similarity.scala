@@ -283,7 +283,7 @@ object Similarity {
   /** The recall audit's window: queries = vec_id < 50 (the ANN
     * queries' shared query-set contract) at recall@3 — named so the
     * truth-list memo key can encode them. */
-  private val recallMaxQid = 50L
+  private[graft] val recallMaxQid = 50L
   private val recallK = 3
 
   def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1630,10 +1630,59 @@ object Similarity {
     books
   }
 
+  /** [[pqCodebooksFrom]] on the 1e−6 integer lattice — the
+    * ORACLE-BACKED fit (r17, the [[kmeansCentroidsQuantFrom]] move
+    * applied per subspace): `sample` carries QUANTIZED vectors, the
+    * per-subspace assignment is the exact-integer argmin, sums are
+    * LONGs and the codeword update re-rounds the rational mean as
+    * (2s+n)/(2n) in truncating division — so each of the 3 fused
+    * iterations is replayable as DuckDB CTEs over the per-subspace
+    * (j, cid) state table. Same dataflow as the decimal twin: one
+    * distributed job per iteration, m·ks·(subdim+1) LONG sums,
+    * empty codes keep their codeword. */
+  private[graft] def pqCodebooksQuantFrom(sample: DataFrame, iters: Int,
+      ks: Int = pqCodebookSize)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val seeds = sample.orderBy(col("vec_id")).limit(ks)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(seeds.length == ks,
+      s"corpus has fewer than $ks seed vectors")
+    var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until pqSubspaces).map(j =>
+        seeds.map(_.slice(j * pqSubDim, (j + 1) * pqSubDim)))
+    for (_ <- 1 to iters) {
+      val subs = explode(array((0 until pqSubspaces).map { j =>
+        struct(lit(j).as("j"), subSlice(col("v"), j).as("sv"),
+          nearestCell(books(j), forceExpr = true,
+            v = subSlice(col("v"), j)).as("cid"))
+      }: _*)).as("s")
+      val aggs = count(lit(1)).as("n") +:
+        (0 until pqSubDim).map(i =>
+          sum(element_at(col("s.sv"), i + 1).cast("long")).as(s"s$i"))
+      val rows = sample.select(subs)
+        .groupBy(col("s.j"), col("s.cid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      books = books.indices.map { j =>
+        books(j).indices.map { cid =>
+          rows.get((j, cid)) match {
+            case Some(r) =>
+              val n = r.getLong(2)
+              (0 until pqSubDim).map(i =>
+                ((2L * r.getLong(3 + i) + n) / (2L * n)).toDouble)
+            case None => books(j)(cid)
+          }
+        }
+      }
+    }
+    books
+  }
+
   /** Driver-side memo for the fitted codebooks — fit once per
     * (session, corpus), serve many encodes/probes, the
     * [[kmeansCentMemo]] lifecycle. Values are m·ks·subdim doubles
-    * (8 KB). */
+    * (8 KB). Fits on the QUANTIZED corpus since r17 (the
+    * oracle-backed lattice). */
   private val pqBooksMemo = scala.collection.mutable.LinkedHashMap
     .empty[(SparkSession, String), IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]
   private val pqBooksMemoCap = 8
@@ -1645,8 +1694,8 @@ object Similarity {
       pqBooksMemo.remove(key).map { v => pqBooksMemo.put(key, v); v }
     }
     hit.getOrElse {
-      val c = pqCodebooksFrom(
-        kmeansFitSample(annCorpus(spark, sfDir), pqCodebookSize,
+      val c = pqCodebooksQuantFrom(
+        kmeansFitSample(corpusQ(spark, sfDir), pqCodebookSize,
           corpusCount(spark, sfDir)), iters = 3)
       pqBooksMemo.synchronized {
         pqBooksMemo.put(key, c)
@@ -1701,8 +1750,13 @@ object Similarity {
   private def pqIndex(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.memoizedPersisted(spark, s"pqindex|$sfDir") {
       val books = pqCodebooks(spark, sfDir)
+      // encode in the codebooks' space — the quantized lattice —
+      // derived inline from the fused index's raw vectors (a HOF;
+      // one-time memoized build, the qAnnIvfKm convention)
       annIndex(spark, sfDir).select(col("vec_id"), col("cid"),
-        pqCodesCol(books, forceExpr = true).as("codes"))
+        pqCodesCol(books, forceExpr = true,
+          v = transform(col("v"), x => round(x * kmeansQuantUnit)))
+          .as("codes"))
     }
 
   /** Exact-re-rank shortlist size: candidates surviving the ADC
@@ -1725,11 +1779,16 @@ object Similarity {
     * joined back by id. The corpus-sized work touches only ~24-byte
     * code rows; full vectors appear once, behind a
     * shortlist-bounded broadcast join — the memory/bandwidth shape
-    * that distinguishes IVF-PQ from IVF. Codebooks are an iterative
-    * Lloyd fixpoint → rows-only by design (the `q_ann_ivf_km`
-    * precedent); `SimilaritySpec` pins recall vs the exact
-    * brute-force truth, [[graft.tools.AnnScale]] the compression
-    * ratio and planted recall at 1M vectors. */
+    * that distinguishes IVF-PQ from IVF.
+    *
+    * ORACLE-BACKED since r17 (previously rows-only): codebooks fit on
+    * the 1e−6 integer lattice ([[pqCodebooksQuantFrom]]), queries
+    * quantize onto the same lattice for the LUT, so every ADC partial
+    * (and its 8-term sum) is an EXACT integer below 2⁵³ — the whole
+    * probe replays as DuckDB CTEs, and the final scores were always
+    * raw-vector-exact cosines. `SimilaritySpec` pins recall vs the
+    * exact brute-force truth, [[graft.tools.AnnScale]] the
+    * compression ratio and planted recall at 1M vectors. */
   def qAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = annCorpus(spark, sfDir)
@@ -1739,7 +1798,12 @@ object Similarity {
     val q = queryVecs(spark, sfDir, recallMaxQid)
     val luts = q.collect().toSeq.map { r =>
       val qid = r.getLong(0)
-      val qv = r.getSeq[Double](1)
+      // engine-identical HALF_UP quantization (= Spark round(x·1e6) in
+      // the encode path = DuckDB round) — LUT entries become exact
+      // integers, so the ADC order is engine-independent
+      val qv = r.getSeq[Double](1).map(x =>
+        BigDecimal(x * kmeansQuantUnit)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
       (qid, (0 until pqSubspaces).map { j =>
         books(j).map { cw =>
           var s = 0.0

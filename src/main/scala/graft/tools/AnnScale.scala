@@ -150,11 +150,16 @@ object AnnScale {
     // code-only ADC rank → top-[[Similarity.pqShortlist]]) — the
     // stages where PQ could lose what IVF found.
     t0 = System.nanoTime()
-    val books = Similarity.pqCodebooksFrom(
-      Similarity.kmeansFitSample(e.select(col("vec_id"), col("v")),
+    // the shipped r17 lattice fit/encode (see qAnnPq)
+    val quantPq = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => round(x * Similarity.kmeansQuantUnit))
+    val books = Similarity.pqCodebooksQuantFrom(
+      Similarity.kmeansFitSample(
+        e.select(col("vec_id"), quantPq(col("v")).as("v")),
         Similarity.pqCodebookSize, n), iters = 3)
     val pqCodes = assigned.select(col("vec_id"), col("cid"),
-        Similarity.pqCodesCol(books, forceExpr = true).as("codes"))
+        Similarity.pqCodesCol(books, forceExpr = true,
+          v = quantPq(col("v"))).as("codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pqCodes.count()
     val pqFitSecs = (System.nanoTime() - t0) / 1e9
@@ -173,9 +178,12 @@ object AnnScale {
     val qvecRows = e
       .filter(col("vec_id") % 10 === 9 && col("vec_id") < plantedCap)
       .collect().toSeq
+    def quantSeq(v: Seq[Double]): Seq[Double] = v.map(x =>
+      BigDecimal(x * Similarity.kmeansQuantUnit)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val luts = qvecRows.map { r =>
       val qid = r.getLong(0)
-      val qv = r.getSeq[Double](1)
+      val qv = quantSeq(r.getSeq[Double](1))
       (qid, (0 until Similarity.pqSubspaces).map { j =>
         books(j).map { cw =>
           var s = 0.0; var i = 0
@@ -222,11 +230,13 @@ object AnnScale {
     // parquet size of the wider code dictionary.
     val ks256 = 256
     t0 = System.nanoTime()
-    val books256 = Similarity.pqCodebooksFrom(
-      Similarity.kmeansFitSample(e.select(col("vec_id"), col("v")),
+    val books256 = Similarity.pqCodebooksQuantFrom(
+      Similarity.kmeansFitSample(
+        e.select(col("vec_id"), quantPq(col("v")).as("v")),
         ks256, n), iters = 3, ks = ks256)
     val pq256 = assigned.select(col("vec_id"), col("cid"),
-        Similarity.pqCodesCol(books256, forceExpr = true).as("codes"))
+        Similarity.pqCodesCol(books256, forceExpr = true,
+          v = quantPq(col("v"))).as("codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pq256.count()
     val pq256FitSecs = (System.nanoTime() - t0) / 1e9
@@ -235,7 +245,7 @@ object AnnScale {
     t0 = System.nanoTime()
     val luts256 = qvecRows.map { r =>
       val qid = r.getLong(0)
-      val qv = r.getSeq[Double](1)
+      val qv = quantSeq(r.getSeq[Double](1))
       (qid, (0 until Similarity.pqSubspaces).map { j =>
         books256(j).map { cw =>
           var s = 0.0; var i = 0

@@ -20,14 +20,14 @@ class DocsSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // rows-only queries are a deliberate, enumerated exception — a new
     // query silently missing its oracle must fail here, not pass with
-    // a weaker rows-only check. Current exceptions: the HLL sketch
-    // (hash-dependent) and IVF-PQ, whose per-subspace DECIMAL-mean
-    // codebook fixpoints have no SQL twin yet (the integerized
-    // k-means family, the Lloyd-fitted IVF and the BPE trainer all
-    // gained oracles in r17; SimilaritySpec/AnnScale pin PQ by recall
-    // audit and exact spec re-derivation).
+    // a weaker rows-only check. The sole remaining exception is the
+    // HLL sketch, whose estimate is implementation-defined by design
+    // (its 5% error bound IS oracle-checked via q_approx_err). Every
+    // iterative fixpoint — the k-means family, the Lloyd-fitted IVF,
+    // IVF-PQ, the BPE trainer — gained a full hash oracle in r17 via
+    // integer-lattice recurrences unrolled as DuckDB CTEs.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-      == Set("q_approx_distinct", "q_ann_pq"))
+      == Set("q_approx_distinct"))
   }
 
   test("README query counts match SparkEntry") {
