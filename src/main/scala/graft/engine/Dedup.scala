@@ -897,42 +897,61 @@ object Dedup {
     * at most the edits before it (≤ τ) — so the pair shares a
     * (length, index, shift) key and the exact levenshtein verify
     * (below the pair-dedup exchange, the measured [[fuzzyLink]]
-    * discipline) recovers precisely the brute-force output. Both
-    * sides need length ≥ τ+1 (a zero-length segment blocks nothing);
-    * shorter strings belong to a trivial length-bucketed brute-force
-    * side channel, not needed at the fixture's 15+-char names.
+    * discipline) recovers precisely the brute-force output. The
+    * theorem needs length ≥ τ+1 on BOTH sides (a zero-length segment
+    * blocks nothing), so strings ≤ τ route through a LENGTH-BUCKETED
+    * brute-force side channel (r17, closing the silent recall hole
+    * the r16 advisory flagged): a qualifying pair's lengths differ by
+    * ≤ τ, so each short row explodes to its 2τ+1 candidate lengths
+    * and equi-joins the other side on exact length — every
+    * short-involving pair is a candidate BY CONSTRUCTION (for a ≤τ-
+    * char string the whole length window is the correct candidate
+    * set: no substring evidence can prune it), and the same exact
+    * levenshtein verify arbitrates. Short rows are rare in any real
+    * corpus, and the channel's fan is |short|·|length-window rows| —
+    * the honest inherent cost, not a blocking failure. `FuzzSpec`
+    * proves the combined output equals the unblocked brute force on
+    * mixed-length corpora including empty strings.
     *
     * Scale shape: clean explodes ×(τ+1), probe ×≲100 in-row-deduped
     * 8-byte keys; the join fan is Σ_k df_probe(k)·df_clean(k) —
     * segment keys carry (length, index, content) entropy, so the fan
     * tracks name entropy like [[fuzzyLinkIndel]]'s but from a
     * constant per-row key budget; verification collapses to
-    * O(matches) before any exchange. */
+    * O(matches) before any exchange. The length-routing filters scan
+    * each input twice; both scans are narrow and predicate-pushed,
+    * noise next to the join work. */
   private[graft] def fuzzyLinkSegments(probes: DataFrame,
       clean: DataFrame, tau: Int): DataFrame = {
-    // LOUD domain guard (not a silent recall hole): the completeness
-    // theorem above needs length ≥ τ+1 on BOTH sides — a shorter
-    // string yields zero-length segments that block nothing, so it
-    // would silently drop every candidate while the brute-force
-    // oracle still finds them. The guard wraps the GENERATOR INPUT
-    // (not a sibling projection column): a row the explode emits zero
-    // keys for is dropped before any other column is evaluated, so
-    // only here is the check guaranteed to run for every input row.
-    // Until the length-bucketed short-string side channel exists, any
-    // such row must fail the query, not the recall.
-    def guarded(keys: Column, name: Column, side: String): Column =
-      when(length(name) <= tau, raise_error(concat(lit(
-        s"fuzzyLinkSegments: $side string shorter than tau+1=${tau + 1}" +
-          " — segment blocking is incomplete there; short strings need" +
-          " the length-bucketed brute-force side channel: "), name)))
-        .otherwise(keys)
-    val pk = probes.select(col("probe_id"), col("probe_name"),
-      explode(guarded(segmentProbeKeys(col("probe_name"), tau),
-        col("probe_name"), "probe")).as("sk"))
-    val ck = Tables.spread(clean).select(col("match_id"), col("clean_name"),
-      explode(guarded(segmentKeys(col("clean_name"), tau),
-        col("clean_name"), "clean")).as("sk"))
-    pk.join(ck, "sk")
+    val cleanS = Tables.spread(clean)
+    val pLong = probes.filter(length(col("probe_name")) > tau)
+    val cLong = cleanS.filter(length(col("clean_name")) > tau)
+    val pk = pLong.select(col("probe_id"), col("probe_name"),
+      explode(segmentProbeKeys(col("probe_name"), tau)).as("sk"))
+    val ck = cLong.select(col("match_id"), col("clean_name"),
+      explode(segmentKeys(col("clean_name"), tau)).as("sk"))
+    val main = pk.join(ck, "sk")
+      .select(col("probe_id"), col("probe_name"),
+        col("match_id"), col("clean_name"))
+    // the short-string side channel: candidate = every row of the
+    // other side whose length falls in [l−τ, l+τ] (length is the only
+    // usable evidence below τ+1 chars); pShort pairs with ALL clean,
+    // cShort only with LONG probes so short×short pairs count once
+    val pShort = probes.filter(length(col("probe_name")) <= tau)
+    val cShort = cleanS.filter(length(col("clean_name")) <= tau)
+    def window(df: DataFrame, nameCol: String): DataFrame =
+      df.withColumn("__lw", explode(sequence(
+        greatest(length(col(nameCol)) - tau, lit(0)),
+        length(col(nameCol)) + tau)))
+    val side = window(pShort, "probe_name")
+      .join(cleanS.withColumn("__lw", length(col("clean_name"))), "__lw")
+      .select(col("probe_id"), col("probe_name"),
+        col("match_id"), col("clean_name"))
+      .unionByName(window(cShort, "clean_name")
+        .join(pLong.withColumn("__lw", length(col("probe_name"))), "__lw")
+        .select(col("probe_id"), col("probe_name"),
+          col("match_id"), col("clean_name")))
+    main.unionByName(side)
       .select(col("probe_id"), col("match_id"),
         levenshtein(col("probe_name"), col("clean_name")).cast("long")
           .as("dist"))

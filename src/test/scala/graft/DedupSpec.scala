@@ -542,4 +542,42 @@ class DedupSpec extends SparkSpec {
     // some docs share every shingle (novelty 0), some are fully unique
     assert(out.exists(_._4 == 0.0) && out.exists(_._4 > 0.5))
   }
+  test("fuzzyLinkSegments: equals the unblocked brute force on mixed-length corpora (short-string side channel)") {
+    // the r17 side channel: strings of length <= tau (including empty)
+    // previously raised; now they must link EXACTLY like the brute
+    // force — the length-window candidate set is provably complete
+    // (a qualifying pair's lengths differ by <= tau), so any
+    // divergence is a wiring bug, not a theorem gap
+    val rnd = new scala.util.Random(97)
+    val tau = 3
+    val alpha = "abc"
+    def word(maxLen: Int): String =
+      Seq.fill(rnd.nextInt(maxLen + 1))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+    // lengths 0..10 on both sides — dense around the tau boundary
+    val probes = (1 to 120).map(i => (i.toLong, word(10)))
+    val clean = (1 to 150).map(i => (i.toLong + 1000, word(10)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (pid, pn) <- probes; (mid, cn) <- clean
+      d = lev(pn, cn) if d <= tau
+    } yield (pid, mid, d.toLong)).toSet
+    assert(expect.exists(_._3 > 0) &&
+      probes.exists(_._2.length <= tau) && clean.exists(_._2.length <= tau),
+      "test premise: short strings and nontrivial matches must exist")
+    val got = Dedup.fuzzyLinkSegments(
+        probes.toDF("probe_id", "probe_name"),
+        clean.toDF("match_id", "clean_name"), tau)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
 }
