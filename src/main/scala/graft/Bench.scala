@@ -74,6 +74,7 @@ object Bench {
     "q_mahalanobis",      // correlation-aware 2-D outliers (r16)
     "q_twa",              // time-weighted average per user (r16)
     "q_asof_nearest",     // two-sided nearest as-of w/ tolerance (r16)
+    "q_asof_strict",      // allow_exact_matches=false as-of (r17)
     "q_chao1",            // vocabulary-coverage estimator (r16)
     "q_feature_hash",     // hashing-trick vectorizer (r16)
     "q_salted_join",      // skew-spread join, oracle-identical rows (r16)
@@ -87,6 +88,7 @@ object Bench {
     "q_mmr_rerank",       // diversity re-rank over the shortlist (r15)
     "q_embed_neardup_ann", // LSH band join + exact verify (r12)
     "q_ann_ivf",          // cell-probe ANN (n-derived cells, r8)
+    "q_ann_ivf_km",       // Lloyd-fitted IVF, lattice quantizer (r17)
     "q_ann_pq",           // IVF-PQ code-only ADC + exact re-rank (r15)
     "q_ann_recall",       // full ANN serving stack + exact truth (r8)
     "q_embed_cluster",    // iterative k-means (3 assignment scans, r6)
