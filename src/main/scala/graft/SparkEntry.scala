@@ -343,8 +343,8 @@ object SparkEntry {
     // metric that makes "approximate" a measured claim
     "q_ann_recall" -> ((s, d) => { lshOracleGuard(s, d)
       Similarity.qAnnRecall(s, d) }),
-    // per-label centroids — the oracle for the decimal vector-mean
-    // arithmetic the (rows-only) k-means fixpoint reuses
+    // per-label centroids — the oracle that first proved the
+    // quantized vector-mean machinery the k-means family builds on
     "q_label_centroids" -> Similarity.qLabelCentroids _,
     // fixed-centroid argmin (the k-means assignment expression with
     // the iterative fixpoint factored out) — both codegen paths,

@@ -1001,8 +1001,9 @@ object Dedup {
     * Integer arithmetic end-to-end (floor division, integer sums) is
     * what makes an ITERATIVE fixpoint hash-exact across engines and
     * partitionings — a double formulation drifts with aggregation
-    * order, which is why the k-means family is rows-only while this
-    * is oracle-checked. */
+    * order — the move that oracle-backed this query first (r13) and the
+    * whole k-means/BPE fixpoint family after it (r17's 1e-6
+    * lattice). */
   private[graft] val pagerankScale = 1000000000000L
   private[graft] val pagerankIters = 3
 

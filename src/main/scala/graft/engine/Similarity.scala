@@ -1223,8 +1223,9 @@ object Similarity {
     * engine's double arithmetic AND DuckDB's, which is what lets the
     * k-means fixpoint be hash-checked against an unrolled-CTE oracle
     * (the q_pagerank integerization precedent; the decimal-mean path
-    * [[kmeansCentroidsFrom]] stays for the IVF quantizers, whose
-    * queries remain rows-only). round(x·1e6) is identical in both
+    * [[kmeansCentroidsFrom]] remains only as the spec-side SSE
+    * reference — every shipped fixpoint query fits on this lattice
+    * since r17). round(x·1e6) is identical in both
     * engines (HALF_UP away from zero — the [[qLabelCentroids]]
     * precedent). */
   private[graft] val kmeansQuantUnit = 1e6
@@ -1509,7 +1510,7 @@ object Similarity {
   /** Per-label embedding centroids (first 8 dimensions) — the
     * embedding-analytics groupBy, and the ORACLE for the decimal
     * vector-mean arithmetic the k-means iterations use (their
-    * fixpoint is rows-only; this single-pass mean is SQL-expressible,
+    * fixpoint predated its r17 oracle; this single-pass mean is SQL-expressible,
     * so the exact same sum-as-decimal(30,15)-then-divide machinery
     * hash-checks against DuckDB here). One map-side-combined shuffle
     * of |labels|×(8+1) decimal sums — scale-free. */

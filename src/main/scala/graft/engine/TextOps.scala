@@ -1125,13 +1125,14 @@ object TextOps {
     out.toSeq
   }
 
-  /** The learned-merge-table query — rows-only by design (an
-    * iterative argmax fixpoint, like the k-means family: each round's
-    * winner depends on all previous rewrites, which SQL cannot
-    * express without aggregates over a recursive relation); the
-    * `TextOpsSpec` twin re-derives the full table with an
-    * independent classic trainer, and the forced-distributed twin
-    * below pins path equality at every SF. */
+  /** The learned-merge-table query — ORACLE-BACKED since r17: each
+    * round's winner depends on all previous rewrites, which a single
+    * recursive relation cannot aggregate over, but 16 UNROLLED CTE
+    * stages can (per round: a pair-count aggregate, the deterministic
+    * top-1, a replace-to-fixpoint rewrite — see SparkEntry's
+    * duckBpeTrainOracle); the `TextOpsSpec` twin still re-derives the
+    * full table with an independent classic trainer, and the
+    * forced-distributed twin below pins path equality at every SF. */
   def qBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
     bpeTrain(spark, sfDir)
 
