@@ -21,21 +21,26 @@ import org.apache.spark.sql.functions._
   *     work (tokenize + groupBy(word)) happens once in either branch;
   *     after that cost is a function of the DICTIONARY, so the
   *     crossover is a dictionary-size story: at 10k distinct words
-  *     the in-memory loop is ~50× cheaper per merge than a Spark
-  *     round (pure scheduling overhead); at a 1M-word dictionary the
-  *     per-merge walls converge to the same order — and past driver
-  *     memory only the distributed loop exists at all, which is why
-  *     the hybrid keys on dictionary size, not speed.
+  *     the in-memory loop is ~7× cheaper per merge than a Spark
+  *     round (scheduling overhead dominates); at a 1M-word dictionary
+  *     the DISTRIBUTED loop wins 2.8× (the driver loop scales
+  *     linearly with the dictionary, the round overhead is ~flat) —
+  *     and past driver memory only the distributed loop exists at
+  *     all. The measured crossover (~400k rows) is bpeTrain's
+  *     driverVocabLimit default.
   *
   * Usage:
   *   sbt "runMain graft.tools.BpeScale [nDocs] [nMerges] [vocab]"
   *   # defaults: 100000 16 10000
   *
   * Measured (local[32]): ENCODE nDocs=1,000,000 → 100,000,000 corpus
-  * tokens encoded to 530,000,000 subwords in 6.3–8.0 s (≈12.5M
-  * tokens/s+), totals exactly equal to the closed form; nDocs=100,000
-  * → 3.3 s. TRAIN: see BASELINE.md §BPE-train (r17) for the 5000-merge
-  * / 100M-token / 1M-dictionary record.
+  * tokens (999,152-word realized dictionary) encoded exactly equal to
+  * the closed form in 13.7–16.9 s. TRAIN (r17 record, also in
+  * BASELINE.md): 1000 merges over the same 100M tokens / 1M-word
+  * dictionary — distributed rounds 546.9 s (547 ms/merge) vs driver
+  * classic fit 1520.2 s (1520 ms/merge), learned tables IDENTICAL;
+  * at vocab=10k the driver wins 55 vs 405 ms/merge — the measured
+  * crossover behind bpeTrain's 400k driverVocabLimit.
   */
 object BpeScale {
   private val docLen = 100
