@@ -534,6 +534,14 @@ class StreamingOpsSpec extends SparkSpec {
       .loadHistQuantile(spark, stateDir)
       .as[(String, Long, Long, Long, Boolean)].collect().toSeq
     assert(grown.map(_._3).sum > expect.map(_._3).sum)
+    // and an EMPTY batch is a no-op, never a zero-row state overwrite
+    // (the r16 cusum wedge's sibling path)
+    graft.engine.StreamingOps.applyHistBatch(
+      spark.read.parquet(s"$srcDir/s2").limit(0), stateDir, batchId = 100L)
+    val afterEmpty = graft.engine.StreamingOps
+      .loadHistQuantile(spark, stateDir)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(afterEmpty == grown, "empty batch mutated the hist state")
   }
 
   test("ANN index as a catalog table: per-cell compaction preserves rows, cuts files") {
