@@ -78,6 +78,7 @@ object Bench {
     "q_chao1",            // vocabulary-coverage estimator (r16)
     "q_feature_hash",     // hashing-trick vectorizer (r16)
     "q_salted_join",      // skew-spread join, oracle-identical rows (r16)
+    "q_gini_concentration", // balanced-shard Lorenz rank scan (r17)
     "q_zorder",           // Morton clustering key + 2-D box probe (r16)
     "q_bm25",             // BM25 postings retrieval (r15)
     "q_chi2_divergence",  // source-mix drift QA (r15)

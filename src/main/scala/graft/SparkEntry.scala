@@ -1520,8 +1520,9 @@ object SparkEntry {
   }
 
   /** DuckDB oracle SQL per query key (same parquet tables, registered
-    * by table name). Omitted for q_approx_distinct (sketch estimates
-    * are implementation-defined → rows-only check).
+    * by table name). Complete since r18: every registered query has
+    * an oracle (the HLL sketch row ships its error bound as a
+    * boolean the oracle asserts from the exact side).
     */
   def oracleSql: Map[String, String] = Map(
     "q_simhash_pairs" -> duckSimhash,
@@ -3497,6 +3498,17 @@ object SparkEntry {
     "q_approx_err" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  true AS within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the HLL estimate itself is implementation-defined and never
+    // leaves the query; the oracle asserts the 5% bound from the
+    // exact side (the q_approx_err pattern) — r18, closing the last
+    // no_oracle registry row
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS nd_orders,
         |  true AS within_5pct
         |FROM lineitem
         |GROUP BY l_returnflag

@@ -909,9 +909,11 @@ object Dedup {
     * set: no substring evidence can prune it), and the same exact
     * levenshtein verify arbitrates. Short rows are rare in any real
     * corpus, and the channel's fan is |short|·|length-window rows| —
-    * the honest inherent cost, not a blocking failure. `FuzzSpec`
-    * proves the combined output equals the unblocked brute force on
-    * mixed-length corpora including empty strings.
+    * the honest inherent cost, not a blocking failure. `DedupSpec`
+    * ("fuzzyLinkSegments: equals the unblocked brute force on
+    * mixed-length corpora") proves the combined output equals the
+    * unblocked brute force including empty strings; `FuzzSpec`
+    * covers the long-string theorem path.
     *
     * Scale shape: clean explodes ×(τ+1), probe ×≲100 in-row-deduped
     * 8-byte keys; the join fan is Σ_k df_probe(k)·df_clean(k) —

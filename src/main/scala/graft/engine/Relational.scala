@@ -95,12 +95,26 @@ object Relational {
   }
 
   /** approx_count_distinct (HLL++) — the sketch path for 100 TB where
-    * exact distinct would shuffle every key. No SQL oracle (sketch
-    * estimates are implementation-defined); driver records rows-only. */
+    * exact distinct would shuffle every key. ORACLE-ARBITRATED since
+    * r18 via the [[qApproxErr]]/`q_cms_err` bound-query pattern (the
+    * last no_oracle registry row): the raw estimate is
+    * implementation-defined and never leaves the query; what ships is
+    * the exact count plus the sketch's 5% bound AS A BOOLEAN the
+    * oracle asserts from the exact side — a sketch regression (wrong
+    * merge, busted relative error) flips the boolean and breaks the
+    * hash. Distinct from [[qApproxErr]] on both axes: the
+    * high-cardinality key (orders, ~n/4 distinct per group, where the
+    * dense HLL path actually engages) and the tightened rsd = 0.02
+    * (the bound is then 2.5σ — deterministic for a given input, no
+    * flake: HLL++ has no randomness). */
   def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir, "lineitem")
     li.groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"))
+      .agg(countDistinct(col("l_orderkey")).as("nd_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx"))
+      .select(col("l_returnflag"), col("nd_orders"),
+        (abs(col("apx") - col("nd_orders")) <=
+          col("nd_orders") * 0.05).as("within_5pct"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -121,9 +121,12 @@ object Scale {
     *
     * Runs 2 + refinement bounded passes over `df`, so pass a
     * persisted/memoized frame. Empty or all-null input returns the
-    * constant shard 0 rather than NPE'ing (the r16 advisory), and any
-    * long-range value domain is safe — widths are clamped ≥ 1 and
-    * negatives shift through the min. */
+    * constant shard 0 rather than NPE'ing (the r16 advisory).
+    * Domain bound: the value SPAN (max − min + 1) must fit in a
+    * Long — the bin arithmetic (`__v − lo`, span/gridBins) is Long
+    * and would wrap past that (the r17 advisory); a span that wide
+    * fails loudly below rather than mis-binning. Within the bound,
+    * widths are clamped ≥ 1 and negatives shift through the min. */
   def balancedShards(df: DataFrame, value: Column, shards: Int,
       gridBins: Int = 4096): Column = {
     require(shards >= 1 && gridBins >= shards,
@@ -135,6 +138,12 @@ object Scale {
       count(col("__v")).as("n")).head()
     if (b.isNullAt(0) || b.getLong(2) == 0L) return lit(0)
     val (lo, hi, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    // span check in BigInt — hi − lo itself wraps when the domain
+    // straddles more than the Long range (lo near MinValue, hi
+    // positive), which would silently mis-derive every bin width
+    require(BigInt(hi) - BigInt(lo) + 1 <= BigInt(Long.MaxValue),
+      s"balancedShards: value span [$lo, $hi] exceeds the Long range " +
+        "the bin arithmetic supports — rescale the value first")
     val limit = math.max(1L, n / shards)
     // (start, width, count) histogram segments, refined in place;
     // driver state is bounded: ≤ refinePerPass·subBins new segments

@@ -1248,9 +1248,17 @@ object Similarity {
     * the lowest cid, [[nearestCell]] — all values < 2⁵³ so its double
     * arithmetic is exact), and the centroid update rounds the exact
     * rational mean onto the lattice as (2s+n)/(2n) in TRUNCATING
-    * integer division (Scala `/` ≡ DuckDB `//`; round-half-up for the
-    * non-negative sums here). The 0.5-unit centroid rounding is 1e−6
-    * of the value scale — far below any real cluster boundary — and
+    * integer division (Scala `/` ≡ DuckDB `//`, both truncate toward
+    * zero): for s ≥ 0 that is round-half-up of s/n; for NEGATIVE
+    * per-dim sums (fixture embeddings span ±0.5) truncation is NOT
+    * nearest-rounding — it biases toward zero, up to ~1.5 lattice
+    * units above the true mean. The bias is harmless because all
+    * three derivations (this loop, the DuckDB CTE oracle, the spec
+    * re-derivation) share the formula VERBATIM, and ~1e−6 of the
+    * value scale is far below any real cluster boundary — but the
+    * formula is "truncating division", not a rounding guarantee. It
+    * is what makes the 3-iteration fixpoint an exact relational
+    * recurrence a DuckDB CTE chain can replay verbatim. Same
     * it is what makes the 3-iteration fixpoint an exact relational
     * recurrence a DuckDB CTE chain can replay verbatim. Same
     * dataflow as [[kmeansCentroidsFrom]]: one narrow assignment
@@ -1282,13 +1290,29 @@ object Similarity {
     cent
   }
 
+  /** Loud guard for the QUANT-path oracle regime: the DuckDB CTE
+    * twins fit on the FULL corpus while the engine fits on
+    * [[kmeansFitSample]]; they agree exactly when the hash-spaced
+    * sample IS the corpus — n ≤ [[kmeansFitPerCentroid]]·k, or the
+    * modulus n/(128k) truncating to 1, i.e. n < 2·128·k. That holds
+    * at every SF fixture for every caller; a future larger fixture
+    * must fail HERE with a message, not as an opaque hash mismatch
+    * downstream (the r17 advisory). */
+  private def requireQuantOracleRegime(n: Long, k: Int, who: String): Unit =
+    require(n < 2L * kmeansFitPerCentroid * k,
+      s"$who: corpus n=$n is outside the sample-IS-corpus oracle " +
+        s"regime (need n < ${2L * kmeansFitPerCentroid * k} for k=$k); " +
+        "the hash-spaced fit sample would diverge from the full-corpus " +
+        "DuckDB CTE fit — make the query rows-only or extend the oracle")
+
   /** [[kmeansCentroidsQuantFrom]] over the session-memoized quantized
     * corpus, fit on [[kmeansFitSample]] like the decimal path. Oracle
-    * regime note: below n ≤ 2·128·k the hash-spaced sample IS the
+    * regime note: below n < 2·128·k the hash-spaced sample IS the
     * corpus (the modulus n/(128k) truncates to 1), which holds at
     * every SF fixture for both callers (k = 8 and k = ⌈√n⌉); past it
     * the xxhash-spaced fit has no SQL twin and the queries would need
-    * to go rows-only again — the driver only ever runs SF fixtures. */
+    * to go rows-only again — [[requireQuantOracleRegime]] ENFORCES
+    * the regime so a violation fails loudly instead of hash-diffing. */
   private def kmeansCentroidsQuantCached(spark: SparkSession,
       sfDir: String, k: Int, iters: Int): IndexedSeq[IndexedSeq[Double]] = {
     val key = (spark, s"quant|$sfDir|$k|$iters")
@@ -1299,6 +1323,7 @@ object Similarity {
     hit.getOrElse {
       val e = corpusQ(spark, sfDir)
       val n = corpusCount(spark, sfDir)
+      requireQuantOracleRegime(n, k, "kmeansCentroidsQuantCached")
       val c = kmeansCentroidsQuantFrom(kmeansFitSample(e, k, n), k, iters)
       kmeansCentMemo.synchronized {
         kmeansCentMemo.put(key, c)
@@ -1695,9 +1720,10 @@ object Similarity {
       pqBooksMemo.remove(key).map { v => pqBooksMemo.put(key, v); v }
     }
     hit.getOrElse {
+      val n = corpusCount(spark, sfDir)
+      requireQuantOracleRegime(n, pqCodebookSize, "pqCodebooks")
       val c = pqCodebooksQuantFrom(
-        kmeansFitSample(corpusQ(spark, sfDir), pqCodebookSize,
-          corpusCount(spark, sfDir)), iters = 3)
+        kmeansFitSample(corpusQ(spark, sfDir), pqCodebookSize, n), iters = 3)
       pqBooksMemo.synchronized {
         pqBooksMemo.put(key, c)
         while (pqBooksMemo.size > pqBooksMemoCap)

@@ -16,18 +16,19 @@ class DocsSpec extends AnyFunSuite {
   private val nQueries = SparkEntry.queries.size
   private val nOracle = SparkEntry.oracleSql.size
 
-  test("every registered query has an oracle except the HLL sketch") {
+  test("every registered query has an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // rows-only queries are a deliberate, enumerated exception — a new
-    // query silently missing its oracle must fail here, not pass with
-    // a weaker rows-only check. The sole remaining exception is the
-    // HLL sketch, whose estimate is implementation-defined by design
-    // (its 5% error bound IS oracle-checked via q_approx_err). Every
+    // ZERO rows-only queries since r18 — a new query silently missing
+    // its oracle must fail here, not pass with a weaker rows-only
+    // check. The last exception (the HLL sketch, whose estimate is
+    // implementation-defined by design) became oracle-arbitrated via
+    // the q_approx_err bound pattern: the query ships the exact count
+    // plus the 5% bound as a boolean the oracle asserts. Every
     // iterative fixpoint — the k-means family, the Lloyd-fitted IVF,
     // IVF-PQ, the BPE trainer — gained a full hash oracle in r17 via
     // integer-lattice recurrences unrolled as DuckDB CTEs.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-      == Set("q_approx_distinct"))
+      == Set.empty[String])
   }
 
   test("README query counts match SparkEntry") {
