@@ -295,6 +295,9 @@ object SparkEntry {
     // signals (the entity-resolution canonicalization step)
     "q_golden_record" -> Dedup.qGoldenRecord _,
     "q_dedup_clusters_dist" -> Dedup.qDedupClustersDist _,
+    // MV-merge for clusters: stored labels-as-star-forest + delta
+    // edges -> merged labels, history never rescanned (r18)
+    "q_dedup_clusters_incremental" -> Dedup.qDedupClustersIncremental _,
     "q_dedup_keep" -> Dedup.qDedupKeep _,
     "q_contamination" -> Dedup.qContamination _,
     "q_contamination_bloom" -> Dedup.qContaminationBloom _,
@@ -423,6 +426,9 @@ object SparkEntry {
     "q_temperature_mix" -> TextOps.qTemperatureMix _,
     // per-source percent_rank calibration of the quality score
     "q_quality_calibrated" -> TextOps.qQualityCalibrated _,
+    // the 100 TB twin: two-pass histogram-quantile cut, same kept
+    // set, no per-source single-task window (r18)
+    "q_quality_calibrated_cut" -> TextOps.qQualityCalibratedCut _,
     // per-doc unique-shingle ratio (dedup triage / boilerplate rank)
     "q_ngram_novelty" -> Dedup.qNgramNovelty _,
     // integer-scaled PageRank over the near-dup graph (3 unrolled
@@ -3410,6 +3416,11 @@ object SparkEntry {
     // same oracle — the distributed large-star/small-star branch must
     // produce byte-identical labels to the driver union-find branch
     "q_dedup_clusters_dist" -> duckClusters,
+    // same oracle again — the qAggIncremental convention: the
+    // incremental merge (stored labels ∪ delta edges, history never
+    // rescanned) must equal the FULL recompute, re-proving the
+    // star-forest merge law at every SF
+    "q_dedup_clusters_incremental" -> duckClusters,
     // Golden-record survivorship: same cluster chain, per-cluster
     // packed argmax (max n_chars, ties -> min doc_id) + membership
     // and conflict-signal counts.
@@ -4023,6 +4034,31 @@ object SparkEntry {
         |SELECT doc_id, source, q, pct FROM p
         |WHERE pct >= ${TextOps.calibratedCut}
         |ORDER BY doc_id""".stripMargin,
+    // the histogram-cut twin restates the INTEGER threshold form
+    // independently of percent_rank: keep ⟺ 5·cntLess(q) ≥ n−1
+    // (exactly pct ≥ 0.2 — the IEEE division cannot disagree below
+    // n ~ 4e17), i.e. q ≥ the per-source min value satisfying it;
+    // singleton sources have no qualifying value and drop
+    "q_quality_calibrated_cut" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $duckTokens AS tk
+        |           FROM documents),
+        |qs AS (SELECT doc_id, source,
+        |$duckQuality
+        |    AS q
+        |       FROM t),
+        |c AS (SELECT source, q, count(*) AS c FROM qs GROUP BY source, q),
+        |x AS (SELECT source, q,
+        |        COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY q
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum_less,
+        |        SUM(c) OVER (PARTITION BY source) AS n
+        |      FROM c),
+        |th AS (SELECT source, MIN(q) AS t FROM x
+        |       WHERE n > 1 AND 5 * cum_less >= n - 1
+        |       GROUP BY source)
+        |SELECT qs.doc_id, qs.source, qs.q
+        |FROM qs JOIN th ON qs.source = th.source AND qs.q >= th.t
+        |ORDER BY qs.doc_id""".stripMargin,
     // string-shingle df rebuilt from scratch; the Spark side counts
     // the same sets under the 64-bit FNV hash identity (collision
     // odds ~n²/2⁻⁶⁴ — the q_jaccard_pairs convention)

@@ -1574,6 +1574,46 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** Incremental connected-components maintenance — the missing
+    * dedup member of the MV-merge family (rollup/join/top-k/checksum/
+    * sample each have one; clusters now do too): stored LABELS + a
+    * new batch of edges → merged labels WITHOUT rescanning the
+    * historical pair graph.
+    *
+    * The algebra: a component's (id → label) rows ARE edges — the
+    * label forest {(id, label(id))} is a spanning star of each stored
+    * component, so components(labelForest ∪ Δedges) =
+    * components(oldEdges ∪ Δedges): the forest preserves exactly the
+    * old connectivity over the old vertex set (roots ride along as
+    * self-loops, which [[connectedComponents]] keeps as vertices),
+    * and the min-id label of a merged component is unchanged because
+    * every old vertex id — in particular each old minimum — is still
+    * present. The merge input is \|old labels\| + \|Δ\| rows:
+    * duplicate-sized, never corpus-sized, and O(log n) star rounds on
+    * top (the same [[labelComponents]] hybrid dispatch as the full
+    * pass). Re-applying a replayed Δ is an algebraic no-op —
+    * connectivity union is idempotent — which is what makes the
+    * streaming maintainer ([[StreamingOps.applyClustersBatch]])
+    * replay-safe without bookkeeping.
+    *
+    * The fixture split follows the [[TextOps.qPriorityIncremental]]
+    * convention: edges whose ida md5-bucket < 90 are the stored
+    * history (labeled once, standing in for the on-disk MV), the ≥ 90
+    * tail is the arriving batch; the ORACLE is the full recompute
+    * ([[qDedupClusters]]' recursive min-label closure), so equality
+    * re-proves the merge law at every SF. */
+  def qDedupClustersIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).select(col("ida"), col("idb"))
+    val bucket = Tables.md5Bucket(col("ida"))
+    val stored = labelComponents(pairs.filter(bucket < 90), 1000000L)
+      .select(col("id").as("ida"), col("label").as("idb"))
+    val arriving = pairs.filter(bucket >= 90)
+    labelComponents(stored.unionByName(arriving), 1000000L)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The keep-list after clustering: every document except
     * non-representative near-dup cluster members (the cluster's min
     * doc_id is the kept representative). A left-anti join of the

@@ -215,25 +215,150 @@ object Scale {
     * internal shard column is dropped. A flat `Window.orderBy` is
     * the single-task anti-pattern this replaces (A/B-measured 4.6×
     * at 40M rows, `tools.PrefixScale`). */
-  def shardedPrefixSum(df: DataFrame, shard: Column, order: Seq[Column],
-      value: Column, cumName: String): DataFrame = {
+  /** Per-group percentile-threshold KEEP filter — the two-pass
+    * histogram-quantile cut that replaces
+    * `percent_rank().over(Window.partitionBy(group))` when groups
+    * are few and huge (the [[shardedPrefixSumBy]] motivation: a
+    * window partition is ONE task and AQE cannot split it). Keeps
+    * exactly the rows the flat form keeps with
+    * `pct ≥ cutNum/cutDen`: percent_rank uses competition rank, so
+    * the predicate is the integer comparison
+    * `cntLess(v)·cutDen ≥ (n−1)·cutNum` (cntLess = rows of the group
+    * strictly below v; the flat form's correctly-rounded IEEE
+    * division cannot disagree with the rational below n ~ 4·10¹⁷),
+    * cntLess is monotone in v, so the kept set is the upward-closed
+    * threshold {v ≥ t_g} — a broadcast filter, not a rank.
+    *
+    * Mechanics (all driver state bounded, the [[balancedShards]]
+    * contract):
+    *  1. per-group (min, max, n) agg → m_g = ⌈(n−1)·cutNum/cutDen⌉;
+    *     groups with n ≤ 1 drop (flat form: pct = 0 < cut);
+    *  2. per-(group, gridBins-bin) counts, ≤ \|groups\|·gridBins rows
+    *     collected; the driver walk classifies bins — cumulative
+    *     start ≥ m_g keeps the bin whole, bins ending below m_g drop
+    *     whole, and exactly ONE bin per group straddles (a tie class
+    *     is one value, hence one bin);
+    *  3. only the straddling ~n/gridBins slice gets the exact
+    *     distinct-value rank (one tiny window) → threshold value t_g,
+    *     \|groups\| rows collected;
+    *  4. one scan with the broadcast
+    *     `bin > b_g ∨ (bin = b_g ∧ v ≥ t_g)` filter.
+    * The value column must be DoubleType and non-null; binning is
+    * per-group affine onto the grid (monotone, equal values share a
+    * bin — the only properties the proof needs). Returns `df`'s rows
+    * (all columns) filtered. `tools.MixScale` A/Bs the planted
+    * mega-group degenerate case against the flat window. */
+  def quantileCutKeep(df: DataFrame, group: String, value: String,
+      cutNum: Long, cutDen: Long, gridBins: Int = 4096): DataFrame = {
+    require(cutNum > 0 && cutDen >= cutNum,
+      s"quantileCutKeep: need 0 < cutNum <= cutDen, got $cutNum/$cutDen")
+    val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val v = col(value)
+    // pass 1a: per-group bounds + count (|groups| rows)
+    val bounds = df.groupBy(col(group))
+      .agg(min(v).as("__lo"), max(v).as("__hi"), count(v).as("__n"))
+      .filter(col("__n") > 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    if (bounds.isEmpty) return df.filter(lit(false))
+    val bDf = bounds.toDF(group, "__lo", "__hi", "__n")
+    // per-group affine grid bin; degenerate one-value domain → bin 0
+    def binOf(c: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0)).otherwise(least(lit(gridBins - 1),
+        floor((c - lo) / (hi - lo) * gridBins).cast("int")))
+    val binned = df.join(broadcast(bDf), Seq(group))
+      .withColumn("__bin", binOf(v, col("__lo"), col("__hi")))
+    // pass 1b: bounded histogram → driver walk → straddling bin
+    val hist = binned.groupBy(col(group), col("__bin")).count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val mOf: Map[String, Long] = bounds.map { case (g, _, _, n) =>
+      g -> ((n - 1) * cutNum + cutDen - 1) / cutDen
+    }.toMap
+    val srcInfo: Map[String, (Int, Long, Long)] = hist.map {
+      case (g, rows) =>
+        val m = mOf(g)
+        var cum = 0L; var bbin = -1; var cumBefore = 0L
+        for ((_, b, c) <- rows.sortBy(_._2)) {
+          if (cum < m) { bbin = b; cumBefore = cum }
+          cum += c
+        }
+        g -> (bbin, cumBefore, m)
+    }
+    // pass 2: exact value rank INSIDE each group's straddling bin
+    val bslice = srcInfo.toSeq.map { case (g, (b, cb, m)) => (g, b, cb, m) }
+      .toDF("__g", "__bbin", "__cb", "__m")
+    val thresholds: Map[String, Double] = binned
+      .join(broadcast(bslice), col("__bin") === col("__bbin") &&
+        col(group) === col("__g"))
+      .groupBy(col(group), v.as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        first(col("__cb")).as("__cbf"), first(col("__m")).as("__mf"))
+      .withColumn("__sw", coalesce(sum(col("__c")).over(
+        Window.partitionBy(col(group)).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__cbf") + col("__sw") >= col("__mf"))
+      .groupBy(col(group)).agg(min(col("__v")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // final: one scan, broadcast (group → straddling bin, threshold).
+    // A straddling bin that is one giant tie below m keeps nothing —
+    // the threshold is then the next bin's first value, covered by
+    // bin > bbin; Infinity makes the in-bin term vacuous.
+    val cuts = srcInfo.toSeq.map { case (g, (b, _, _)) =>
+      (g, b, thresholds.getOrElse(g, Double.PositiveInfinity))
+    }.toDF("__g2", "__bbin2", "__t2")
+    binned.join(broadcast(cuts), col(group) === col("__g2"))
+      .filter(col("__bin") > col("__bbin2") ||
+        (col("__bin") === col("__bbin2") && v >= col("__t2")))
+      .drop("__lo", "__hi", "__n", "__bin", "__g2", "__bbin2", "__t2")
+  }
+
+  def shardedPrefixSum(df: DataFrame, shard: Column, order: Seq[Column],
+      value: Column, cumName: String): DataFrame =
+    shardedPrefixSumBy(df, Nil, shard, order, value, cumName)
+
+  /** PER-GROUP two-level distributed running SUM — the grouped form
+    * of [[shardedPrefixSum]] and the 100 TB replacement for
+    * `Window.partitionBy(group).orderBy(...)` running sums when
+    * groups are FEW AND HUGE (training-mix sources/languages: ~10
+    * groups over 100 TB ⇒ each window partition is a ~10 TB single
+    * task, and AQE cannot split a window partition). The `shard`
+    * expression must be order-preserving w.r.t. `order` WITHIN each
+    * group (rows of a lower shard precede every row of a higher one
+    * in that group); each (group, shard) cell computes its local
+    * running sum in parallel — the mega-group now spans \|shards\|
+    * tasks instead of one — and the cross-shard carry rides a window
+    * over the per-(group, shard) totals, partitioned BY GROUP and
+    * bounded by the shard domain (\|groups\|·\|shards\| rows total,
+    * broadcast back). Row-level output is IDENTICAL to the flat
+    * per-group window (order-preservation makes the decomposition
+    * exact — same rows, same cumulative values), so existing oracles
+    * arbitrate unchanged; `tools.MixScale` A/Bs the planted
+    * mega-source degenerate case. With `groupCols` empty this is
+    * exactly the global scan (one carry partition, 16 rows —
+    * KNOWN-BOUNDED: the WindowExec single-partition WARN it emits is
+    * expected and harmless; a constant partition key cannot silence
+    * it, Spark 4's EliminateWindowPartitions folds it away again). */
+  def shardedPrefixSumBy(df: DataFrame, groupCols: Seq[String],
+      shard: Column, order: Seq[Column], value: Column,
+      cumName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
     val g = df.withColumn("__shard", shard).withColumn("__v", value)
-    val wLocal = Window.partitionBy(col("__shard")).orderBy(order: _*)
+    val wLocal = Window.partitionBy(gcols :+ col("__shard"): _*)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = g.withColumn("__lsum", sum(col("__v")).over(wLocal))
-    // KNOWN-BOUNDED global window: the frame is the per-shard carry
-    // table (shard-count rows, 16 here), never the data volume — the
-    // WindowExec single-partition WARN this emits is expected and
-    // harmless (a constant partition key cannot silence it: Spark 4's
-    // EliminateWindowPartitions folds it away again)
-    val wShard = Window.orderBy(col("__shard"))
+    val wShard = Window.partitionBy(gcols: _*).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = g.groupBy(col("__shard")).agg(sum(col("__v")).as("__ssum"))
+    val carry = g.groupBy(gcols :+ col("__shard"): _*)
+      .agg(sum(col("__v")).as("__ssum"))
       .withColumn("__csum",
         coalesce(sum(col("__ssum")).over(wShard), lit(0L)))
-      .select(col("__shard"), col("__csum"))
-    local.join(broadcast(carry), Seq("__shard"))
+      .drop("__ssum")
+    local.join(broadcast(carry), groupCols :+ "__shard")
       .withColumn(cumName, col("__lsum") + col("__csum"))
       .drop("__shard", "__v", "__lsum", "__csum")
   }

@@ -374,6 +374,71 @@ object StreamingOps {
     fs.delete(old, true)
   }
 
+  /** Merge ONE micro-batch of near-dup EDGES into the cluster-label
+    * MV ([[Dedup.qDedupClustersIncremental]]'s streaming half): the
+    * stored (id, label) rows are re-read as a spanning star forest of
+    * the historical components, unioned with the batch's edges, and
+    * re-labeled by [[Dedup.labelComponents]] — the historical PAIR
+    * GRAPH is never rescanned; the merge input is \|labels\| + \|Δ\|
+    * rows (duplicate-sized, not corpus-sized).
+    *
+    * Replay safety comes from ALGEBRA, the
+    * [[applyPrioritySampleBatch]] discipline: connectivity union is
+    * idempotent — re-applying a replayed batch (foreachBatch is
+    * at-least-once) adds edges whose endpoints are already connected,
+    * and the min-id label of every component is unchanged, so the MV
+    * reaches the same fixpoint. Crash recovery is the same staged
+    * swap: promote a COMPLETE orphaned staging (safe by idempotence),
+    * drop an incomplete one. */
+  def applyClustersBatch(batchEdges: DataFrame, stateDir: String,
+      driverEdgeLimit: Long = 1000000L): Unit = {
+    val spark = batchEdges.sparkSession
+    val basePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val mv = new org.apache.hadoop.fs.Path(basePath, "mv")
+    val staging = new org.apache.hadoop.fs.Path(basePath, "mv_staging")
+    val old = new org.apache.hadoop.fs.Path(basePath, "mv_old")
+    val success = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
+    if (fs.exists(success)) {
+      fs.delete(mv, true); fs.rename(staging, mv)
+    } else fs.delete(staging, true)
+    fs.delete(old, true)
+    val edges = batchEdges.select(col("ida"), col("idb"))
+    val merged = Dedup.labelComponents(
+      if (fs.exists(mv))
+        spark.read.parquet(mv.toString)
+          .select(col("id").as("ida"), col("label").as("idb"))
+          .unionByName(edges)
+      else edges,
+      driverEdgeLimit)
+    merged.coalesce(1).write.parquet(staging.toString)
+    if (fs.exists(mv)) fs.rename(mv, old)
+    fs.rename(staging, mv)
+    fs.delete(old, true)
+  }
+
+  /** Always-on cluster-label maintenance: each micro-batch of
+    * (ida, idb) near-dup edges folds into the label MV via
+    * [[applyClustersBatch]]. */
+  def clustersSink(edges: DataFrame, stateDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, _: Long) =>
+        applyClustersBatch(b, stateDir))
+      .trigger(trigger)
+      .start()
+
+  /** Read the cluster-label MV back as (doc_id, cluster_id). */
+  def loadClusters(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/mv")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
   /** Always-on priority-sample maintenance: each micro-batch of
     * (doc_id, text) documents folds into the k+1-row MV via
     * [[applyPrioritySampleBatch]]. */

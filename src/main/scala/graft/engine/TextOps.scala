@@ -1728,19 +1728,26 @@ object TextOps {
     * concern, [[qPackSequences]]' job). Output carries the running
     * total so the budget adherence is itself hash-checked.
     *
-    * Scale shape: one narrow token-count projection + ONE
-    * source-keyed running-sum window; like [[qQualityCalibrated]],
-    * a 100 TB deployment replaces the per-source window with a
-    * two-pass cut (count-histogram over the md5 order, then a
-    * narrow filter) since window partitions cannot skew-split. */
+    * Scale shape (the 100 TB form since r18): one narrow token-count
+    * projection, then the per-source running sum runs as
+    * [[Scale.shardedPrefixSumBy]] keyed (source, first md5 hex char)
+    * — sources are few and huge, so a flat
+    * `Window.partitionBy(source)` funnels each source's full corpus
+    * slice through ONE task (AQE cannot split a window partition);
+    * md5 is uniform, so the 16 fixed-width hex shards balance by
+    * construction and the mega-source spans 16 parallel scans
+    * (production widens to 2–3 hex chars = 256–4096 shards). The
+    * shard key is order-preserving w.r.t. the (hx, doc_id) order —
+    * the decomposition is row-exact and the oracle is unchanged;
+    * `tools.MixScale` A/Bs the planted mega-source case. */
   def qTokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val w = Window.partitionBy(col("source")).orderBy(col("hx"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.select(col("doc_id"), col("source"),
-        md5(col("doc_id").cast("string")).as("hx"),
-        tokenCount(col("text")).cast("long").as("ntk"))
-      .withColumn("cum", sum(col("ntk")).over(w))
+    val scored = d.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("hx"),
+      tokenCount(col("text")).cast("long").as("ntk"))
+    Scale.shardedPrefixSumBy(scored, Seq("source"),
+        substring(col("hx"), 1, 1), Seq(col("hx"), col("doc_id")),
+        col("ntk"), "cum")
       .filter(col("cum") <= tokenBudget)
       .select(col("doc_id"), col("source"), col("ntk"), col("cum"))
       .orderBy(col("doc_id"))
@@ -1763,11 +1770,15 @@ object TextOps {
     * the b_l/n_l > 1 ratio is the epoch-repeat factor a trainer
     * applies downstream.
     *
-    * Scale shape: one scan into the per-lang token agg; budgets are
-    * \|L\|-row arithmetic broadcast back; the only corpus-sized
-    * shuffle is the per-lang md5 window (same skew note as
-    * [[qQualityCalibrated]]: at 100 TB the greedy prefix becomes a
-    * two-pass histogram cut). */
+    * Scale shape (the 100 TB form since r18): one scan into the
+    * per-lang token agg; budgets are \|L\|-row arithmetic broadcast
+    * back; the per-lang greedy prefix runs as
+    * [[Scale.shardedPrefixSumBy]] on (lang, first md5 hex char) —
+    * the [[qTokenBudgetMix]] decomposition: languages are few and
+    * huge, a flat per-lang window is a one-task funnel, and the
+    * uniform md5 shards split it 16 ways row-exactly (oracle
+    * unchanged; `tools.MixScale` measures the planted mega-group
+    * case). */
   def qTemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
       .filter(col("lang").isNotNull)
@@ -1781,10 +1792,11 @@ object TextOps {
     val budgets = sh.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_l"), col("s_l"),
         expr("s_l * (n_tot div 2) div s_tot").as("b_l"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("hx"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.join(broadcast(budgets.select(col("lang"), col("b_l"))), Seq("lang"))
-      .withColumn("cum", sum(col("ntk")).over(w))
+    val joined = d.join(
+      broadcast(budgets.select(col("lang"), col("b_l"))), Seq("lang"))
+    Scale.shardedPrefixSumBy(joined, Seq("lang"),
+        substring(col("hx"), 1, 1), Seq(col("hx"), col("doc_id")),
+        col("ntk"), "cum")
       .filter(col("cum") <= col("b_l"))
       .select(col("doc_id"), col("lang"), col("ntk"), col("cum"), col("b_l"))
       .orderBy(col("doc_id"))
@@ -1819,6 +1831,51 @@ object TextOps {
       .withColumn("pct", percent_rank().over(w))
       .filter(col("pct") >= calibratedCut)
       .select(col("doc_id"), col("source"), col("q"), col("pct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The 100 TB twin of [[qQualityCalibrated]] — the two-pass
+    * histogram-quantile cut the flat form's scaladoc promised: same
+    * KEPT SET, no per-source corpus-sized window task.
+    *
+    * Exactness argument. percent_rank uses competition rank, so
+    * pct(row) = cntLess(q)/(n−1) with cntLess = #rows of the source
+    * scoring strictly below q; `pct ≥ 0.2` is EXACTLY the integer
+    * predicate `5·cntLess ≥ n−1` (the correctly-rounded IEEE division
+    * can only disagree with the rational comparison within a half-ulp
+    * of 0.2, which needs n−1 > ~4·10¹⁷ — unreachable; singleton
+    * sources drop on both forms: pct = 0 < 0.2 vs the explicit n > 1
+    * gate here). cntLess is monotone in q, so the kept set is an
+    * upward-closed threshold {q ≥ t} — a FILTER, not a rank.
+    *
+    * Two passes, both skew-immune:
+    *  1. per-(source, 4096-grid-bin) counts — one map-combined agg,
+    *     ≤ \|sources\|·4096 rows to the driver (the
+    *     [[Scale.balancedShards]] bounded-collect contract). The
+    *     driver walk classifies every bin: bins whose cumulative
+    *     start ≥ m := ⌈(n−1)/5⌉ are kept WHOLE, bins ending before m
+    *     drop whole, and exactly ONE bin per source straddles m (a
+    *     tie class is one value, so it lives in one bin).
+    *  2. the straddling bin's ~n/4096-row slice alone gets the exact
+    *     within-bin value rank (distinct-value counts + one tiny
+    *     window) → the threshold VALUE t per source, collected
+    *     (\|sources\| rows) and broadcast back into a single
+    *     `bin > b ∨ (bin = b ∧ q ≥ t)` scan filter.
+    * A mega-source costs 4096 parallel cells in pass 1 and an
+    * n/4096-sized ranked slice in pass 2 (refine the grid like
+    * balancedShards if even that slice is heavy) — vs ONE window task
+    * holding the whole source in the flat form; `tools.MixScale`
+    * measures the planted degenerate case. Output = the flat form's
+    * rows minus the per-row pct diagnostic (whose exact per-row rank
+    * is what the flat window pays for); the oracle restates the
+    * integer-threshold semantics independently. */
+  def qQualityCalibratedCut(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val s = d.select(col("doc_id"), col("source"),
+      qualityScore(col("text")).as("q"))
+    Scale.quantileCutKeep(s, "source", "q",
+        cutNum = 1, cutDen = 5) // = calibratedCut 0.2
+      .select(col("doc_id"), col("source"), col("q"))
       .orderBy(col("doc_id"))
   }
 

@@ -43,8 +43,8 @@ class EntrySpec extends SparkSpec {
     // EntrySpec above catches queries that fail to *construct*; this
     // catches accidental deregistration — together they close the r11
     // silent-shrink class (92 -> 90 with no red test).
-    assert(SparkEntry.queries.size >= 195,
-      s"query registry shrank: ${SparkEntry.queries.size} < 195")
+    assert(SparkEntry.queries.size >= 197,
+      s"query registry shrank: ${SparkEntry.queries.size} < 197")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       "oracleSql keys must all be registered queries")
   }

@@ -1153,4 +1153,68 @@ class ScaleSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("explode"),
       s"small-side salt replication missing:\n$plan")
   }
+
+  test("shardedPrefixSumBy: grouped decomposition equals the flat per-group window") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic mixed groups incl. a dominant one and a singleton
+    val rows = (0 until 5000).map { i =>
+      val g = if (i % 10 < 8) "mega" else "g" + (i % 10)
+      (i.toLong, g, (i * 2654435761L % 97).toString, (i % 13).toLong)
+    } :+ (99999L, "solo", "zz", 7L)
+    val df = rows.toDF("id", "g", "ord", "v")
+    val flat = df.withColumn("cum", sum(col("v")).over(
+        Window.partitionBy(col("g")).orderBy(col("ord"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("cum"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val sharded = Scale.shardedPrefixSumBy(df, Seq("g"),
+        substring(col("ord"), 1, 1), Seq(col("ord"), col("id")),
+        col("v"), "cum")
+      .select(col("id"), col("cum"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(sharded == flat && sharded.nonEmpty)
+    // empty group list degenerates to the global scan
+    val global = Scale.shardedPrefixSum(df,
+        substring(col("ord"), 1, 1), Seq(col("ord"), col("id")),
+        col("v"), "cum")
+      .select(col("id"), col("cum"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val flatGlobal = df.withColumn("cum", sum(col("v")).over(
+        Window.orderBy(col("ord"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("cum"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(global == flatGlobal)
+  }
+
+  test("quantileCutKeep: equals the percent_rank filter incl. tie/singleton/degenerate corners") {
+    import org.apache.spark.sql.expressions.Window
+    def pctKeep(df: org.apache.spark.sql.DataFrame,
+        cut: Double): Seq[Long] =
+      df.withColumn("pct", percent_rank().over(
+          Window.partitionBy(col("g")).orderBy(col("q"))))
+        .filter(col("pct") >= cut)
+        .select(col("id")).as[Long].collect().toSeq.sorted
+    def histKeep(df: org.apache.spark.sql.DataFrame,
+        num: Long, den: Long): Seq[Long] =
+      Scale.quantileCutKeep(df, "g", "q", num, den)
+        .select(col("id")).as[Long].collect().toSeq.sorted
+    // mixed: continuous scores, a heavy tie class straddling the cut,
+    // a singleton group, an all-tie group, a two-row group
+    val rows =
+      (0 until 2000).map(i => (i.toLong, "a", (i % 331).toDouble / 331)) ++
+      (0 until 500).map(i => (2000L + i, "ties", if (i < 150) 0.1 else 0.5)) ++
+      Seq((9000L, "solo", 0.7)) ++
+      (0 until 40).map(i => (9100L + i, "flat", 0.25)) ++
+      Seq((9500L, "duo", 0.3), (9501L, "duo", 0.9))
+    val df = rows.toDF("id", "g", "q").persist()
+    try {
+      assert(histKeep(df, 1, 5) == pctKeep(df, 0.2))
+      assert(histKeep(df, 1, 2) == pctKeep(df, 0.5))
+      assert(histKeep(df, 9, 10) == pctKeep(df, 0.9))
+      // empty input
+      val empty = Seq.empty[(Long, String, Double)].toDF("id", "g", "q")
+      assert(Scale.quantileCutKeep(empty, "g", "q", 1, 5).count() == 0)
+    } finally df.unpersist()
+  }
 }

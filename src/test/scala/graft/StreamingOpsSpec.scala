@@ -453,6 +453,58 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cells.toSet == expected.map(r => s"cid=${r._4}").toSet)
   }
 
+  test("cluster-label maintenance: sliced edge stream equals batch components; replay is a no-op") {
+    import org.apache.spark.sql.functions.col
+    // edges = the verified near-dup pair graph at sf0.001, sliced in
+    // three by ida — cross-slice components force real merges (a
+    // component whose edges span slices must re-label across batches)
+    val pairs = graft.engine.Dedup
+      .qDedupMinhash(spark, sf0001)
+      .select(col("ida"), col("idb"))
+    val srcDir = tmpDir("cedges")
+    (0 to 2).foreach { i =>
+      pairs.filter(col("ida") % 3 === i).coalesce(1)
+        .write.parquet(s"$srcDir/s$i")
+    }
+    val stream = spark.readStream.schema(pairs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val stateDir = tmpDir("cstate")
+    val q = graft.engine.StreamingOps.clustersSink(
+      stream, stateDir, tmpDir("cckpt"))
+    q.awaitTermination()
+    val got = graft.engine.StreamingOps.loadClusters(spark, stateDir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val expect = graft.engine.Dedup.qDedupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == expect && got.nonEmpty)
+    // replaying a slice is algebraically a no-op (connectivity union
+    // is idempotent; min-id labels unchanged)
+    graft.engine.StreamingOps.applyClustersBatch(
+      spark.read.parquet(s"$srcDir/s0"), stateDir)
+    val replayed = graft.engine.StreamingOps.loadClusters(spark, stateDir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(replayed == expect)
+    // crash recovery: a COMPLETE orphaned staging is promoted, then
+    // re-merging reaches the same fixpoint
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/mv"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/mv_staging"))
+    graft.engine.StreamingOps.applyClustersBatch(
+      spark.read.parquet(s"$srcDir/s1"), stateDir)
+    val recovered = graft.engine.StreamingOps.loadClusters(spark, stateDir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(recovered == expect)
+    // and the forced-distributed merge path labels identically
+    graft.engine.StreamingOps.applyClustersBatch(
+      spark.read.parquet(s"$srcDir/s2"), stateDir, driverEdgeLimit = -1L)
+    val dist = graft.engine.StreamingOps.loadClusters(spark, stateDir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(dist == expect)
+  }
+
   test("priority-sample maintenance: sliced stream equals batch sample; replay is a no-op") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

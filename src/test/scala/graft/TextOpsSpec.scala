@@ -711,6 +711,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size < scored.size)
   }
 
+  test("quality calibration cut twin: histogram form keeps exactly the window form's rows") {
+    // the r18 100 TB form (Scale.quantileCutKeep) must keep the SAME
+    // set as the flat percent_rank window — the exactness claim its
+    // scaladoc proves; the oracle arbitrates each form independently,
+    // this pins them to each other
+    val win = TextOps.qQualityCalibrated(spark, sf0001)
+      .as[(Long, String, Double, Double)].collect().toSeq
+      .map(r => (r._1, r._2, r._3)).sorted
+    val cut = TextOps.qQualityCalibratedCut(spark, sf0001)
+      .as[(Long, String, Double)].collect().toSeq.sorted
+    assert(cut == win && cut.nonEmpty)
+  }
+
   test("entropy mix: engine h_q equals the FixLog2 driver recompute; h_bits is real Shannon") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val out = TextOps.qEntropyMix(spark, sf0001)
