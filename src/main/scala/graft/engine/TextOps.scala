@@ -1040,7 +1040,7 @@ object TextOps {
   /** [[bpeTrain]] over any (text) frame — the seam
     * [[graft.tools.BpeScale]] drives on synthetic corpora. */
   private[graft] def bpeTrainOn(d: DataFrame, nMerges: Int,
-      driverVocabLimit: Long): DataFrame = {
+      driverVocabLimit: Long, onRound: Int => Unit = _ => ()): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
     val vocab0 = d.select(explode(tokens(col("text"))).as("word"))
@@ -1048,14 +1048,15 @@ object TextOps {
       .as[(String, Long)]
       .map { case (w, c) => (codePointSyms(w).toSeq, c) }
     val learned: Seq[(Long, String, String, Long)] =
-      if (driverVocabLimit < 0L) bpeFitRounds(vocab0, nMerges)
+      if (driverVocabLimit < 0L) bpeFitRounds(vocab0, nMerges,
+        onRound = onRound)
       else {
         val v = vocab0.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = v.count()
         val res =
           if (n <= driverVocabLimit) bpeFitDriver(v.collect(), nMerges)
-          else bpeFitRounds(v, nMerges)
+          else bpeFitRounds(v, nMerges, onRound = onRound)
         v.unpersist()
         res
       }
@@ -1063,71 +1064,370 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
-  /** The classic in-memory fit over a collected dictionary: count
-    * every adjacent position (overlaps included — the Sennrich
+  /** The classic in-memory fit over a collected dictionary — count
+    * every adjacent position (overlaps included, the Sennrich
     * `get_stats` convention), merge the winner everywhere with
-    * [[mergePass]], repeat. */
+    * [[mergePass]], repeat. INCREMENTAL since r18: a full dictionary
+    * rescan per merge made an 8k-merge fit on a 1M-word dictionary a
+    * multi-hour driver loop (r17 measured 1520 ms/merge). Instead the
+    * pair counts, an inverted index pair→word-ids and an ordered
+    * queue are maintained exactly: each merge touches only the words
+    * that CONTAIN the winning pair, recomputing each affected word's
+    * full pair multiset before/after the rewrite (exact by
+    * construction — no in-place occurrence arithmetic to get subtly
+    * wrong). Selection order (count desc, a asc, b asc) and the
+    * rewrite ([[mergePass]]) are unchanged, so the learned table is
+    * identical to the rescan loop's — `TextOpsSpec` re-derives it
+    * with an independent rescan trainer on the fixture and the
+    * randomized adversarial corpora. Cost per merge is
+    * O(Σ affected-word lengths · log |pairs|), near-linear over a
+    * whole fit where the rescan loop was quadratic. */
   private def bpeFitDriver(dict: Array[(Seq[String], Long)],
       nMerges: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
     val words = dict.map { case (s, c) =>
-      (scala.collection.mutable.ArrayBuffer.from(s), c)
+      (mutable.ArrayBuffer.from(s), c)
     }
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, String, Long)]
+    def pairsOf(syms: mutable.ArrayBuffer[String])
+        : Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String,
+        Ordering.String)
+    val queue = mutable.TreeSet.empty[(Long, String, String)]
+    def bump(k: (String, String), d: Long): Unit = {
+      val old = counts.getOrElse(k, 0L)
+      val nw = old + d
+      if (old > 0) queue.remove((old, k._1, k._2))
+      if (nw > 0) { counts(k) = nw; queue.add((nw, k._1, k._2)) }
+      else { counts.remove(k); where.remove(k) }
+    }
+    words.iterator.zipWithIndex.foreach { case ((syms, c), wi) =>
+      pairsOf(syms).foreach { k =>
+        bump(k, c)
+        where.getOrElseUpdate(k, mutable.Set.empty) += wi
+      }
+    }
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
-    var done = false
-    while (r <= nMerges && !done) {
-      val counts = scala.collection.mutable.HashMap
-        .empty[(String, String), Long]
-      words.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + c)
-          i += 1
-        }
+    while (r <= nMerges && queue.nonEmpty) {
+      val (n, a, b) = queue.head
+      out += ((r.toLong, a, b, n))
+      val affected = where.get((a, b)).map(_.toArray)
+        .getOrElse(Array.empty[Int])
+      affected.foreach { wi =>
+        val (syms, c) = words(wi)
+        val before = pairsOf(syms).toArray
+        mergePass(syms, a, b)
+        val after = pairsOf(syms).toArray
+        val delta = mutable.HashMap.empty[(String, String), Long]
+        before.foreach(k => delta.update(k, delta.getOrElse(k, 0L) - c))
+        after.foreach(k => delta.update(k, delta.getOrElse(k, 0L) + c))
+        delta.foreach { case (k, d) => if (d != 0L) bump(k, d) }
+        val beforeSet = before.toSet
+        val afterSet = after.toSet
+        beforeSet.diff(afterSet).foreach(k => where.get(k).foreach(_ -= wi))
+        afterSet.diff(beforeSet).foreach(k =>
+          where.getOrElseUpdate(k, mutable.Set.empty) += wi)
       }
-      if (counts.isEmpty) done = true
-      else {
-        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
-        out += ((r.toLong, a, b, n))
-        words.foreach { case (syms, _) => mergePass(syms, a, b) }
-        r += 1
-      }
+      r += 1
     }
     out.toSeq
   }
 
+  /** Candidates examined per batched round — bounds the per-round
+    * driver collect at K 3-string rows and the batch size at K. */
+  private[graft] val bpeBatchK = 256
+
+  /** One pool row of the driver-side sequential replay: a live pair
+    * key with its tracked count. `tainted` rows hold an UPPER BOUND
+    * instead of an exact count — they can never be selected, only
+    * ruled out (true counts only ever decrease, so a stale value
+    * stays a valid bound). */
+  private[graft] final class BpeEntry(val a: String, val b: String,
+      var count: Long, var tainted: Boolean)
+
+  /** Driver-side EXACT replay of the sequential trainer over one
+    * round's statistics — the pure core of the batched distributed
+    * fit, factored out so `TextOpsSpec` can unit-test it directly.
+    * Returns the merges of this round IN SEQUENTIAL ORDER with their
+    * exact selection-time counts; the caller applies them with
+    * [[mergePass]] in that order, which reproduces the sequential
+    * vocabulary bit-for-bit.
+    *
+    * Inputs, all measured against the round's starting vocabulary:
+    * `cands` = the top-K pairs in the trainer's total order
+    * (count desc, a asc, b asc); `leftT(i)` maps x → count of triples
+    * (x, a_i, b_i) and `rightT(i)` maps y → count of (a_i, b_i, y)
+    * (filtered: a key survives if its count exceeds `nEdge` or the
+    * key is another candidate's symbol); `collided` = candidate
+    * output strings that already exist as symbols in the pair table;
+    * `nEdge` = the count of the last candidate when the window is
+    * full (0 otherwise — everything is tracked).
+    *
+    * Soundness argument, piece by piece:
+    *
+    *  - Merging (a,b) with a ≠ b merges EVERY occurrence (two
+    *    occurrences of a two-distinct-symbol pair cannot overlap), so
+    *    destruction is exact arithmetic: pair (x, a) loses exactly
+    *    triples(x, a, b) occurrences (its `a` consumed as a merged
+    *    left half — the x side cannot be consumed because its
+    *    follower is `a`, and no applied merge has `a` as its right
+    *    half while `a` is untouched); pair (b, y) symmetrically loses
+    *    triples(a, b, y). Created pairs are (x, a+b) with exactly
+    *    triples(x, a, b) occurrences and (a+b, y) with
+    *    triples(a, b, y) — the sole exceptions are the self-overlap
+    *    shapes ((b, a), (x=b, ·), (·, y=a), (a+b, a+b)), where the
+    *    quadruple (a, b, a, b) double-counts; those rows are TAINTED
+    *    (kept at their value as an upper bound) instead of updated.
+    *  - Triple counts never increase (a merge replaces two symbols
+    *    with one and never deletes a symbol, so no new adjacency
+    *    forms between surviving symbols). A pre-round triple map
+    *    value can therefore only be an OVER-estimate, and subtracting
+    *    a stale value could UNDERSHOOT — so stale uses taint instead
+    *    of updating. Staleness is tracked PER KEY against the merges
+    *    already applied this round: the left map (x, a, b) goes
+    *    wholly stale when b was an applied LEFT half (its follower
+    *    outside the triple is unknowable); key x goes stale when x
+    *    was an applied RIGHT half, a created output, or the left half
+    *    of an applied (x, a); the right map mirrors this. Everything
+    *    else is provably unconsumed and the map stays exact, which is
+    *    what lets chained merges over shared symbols keep batching.
+    *  - Selection: the true global argmax is provably the selected
+    *    row because (a) untracked original pairs started ≤ nEdge and
+    *    only decrease — the strict `count > nEdge` guard covers them
+    *    (the FIRST pick needs no guard: pre-round order alone makes
+    *    it the argmax); (b) created pairs below the map filter
+    *    started ≤ nEdge too; (c) every other live possibility is in
+    *    the pool, exact rows by deterministic (count, a, b) order and
+    *    tainted rows ruled out by strict bound comparison (a tainted
+    *    row that ties the winner only passes if the winner also wins
+    *    the tie-break).
+    *  - STOP closes every unprovable continuation: the argmax is
+    *    tainted, a tainted bound ties/beats it, the count guard
+    *    fails, the merge is self-adjacent (a == b: greedy
+    *    left-to-right run semantics make right-side deltas
+    *    parity-dependent), its output collides with an existing or
+    *    created symbol, or it is itself a created pair (its triple
+    *    maps would be quadruples we never measured). The merge is
+    *    still emitted — sequential had chosen it — and the NEXT round
+    *    recounts from scratch. */
+  private[graft] def bpeSimulateRound(
+      cands: IndexedSeq[(String, String, Long)],
+      leftT: Int => Map[String, Long], rightT: Int => Map[String, Long],
+      collided: Set[String], nEdge: Long,
+      remaining: Int): IndexedSeq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val pool = mutable.LinkedHashMap.empty[(String, String), BpeEntry]
+    cands.foreach { case (a, b, n) =>
+      pool((a, b)) = new BpeEntry(a, b, n, false)
+    }
+    val candIdx = cands.iterator.zipWithIndex
+      .map { case ((a, b, _), i) => (a, b) -> i }.toMap
+    val lh = mutable.Set.empty[String]        // left inputs of applied
+    val rh = mutable.Set.empty[String]        // right inputs of applied
+    val created = mutable.Set.empty[String]   // outputs of applied
+    val applied = mutable.ArrayBuffer.empty[(String, String)]
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    while (!stop && out.size < remaining && pool.nonEmpty) {
+      // argmax over the pool by (count desc, a asc, b asc)
+      var best: BpeEntry = null
+      pool.values.foreach { e =>
+        if (best == null || e.count > best.count ||
+          (e.count == best.count &&
+            (e.a < best.a || (e.a == best.a && e.b < best.b)))) best = e
+      }
+      val first = out.isEmpty
+      val tieSafe = pool.values.forall { e =>
+        (e eq best) || !e.tainted || e.count < best.count ||
+          (e.count == best.count &&
+            (best.a < e.a || (best.a == e.a && best.b < e.b)))
+      }
+      if (best.tainted || !tieSafe ||
+        (!first && best.count <= nEdge) || best.count <= 0L) stop = true
+      else {
+        out += ((best.a, best.b, best.count))
+        val a = best.a; val b = best.b; val c = a + b
+        val idx = candIdx.get((a, b))
+        pool.remove((a, b))
+        if (idx.isEmpty || a == b || collided(c) || created(c)) {
+          // emitted, but nothing after it is provable this round:
+          // its triple maps don't exist (created pair), are
+          // parity-dependent (a == b), or its output folds into an
+          // existing/earlier symbol's pair keys
+          stop = true
+        } else {
+          // per-key staleness of this merge's PRE-ROUND triple maps
+          // against the merges already applied this round (triples
+          // only decrease, so a stale value over-subtracts — taint
+          // instead): the left map (x, a, b) is wholly stale when
+          // some applied l consumed b as a LEFT half with an
+          // arbitrary follower (b == a_l); key x is stale when x was
+          // consumable as a right half (x ∈ rh), is a created symbol,
+          // or was the left half of an applied (x, a) merge
+          // (b_l == a); the right map mirrors this
+          val wholeL = lh(b)
+          val wholeR = rh(a)
+          val staleLx = applied.iterator
+            .filter(_._2 == a).map(_._1).toSet
+          val staleRy = applied.iterator
+            .filter(_._1 == b).map(_._2).toSet
+          def lStale(x: String): Boolean =
+            wholeL || rh(x) || created(x) || staleLx(x)
+          def rStale(y: String): Boolean =
+            wholeR || lh(y) || created(y) || staleRy(y)
+          val lT = leftT(idx.get)
+          val rT = rightT(idx.get)
+          // destruction deltas on live rows
+          pool.values.foreach { e =>
+            if (e.b == a && e.a == b) e.tainted = true // quad shape
+            else if (e.b == a) {
+              if (lStale(e.a)) e.tainted = true
+              else e.count = math.max(0L, e.count - lT.getOrElse(e.a, 0L))
+            } else if (e.a == b) {
+              if (rStale(e.b)) e.tainted = true
+              else e.count = math.max(0L, e.count - rT.getOrElse(e.b, 0L))
+            }
+          }
+          // created rows: exact unless the map value is stale or the
+          // shape self-overlaps; skip anything at or below the filter
+          // edge (it can never be selected and nEdge already rules
+          // the whole class out)
+          lT.foreach { case (x, n) =>
+            if (n > nEdge && !pool.contains((x, c))) {
+              // x == b is the quad shape ([a,b,a,b]: that x is itself
+              // consumed); x == a is safe (its follower is a, not b)
+              pool((x, c)) = new BpeEntry(x, c, n, x == b || lStale(x))
+            }
+          }
+          rT.foreach { case (y, n) =>
+            if (n > nEdge && !pool.contains((c, y))) {
+              // y == a is the quad shape ([a,b,a,b]: that y merges
+              // with its follower); y == b is safe (preceded by b)
+              pool((c, y)) = new BpeEntry(c, y, n, y == a || rStale(y))
+            }
+          }
+          // the quad shape (c, c), bounded by either side's triples
+          val ccUb = math.min(lT.getOrElse(b, Long.MaxValue),
+            rT.getOrElse(a, Long.MaxValue))
+          if (ccUb != Long.MaxValue && ccUb > nEdge &&
+            !pool.contains((c, c)))
+            pool((c, c)) = new BpeEntry(c, c, ccUb, true)
+          lh += a; rh += b; created += c; applied += ((a, b))
+        }
+      }
+    }
+    out.toIndexedSeq
+  }
+
   /** The distributed fit: the vocabulary itself stays a Dataset and
-    * each round is one pair-count aggregate plus a rewrite. */
-  private def bpeFitRounds(vocab0: Dataset[(Seq[String], Long)],
-      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    * each ROUND learns a provably-sequential BATCH of merges (r18 —
+    * previously one merge per round; at real vocabulary sizes the
+    * ~0.5 s/round scheduling floor made a 32k-merge fit hours of
+    * driver round-trips). Per round: ONE pair-count aggregate yields
+    * the top-[[bpeBatchK]] candidates in the trainer's total order
+    * plus a second bounded scan for their triple maps, and
+    * [[bpeSimulateRound]] replays the sequential selection loop
+    * driver-side with EXACT count updates (see its scaladoc for the
+    * soundness argument), emitting merges until the next argmax is no
+    * longer provable from the round's statistics. The whole batch is
+    * applied in emission order inside a single vocabulary rewrite
+    * with the shared [[mergePass]], so the resulting vocabulary is
+    * bit-identical to the sequential path's. Learned tables are
+    * therefore IDENTICAL to [[bpeFitDriver]] on any corpus (asserted
+    * by `TextOpsSpec`'s randomized adversarial property and the
+    * fixture twin, measured at scale by [[graft.tools.BpeScale]]). */
+  private[graft] def bpeFitRounds(vocab0: Dataset[(Seq[String], Long)],
+      nMerges: Int, batchK: Int = bpeBatchK,
+      // per-round observer (batch size) — [[graft.tools.BpeScale]]
+      // records round counts with it; a no-op in production paths
+      onRound: Int => Unit = _ => ())
+      : Seq[(Long, String, String, Long)] = {
     val spark = vocab0.sparkSession
     import spark.implicits._
     var vocab = vocab0.localCheckpoint(false)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
-    var r = 1
     var done = false
-    while (r <= nMerges && !done) {
-      val top = vocab.flatMap { case (syms, c) =>
+    while (out.size < nMerges && !done) {
+      val pairs = vocab.flatMap { case (syms, c) =>
         (0 until syms.length - 1).iterator
-          .map(i => ((syms(i), syms(i + 1)), c))
-      }.toDF("pair", "cnt")
-        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
-        .orderBy(desc("n"), col("pair._1"), col("pair._2"))
-        .limit(1)
-        .as[((String, String), Long)].collect()
-      if (top.isEmpty) done = true
+          .map(i => (syms(i), syms(i + 1), c))
+      }.toDF("a", "b", "cnt")
+        .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = pairs.orderBy(desc("n"), col("a"), col("b"))
+        .limit(batchK)
+        .as[(String, String, Long)].collect().toIndexedSeq
+      if (cands.isEmpty) { pairs.unpersist(); done = true }
       else {
-        val ((a, b), n) = top.head
-        out += ((r.toLong, a, b, n))
+        val concats = cands.map(c => c._1 + c._2)
+        // which candidate outputs already live in the pair table?
+        val collided = pairs
+          .filter(col("a").isInCollection(concats) ||
+            col("b").isInCollection(concats))
+          .select(col("a"), col("b")).as[(String, String)].collect()
+          .iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+          .intersect(concats.toSet)
+        pairs.unpersist()
+        // window edge: untracked pairs all started at or below this
+        val nEdge = if (cands.length == batchK) cands.last._3 else 0L
+        val batch: IndexedSeq[(String, String, Long)] =
+          if (cands.length == 1) cands
+          else {
+            // per-candidate triple maps: x → #(x, a_i, b_i) and
+            // y → #(a_i, b_i, y), filtered to keys that can matter —
+            // above the window edge (candidate created rows) or a
+            // candidate symbol (destruction deltas)
+            val candIdx = cands.iterator.zipWithIndex
+              .map { case ((a, b, _), i) => (a, b) -> i }.toMap
+            val candSyms = cands.iterator
+              .flatMap(c => Iterator(c._1, c._2)).toSet.toSeq
+            val trip = vocab.flatMap { case (syms, c) =>
+              (0 until syms.length - 1).iterator.flatMap { i =>
+                candIdx.get((syms(i), syms(i + 1))) match {
+                  case None => Iterator.empty
+                  case Some(ix) =>
+                    val l = if (i > 0)
+                      Iterator(((ix, 0, syms(i - 1)), c)) else Iterator.empty
+                    val r = if (i + 2 < syms.length)
+                      Iterator(((ix, 1, syms(i + 2)), c)) else Iterator.empty
+                    l ++ r
+                }
+              }
+            }.toDF("key", "cnt")
+              .groupBy(col("key")).agg(sum(col("cnt")).as("t"))
+              .filter(col("t") > nEdge ||
+                col("key._3").isInCollection(candSyms))
+              .select(col("key._1"), col("key._2"), col("key._3"),
+                col("t"))
+              .as[(Int, Int, String, Long)].collect()
+            val lT = trip.iterator.filter(_._2 == 0)
+              .map(r => (r._1, r._3) -> r._4).toMap
+              .groupMap(_._1._1)(kv => (kv._1._2, kv._2))
+              .view.mapValues(_.toMap).toMap
+            val rT = trip.iterator.filter(_._2 == 1)
+              .map(r => (r._1, r._3) -> r._4).toMap
+              .groupMap(_._1._1)(kv => (kv._1._2, kv._2))
+              .view.mapValues(_.toMap).toMap
+            bpeSimulateRound(cands,
+              i => lT.getOrElse(i, Map.empty),
+              i => rT.getOrElse(i, Map.empty),
+              collided, nEdge, nMerges - out.size)
+          }
+        onRound(batch.length)
+        batch.foreach { case (a, b, n) =>
+          out += ((out.size + 1L, a, b, n))
+        }
+        val rules = batch.map(c => (c._1, c._2))
         vocab = vocab.map { case (syms, c) =>
           val buf = scala.collection.mutable.ArrayBuffer.from(syms)
-          mergePass(buf, a, b)
+          rules.foreach { case (a, b) => mergePass(buf, a, b) }
           (buf.toSeq, c)
         }.localCheckpoint(false)
-        r += 1
       }
     }
     out.toSeq

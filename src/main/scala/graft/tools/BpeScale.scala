@@ -136,14 +136,18 @@ object BpeScale {
       f"exact=$ok secs=$secs%.1f")
     if (!ok) sys.exit(1)
 
-    // trainer evidence at the same scale: the distributed round loop
-    // (the even-the-dictionary-overflows branch) must learn the exact
-    // table the driver classic fit learns on the full corpus, at any
-    // merge count; walls are recorded per merge because the crossover
-    // question is per-round cost vs dictionary size
+    // trainer evidence at the same scale: the distributed BATCHED
+    // round loop (the even-the-dictionary-overflows branch) must
+    // learn the exact table the driver classic fit learns on the
+    // full corpus, at any merge count; walls are recorded per merge,
+    // and the batched loop also records how many recount rounds the
+    // provably-independent batches amortized the fit into
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     val t1 = System.nanoTime()
     val dist = TextOps.bpeTrainOn(docs, nMerges = nMerges,
-        driverVocabLimit = -1L)
+        driverVocabLimit = -1L,
+        onRound = sz => { rounds.incrementAndGet(); batches.add(sz); () })
       .collect().map(_.toSeq).toSeq
     val distSecs = (System.nanoTime() - t1) / 1e9
     val t2 = System.nanoTime()
@@ -152,9 +156,14 @@ object BpeScale {
       .collect().map(_.toSeq).toSeq
     val drvSecs = (System.nanoTime() - t2) / 1e9
     val tOk = dist == drv && dist.size == nMerges
+    val nRounds = rounds.get()
+    val bArr = batches.toArray(Array.empty[Integer]).map(_.intValue())
+    val maxB = if (bArr.isEmpty) 0 else bArr.max
     println(f"BpeScale train nDocs=$nDocs vocab=$vocab merges=$nMerges: " +
-      f"dist=$distSecs%.1f s (${distSecs / nMerges * 1000}%.0f ms/merge) " +
-      f"driver=$drvSecs%.1f s (${drvSecs / nMerges * 1000}%.0f ms/merge) " +
+      f"dist=$distSecs%.1f s (${distSecs / nMerges * 1000}%.1f ms/merge, " +
+      f"$nRounds rounds, avg batch ${nMerges.toDouble / math.max(1, nRounds)}%.1f, " +
+      f"max batch $maxB) " +
+      f"driver=$drvSecs%.1f s (${drvSecs / nMerges * 1000}%.1f ms/merge) " +
       f"identical=$tOk learned=${dist.size}")
     if (!tOk) sys.exit(1)
     spark.stop()

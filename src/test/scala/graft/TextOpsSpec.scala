@@ -390,6 +390,150 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeSimulateRound: each rule of the exact-replay proof, in isolation") {
+    def cand(a: String, b: String, n: Long) = (a, b, n)
+    val noT: Int => Map[String, Long] = _ => Map.empty
+    def run(cands: (String, String, Long)*)(
+        lT: Int => Map[String, Long] = noT,
+        rT: Int => Map[String, Long] = noT,
+        coll: Set[String] = Set.empty, nEdge: Long = 0L,
+        remaining: Int = 16) =
+      TextOps.bpeSimulateRound(cands.toIndexedSeq, lT, rT, coll,
+        nEdge, remaining)
+    // disjoint candidates, no triples: the whole window drains
+    assert(run(cand("a", "b", 100), cand("c", "d", 90),
+      cand("e", "f", 80))() ==
+      IndexedSeq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 80L)))
+    // shared input with an exact delta: (c,a) loses its triples
+    // (c,a,b)=15 → count 75, re-sorted BELOW (e,f)=80 — the replay
+    // emits the true sequential order with true counts, and the
+    // created (c,ab)=15 row (untouched by the later merges: its c is
+    // followed by ab, not a) is finally selected as a created pair
+    assert(run(cand("a", "b", 100), cand("c", "a", 90),
+      cand("e", "f", 80))(
+      lT = i => if (i == 0) Map("c" -> 15L) else Map.empty) ==
+      IndexedSeq(("a", "b", 100L), ("e", "f", 80L), ("c", "a", 75L),
+        ("c", "ab", 15L)))
+    // missing delta key = provably zero triples: count survives
+    assert(run(cand("a", "b", 100), cand("c", "a", 90))() ==
+      IndexedSeq(("a", "b", 100L), ("c", "a", 90L)))
+    // created pair outranks the rest: (x,ab) enters with exact count
+    // 95 from the left-triple map and is SELECTED — but being a
+    // created pair, nothing after it is provable (no triple maps)
+    assert(run(cand("a", "b", 100), cand("c", "d", 90))(
+      lT = i => if (i == 0) Map("x" -> 95L) else Map.empty) ==
+      IndexedSeq(("a", "b", 100L), ("x", "ab", 95L)))
+    // created pair TIES a candidate and wins the (a,b) tie-break
+    assert(run(cand("z", "w", 100), cand("c", "d", 90))(
+      lT = i => if (i == 0) Map("a" -> 90L) else Map.empty) ==
+      IndexedSeq(("z", "w", 100L), ("a", "zw", 90L)))
+    // quad shape (b,a): tainted, and its bound ties the next pick —
+    // the round must stop after the head
+    assert(run(cand("a", "b", 100), cand("b", "a", 90),
+      cand("e", "f", 90))() == IndexedSeq(("a", "b", 100L)))
+    // ...but when the tainted bound is strictly below, replay goes on
+    assert(run(cand("a", "b", 100), cand("b", "a", 80),
+      cand("e", "f", 90))() ==
+      IndexedSeq(("a", "b", 100L), ("e", "f", 90L)))
+    // self-adjacent merge (a,a): emitted, then stop (run parity)
+    assert(run(cand("a", "a", 100), cand("c", "d", 90))() ==
+      IndexedSeq(("a", "a", 100L)))
+    // output collision with a live symbol: emitted, then stop
+    assert(run(cand("a", "b", 100), cand("c", "d", 90))(
+      coll = Set("ab")) == IndexedSeq(("a", "b", 100L)))
+    // window edge: second pick must be STRICTLY above nEdge
+    assert(run(cand("a", "b", 100), cand("c", "d", 90))(nEdge = 90L) ==
+      IndexedSeq(("a", "b", 100L)))
+    assert(run(cand("a", "b", 100), cand("c", "d", 91))(nEdge = 90L) ==
+      IndexedSeq(("a", "b", 100L), ("c", "d", 91L)))
+    // remaining-merges cap
+    assert(run(cand("a", "b", 100), cand("c", "d", 90),
+      cand("e", "f", 80))(remaining = 2) ==
+      IndexedSeq(("a", "b", 100L), ("c", "d", 90L)))
+    // stale maps: the second merge (c,a) has b_s = a ∈ lh (a was an
+    // applied LEFT half), so its whole left map is stale — (d,c) gets
+    // tainted instead of updated, and blocks the round when its bound
+    // ties the next exact row's count with a winning tie-break
+    assert(run(cand("a", "b", 100), cand("c", "a", 90),
+      cand("d", "c", 88), cand("z", "z9", 88))() ==
+      IndexedSeq(("a", "b", 100L), ("c", "a", 90L)))
+  }
+
+  test("BPE batched rounds equal the classic fit on adversarial random corpora") {
+    // tiny alphabets force maximal candidate interaction (shared
+    // symbols, output collisions, overlapping occurrences like
+    // "ababab") and small random counts force ties at every level —
+    // the regime where an unsound batching rule diverges fastest
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 24) {
+      val alpha = "ab" + ("cde".take(rnd.nextInt(3)))
+      val nWords = 4 + rnd.nextInt(14)
+      val text = (0 until nWords).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        val w = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length)))
+          .mkString
+        val cnt = 1 + rnd.nextInt(6)
+        Seq.fill(cnt)(w).mkString(" ")
+      }.mkString(" ")
+      val docs = Seq((1L, "synth", text)).toDF("doc_id", "source", "text")
+      val nMerges = 3 + rnd.nextInt(10)
+      // the trivially-correct anchor: full rescan per merge
+      var naiveWords = text.split("\\s+").toSeq.groupBy(identity).toSeq
+        .map { case (w, g) => (w.map(_.toString).toVector, g.size.toLong) }
+      val naive = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var rr = 1
+      var dry = false
+      while (rr <= nMerges && !dry) {
+        val cnt = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        naiveWords.foreach { case (s, c) =>
+          s.indices.dropRight(1).foreach { i =>
+            cnt.update((s(i), s(i + 1)),
+              cnt.getOrElse((s(i), s(i + 1)), 0L) + c)
+          }
+        }
+        if (cnt.isEmpty) dry = true
+        else {
+          val ((a, b), n) = cnt.minBy { case ((x, y), m) => (-m, x, y) }
+          naive += ((rr.toLong, a, b, n))
+          naiveWords = naiveWords.map { case (s, c) =>
+            val o = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                o += a + b; i += 2
+              } else { o += s(i); i += 1 }
+            }
+            (o.toVector, c)
+          }
+          rr += 1
+        }
+      }
+      val drv = TextOps.bpeTrainOn(docs, nMerges,
+        driverVocabLimit = Long.MaxValue)
+        .as[(Long, String, String, Long)].collect().toSeq
+      val dist = TextOps.bpeTrainOn(docs, nMerges, driverVocabLimit = -1L)
+        .as[(Long, String, String, Long)].collect().toSeq
+      assert(drv == naive.toSeq, s"trial $trial text='$text' merges=$nMerges")
+      assert(dist == drv, s"trial $trial text='$text' merges=$nMerges")
+    }
+  }
+
+  test("BPE batched rounds with a tiny candidate window still match (K-cap path)") {
+    // batchK=2 forces many rounds and exercises the prefix cap; the
+    // corpus is the abab-overlap + collision-rich shape
+    val text = "abab abab ab a b cdcd cdcd cd c d abcd abcd abc bcd"
+    val docs = Seq((1L, "synth", text)).toDF("doc_id", "source", "text")
+    val drv = TextOps.bpeTrainOn(docs, 10, driverVocabLimit = Long.MaxValue)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val vocab0 = text.split("\\s+").toSeq.groupBy(identity).toSeq
+      .map { case (w, g) => (w.map(_.toString): Seq[String], g.size.toLong) }
+      .toDS()
+    val dist = TextOps.bpeFitRounds(vocab0, 10, batchK = 2)
+    assert(dist == drv)
+  }
+
   test("winnow near-dup: crafted local overlap fires; disjoint texts don't") {
     import org.apache.spark.sql.functions.col
     val shared = "the winnowing guarantee covers every run of forty " +
