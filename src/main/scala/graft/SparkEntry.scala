@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{Dedup, Ingest, Multimodal, Relational, Similarity, Tables, TextOps}
+import graft.engine.{Dedup, Ingest, Multimodal, Relational, Similarity, Tables, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -446,6 +446,13 @@ object SparkEntry {
     "q_date_funcs" -> Relational.qDateFuncs _,
     "q_string_funcs" -> Relational.qStringFuncs _,
     "q_json_funcs" -> Relational.qJsonFuncs _,
+    // URL/domain canonicalization (C4/RefinedWeb curation stage):
+    // rules 1-7 over derived URLs with every hazard planted (r18)
+    "q_url_canonical" -> UrlOps.qUrlCanonical _,
+    // registered-domain rollup + literal blocklist broadcast anti-join
+    "q_domain_rollup" -> UrlOps.qDomainRollup _,
+    // same-page-many-spellings collapse keyed (domain, path)
+    "q_url_dedup" -> UrlOps.qUrlDedup _,
   )
 
   /** Priority-sampling oracle (full-corpus recompute): identical
@@ -4273,5 +4280,84 @@ object SparkEntry {
         |$duckQuality
         |  >= 0.5
         |ORDER BY doc_id""".stripMargin,
+    "q_url_canonical" ->
+      s"""$duckUrlCte
+        |SELECT doc_id,
+        |  scheme || '://' || host || portc || pathc ||
+        |  CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS url_canon,
+        |  host, $duckRegDomain AS domain
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_domain_rollup" ->
+      s"""$duckUrlCte,
+        |r AS (SELECT $duckRegDomain AS domain, host,
+        |        scheme || '://' || host || portc || pathc ||
+        |        CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS url_canon
+        |      FROM c)
+        |SELECT domain, count(*) AS n_urls,
+        |  count(DISTINCT url_canon) AS n_distinct_urls,
+        |  count(DISTINCT host) AS n_hosts
+        |FROM r
+        |WHERE domain NOT IN (${UrlOps.blockedDomains
+           .map(d => s"'$d'").mkString(", ")})
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_url_dedup" ->
+      s"""$duckUrlCte
+        |SELECT $duckRegDomain AS domain, pathc AS path,
+        |  count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM c GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY domain, path""".stripMargin,
   )
+
+  /** Shared canonicalization CTE for the URL-family oracles — rules
+    * 1–7 of `UrlOps`' documented canonical form, restated in DuckDB
+    * over the same synthetic derivation ([[UrlOps.syntheticUrlSql]]).
+    * Ends at relation `c(doc_id, scheme, host, portc, pathc, qc)`. */
+  private lazy val duckUrlCte: String =
+    s"""WITH u AS (SELECT doc_id, ${UrlOps.syntheticUrlSql} AS url
+       |           FROM documents),
+       |nf0 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf
+       |        FROM u),
+       |p AS (SELECT doc_id, nf,
+       |        lower(regexp_extract(nf,
+       |          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |        regexp_replace(regexp_extract(nf,
+       |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+       |          '^[^@]*@', '') AS auth
+       |      FROM nf0),
+       |h AS (SELECT doc_id, nf, scheme,
+       |        regexp_replace(lower(regexp_replace(auth, ':[0-9]+$$', '')),
+       |          '^www\\.', '') AS host,
+       |        regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+       |        regexp_extract(nf,
+       |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+       |        regexp_extract(nf, '\\?(.*)$$', 1) AS q0
+       |      FROM p),
+       |c AS (SELECT doc_id, scheme, host,
+       |        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |              OR (scheme = 'https' AND port = '443') THEN ''
+       |             ELSE ':' || port END AS portc,
+       |        CASE WHEN regexp_replace(regexp_replace(path0,
+       |               '/{2,}', '/', 'g'), '/$$', '') = '' THEN '/'
+       |             ELSE regexp_replace(regexp_replace(path0,
+       |               '/{2,}', '/', 'g'), '/$$', '') END AS pathc,
+       |        array_to_string(list_sort(list_filter(string_split(q0, '&'),
+       |          x -> x <> '' AND NOT regexp_matches(x,
+       |            '^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src)='))),
+       |          '&') AS qc
+       |      FROM h)""".stripMargin
+
+  /** Registered-domain CASE over `host` ([[UrlOps.registeredDomain]]
+    * restated: last two labels, or three when the last two are a
+    * recognized multi-label public suffix). */
+  private lazy val duckRegDomain: String = {
+    val suf = UrlOps.multiSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = ''
+       |       THEN host
+       |     WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) IN ($suf)
+       |          AND regexp_extract(host,
+       |            '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+       |       THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+       |     ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END"""
+      .stripMargin.replace("\n", " ")
+  }
 }
