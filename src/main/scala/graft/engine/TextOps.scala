@@ -647,26 +647,28 @@ object TextOps {
   /** Sequence packing: assign documents (in doc_id order, per shard)
     * to fixed-budget training sequences of 512 tokens — each doc's bin
     * is determined by the token offset where it starts, i.e.
-    * contiguous greedy packing. The shard key is `source`: offsets are
-    * SHARD-LOCAL, so the window is `partitionBy(source)` — one shuffle
-    * keyed by shard, every shard's running sum computed in parallel.
-    * (A `Window.orderBy` with no partition key would put the whole
-    * corpus in ONE task; shard-local offsets are also what a real
-    * packing run wants — sequences never straddle sources.) The
-    * running sum is integer arithmetic throughout, and seq_id uses
-    * integer `div` — double `/` is exact only below 2⁵³, a margin a
-    * 100 TB corpus' cumulative offsets erode. Docs longer than the
-    * budget occupy ⌈n/512⌉ bins alone (offset math handles them with
-    * no special case). */
+    * contiguous greedy packing. Offsets are SOURCE-LOCAL (sequences
+    * never straddle sources — what a real packing run wants). The
+    * running sum rides [[Scale.shardedPrefixSumBy]] (r18): sources
+    * are FEW AND HUGE at corpus scale, so a flat
+    * `Window.partitionBy(source)` funnels each source's full slice
+    * through ONE task AQE cannot split — instead each source is cut
+    * into 16 balanced doc_id ranges ([[Scale.balancedShards]] on the
+    * raw table: 2–3 column-pruned scans of doc_id only, monotone in
+    * doc_id so the decomposition is order-preserving and the output
+    * is row-identical to the flat window; the oracle arbitrates
+    * unchanged). The running sum is integer arithmetic throughout,
+    * and seq_id uses integer `div` — double `/` is exact only below
+    * 2⁵³, a margin a 100 TB corpus' cumulative offsets erode. Docs
+    * longer than the budget occupy ⌈n/512⌉ bins alone (offset math
+    * handles them with no special case). */
   def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    d.select(col("doc_id"), col("source"),
-        tokenCount(col("text")).cast("long").as("ntk"))
-      .withColumn("end_off", sum(col("ntk")).over(w))
+    val shard = Scale.balancedShards(d, col("doc_id"), 16)
+    val base = d.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).cast("long").as("ntk"))
+    Scale.shardedPrefixSumBy(base, Seq("source"), shard,
+        Seq(col("doc_id")), col("ntk"), "end_off")
       .select(col("doc_id"), col("source"), col("ntk"),
         (col("end_off") - col("ntk")).as("start_off"),
         expr("(end_off - ntk) div 512").as("seq_id"))
@@ -1517,20 +1519,22 @@ object TextOps {
 
   /** [[qPackSequences]] re-run on REAL tokenizer arithmetic: greedy
     * contiguous packing of BPE token counts into 512-token training
-    * sequences, shard-local offsets keyed by `source` exactly as the
-    * whitespace twin (same window, same integer `div` discipline —
-    * see [[qPackSequences]] for why both matter at corpus scale).
-    * The mapPartitions encode composes with the window because the
-    * per-doc frame is still a narrow projection: one shuffle total,
-    * keyed by shard. */
+    * sequences, source-local offsets exactly as the whitespace twin
+    * (same sharded running sum, same integer `div` discipline — see
+    * [[qPackSequences]] for why both matter at corpus scale). The
+    * balanced doc_id cuts derive from the RAW table (a doc_id-only
+    * pruned scan), NOT the encoded frame, so the mapPartitions
+    * encode never runs for shard derivation; the carry branch of the
+    * sharded sum does re-encode its narrow projection — a bounded 2×
+    * on an embarrassingly parallel map, traded for removing the
+    * unsplittable per-source window task. */
   def qPackBpe(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    bpePerDoc(spark, sfDir)
+    val d = Tables(spark, sfDir, "documents")
+    val shard = Scale.balancedShards(d, col("doc_id"), 16)
+    val base = bpePerDoc(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_bpe_tokens").as("ntk"))
-      .withColumn("end_off", sum(col("ntk")).over(w))
+    Scale.shardedPrefixSumBy(base, Seq("source"), shard,
+        Seq(col("doc_id")), col("ntk"), "end_off")
       .select(col("doc_id"), col("source"), col("ntk"),
         (col("end_off") - col("ntk")).as("start_off"),
         expr("(end_off - ntk) div 512").as("seq_id"))

@@ -482,11 +482,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
-  test("pack bpe: exactly one hash shuffle — the shard-keyed window") {
+  test("pack bpe: sharded running sum — windows carry __shard, carry joins broadcast") {
     val p = plan(graft.engine.TextOps.qPackBpe(spark, sf0001))
     assert(p.contains("MapPartitions"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert("(?i)join|aggregate".r.findAllIn(p).isEmpty, p)
+    // the corpus-sized running sum must ride the (source, __shard)
+    // window — a flat per-source window would funnel each source
+    // through one unsplittable task; the cross-shard carry comes
+    // back as a broadcast, never a shuffled join
+    assert(p.contains("__shard"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+    // every windowspec over the corpus includes the shard key: the
+    // only source-only spec is the carry walk over ≤|sources|·16
+    // aggregated rows, which sits above the partial aggregate
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__shard")), p)
   }
 
   test("JL projection: a pure projection — no join, window, agg, or hash shuffle") {
