@@ -443,6 +443,11 @@ object SparkEntry {
     // CDC MERGE: update/insert/keep via the Delta-style decomposition
     "q_merge_upsert" -> Relational.qMergeUpsert _,
     "q_window_pct" -> Relational.qWindowPct _,
+    // 100 TB twins of the low-cardinality-partition windows: sharded
+    // exact rank (balanced value-range cuts) recomputes pct/ntile —
+    // row-identical, so each twin rides its original's oracle (r18)
+    "q_window_pct_sharded" -> Relational.qWindowPctSharded _,
+    "q_rfm_sharded" -> Relational.qRfmSharded _,
     "q_date_funcs" -> Relational.qDateFuncs _,
     "q_string_funcs" -> Relational.qStringFuncs _,
     "q_json_funcs" -> Relational.qJsonFuncs _,
@@ -1537,7 +1542,18 @@ object SparkEntry {
     * an oracle (the HLL sketch row ships its error bound as a
     * boolean the oracle asserts from the exact side).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // the r18 sharded twins are row-identical to their flat-window
+    // originals BY CONSTRUCTION — they ride the same oracle, so any
+    // decomposition slip (lost carry, wrong tie order, ntile formula
+    // drift) breaks the hash against the independent window form
+    m ++ Map(
+      "q_window_pct_sharded" -> m("q_window_pct"),
+      "q_rfm_sharded" -> m("q_rfm"))
+  }
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_simhash_pairs" -> duckSimhash,
     "q_ann_lsh" -> duckAnnLsh,
     "q_embed_neardup_ann" -> duckEmbedNearDupAnn,

@@ -299,7 +299,10 @@ object Relational {
     * functions not already covered (rank/dense_rank in qWindowRank,
     * ntile in qWindowLagLead). Both are exact integer ratios
     * ((rank−1)/(n−1), peers≤rank / n), and the window order carries
-    * the unique o_orderkey tiebreak → hash-exact across engines. */
+    * the unique o_orderkey tiebreak → hash-exact across engines.
+    * Priorities are a 5-value domain, so this flat window's per-group
+    * task grows with the corpus — [[qWindowPctSharded]] (r18) is the
+    * row-identical 100 TB form; both ride the same oracle. */
   def qWindowPct(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables(spark, sfDir, "orders")
     val w = Window.partitionBy(col("o_orderpriority"))
@@ -2096,10 +2099,10 @@ object Relational {
     * \|customers\|-row frame, the nation dim broadcast; the three
     * ntiles share ONE nation-keyed exchange (same partition key,
     * three in-partition sorts). Nations are a bounded domain but
-    * customers-per-nation is not — at 100 TB the quintile cut
-    * becomes the two-pass histogram/percentile form (the
-    * [[graft.engine.TextOps.qQualityCalibrated]] note); the fixture
-    * exercises the exact window. */
+    * customers-per-nation is not — the 100 TB form is the
+    * row-identical sharded-rank twin [[qRfmSharded]] (r18); the
+    * fixture exercises the exact window here and the oracle
+    * arbitrates both. */
   def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
@@ -2119,6 +2122,93 @@ object Relational {
       .withColumn("segment",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
       .orderBy(col("custkey"))
+  }
+
+  /** `ntile(k)` recomputed from an exact 1-based rank `r` over `n`
+    * rows — the SQL semantics both engines implement: bucket sizes
+    * differ by at most one, the first n mod k buckets take the extra
+    * row. Pure BIGINT arithmetic (`div`/`%`); the CASE guards the
+    * sz = 0 branch (n < k ⇒ every row its own bucket) so the ELSE's
+    * division never sees a zero. */
+  private def ntileFromRank(r: String, n: String, k: Int): Column =
+    expr(s"""CASE WHEN $r <= ($n % $k) * (($n div $k) + 1)
+             THEN ($r + ($n div $k)) div (($n div $k) + 1)
+             ELSE ($n % $k)
+                  + ($r - ($n % $k) * (($n div $k) + 1) + ($n div $k) - 1)
+                    div ($n div $k) END""").cast("int")
+
+  /** [[qRfm]]'s 100 TB twin: the same three quintiles and segment
+    * codes WITHOUT a per-nation window — nations are a bounded
+    * domain, so customers-per-nation grows with the corpus and each
+    * flat `ntile` window funnels a nation through ONE task AQE cannot
+    * split. Instead each axis takes an exact sharded rank
+    * ([[Scale.shardedPrefixSumBy]] of 1s over 16
+    * [[Scale.balancedShards]] value ranges — monotone cuts keep the
+    * decomposition order-preserving) and [[ntileFromRank]] recomputes
+    * the bucket from (rank, n). Output is row-identical to [[qRfm]],
+    * so the SAME oracle arbitrates both. The per-customer frame is
+    * session-memoized: three axes × shard derivation would otherwise
+    * re-aggregate orders ~9×. */
+  def qRfmSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val per = Dedup.memoizedPersisted(spark, s"rfmper|$sfDir")(
+      Tables(spark, sfDir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("timestamp").cast("long"))
+          .as("r_s"),
+          count(lit(1)).as("f"), dsum(col("o_totalprice")).as("m"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey").as("custkey"),
+          col("c_nationkey").as("nationkey"),
+          col("r_s"), col("f"), col("m")))
+    val nPer = per.groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("__n"))
+    def ranked(df: DataFrame, v: String, q: String): DataFrame = {
+      val shard = Scale.balancedShards(per, col(v), 16)
+      Scale.shardedPrefixSumBy(df, Seq("nationkey"), shard,
+          Seq(col(v), col("custkey")), lit(1L), "__r")
+        .withColumn(q, ntileFromRank("__r", "__n", 5))
+        .drop("__r")
+    }
+    val base = per.join(broadcast(nPer), "nationkey")
+    ranked(ranked(ranked(base, "r_s", "r_q"), "f", "f_q"), "m", "m_q")
+      .withColumn("segment",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .select(col("custkey"), col("nationkey"), col("r_s"), col("f"),
+        col("m"), col("r_q"), col("f_q"), col("m_q"), col("segment"))
+      .orderBy(col("custkey"))
+  }
+
+  /** [[qWindowPct]]'s 100 TB twin: percent_rank/cume_dist recomputed
+    * from the sharded exact rank — order priorities are FIVE values,
+    * so the flat window puts a fifth of all orders in one task. The
+    * rank is a sharded prefix count of 1s over balanced
+    * o_totalprice ranges; pct_rank = (r−1)/(n−1) is the same single
+    * IEEE division the builtin evaluates, and cume_dist's
+    * rows-≤-last-peer numerator is max(r) over the (priority, price)
+    * tie group — a high-cardinality window every engine can split.
+    * Row-identical to [[qWindowPct]]; the SAME oracle arbitrates. */
+  def qWindowPctSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"))
+    val shard = Scale.balancedShards(o, col("o_totalprice"), 16)
+    val nPer = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("__n"))
+    val peers = Window.partitionBy(col("o_orderpriority"),
+      col("o_totalprice"))
+    Scale.shardedPrefixSumBy(o, Seq("o_orderpriority"), shard,
+        Seq(col("o_totalprice"), col("o_orderkey")), lit(1L), "__r")
+      .join(broadcast(nPer), "o_orderpriority")
+      .withColumn("__cle", max(col("__r")).over(peers))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__r") - 1).cast("double") /
+            (col("__n") - 1).cast("double")).as("pct_rank"),
+        (col("__cle").cast("double") / col("__n").cast("double"))
+          .as("cdist"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
   /** Benford first-digit drift check — the forensic member of the DQ

@@ -268,6 +268,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("sharded pct/rfm twins: ranks ride __shard windows, carries broadcast") {
+    for (df <- Seq(Relational.qWindowPctSharded(spark, sf0001),
+      Relational.qRfmSharded(spark, sf0001))) {
+      val p = plan(df)
+      // the corpus-sized rank must never sit in a low-cardinality
+      // flat window: every corpus windowspec carries the shard key
+      // (qWindowPctSharded's peer-group max is partitioned by the
+      // high-cardinality (priority, price) pair — also splittable)
+      assert(p.contains("__shard"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
+      assert(!"ntile|percent_rank|cume_dist".r.findAllIn(p).hasNext, p)
+    }
+  }
+
   test("PPS sample: sharded prefix scan — the only join is the carry broadcast") {
     val p = plan(graft.engine.TextOps.qSamplePps(spark, sf0001))
     assert(!p.contains("SortMergeJoin"), p)
