@@ -99,7 +99,13 @@ object Bench {
     "q_media_meta",       // binary column projection
     "q_media_decode",     // real PNG encode+decode round-trip (r7)
     "q_media_video",      // real per-frame video round-trip (r8)
-    "q_media_phash_pairs") // image perceptual-hash near-dup (r13)
+    "q_media_phash_pairs", // image perceptual-hash near-dup (r13)
+    "q_bpe_train_dist",   // batched distributed BPE trainer (r18)
+    "q_pack_bpe",         // balanced-shard sequence packing (r18)
+    "q_rfm_sharded",      // sharded-rank ntile twin (r18)
+    "q_dedup_clusters_incremental", // CC MV maintenance (r18)
+    "q_url_canonical",    // URL canonicalization projection (r18)
+    "q_domain_rollup")    // domain rollup + blocklist anti-join (r18)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

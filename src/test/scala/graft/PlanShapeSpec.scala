@@ -268,6 +268,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("url family: pruned scans, blocklist broadcasts, canonicalization never shuffles") {
+    // the per-doc canonicalization is a narrow projection: its only
+    // exchange is the presentation sort, and the scan reads just the
+    // three derivation columns
+    val s = graft.engine.UrlOps.qUrlCanonical(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse(fail(s"no ReadSchema:\n$s"))
+    assert(read.split(",").length <= 3, read)
+    val pc = plan(graft.engine.UrlOps.qUrlCanonical(spark, sf0001))
+    assert(!pc.contains("Exchange hashpartitioning"), pc)
+    // operator names, not substrings — the projection itself contains
+    // array_join/array_sort expression text
+    assert(("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|" +
+      "HashAggregate|SortAggregate|Window \\[").r.findAllIn(pc).isEmpty, pc)
+    // the rollup's blocklist is a broadcast anti-join over the tiny
+    // literal frame; the only hash shuffles are domain-keyed aggs
+    val pr = plan(graft.engine.UrlOps.qDomainRollup(spark, sf0001))
+    assert(pr.contains("BroadcastHashJoin") && pr.contains("LeftAnti"), pr)
+    assert(!pr.contains("SortMergeJoin"), pr)
+    assert("(?i)cartesian|nestedloop".r.findAllIn(pr).isEmpty, pr)
+  }
+
   test("sharded pct/rfm twins: ranks ride __shard windows, carries broadcast") {
     for (df <- Seq(Relational.qWindowPctSharded(spark, sf0001),
       Relational.qRfmSharded(spark, sf0001))) {

@@ -520,6 +520,62 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE batched rounds under random tiny candidate windows (nEdge path)") {
+    // batchK in {2,3,4} forces the window-edge guard and the filtered
+    // triple maps on every round — the paths a 256-candidate window
+    // never exercises on fixture-sized vocabularies
+    val rnd = new scala.util.Random(424242L)
+    for (trial <- 1 to 12) {
+      val alpha = "abc".take(2 + rnd.nextInt(2))
+      val words = (0 until 4 + rnd.nextInt(10)).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        ((0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString,
+          1L + rnd.nextInt(6))
+      }
+      // collapse duplicate words (dictionary semantics)
+      val dict = words.groupBy(_._1).toSeq
+        .map { case (w, g) => (w.map(_.toString): Seq[String],
+          g.map(_._2).sum) }
+      val nMerges = 4 + rnd.nextInt(8)
+      val batchK = 2 + rnd.nextInt(3)
+      val got = TextOps.bpeFitRounds(dict.toDS(), nMerges, batchK)
+      // anchor: the incremental classic fit over the same dictionary
+      var naive = dict.map { case (s, c) => (s.toVector, c) }
+      val exp = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var rr = 1
+      var dry = false
+      while (rr <= nMerges && !dry) {
+        val cnt = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        naive.foreach { case (s, c) =>
+          s.indices.dropRight(1).foreach { i =>
+            cnt.update((s(i), s(i + 1)),
+              cnt.getOrElse((s(i), s(i + 1)), 0L) + c)
+          }
+        }
+        if (cnt.isEmpty) dry = true
+        else {
+          val ((a, b), n) = cnt.minBy { case ((x, y), m) => (-m, x, y) }
+          exp += ((rr.toLong, a, b, n))
+          naive = naive.map { case (s, c) =>
+            val o = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                o += a + b; i += 2
+              } else { o += s(i); i += 1 }
+            }
+            (o.toVector, c)
+          }
+          rr += 1
+        }
+      }
+      assert(got == exp.toSeq,
+        s"trial $trial K=$batchK merges=$nMerges dict=$dict")
+    }
+  }
+
   test("BPE batched rounds with a tiny candidate window still match (K-cap path)") {
     // batchK=2 forces many rounds and exercises the prefix cap; the
     // corpus is the abab-overlap + collision-rich shape
