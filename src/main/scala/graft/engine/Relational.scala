@@ -2193,9 +2193,13 @@ object Relational {
     * so the flat window puts a fifth of all orders in one task. The
     * rank is a sharded prefix count of 1s over balanced
     * o_totalprice ranges; pct_rank = (r−1)/(n−1) is the same single
-    * IEEE division the builtin evaluates, and cume_dist's
-    * rows-≤-last-peer numerator is max(r) over the (priority, price)
-    * tie group — a high-cardinality window every engine can split.
+    * IEEE division the builtin evaluates. cume_dist needs no peer
+    * pass at all here: peers are rows equal on the FULL order-by
+    * list, and the o_orderkey tiebreak makes that list unique, so
+    * every peer group is a single row and cume_dist = r/n exactly
+    * (the first cut of this twin grouped peers by price alone —
+    * ignoring the tiebreak — and passed sf0.001 only because that
+    * fixture has no within-priority price ties; sf0.01 caught it).
     * Row-identical to [[qWindowPct]]; the SAME oracle arbitrates. */
   def qWindowPctSharded(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables(spark, sfDir, "orders")
@@ -2205,17 +2209,14 @@ object Relational {
       Scale.balancedShards(o, col("o_totalprice"), 16))
     val nPer = o.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("__n"))
-    val peers = Window.partitionBy(col("o_orderpriority"),
-      col("o_totalprice"))
     Scale.shardedPrefixSumBy(o, Seq("o_orderpriority"), shard,
         Seq(col("o_totalprice"), col("o_orderkey")), lit(1L), "__r")
       .join(broadcast(nPer), "o_orderpriority")
-      .withColumn("__cle", max(col("__r")).over(peers))
       .select(col("o_orderpriority"), col("o_orderkey"),
         when(col("__n") === 1, lit(0.0))
           .otherwise((col("__r") - 1).cast("double") /
             (col("__n") - 1).cast("double")).as("pct_rank"),
-        (col("__cle").cast("double") / col("__n").cast("double"))
+        (col("__r").cast("double") / col("__n").cast("double"))
           .as("cdist"))
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }

@@ -298,8 +298,6 @@ class PlanShapeSpec extends SparkSpec {
       val p = plan(df)
       // the corpus-sized rank must never sit in a low-cardinality
       // flat window: every corpus windowspec carries the shard key
-      // (qWindowPctSharded's peer-group max is partitioned by the
-      // high-cardinality (priority, price) pair — also splittable)
       assert(p.contains("__shard"), p)
       assert(p.contains("BroadcastHashJoin"), p)
       assert("(?i)cartesian|nestedloop".r.findAllIn(p).isEmpty, p)
