@@ -1705,11 +1705,10 @@ object Dedup {
     * benchmark shingle set participates three times (count for
     * sketch sizing, sketch build, verify join), so it is
     * memoize-persisted like the minhash working set rather than
-    * recomputed per use. (The Bloom probe is a scala closure over the
-    * broadcast sketch — a deliberate exception to the no-UDF rule:
-    * Spark's codegen'd `might_contain` expression is internal-only,
-    * and the probe sits behind a narrow filter, not in an agg/join
-    * hot path.) */
+    * recomputed per use. (The probe itself is Spark's codegen'd
+    * `BloomFilterMightContain` expression via
+    * [[Scale.bloomMightContain]] — r19, replacing a scala-lambda udf
+    * that paid per-row ser/deser on the corpus-sized probe side.) */
   def qContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
     val bench = memoizedPersisted(spark, s"benchShingles|$sfDir")(
@@ -1721,11 +1720,9 @@ object Dedup {
     val nBench = bench.count()
     val bf = bench.stat.bloomFilter("shingle",
       expectedNumItems = math.max(nBench, 1000L), fpp = 0.001)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     shingleHashSets(d.filter(col("doc_id") >= 10))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .filter(mightContain(col("shingle")))
+      .filter(Scale.bloomMightContain(bf, col("shingle")))
       .join(bench, Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
       .orderBy(col("doc_id"))
@@ -1746,10 +1743,11 @@ object Dedup {
     * O(true dupes + fpp·|history|) rows instead of shuffling every
     * historical fingerprint into the anti-join, and the exact
     * anti-join on the survivors removes the false positives so the
-    * approximation never reaches the output. (The probe UDF is the
-    * same documented no-UDF-rule exception as the contamination
-    * pass: a narrow filter over a broadcast sketch, never in an
-    * agg/join hot path.) */
+    * approximation never reaches the output. (The probe is the
+    * codegen'd [[Scale.bloomMightContain]] — string fingerprints go
+    * through `xxhash64` on BOTH the build and probe sides, and the
+    * collision-rate extra false positives land in the same
+    * anti-join-absorbed bucket as the sketch's own fpp.) */
   def qDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
     val batchSource = "src0"
@@ -1770,14 +1768,14 @@ object Dedup {
     * structure the no-exact-dupe fixture corpus lacks. */
   private[graft] def incrementalKeep(batch: DataFrame,
       history: DataFrame): DataFrame = {
-    val spark = batch.sparkSession
     val nBatch = batch.count()
-    val bf = batch.stat.bloomFilter("fp",
-      expectedNumItems = math.max(nBatch, 1000L), fpp = 0.001)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((fp: String) => bfB.value.mightContainString(fp))
+    // build over xxhash64(fp): the codegen'd probe expression is
+    // long-typed (see [[Scale.bloomMightContain]])
+    val bf = batch.select(xxhash64(col("fp")).as("fph"))
+      .stat.bloomFilter("fph",
+        expectedNumItems = math.max(nBatch, 1000L), fpp = 0.001)
     val seen = history
-      .filter(mightContain(col("fp")))
+      .filter(Scale.bloomMightContain(bf, xxhash64(col("fp"))))
       .distinct()
     batch.join(seen, Seq("fp"), "left_anti")
       .groupBy(col("fp"))

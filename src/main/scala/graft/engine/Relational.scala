@@ -2169,7 +2169,7 @@ object Relational {
     // would make every carry branch recompute the whole prior chain
     // (2^3 copies of the base plan)
     def ranked(v: String, q: String): DataFrame = {
-      val shard = Scale.memoizedShards(spark, s"rfm|$sfDir|$v")(
+      val shard = Scale.memoizedShards(spark, s"rfm|$sfDir", 16, col(v))(
         Scale.balancedShards(per, col(v), 16))
       Scale.shardedPrefixSumBy(
           per.select(col("custkey"), col("nationkey"), col(v))
@@ -2205,7 +2205,7 @@ object Relational {
     val o = Tables(spark, sfDir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"),
         col("o_totalprice"))
-    val shard = Scale.memoizedShards(spark, s"pct|$sfDir")(
+    val shard = Scale.memoizedShards(spark, s"pct|$sfDir", 16, col("o_totalprice"))(
       Scale.balancedShards(o, col("o_totalprice"), 16))
     val nPer = o.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("__n"))

@@ -147,26 +147,25 @@ object StreamingOps {
     * ([[Dedup.qDedupIncremental]]'s twin): the live document stream
     * deduped BOTH within itself (the watermark-bounded exact dedup
     * above) and against an immutable HISTORICAL corpus, represented
-    * by a Bloom sketch of its fingerprints built offline by the batch
-    * side (`df.stat.bloomFilter` — the [[Dedup.incrementalKeep]]
-    * build) and broadcast once. The probe is a STATELESS filter, so
-    * streaming state stays O(docs inside the horizon) no matter how
-    * large history grows — the sketch is the only history the
-    * executors ever hold. False positives (rate = the sketch's
-    * configured fpp) drop a genuinely-new document; that is the
-    * documented trade of the always-on path, and the periodic batch
+    * by a Bloom sketch built offline by the batch side over the
+    * XXHASH64 of its fingerprints (exactly the
+    * [[Dedup.incrementalKeep]] build — the codegen'd probe expression
+    * is long-typed, see [[Scale.bloomMightContain]]). The probe is a
+    * STATELESS filter, so streaming state stays O(docs inside the
+    * horizon) no matter how large history grows — the sketch is the
+    * only history the executors ever hold. False positives (rate =
+    * the sketch's configured fpp plus the 64-bit pre-hash's collision
+    * rate) drop a genuinely-new document; that is the documented
+    * trade of the always-on path, and the periodic batch
     * [[Dedup.qDedupIncremental]] pass over the same day's files is
     * the exact reconciliation (its anti-join absorbs false
-    * positives). Same no-UDF-rule exception as the batch probes. */
+    * positives). */
   def incrementalDocPipeline(docs: DataFrame,
       historyFp: org.apache.spark.util.sketch.BloomFilter,
       watermarkDelay: String = "10 minutes",
-      minQuality: Double = 0.25): DataFrame = {
-    val bfB = docs.sparkSession.sparkContext.broadcast(historyFp)
-    val unseen = udf((fp: String) => !bfB.value.mightContainString(fp))
+      minQuality: Double = 0.25): DataFrame =
     docPipeline(docs, watermarkDelay, minQuality)
-      .filter(unseen(col("fp")))
-  }
+      .filter(!Scale.bloomMightContain(historyFp, xxhash64(col("fp"))))
 
   /** Windowed trending terms — the streaming twin of the batch
     * heavy-hitters ([[TextOps.qHeavyHitters]]): doc-stream tokens

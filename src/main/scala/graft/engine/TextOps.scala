@@ -664,7 +664,7 @@ object TextOps {
     * handles them with no special case). */
   def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val shard = Scale.memoizedShards(spark, s"docid|$sfDir")(
+    val shard = Scale.memoizedShards(spark, s"docid|$sfDir", 16, col("doc_id"))(
       Scale.balancedShards(d, col("doc_id"), 16))
     val base = d.select(col("doc_id"), col("source"),
       tokenCount(col("text")).cast("long").as("ntk"))
@@ -1362,20 +1362,26 @@ object TextOps {
       }.toDF("a", "b", "cnt")
         .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cands = pairs.orderBy(desc("n"), col("a"), col("b"))
-        .limit(batchK)
-        .as[(String, String, Long)].collect().toIndexedSeq
-      if (cands.isEmpty) { pairs.unpersist(); done = true }
-      else {
-        val concats = cands.map(c => c._1 + c._2)
+      // try/finally so a failed collect cannot leak the cache entry
+      // for the rest of the session (r18 ADVICE)
+      val (cands, collided) = try {
+        val cs = pairs.orderBy(desc("n"), col("a"), col("b"))
+          .limit(batchK)
+          .as[(String, String, Long)].collect().toIndexedSeq
+        val concats = cs.map(c => c._1 + c._2)
         // which candidate outputs already live in the pair table?
-        val collided = pairs
-          .filter(col("a").isInCollection(concats) ||
-            col("b").isInCollection(concats))
-          .select(col("a"), col("b")).as[(String, String)].collect()
-          .iterator.flatMap(p => Iterator(p._1, p._2)).toSet
-          .intersect(concats.toSet)
-        pairs.unpersist()
+        val coll =
+          if (cs.isEmpty) Set.empty[String]
+          else pairs
+            .filter(col("a").isInCollection(concats) ||
+              col("b").isInCollection(concats))
+            .select(col("a"), col("b")).as[(String, String)].collect()
+            .iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+            .intersect(concats.toSet)
+        (cs, coll)
+      } finally pairs.unpersist()
+      if (cands.isEmpty) done = true
+      else {
         // window edge: untracked pairs all started at or below this
         val nEdge = if (cands.length == batchK) cands.last._3 else 0L
         val batch: IndexedSeq[(String, String, Long)] =
@@ -1531,7 +1537,7 @@ object TextOps {
     * unsplittable per-source window task. */
   def qPackBpe(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val shard = Scale.memoizedShards(spark, s"docid|$sfDir")(
+    val shard = Scale.memoizedShards(spark, s"docid|$sfDir", 16, col("doc_id"))(
       Scale.balancedShards(d, col("doc_id"), 16))
     val base = bpePerDoc(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_bpe_tokens").as("ntk"))
@@ -1662,8 +1668,11 @@ object TextOps {
     * (per-partition sketches, additive counter merge — order-
     * independent, so the estimate is partition-count-invariant) and
     * only the ~w·d counter array reaches the driver, the Bloom-
-    * sketch pattern; the probe UDF is a broadcast driver-value
-    * lookup, the documented Bloom-probe exception class. */
+    * sketch pattern; the probe UDF stays a udf DELIBERATELY — unlike
+    * the Bloom probes (swapped to the codegen'd
+    * `BloomFilterMightContain` in r19, [[Scale.bloomMightContain]]),
+    * Spark ships NO CountMinSketch Catalyst expression at all, and
+    * this probe runs over a 30-row shortlist, not a corpus side. */
   def qCmsErr(spark: SparkSession, sfDir: String): DataFrame = {
     val eps = 1.0 / 2000
     val d = Tables(spark, sfDir, "documents")

@@ -100,12 +100,18 @@ object UrlOps {
     array_join(array_sort(kept), "&")
   }
 
-  /** The full canonical URL — rules 1–7 composed. */
+  /** The full canonical URL — rules 1–7 composed. NULL (not a
+    * malformed `:///…` string) for schemeless/relative inputs: every
+    * component extractor anchors on `scheme://`, so without it they
+    * all degenerate to "" and the concat would silently emit garbage
+    * that downstream dedups/rollups would then group on. */
   def canonicalizeUrl(url: Column): Column = {
     val q = urlQuery(url)
-    concat(urlScheme(url), lit("://"), urlHost(url), portSuffix(url),
-      urlPath(url),
-      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+    when(urlScheme(url) === "", lit(null).cast("string"))
+      .otherwise(
+        concat(urlScheme(url), lit("://"), urlHost(url), portSuffix(url),
+          urlPath(url),
+          when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
   /** Registered (pay-level) domain of a canonical host: last two

@@ -159,11 +159,15 @@ object BpeScale {
     val nRounds = rounds.get()
     val bArr = batches.toArray(Array.empty[Integer]).map(_.intValue())
     val maxB = if (bArr.isEmpty) 0 else bArr.max
+    // per-merge and avg-batch figures divide by merges actually
+    // LEARNED, not requested — a drying vocabulary can finish short
+    // and nMerges would overstate both (r18 ADVICE)
+    val nLearned = math.max(1, dist.size)
     println(f"BpeScale train nDocs=$nDocs vocab=$vocab merges=$nMerges: " +
-      f"dist=$distSecs%.1f s (${distSecs / nMerges * 1000}%.1f ms/merge, " +
-      f"$nRounds rounds, avg batch ${nMerges.toDouble / math.max(1, nRounds)}%.1f, " +
+      f"dist=$distSecs%.1f s (${distSecs / nLearned * 1000}%.1f ms/merge, " +
+      f"$nRounds rounds, avg batch ${nLearned.toDouble / math.max(1, nRounds)}%.1f, " +
       f"max batch $maxB) " +
-      f"driver=$drvSecs%.1f s (${drvSecs / nMerges * 1000}%.1f ms/merge) " +
+      f"driver=$drvSecs%.1f s (${drvSecs / nLearned * 1000}%.1f ms/merge) " +
       f"identical=$tOk learned=${dist.size}")
     if (!tOk) sys.exit(1)
     spark.stop()

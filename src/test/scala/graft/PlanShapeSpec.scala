@@ -574,10 +574,10 @@ class PlanShapeSpec extends SparkSpec {
   test("bloom contamination: bloom probe below the exact semi-join") {
     val p = plan(graft.engine.Dedup.qContaminationBloom(spark, sf0001))
     val semiAt = p.indexOf("LeftSemi")
-    // the corpus side prints BELOW the join in the tree, so the UDF
-    // probe filter must appear after it — probing post-join would make
-    // the bloom pass dead weight
-    val probeAt = p.indexOf("UDF(shingle")
+    // the corpus side prints BELOW the join in the tree, so the
+    // might_contain probe filter must appear after it — probing
+    // post-join would make the bloom pass dead weight
+    val probeAt = p.indexOf("might_contain(")
     assert(semiAt >= 0 && probeAt > semiAt, p)
   }
 
@@ -586,8 +586,8 @@ class PlanShapeSpec extends SparkSpec {
     // huge side, so the batch-built sketch must prune it BEFORE the
     // anti-join — a probe above the join would shuffle every
     // historical fingerprint. Walk the tree (not the plan text: a
-    // flat indexOf("UDF(") matched ANY udf anywhere after the join
-    // marker) and pin the ScalaUDF filter inside the anti-join's
+    // flat indexOf matched ANY probe anywhere after the join
+    // marker) and pin the might_contain filter inside the anti-join's
     // RIGHT child — the history scan subtree — and nowhere else.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BaseJoinExec => BJ}
@@ -597,8 +597,8 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.sparkPlan
     def probes(p: SparkPlan): Int = p.collect {
       case f: org.apache.spark.sql.execution.FilterExec
-          if f.condition.exists(
-            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])
+          if f.condition.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])
         => f
     }.size
     val anti = exec.collect {
@@ -608,7 +608,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(probes(anti.head.right) == 1,
       s"bloom probe filter must sit on the history (right/build) subtree:\n$exec")
     assert(probes(anti.head.left) == 0,
-      s"no udf probe belongs on the batch side:\n$exec")
+      s"no probe belongs on the batch side:\n$exec")
   }
 
   test("scalar sweeps: scans pruned to exactly the referenced columns") {
@@ -757,6 +757,30 @@ class PlanShapeSpec extends SparkSpec {
         opt.expressions.map(_.collect { case e => e }.size).sum
       assert(nodes < 5000,
         s"$name optimized plan carries $nodes nodes — ladder not collapsing?")
+    }
+  }
+
+  test("bloom probes: codegen'd might_contain, never a ScalaUDF (r19)") {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    import spark.implicits._
+    // the two batch probe plans
+    val batchPlans = Seq(
+      plan(graft.engine.Dedup.qContaminationBloom(spark, sf0001)),
+      plan(graft.engine.Dedup.qDedupIncremental(spark, sf0001)))
+    // and the streaming probe (analyzed plan — no started query needed)
+    val bf = Seq("x").toDF("fp").select(xxhash64(col("fp")).as("fph"))
+      .stat.bloomFilter("fph", 100L, 0.01)
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .select(col("value").as("doc_id"),
+        lit("hello world sample text").as("text"),
+        col("timestamp").as("event_time"))
+    val streamPlan = graft.engine.StreamingOps
+      .incrementalDocPipeline(stream, bf)
+      .queryExecution.analyzed.toString
+    for (p <- batchPlans :+ streamPlan) {
+      assert(p.contains("might_contain"), p.take(800))
+      assert(!p.contains("UDF"), p.take(800))
     }
   }
 }

@@ -370,9 +370,11 @@ class StreamingOpsSpec extends SparkSpec {
       row(4, fresh2, T0 + 3000))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     // the history sketch, built exactly as the batch side builds it
+    // (over xxhash64(fp) — the codegen'd probe is long-typed)
     val hist = Seq(seen).toDF("text")
-      .select(TextOps.fingerprint(col("text")).as("fp"))
-      .stat.bloomFilter("fp", 1000L, 0.001)
+      .select(org.apache.spark.sql.functions
+        .xxhash64(TextOps.fingerprint(col("text"))).as("fph"))
+      .stat.bloomFilter("fph", 1000L, 0.001)
     val docs = spark.readStream
       .schema("doc_id LONG, text STRING, ts LONG").json(dir)
       .withColumn("event_time", TimeOps.eventTimeFromMillis(col("ts")))

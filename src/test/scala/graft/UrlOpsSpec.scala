@@ -50,6 +50,10 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon(
       "HTTPS://User:Pw@WWW.Ex.Co.UK:443//Docs//1/?utm_medium=m&b=2&a=1#f")
       == Seq("https://ex.co.uk/Docs/1?a=1&b=2"))
+    // schemeless / relative / garbage inputs canonicalize to NULL,
+    // never to a malformed ":///…" string (r18 ADVICE)
+    assert(canon("www.site.com/a", "/relative/path", "not a url", "")
+      == Seq(null, null, null, null))
   }
 
   test("registeredDomain: suffix-list and dotless edges") {
