@@ -105,7 +105,13 @@ object Bench {
     "q_rfm_sharded",      // sharded-rank ntile twin (r18)
     "q_dedup_clusters_incremental", // CC MV maintenance (r18)
     "q_url_canonical",    // URL canonicalization projection (r18)
-    "q_domain_rollup")    // domain rollup + blocklist anti-join (r18)
+    "q_domain_rollup",    // domain rollup + blocklist anti-join (r18)
+    // r19: the remaining scale twins, headline-tracked so their cost
+    // is watched round-over-round (the r17 gini lesson)
+    "q_window_pct_sharded", // sharded pct/cume twin (r18)
+    "q_quality_calibrated_cut", // histogram-quantile keep filter (r18)
+    "q_quality_calibrated_sharded", // per-row pct sharded twin (r19)
+    "q_url_dedup")        // canonical-URL same-page dedup (r18)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

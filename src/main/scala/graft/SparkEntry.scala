@@ -429,6 +429,9 @@ object SparkEntry {
     // the 100 TB twin: two-pass histogram-quantile cut, same kept
     // set, no per-source single-task window (r18)
     "q_quality_calibrated_cut" -> TextOps.qQualityCalibratedCut _,
+    // the FULL 100 TB twin: per-row pct via sharded tie-class rank,
+    // row-identical to the flat window, same oracle (r19)
+    "q_quality_calibrated_sharded" -> TextOps.qQualityCalibratedSharded _,
     // per-doc unique-shingle ratio (dedup triage / boilerplate rank)
     "q_ngram_novelty" -> Dedup.qNgramNovelty _,
     // integer-scaled PageRank over the near-dup graph (3 unrolled
@@ -1550,7 +1553,8 @@ object SparkEntry {
     // drift) breaks the hash against the independent window form
     m ++ Map(
       "q_window_pct_sharded" -> m("q_window_pct"),
-      "q_rfm_sharded" -> m("q_rfm"))
+      "q_rfm_sharded" -> m("q_rfm"),
+      "q_quality_calibrated_sharded" -> m("q_quality_calibrated"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

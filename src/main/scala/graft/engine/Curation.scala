@@ -1,0 +1,128 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed batch-curation pipeline — the end-to-end job a real
+  * 100 TB training-data run chains, built ENTIRELY from the
+  * individually-oracle-proven engine stages so composition (schema
+  * drift between stages, double-persists, dropped columns) is the
+  * only new surface:
+  *
+  *   canonicalize → same-page dedup → exact dedup → near dedup →
+  *   per-source quality cut → token-budget mix → sequence packing
+  *
+  * Each stage is a pure DataFrame → DataFrame function over the
+  * documents schema (doc_id, source, lang, text, …; extra columns
+  * ride through), so [[graft.jobs.CurationJob]] can checkpoint each
+  * stage to parquet (the restartable posture a multi-day 100 TB run
+  * needs) while `JobsSpec` asserts the staged run row-equals the
+  * direct in-memory composition — the composition-bug gate.
+  *
+  * Scale shape: every stage is the already-audited form — the URL
+  * canonicalizer is a zero-shuffle projection, both dedups are
+  * key-hash shuffles (LSH-banded for near-dup), the quality cut is
+  * [[Scale.quantileCutKeep]]'s bounded two-pass histogram, the mix
+  * and the packer ride [[Scale.shardedPrefixSumBy]]. No new shuffle
+  * shapes are introduced by composing them.
+  */
+object Curation {
+
+  /** Stage 1 — URL canonicalization + same-page dedup: keep the
+    * min-doc_id copy of every canonical URL ([[UrlOps.qUrlDedup]]'s
+    * keep rule). Frames without a `url` column derive the fixture's
+    * synthetic URL ([[UrlOps.syntheticUrl]] — the oracle-pinned
+    * hazard derivation); rows whose URL canonicalizes to NULL
+    * (schemeless garbage) bypass the dedup rather than collapsing
+    * into one all-null group. Adds the `canonical` column — the
+    * provenance key downstream rollups group on. */
+  def urlStage(d: DataFrame): DataFrame = {
+    val u = if (d.columns.contains("url")) col("url")
+      else UrlOps.syntheticUrl
+    val canon = d.withColumn("canonical", UrlOps.canonicalizeUrl(u))
+    val dedupable = canon.filter(col("canonical").isNotNull)
+    val keep = dedupable.groupBy(col("canonical"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    dedupable.join(keep, Seq("canonical", "doc_id"), "left_semi")
+      .unionByName(canon.filter(col("canonical").isNull))
+  }
+
+  /** Stage 2 — exact dedup: keep the min-doc_id copy per canonical
+    * text fingerprint ([[Dedup.qDedupExact]]'s keep rule; one hash
+    * shuffle on the 16-byte fingerprint). */
+  def exactStage(d: DataFrame): DataFrame = {
+    val fp = d.withColumn("__fp", TextOps.fingerprint(col("text")))
+    val keep = fp.groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+    fp.join(keep, Seq("__fp", "doc_id"), "left_semi").drop("__fp")
+  }
+
+  /** Stage 3 — near-dup dedup: MinHash/LSH candidate pairs, exact
+    * Jaccard ≥ 0.8 verify, connected components, keep each cluster's
+    * min-doc_id representative ([[Dedup.qDedupClusters]]' labeling
+    * over this frame's pairs). `tag` keys the signature working-set
+    * memo (band explode + both verify sides consume it) — pass a
+    * run-unique string. */
+  def nearDupStage(d: DataFrame, tag: String): DataFrame = {
+    val spark = d.sparkSession
+    val withSh = Dedup.memoizedPersisted(spark, s"curation-sigs|$tag")(
+      Dedup.shingleSigSets(d))
+    val pairs = Dedup.minhashPairsOf(withSh)
+      .select(col("ida"), col("idb"))
+    val drops = Dedup.labelComponents(pairs, driverEdgeLimit = 1000000L)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    d.join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 4 — per-source quality calibration: keep docs above the
+    * bottom [[TextOps.calibratedCut]] fraction of their own source's
+    * quality distribution, via the scale-safe two-pass histogram cut
+    * ([[TextOps.qQualityCalibratedCut]]'s exact-threshold
+    * semantics — identical kept set to the percent_rank window). */
+  def qualityStage(d: DataFrame): DataFrame =
+    Scale.quantileCutKeep(
+        d.withColumn("__q", TextOps.qualityScore(col("text"))),
+        "source", "__q", cutNum = 1, cutDen = 5)
+      .drop("__q")
+
+  /** Stage 5 — token-budget mix: per source, docs in md5 order while
+    * the running token total stays within `budgetPerSource`
+    * ([[TextOps.qTokenBudgetMix]]'s selection discipline — sharded
+    * prefix sum on (source, first md5 hex char)). Keeps `__ntk` for
+    * the packer (the token arithmetic is paid once). */
+  def mixStage(d: DataFrame, budgetPerSource: Long): DataFrame =
+    Scale.shardedPrefixSumBy(
+        d.withColumn("__hx", md5(col("doc_id").cast("string")))
+          .withColumn("__ntk", TextOps.tokenCount(col("text")).cast("long")),
+        Seq("source"), substring(col("__hx"), 1, 1),
+        Seq(col("__hx"), col("doc_id")), col("__ntk"), "__cum")
+      .filter(col("__cum") <= budgetPerSource)
+      .drop("__hx", "__cum")
+
+  /** Stage 6 — sequence packing: contiguous greedy assignment of the
+    * surviving docs (doc_id order, source-local) into 512-token
+    * training sequences ([[TextOps.qPackSequences]]' offset
+    * arithmetic over this frame). The output is the training
+    * manifest (doc_id, source, ntk, start_off, seq_id) — text is
+    * already on disk behind doc_id, so the manifest stays narrow. */
+  def packStage(d: DataFrame): DataFrame = {
+    val ntk = if (d.columns.contains("__ntk")) col("__ntk")
+      else TextOps.tokenCount(col("text")).cast("long")
+    val base = d.select(col("doc_id"), col("source"), ntk.as("ntk"))
+    val shard = Scale.balancedShards(base, col("doc_id"), 16)
+    Scale.shardedPrefixSumBy(base, Seq("source"), shard,
+        Seq(col("doc_id")), col("ntk"), "end_off")
+      .select(col("doc_id"), col("source"), col("ntk"),
+        (col("end_off") - col("ntk")).as("start_off"),
+        expr("(end_off - ntk) div 512").as("seq_id"))
+  }
+
+  /** The whole pipeline composed in memory — the equality anchor for
+    * the staged job (`JobsSpec`): bugs that only composition can
+    * introduce show up as a row diff between this and the
+    * parquet-checkpointed run. */
+  def pipeline(d: DataFrame, tag: String,
+      budgetPerSource: Long): DataFrame =
+    packStage(mixStage(qualityStage(nearDupStage(exactStage(urlStage(d)),
+      tag)), budgetPerSource))
+}

@@ -1324,9 +1324,7 @@ object Dedup {
 
   /** The verified near-dup pair set (unordered) — shared by
     * [[qDedupMinhash]] and the clustering pass [[qDedupClusters]]. */
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = 64
-    val bands = 32 // × 2 rows
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     // One tokenize pass produces shingle sets AND signatures (zero
     // shuffle — see shingleSigSets). Truncating the shingle space to
     // 2³¹ inside the signature adds ~|universe|²/2³² collisions —
@@ -1336,7 +1334,15 @@ object Dedup {
     // queries share it; MEMORY_AND_DISK spills cleanly, and at corpus
     // scale the (id, hashes, sig) projection is the standard LSH
     // working set — far smaller than re-tokenizing the raw text.
-    val withSh = cachedSigSets(spark, sfDir, n = 3, k = k)
+    minhashPairsOf(cachedSigSets(spark, sfDir, n = 3, k = 64))
+
+  /** [[minhashPairs]]' core over a prepared (doc_id, sh, sig) frame
+    * ([[shingleSigSets]] output, persisted by the caller — three
+    * stages consume it) — the seam the batch curation pipeline
+    * ([[Curation.nearDupStage]]) composes over arbitrary document
+    * frames. */
+  private[graft] def minhashPairsOf(withSh: DataFrame): DataFrame = {
+    val bands = 32 // × 2 rows
     // bands: hash the 2-row slice of the signature into one bucket key
     // per band; docs with no shingles can never reach J ≥ 0.8 → skip
     val buckets = withSh.filter(size(col("sh")) > 0)

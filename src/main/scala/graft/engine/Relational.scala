@@ -2147,8 +2147,10 @@ object Relational {
     * decomposition order-preserving) and [[ntileFromRank]] recomputes
     * the bucket from (rank, n). Output is row-identical to [[qRfm]],
     * so the SAME oracle arbitrates both. The per-customer frame is
-    * session-memoized: three axes × shard derivation would otherwise
-    * re-aggregate orders ~9×. */
+    * session-memoized, the three axes' cuts come from ONE fused
+    * histogram derivation and the three ranks from ONE union-tagged
+    * sharded scan (r19 — the r18 per-axis form paid ~9 eager passes
+    * over the frame plus three join-backs). */
   def qRfmSharded(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
@@ -2164,23 +2166,40 @@ object Relational {
           col("r_s"), col("f"), col("m")))
     val nPer = per.groupBy(col("nationkey"))
       .agg(count(lit(1)).as("__n"))
-    // each axis ranks a SEPARATE narrow slice of the cached frame and
-    // joins back by custkey — chaining the three sharded sums instead
-    // would make every carry branch recompute the whole prior chain
-    // (2^3 copies of the base plan)
-    def ranked(v: String, q: String): DataFrame = {
-      val shard = Scale.memoizedShards(spark, s"rfm|$sfDir", 16, col(v))(
-        Scale.balancedShards(per, col(v), 16))
-      Scale.shardedPrefixSumBy(
-          per.select(col("custkey"), col("nationkey"), col(v))
-            .join(broadcast(nPer), "nationkey"),
-          Seq("nationkey"), shard,
-          Seq(col(v), col("custkey")), lit(1L), "__r")
-        .select(col("custkey"), ntileFromRank("__r", "__n", 5).as(q))
-    }
-    per.join(ranked("r_s", "r_q"), "custkey")
-      .join(ranked("f", "f_q"), "custkey")
-      .join(ranked("m", "m_q"), "custkey")
+    // ONE fused histogram derivation for all three axes' shard cuts
+    // (r19, [[Scale.balancedCutsMulti]] — was three independent
+    // balancedShards at 2+ eager passes each), and ONE union-tagged
+    // sharded scan ranking all three axes in a single prefix-sum
+    // pipeline (was three shardedPrefixSumBy + three join-backs).
+    // The monetary axis rides ×10⁴ exact integral units so the
+    // three axes share one long-typed __val column — decimal(18,4)
+    // scaled by its own exponent is exact, and any monotone
+    // bijection preserves the (value, custkey) rank.
+    val axisVals = Seq(col("r_s"), col("f"),
+      (col("m") * 10000).cast("long"))
+    val cuts = Scale.memoizedCutsMulti(spark, s"rfm3|$sfDir", 16,
+      axisVals)(Scale.balancedCutsMulti(per, axisVals, 16))
+    val tagged = axisVals.zipWithIndex.map { case (v, i) =>
+      per.select(lit(i).as("__ax"), col("custkey"), col("nationkey"),
+        v.cast("long").as("__val"))
+    }.reduce(_.union(_))
+    val shard = when(col("__ax") === 0,
+        Scale.shardOfCuts(col("__val"), cuts(0)))
+      .when(col("__ax") === 1, Scale.shardOfCuts(col("__val"), cuts(1)))
+      .otherwise(Scale.shardOfCuts(col("__val"), cuts(2)))
+    val ranked = Scale.shardedPrefixSumBy(
+        tagged.join(broadcast(nPer), "nationkey"),
+        Seq("__ax", "nationkey"), shard,
+        Seq(col("__val"), col("custkey")), lit(1L), "__r")
+      .groupBy(col("custkey"))
+      .agg(
+        max(when(col("__ax") === 0, ntileFromRank("__r", "__n", 5)))
+          .as("r_q"),
+        max(when(col("__ax") === 1, ntileFromRank("__r", "__n", 5)))
+          .as("f_q"),
+        max(when(col("__ax") === 2, ntileFromRank("__r", "__n", 5)))
+          .as("m_q"))
+    per.join(ranked, "custkey")
       .withColumn("segment",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
       .select(col("custkey"), col("nationkey"), col("r_s"), col("f"),

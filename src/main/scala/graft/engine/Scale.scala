@@ -49,6 +49,32 @@ object Scale {
     }
   }
 
+  /** [[memoizedShards]] for the FUSED multi-axis derivation
+    * ([[balancedCutsMulti]]): same LRU/lifecycle discipline, values
+    * are the per-axis cut VALUE lists (plain data, so callers can
+    * rebuild shard expressions over any column). */
+  private val cutValsMemo = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Seq[Seq[Long]]]
+  def memoizedCutsMulti(spark: org.apache.spark.sql.SparkSession,
+      key: String, shards: Int, values: Seq[Column])(
+      build: => Seq[Seq[Long]]): Seq[Seq[Long]] = {
+    val k = (spark,
+      s"$key|shards=$shards|v=${values.map(_.toString).mkString(";")}")
+    val hit = cutValsMemo.synchronized {
+      cutValsMemo.filterInPlace((kk, _) => !kk._1.sparkContext.isStopped)
+      cutValsMemo.remove(k).map { v => cutValsMemo.put(k, v); v }
+    }
+    hit.getOrElse {
+      val c = build
+      cutValsMemo.synchronized {
+        cutValsMemo.put(k, c)
+        while (cutValsMemo.size > cutsMemoCap)
+          cutValsMemo.remove(cutValsMemo.head._1)
+      }
+      c
+    }
+  }
+
   /** Codegen'd probe of a driver-built Bloom sketch — Spark's own
     * `BloomFilterMightContain` expression (the runtime bloom-join
     * probe, codegen'd since 3.3) over the sketch's serialized bit
@@ -194,79 +220,147 @@ object Scale {
     * fails loudly below rather than mis-binning. Within the bound,
     * widths are clamped ≥ 1 and negatives shift through the min. */
   def balancedShards(df: DataFrame, value: Column, shards: Int,
-      gridBins: Int = 4096): Column = {
+      gridBins: Int = 4096): Column =
+    shardOfCuts(value, balancedCutsMulti(df, Seq(value), shards,
+      gridBins).head)
+
+  /** The monotone shard expression for a list of [[balancedCutsMulti]]
+    * cut values over ANY column carrying the same value domain — a
+    * sum of codegen'd `v >= cut` comparisons, order-preserving by
+    * construction. Split from the derivation so fused multi-axis
+    * callers can rebuild the expression over a union-tagged column. */
+  def shardOfCuts(value: Column, cuts: Seq[Long]): Column =
+    cuts.map(cv => when(value.cast("long") >= cv, 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+
+  /** The [[balancedShards]] derivation for SEVERAL value columns of
+    * the same frame, fused into ONE bounds pass + ONE grid pass (+
+    * shared refinement passes): per row the grid scan emits one
+    * (axis, bin) element per non-null axis through a single explode,
+    * so k axes cost one aggregate over k·n tiny rows instead of k
+    * independent 2+-pass derivations (the r18 q_rfm_sharded finding:
+    * three axes paid ~9 eager passes over the per-customer frame).
+    * Returns per-axis CUT VALUES (pair with [[shardOfCuts]]); an
+    * empty/all-null axis yields Nil (⇒ constant shard 0). Same
+    * refinement, span-guard and balance semantics as the single-axis
+    * form — which is now this function at k = 1. */
+  def balancedCutsMulti(df: DataFrame, values: Seq[Column], shards: Int,
+      gridBins: Int = 4096): Seq[Seq[Long]] = {
     require(shards >= 1 && gridBins >= shards,
       s"balancedShards: need gridBins >= shards >= 1, got $shards/$gridBins")
+    require(values.nonEmpty, "balancedCutsMulti: no value columns")
+    val k = values.length
     // one narrow projection all passes share; `div` (not `/`) keeps
     // the binning EXACT integral arithmetic at any long magnitude
-    val vd = df.select(value.cast("long").as("__v"))
-    val b = vd.agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
-      count(col("__v")).as("n")).head()
-    if (b.isNullAt(0) || b.getLong(2) == 0L) return lit(0)
-    val (lo, hi, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
-    // span check in BigInt — hi − lo itself wraps when the domain
-    // straddles more than the Long range (lo near MinValue, hi
-    // positive), which would silently mis-derive every bin width
-    require(BigInt(hi) - BigInt(lo) + 1 <= BigInt(Long.MaxValue),
-      s"balancedShards: value span [$lo, $hi] exceeds the Long range " +
-        "the bin arithmetic supports — rescale the value first")
-    val limit = math.max(1L, n / shards)
-    // (start, width, count) histogram segments, refined in place;
-    // driver state is bounded: ≤ refinePerPass·subBins new segments
-    // per pass, empty sub-bins dropped
-    case class Seg(start: Long, width: Long, count: Long)
+    val vd = df.select(values.zipWithIndex.map { case (v, i) =>
+      v.cast("long").as(s"__v$i") }: _*)
     def subWidth(span: Long, bins: Int): Long =
       math.max(1L, span / bins + 1)
-    val w0 = subWidth(hi - lo + 1, gridBins)
-    var segs: Vector[Seg] = vd
-      .groupBy(expr(s"(__v - ${lo}L) div ${w0}L").as("__b"))
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => Seg(lo + r.getLong(0) * w0, w0, r.getLong(1)))
-      .toVector
-    // refine the heaviest overloaded bins; a few passes flatten even
-    // log-range-spanning skew (each level divides the width by the
-    // sub-grid), and the when-chain per pass stays codegen-small
+    // ONE bounds pass across every axis
+    val aggs = (0 until k).flatMap(i => Seq(
+      min(col(s"__v$i")).as(s"__lo$i"), max(col(s"__v$i")).as(s"__hi$i"),
+      count(col(s"__v$i")).as(s"__n$i")))
+    val b = vd.agg(aggs.head, aggs.tail: _*).head()
+    case class Ax(lo: Long, hi: Long, n: Long, w0: Long)
+    val axes: IndexedSeq[Option[Ax]] = (0 until k).map { i =>
+      if (b.isNullAt(3 * i) || b.getLong(3 * i + 2) == 0L) None
+      else {
+        val (lo, hi, n) =
+          (b.getLong(3 * i), b.getLong(3 * i + 1), b.getLong(3 * i + 2))
+        // span check in BigInt — hi − lo itself wraps when the domain
+        // straddles more than the Long range (lo near MinValue, hi
+        // positive), which would silently mis-derive every bin width
+        require(BigInt(hi) - BigInt(lo) + 1 <= BigInt(Long.MaxValue),
+          s"balancedShards: value span [$lo, $hi] exceeds the Long " +
+            "range the bin arithmetic supports — rescale the value first")
+        Some(Ax(lo, hi, n, subWidth(hi - lo + 1, gridBins)))
+      }
+    }
+    if (axes.forall(_.isEmpty)) return Seq.fill(k)(Nil)
+    // (axis, start, width, count) histogram segments, refined in
+    // place; driver state is bounded: ≤ k·gridBins initial segments,
+    // ≤ refinePerPass·subBins new segments per pass
+    case class Seg(ax: Int, start: Long, width: Long, count: Long)
+    val gridTag = array((0 until k).map { i =>
+      axes(i) match {
+        case None => lit(null).cast("struct<ax:int,b:bigint>")
+        case Some(ax) => when(col(s"__v$i").isNotNull,
+          struct(lit(i).as("ax"),
+            expr(s"(__v$i - ${ax.lo}L) div ${ax.w0}L").as("b")))
+      }
+    }: _*)
+    var segs: Vector[Seg] = vd.select(explode(gridTag).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("t.ax").as("ax"), col("t.b").as("bb"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map { r =>
+        val i = r.getInt(0); val ax = axes(i).get
+        Seg(i, ax.lo + r.getLong(1) * ax.w0, ax.w0, r.getLong(2))
+      }.toVector
+    def limitOf(i: Int): Long = math.max(1L, axes(i).get.n / shards)
+    // refine the heaviest overloaded bins (across ALL axes — the
+    // budget is shared, heaviest first); a few passes flatten even
+    // log-range-spanning skew
     val refinePerPass = 128
     val subBins = 1024
     var pass = 0
-    while (pass < 8 && segs.exists(s => s.count > limit && s.width > 1)) {
-      val over = segs.filter(s => s.count > limit && s.width > 1)
+    while (pass < 8 &&
+      segs.exists(s => s.count > limitOf(s.ax) && s.width > 1)) {
+      val over = segs.filter(s => s.count > limitOf(s.ax) && s.width > 1)
         .sortBy(-_.count).take(refinePerPass)
       val widths = over.map(s => subWidth(s.width, subBins))
-      val tag = over.zipWithIndex.foldRight(
-        lit(null).cast("struct<g:int,f:bigint>")) { case ((s, i), acc) =>
-        when(col("__v") >= s.start && col("__v") < s.start + s.width,
-          struct(lit(i).as("g"),
-            expr(s"(__v - ${s.start}L) div ${widths(i)}L").as("f")))
-          .otherwise(acc)
-      }
-      val sub = vd.select(tag.as("t")).filter(col("t").isNotNull)
+      val byAx = over.zipWithIndex.groupBy(_._1.ax)
+      val tag = array((0 until k).map { i =>
+        byAx.get(i) match {
+          case None => lit(null).cast("struct<g:int,f:bigint>")
+          case Some(list) => list.foldRight(
+            lit(null).cast("struct<g:int,f:bigint>")) {
+            case ((sg, gi), acc) =>
+              when(col(s"__v$i") >= sg.start &&
+                col(s"__v$i") < sg.start + sg.width,
+                struct(lit(gi).as("g"),
+                  expr(s"(__v$i - ${sg.start}L) div ${widths(gi)}L")
+                    .as("f")))
+                .otherwise(acc)
+          }
+        }
+      }: _*)
+      val sub = vd.select(explode(tag).as("t"))
+        .filter(col("t").isNotNull)
         .groupBy(col("t.g").as("g"), col("t.f").as("f"))
         .agg(count(lit(1)).as("c"))
         .collect()
-        .map(r => Seg(
-          over(r.getInt(0)).start + r.getLong(1) * widths(r.getInt(0)),
-          widths(r.getInt(0)), r.getLong(2)))
-      val refined = over.map(s => s.start -> s.width).toSet
-      segs = (segs.filterNot(s => refined((s.start, s.width))) ++ sub)
-        .toVector
+        .map { r =>
+          val gi = r.getInt(0); val sg = over(gi)
+          Seg(sg.ax, sg.start + r.getLong(1) * widths(gi), widths(gi),
+            r.getLong(2))
+        }
+      val refined = over.map(sg => (sg.ax, sg.start, sg.width)).toSet
+      segs = (segs.filterNot(sg => refined((sg.ax, sg.start, sg.width)))
+        ++ sub).toVector
       pass += 1
     }
-    val cutVals = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var cum = 0L
-    var j = 1
-    for (s <- segs.sortBy(_.start)) {
-      cum += s.count
-      // a segment heavier than several targets emits ONE cut (equal
-      // cut values would only manufacture empty shards)
-      if (j < shards && cum >= j * n / shards) {
-        cutVals += s.start + s.width
-        while (j < shards && cum >= j * n / shards) j += 1
+    // driver walk per axis: a cut after every ≈ n/shards rows
+    (0 until k).map { i =>
+      axes(i) match {
+        case None => Nil
+        case Some(ax) =>
+          val n = ax.n
+          val cutVals = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var cum = 0L
+          var j = 1
+          for (sg <- segs.filter(_.ax == i).sortBy(_.start)) {
+            cum += sg.count
+            // a segment heavier than several targets emits ONE cut
+            // (equal cut values would only manufacture empty shards)
+            if (j < shards && cum >= j * n / shards) {
+              cutVals += sg.start + sg.width
+              while (j < shards && cum >= j * n / shards) j += 1
+            }
+          }
+          cutVals.toSeq
       }
     }
-    cutVals.toSeq
-      .map(cv => when(value.cast("long") >= cv, 1).otherwise(0))
-      .reduceOption(_ + _).getOrElse(lit(0))
   }
 
   /** Two-level distributed running SUM — the sharded prefix scan

@@ -1043,7 +1043,8 @@ object TextOps {
   /** [[bpeTrain]] over any (text) frame — the seam
     * [[graft.tools.BpeScale]] drives on synthetic corpora. */
   private[graft] def bpeTrainOn(d: DataFrame, nMerges: Int,
-      driverVocabLimit: Long, onRound: Int => Unit = _ => ()): DataFrame = {
+      driverVocabLimit: Long, onRound: Int => Unit = _ => (),
+      wordBudget: Long = bpeTailBudget): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
     val vocab0 = d.select(explode(tokens(col("text"))).as("word"))
@@ -1052,14 +1053,15 @@ object TextOps {
       .map { case (w, c) => (codePointSyms(w).toSeq, c) }
     val learned: Seq[(Long, String, String, Long)] =
       if (driverVocabLimit < 0L) bpeFitRounds(vocab0, nMerges,
-        onRound = onRound)
+        onRound = onRound, wordBudget = wordBudget)
       else {
         val v = vocab0.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = v.count()
         val res =
           if (n <= driverVocabLimit) bpeFitDriver(v.collect(), nMerges)
-          else bpeFitRounds(v, nMerges, onRound = onRound)
+          else bpeFitRounds(v, nMerges, onRound = onRound,
+            wordBudget = wordBudget)
         v.unpersist()
         res
       }
@@ -1143,6 +1145,22 @@ object TextOps {
   /** Candidates examined per batched round — bounds the per-round
     * driver collect at K 3-string rows and the batch size at K. */
   private[graft] val bpeBatchK = 256
+
+  /** Tail-mode word budget (r19): a round may collect the words
+    * containing its candidate pairs for the exact sub-dictionary
+    * replay ([[bpeReplaySub]]) only when their number is provably
+    * under this bound. CONSTANT by design — driver state for the
+    * distributed fit stays O(budget) words regardless of corpus or
+    * dictionary size; the bound is Σ candidate counts (every word
+    * containing a candidate contributes ≥ 1 to some candidate's
+    * count), checked against the count histogram before anything is
+    * collected. 2¹⁸ words ≈ tens of MB at realistic word lengths. */
+  private[graft] val bpeTailBudget = 1L << 18
+
+  /** Tail-mode candidate-row cap — bounds the (a, b, n) rows collected
+    * for a threshold window (the companion bound to [[bpeTailBudget]];
+    * rows are 3 short strings, so 2¹⁸ rows ≈ 15 MB). */
+  private[graft] val bpeTailKMax = 1 << 18
 
   /** One pool row of the driver-side sequential replay: a live pair
     * key with its tracked count. `tainted` rows hold an UPPER BOUND
@@ -1326,6 +1344,199 @@ object TextOps {
     out.toIndexedSeq
   }
 
+  /** Split a round's merge rules into maximal prefix segments safe
+    * for the lowest-rank-first rewrite ([[applySegment]]). Within a
+    * segment, sequential full application (rule 1 fully, then rule 2,
+    * …) is EQUIVALENT to repeatedly fully-applying the lowest-ranked
+    * rule present, PROVIDED no earlier rule's INPUT equals a later
+    * rule's OUTPUT (otherwise the later rule could re-materialize an
+    * earlier rule's pair, which sequential would never revisit but
+    * lowest-rank-first would) and no rule pair repeats (a re-learned
+    * pair needs a fresh pass). Induction: let r_m be the lowest rule
+    * present — rules before it are absent, both orders apply r_m
+    * fully, and r_m's creations involve only its output, which by the
+    * segment property is no earlier rule's input, so earlier rules
+    * stay absent. Hazards require an output string colliding with a
+    * symbol already referenced — rare, so segments are almost always
+    * the whole batch. */
+  private[graft] def batchSegments(rules: IndexedSeq[(String, String)])
+      : IndexedSeq[IndexedSeq[(String, String)]] = {
+    import scala.collection.mutable
+    val segs = mutable.ArrayBuffer.empty[IndexedSeq[(String, String)]]
+    val cur = mutable.ArrayBuffer.empty[(String, String)]
+    val inputs = mutable.Set.empty[String]
+    val keys = mutable.Set.empty[(String, String)]
+    rules.foreach { r =>
+      if (inputs(r._1 + r._2) || keys(r)) {
+        segs += cur.toIndexedSeq; cur.clear(); inputs.clear(); keys.clear()
+      }
+      cur += r; inputs += r._1; inputs += r._2; keys += r
+    }
+    if (cur.nonEmpty) segs += cur.toIndexedSeq
+    segs.toIndexedSeq
+  }
+
+  /** Apply one [[batchSegments]] segment to a symbol buffer by
+    * repeatedly fully-applying (via the shared [[mergePass]]) the
+    * lowest-ranked rule present — O((merges applied + 1) · len) per
+    * word, INDEPENDENT of segment size, where the naive
+    * rule-by-rule sweep costs O(\|segment\| · len) even when nothing
+    * matches (ruinous once tail rounds emit thousands of merges).
+    * `rank` maps each rule pair to its index in `rules`. */
+  private[graft] def applySegment(
+      syms: scala.collection.mutable.ArrayBuffer[String],
+      rank: scala.collection.Map[(String, String), Int],
+      rules: IndexedSeq[(String, String)]): Unit = {
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else mergePass(syms, rules(best)._1, rules(best)._2)
+    }
+  }
+
+  /** TAIL-MODE round replay (r19): the exact sequential trainer run
+    * driver-side over the SUB-DICTIONARY of words containing any
+    * candidate pair — the generalization of [[bpeSimulateRound]]'s
+    * depth-1 triple arithmetic to unlimited depth. Once every word
+    * containing a candidate is in hand, the round needs no taint
+    * machinery at all: uncollected words are FIXED POINTS of the
+    * whole batch (they contain no candidate, so the first rule never
+    * fires in them, and created symbols — hence all later rules —
+    * exist only where earlier rules fired), so every count delta of
+    * the round happens inside the collected words and the replay is
+    * the literal [[bpeFitDriver]] incremental loop. Created-pair
+    * argmaxes, a == b merges and output collisions all just… replay.
+    *
+    * What remains unprovable is bounded, not tainted:
+    *  - UNTRACKED pairs (below the count-threshold window) started
+    *    ≤ `nEdge` and, absent a collision, only decrease — the
+    *    strict `count > nEdge` selection guard covers them (first
+    *    pick exempt: the global pre-round order already made it the
+    *    argmax).
+    *  - A pair whose BOTH symbols predate the round and which is not
+    *    a candidate may also live in uncollected words; its global
+    *    count is cnt_sub + out with out = global_pre − sub_pre
+    *    ≤ nEdge − sub_pre FIXED for the round (uncollected words
+    *    never change). Such pairs carry that `extra` allowance and
+    *    can only be ruled out (their exact count is unknowable, so
+    *    selecting one stops the round — the [[bpeSimulateRound]]
+    *    taint-tie semantics). A pair involving a symbol CREATED this
+    *    round is exact (extra 0) unless the created string collides
+    *    with a pre-round symbol — and `preSymbol` (the full pair
+    *    table's distinct-symbol set, alphabet-bounded, collected
+    *    once per tail round) decides exactly that, at any depth.
+    *
+    * `cands` must be EVERY pair with global count > nEdge (the
+    * threshold-window contract — the caller derives the threshold
+    * from the count histogram so tie plateaus are never split), in
+    * (count desc, a asc, b asc) order; `sub` every word containing
+    * any of them. The replay `require`s that each candidate's in-sub
+    * count equals its global count — the collection contract made
+    * checkable. Output: the round's merges in sequential order with
+    * exact selection-time counts, ≤ `remaining`. */
+  private[graft] def bpeReplaySub(
+      sub: Array[(Seq[String], Long)],
+      cands: IndexedSeq[(String, String, Long)],
+      preSymbol: String => Boolean,
+      nEdge: Long,
+      remaining: Int): IndexedSeq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val candSet = cands.iterator.map(c => (c._1, c._2)).toSet
+    val words = sub.map { case (s, c) => (mutable.ArrayBuffer.from(s), c) }
+    def pairsOf(syms: mutable.ArrayBuffer[String])
+        : Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    words.iterator.zipWithIndex.foreach { case ((syms, c), wi) =>
+      pairsOf(syms).foreach { k =>
+        cnt.update(k, cnt.getOrElse(k, 0L) + c)
+        where.getOrElseUpdate(k, mutable.Set.empty) += wi
+      }
+    }
+    cands.foreach { case (a, b, n) =>
+      require(cnt.getOrElse((a, b), 0L) == n,
+        s"bpeReplaySub: sub-dictionary undercounts candidate ($a,$b): " +
+          s"${cnt.getOrElse((a, b), 0L)} vs global $n — collection " +
+          "contract broken")
+    }
+    // fixed outside-sub allowance per pair (see scaladoc); computed
+    // at FIRST sight — round start for initial pairs, creation time
+    // (sub_pre = 0) for pairs appearing mid-round — and never revised
+    val extra = mutable.HashMap.empty[(String, String), Long]
+    def extraInit(k: (String, String), subPre: Long): Long =
+      if (candSet(k) || !preSymbol(k._1) || !preSymbol(k._2)) 0L
+      else math.max(0L, nEdge - subPre)
+    cnt.keysIterator.foreach(k => extra(k) = extraInit(k, cnt(k)))
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String,
+        Ordering.String)
+    // exact pairs selectable by true count; bounded pairs tracked by
+    // UPPER bound, queued only while the bound could matter (> nEdge
+    // — a winner must beat nEdge anyway, and extra ≤ nEdge keeps
+    // round-start bounded entries out)
+    val exactQ = mutable.TreeSet.empty[(Long, String, String)]
+    val boundQ = mutable.TreeSet.empty[(Long, String, String)]
+    cnt.foreach { case (k, c) =>
+      if (extra(k) == 0L) exactQ.add((c, k._1, k._2))
+      else if (c + extra(k) > nEdge) boundQ.add((c + extra(k), k._1, k._2))
+    }
+    def bump(k: (String, String), d: Long): Unit = {
+      val e = extra.getOrElseUpdate(k, extraInit(k, 0L))
+      val old = cnt.getOrElse(k, 0L)
+      val nw = old + d
+      if (e == 0L) {
+        if (old > 0) exactQ.remove((old, k._1, k._2))
+        if (nw > 0) { cnt(k) = nw; exactQ.add((nw, k._1, k._2)) }
+        else { cnt.remove(k); where.remove(k) }
+      } else {
+        if (old + e > nEdge) boundQ.remove((old + e, k._1, k._2))
+        if (nw > 0) cnt(k) = nw
+        else { cnt.remove(k); where.remove(k) }
+        if (nw + e > nEdge) boundQ.add((nw + e, k._1, k._2))
+      }
+    }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    while (!stop && out.size < remaining && exactQ.nonEmpty) {
+      val (n, a, b) = exactQ.head
+      val first = out.isEmpty
+      val boundBlocks = boundQ.headOption.exists { case (u, ba, bb) =>
+        u > n || (u == n && (ba < a || (ba == a && bb < b)))
+      }
+      if (!first && (n <= nEdge || boundBlocks)) stop = true
+      else {
+        out += ((a, b, n))
+        val affected = where.get((a, b)).map(_.toArray)
+          .getOrElse(Array.empty[Int])
+        affected.foreach { wi =>
+          val (syms, c) = words(wi)
+          val before = pairsOf(syms).toArray
+          mergePass(syms, a, b)
+          val after = pairsOf(syms).toArray
+          val delta = mutable.HashMap.empty[(String, String), Long]
+          before.foreach(k => delta.update(k, delta.getOrElse(k, 0L) - c))
+          after.foreach(k => delta.update(k, delta.getOrElse(k, 0L) + c))
+          delta.foreach { case (k, d) => if (d != 0L) bump(k, d) }
+          val beforeSet = before.toSet
+          val afterSet = after.toSet
+          beforeSet.diff(afterSet)
+            .foreach(k => where.get(k).foreach(_ -= wi))
+          afterSet.diff(beforeSet).foreach(k =>
+            where.getOrElseUpdate(k, mutable.Set.empty) += wi)
+        }
+      }
+    }
+    out.toIndexedSeq
+  }
+
   /** The distributed fit: the vocabulary itself stays a Dataset and
     * each ROUND learns a provably-sequential BATCH of merges (r18 —
     * previously one merge per round; at real vocabulary sizes the
@@ -1338,16 +1549,35 @@ object TextOps {
     * soundness argument), emitting merges until the next argmax is no
     * longer provable from the round's statistics. The whole batch is
     * applied in emission order inside a single vocabulary rewrite
-    * with the shared [[mergePass]], so the resulting vocabulary is
-    * bit-identical to the sequential path's. Learned tables are
-    * therefore IDENTICAL to [[bpeFitDriver]] on any corpus (asserted
-    * by `TextOpsSpec`'s randomized adversarial property and the
-    * fixture twin, measured at scale by [[graft.tools.BpeScale]]). */
+    * via [[batchSegments]] + [[applySegment]] (equivalent to the
+    * sequential rule-by-rule sweep, but O(matches), not O(batch),
+    * per word), so the resulting vocabulary is bit-identical to the
+    * sequential path's. Learned tables are therefore IDENTICAL to
+    * [[bpeFitDriver]] on any corpus (asserted by `TextOpsSpec`'s
+    * randomized adversarial property and the fixture twin, measured
+    * at scale by [[graft.tools.BpeScale]]).
+    *
+    * TAIL MODE (r19): when the count histogram shows that every pair
+    * above some threshold t has affordable support — Σ counts ≤
+    * `wordBudget` bounds the words containing them, candidate rows ≤
+    * `tailKMax` — the round switches to [[bpeReplaySub]]: collect
+    * exactly those words and replay the classic trainer on them with
+    * nEdge = t − 1. Threshold windows never split a tie plateau (the
+    * r18 failure mode: flat tie-dense tail counts shrank the top-K
+    * window's provable batches toward 1), and the replay has no
+    * taint/collision/self-adjacency stops at all, so tail rounds emit
+    * thousands of merges — and once every pair is affordable
+    * (nEdge = 0) the round finishes the entire remaining fit. Driver
+    * state stays O(budget) by CONSTANT bounds, independent of corpus
+    * and dictionary size; the gate costs the head path nothing (the
+    * histogram is only aggregated once the already-collected top-K
+    * counts sum under the budget — in head rounds they never do). */
   private[graft] def bpeFitRounds(vocab0: Dataset[(Seq[String], Long)],
       nMerges: Int, batchK: Int = bpeBatchK,
       // per-round observer (batch size) — [[graft.tools.BpeScale]]
       // records round counts with it; a no-op in production paths
-      onRound: Int => Unit = _ => ())
+      onRound: Int => Unit = _ => (),
+      wordBudget: Long = bpeTailBudget, tailKMax: Int = bpeTailKMax)
       : Seq[(Long, String, String, Long)] = {
     val spark = vocab0.sparkSession
     import spark.implicits._
@@ -1364,27 +1594,80 @@ object TextOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // try/finally so a failed collect cannot leak the cache entry
       // for the rest of the session (r18 ADVICE)
-      val (cands, collided) = try {
+      val (cands, collided, tailRound) = try {
         val cs = pairs.orderBy(desc("n"), col("a"), col("b"))
           .limit(batchK)
           .as[(String, String, Long)].collect().toIndexedSeq
+        // tail gate: Σ top-K counts ≤ wordBudget is NECESSARY for an
+        // affordable threshold window (any qualifying window contains
+        // these rows), so head rounds never pay the histogram
+        val tail: Option[(IndexedSeq[(String, String, Long)],
+            Set[String], Long)] =
+          if (cs.isEmpty || cs.iterator.map(_._3).sum > wordBudget) None
+          else {
+            val hist = pairs.groupBy(col("n"))
+              .agg(count(lit(1)).as("f"))
+              .as[(Long, Long)].collect().sortBy(-_._1)
+            val totalRows = hist.iterator.map(_._2).sum
+            var rows = 0L; var wsum = 0L; var ti = 0
+            var fits = true
+            while (fits && ti < hist.length) {
+              val (n, f) = hist(ti)
+              // n or f alone over a cap ⇒ unaffordable (also keeps
+              // n·f inside Long)
+              if (n > wordBudget || f > tailKMax ||
+                rows + f > tailKMax || wsum + n * f > wordBudget)
+                fits = false
+              else { rows += f; wsum += n * f; ti += 1 }
+            }
+            val full = ti == hist.length
+            if (ti > 0 && (full || rows >= math.min(batchK.toLong,
+              totalRows))) {
+              val t = hist(ti - 1)._1
+              val candsT = pairs.filter(col("n") >= t)
+                .as[(String, String, Long)].collect()
+                .sortBy(c => (-c._3, c._1, c._2)).toIndexedSeq
+              // distinct symbols of the FULL pair table — the exact
+              // collision oracle for round-created strings at any
+              // depth; bounded by the symbol alphabet, not the
+              // dictionary
+              val preSyms = pairs.select(col("a"))
+                .union(pairs.select(col("b")))
+                .distinct().as[String].collect().toSet
+              Some((candsT, preSyms, t - 1L))
+            } else None
+          }
         val concats = cs.map(c => c._1 + c._2)
         // which candidate outputs already live in the pair table?
+        // (head mode only — tail rounds get collision answers from
+        // the distinct-symbol set)
         val coll =
-          if (cs.isEmpty) Set.empty[String]
+          if (cs.isEmpty || tail.nonEmpty) Set.empty[String]
           else pairs
             .filter(col("a").isInCollection(concats) ||
               col("b").isInCollection(concats))
             .select(col("a"), col("b")).as[(String, String)].collect()
             .iterator.flatMap(p => Iterator(p._1, p._2)).toSet
             .intersect(concats.toSet)
-        (cs, coll)
+        (cs, coll, tail)
       } finally pairs.unpersist()
       if (cands.isEmpty) done = true
       else {
         // window edge: untracked pairs all started at or below this
         val nEdge = if (cands.length == batchK) cands.last._3 else 0L
-        val batch: IndexedSeq[(String, String, Long)] =
+        val batch: IndexedSeq[(String, String, Long)] = tailRound match {
+          case Some((candsT, preSyms, nEdgeT)) =>
+            val candPairs = candsT.iterator.map(c => (c._1, c._2)).toSet
+            val candB = spark.sparkContext.broadcast(candPairs)
+            val sub = vocab.filter { case (syms, _) =>
+              (0 until syms.length - 1).exists(i =>
+                candB.value((syms(i), syms(i + 1))))
+            }.collect()
+            val res = bpeReplaySub(sub, candsT, preSyms, nEdgeT,
+              nMerges - out.size)
+            candB.destroy()
+            res
+          case None =>
           if (cands.length == 1) cands
           else {
             // per-candidate triple maps: x → #(x, a_i, b_i) and
@@ -1427,14 +1710,24 @@ object TextOps {
               i => rT.getOrElse(i, Map.empty),
               collided, nEdge, nMerges - out.size)
           }
+        }
         onRound(batch.length)
         batch.foreach { case (a, b, n) =>
           out += ((out.size + 1L, a, b, n))
         }
-        val rules = batch.map(c => (c._1, c._2))
+        // segmented lowest-rank-first rewrite — equivalent to the
+        // sequential rule sweep (see [[batchSegments]]) but per-word
+        // cost is O(matches), not O(batch): tail batches run to
+        // thousands of rules
+        val segs = batchSegments(batch.map(c => (c._1, c._2)))
+        val segRanks = segs.map(_.iterator.zipWithIndex.toMap)
         vocab = vocab.map { case (syms, c) =>
           val buf = scala.collection.mutable.ArrayBuffer.from(syms)
-          rules.foreach { case (a, b) => mergePass(buf, a, b) }
+          var si = 0
+          while (si < segs.length) {
+            applySegment(buf, segRanks(si), segs(si))
+            si += 1
+          }
           (buf.toSeq, c)
         }.localCheckpoint(false)
       }
@@ -2191,6 +2484,48 @@ object TextOps {
     Scale.quantileCutKeep(s, "source", "q",
         cutNum = 1, cutDen = 5) // = calibratedCut 0.2
       .select(col("doc_id"), col("source"), col("q"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[qQualityCalibrated]]'s FULL 100 TB twin (r19): the per-row
+    * `pct` diagnostic included — the one output
+    * [[qQualityCalibratedCut]] drops — with no per-source window
+    * task. percent_rank uses competition rank, so every row of a
+    * (source, q) tie class shares cntLess = #rows strictly below q;
+    * the twin therefore ranks the DISTINCT-value frame: per-(source,
+    * q) tie-class counts, a sharded prefix sum of those counts over
+    * 16 balanced score ranges (shard key = the monotone ⌊q·10⁹⌋ —
+    * order-preserving w.r.t. q, equal scores share a shard), then
+    * cntLess = cum − ownCount and ONE join back by (source, q). The
+    * pct value is the identical IEEE division cntLess/(n−1) the
+    * builtin evaluates (n = 1 ⇒ 0.0, also the builtin's value), so
+    * the output is row-identical to the flat window and the SAME
+    * oracle arbitrates both — the [[Relational.qRfmSharded]]
+    * convention. A mega-source costs \|distinct scores\|/16 per shard
+    * cell instead of one corpus-sized window task; the join back is
+    * a plain equi-join AQE can split. */
+  def qQualityCalibratedSharded(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val s = d.select(col("doc_id"), col("source"),
+      qualityScore(col("text")).as("q"))
+    val grp = Dedup.memoizedPersisted(spark, s"qcalgrp|$sfDir")(
+      s.groupBy(col("source"), col("q")).agg(count(lit(1)).as("__cq")))
+    val nPer = grp.groupBy(col("source"))
+      .agg(sum(col("__cq")).as("__n"))
+    val qv = (col("q") * 1e9).cast("long")
+    val shard = Scale.memoizedShards(spark, s"qcal|$sfDir", 16, qv)(
+      Scale.balancedShards(grp, qv, 16))
+    val ranked = Scale.shardedPrefixSumBy(grp, Seq("source"), shard,
+        Seq(col("q")), col("__cq"), "__cum")
+      .join(broadcast(nPer), "source")
+      .select(col("source"), col("q"),
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__cum") - col("__cq")).cast("double") /
+            (col("__n") - 1).cast("double")).as("pct"))
+    s.join(ranked, Seq("source", "q"))
+      .filter(col("pct") >= calibratedCut)
+      .select(col("doc_id"), col("source"), col("q"), col("pct"))
       .orderBy(col("doc_id"))
   }
 

@@ -26,7 +26,8 @@ case class JobConfig(
     partitionCommitDelayMs: Long = 60000L, // Kafka2S3Hive.scala:103
     autoCompaction: Boolean = false,       // Kafka2S3Hive.scala:87 (made real)
     compactRetentionMs: Long = 0L,         // grace before absorbed-file deletes
-    availableNow: Boolean = false)         // bounded run (tests/backfill)
+    availableNow: Boolean = false,         // bounded run (tests/backfill)
+    tokenBudget: Long = graft.engine.TextOps.tokenBudget) // CurationJob mix
 
 object JobConfig {
   /** `--key value` parser over the fields above; unknown keys fail. */
@@ -51,6 +52,7 @@ object JobConfig {
         case "--compact-retention-ms" =>
           c.copy(compactRetentionMs = v.toLong)
         case "--available-now" => c.copy(availableNow = v.toBoolean)
+        case "--token-budget" => c.copy(tokenBudget = v.toLong)
         case other => throw new IllegalArgumentException(
           s"unknown option: $other")
       }
@@ -186,5 +188,55 @@ object HiveJob {
     val c = JobConfig.parse(args)
     val h = run(Jobs.session("kafka2hive", hive = true), c)
     h.query.awaitTermination()
+  }
+}
+
+/** The BATCH curation entry (r19) — the 4th CLI job, and the one
+  * with no reference counterpart (the reference's three jobs are the
+  * streaming analogs): canonicalize → same-page + exact + near dedup
+  * → per-source quality cut → token-budget mix → sequence packing,
+  * each stage an individually-oracle-proven [[graft.engine.Curation]]
+  * function, CHECKPOINTED to parquet under `--staging-dir` between
+  * stages — the restartable posture a multi-day 100 TB run needs
+  * (rerunning a failed stage rereads its predecessor's parquet
+  * instead of recomputing the chain). The final packing manifest
+  * lands at `--sink-path`. `JobsSpec` asserts the staged run
+  * row-equals the direct in-memory composition.
+  *
+  *   runMain graft.jobs.CurationJob --source file --input-dir <docs
+  *   parquet> --staging-dir <dir> --sink-path <dir>
+  *   [--token-budget N]
+  */
+object CurationJob {
+  import graft.engine.Curation
+
+  def run(spark: SparkSession, c: JobConfig): String = {
+    require(c.inputDir.nonEmpty && c.stagingDir.nonEmpty &&
+      c.sinkPath.nonEmpty,
+      "CurationJob needs --input-dir, --staging-dir and --sink-path")
+    val docs = spark.read.parquet(c.inputDir)
+    // checkpoint each stage: write, then read BACK — downstream
+    // stages consume the on-disk schema, so any column the write
+    // drops or retypes fails here, not silently
+    def staged(name: String, df: DataFrame): DataFrame = {
+      val p = s"${c.stagingDir}/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val s1 = staged("1_url", Curation.urlStage(docs))
+    val s2 = staged("2_exact", Curation.exactStage(s1))
+    val s3 = staged("3_neardup",
+      Curation.nearDupStage(s2, tag = c.stagingDir))
+    val s4 = staged("4_quality", Curation.qualityStage(s3))
+    val s5 = staged("5_mix", Curation.mixStage(s4, c.tokenBudget))
+    Curation.packStage(s5).write.mode("overwrite").parquet(c.sinkPath)
+    c.sinkPath
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = JobConfig.parse(args)
+    val t0 = System.nanoTime()
+    run(Jobs.session("batch curation"), c)
+    println(f"CurationJob done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.jobs.{HiveJob, JobConfig, ParquetJob, TextJob}
+import graft.jobs.{CurationJob, HiveJob, JobConfig, ParquetJob, TextJob}
 import java.nio.file.{Files, Paths}
 
 /** End-to-end runs of the three reference-equivalent jobs over the
@@ -196,4 +196,29 @@ class JobsSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $table")
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
+  test("CurationJob: staged parquet run row-equals the in-memory composition") {
+    import graft.engine.Curation
+    val docsPath = s"$sf0001/documents.parquet"
+    val out = tmpDir("cur_out")
+    val stg = tmpDir("cur_stg")
+    CurationJob.run(spark, JobConfig(inputDir = docsPath,
+      stagingDir = stg, sinkPath = out, tokenBudget = 300L))
+    val staged = spark.read.parquet(out).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    // the anchor: the same engine stages composed directly, no
+    // parquet checkpoints — a schema drift, dropped column or stage
+    // reorder in the job shows up as a row diff here
+    val direct = Curation.pipeline(spark.read.parquet(docsPath),
+        tag = "jobsspec-direct", budgetPerSource = 300L)
+      .collect().map(_.toSeq.map(String.valueOf))
+      .sortBy(_.mkString("|")).toSeq
+    assert(staged.nonEmpty && staged == direct)
+    // every intermediate checkpoint materialized, monotonically
+    // shrinking (each stage only drops rows)
+    val counts = Seq("1_url", "2_exact", "3_neardup", "4_quality",
+      "5_mix").map(n => spark.read.parquet(s"$stg/$n").count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      counts.toString)
+  }
+
 }

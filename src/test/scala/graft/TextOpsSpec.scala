@@ -459,6 +459,61 @@ class TextOpsSpec extends SparkSpec {
       IndexedSeq(("a", "b", 100L), ("c", "a", 90L)))
   }
 
+  test("batchSegments/applySegment: hazard split and sequential equivalence") {
+    import scala.collection.mutable.ArrayBuffer
+    def seq(rules: Seq[(String, String)], word: Seq[String]): Seq[String] = {
+      // the trivially-correct anchor: rule-by-rule full sweeps
+      val buf = ArrayBuffer.from(word)
+      rules.foreach { case (a, b) =>
+        var i = 0
+        while (i < buf.length - 1) {
+          if (buf(i) == a && buf(i + 1) == b) {
+            buf(i) = a + b; buf.remove(i + 1)
+          } else i += 1
+        }
+      }
+      buf.toSeq
+    }
+    def viaSegments(rules: IndexedSeq[(String, String)],
+        word: Seq[String]): Seq[String] = {
+      val segs = TextOps.batchSegments(rules)
+      val ranks = segs.map(_.iterator.zipWithIndex.toMap)
+      val buf = ArrayBuffer.from(word)
+      segs.indices.foreach(i => TextOps.applySegment(buf, ranks(i), segs(i)))
+      buf.toSeq
+    }
+    // no hazard → one segment
+    val clean = IndexedSeq(("a", "b"), ("ab", "c"), ("d", "e"))
+    assert(TextOps.batchSegments(clean).length == 1)
+    // the hazard: r1's input "ab" is r2's OUTPUT — naive
+    // lowest-rank-first over the whole batch would merge X+ab after
+    // r2 re-materializes "ab", which sequential never does
+    val hazard = IndexedSeq(("X", "ab"), ("a", "b"))
+    assert(TextOps.batchSegments(hazard).length == 2)
+    assert(viaSegments(hazard, Seq("X", "a", "b")) == Seq("X", "ab"))
+    assert(seq(hazard, Seq("X", "a", "b")) == Seq("X", "ab"))
+    // duplicate rule → split (the re-learned pair needs a fresh pass)
+    val dup = IndexedSeq(("a", "b"), ("c", "d"), ("a", "b"))
+    assert(TextOps.batchSegments(dup).length == 2)
+    // randomized equivalence sweep, hazards and self-adjacency included
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 1 to 300) {
+      val alpha = Vector("a", "b", "c")
+      val word = Vector.fill(2 + rnd.nextInt(10))(
+        alpha(rnd.nextInt(alpha.length)))
+      var syms = Set("a", "b", "c")
+      val rules = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        val pool = syms.toVector.sorted
+        val r = (pool(rnd.nextInt(pool.length)),
+          pool(rnd.nextInt(pool.length)))
+        syms += r._1 + r._2
+        r
+      }.toIndexedSeq
+      assert(viaSegments(rules, word) == seq(rules, word),
+        s"rules=$rules word=$word")
+    }
+  }
+
   test("BPE batched rounds equal the classic fit on adversarial random corpora") {
     // tiny alphabets force maximal candidate interaction (shared
     // symbols, output collisions, overlapping occurrences like
@@ -515,8 +570,16 @@ class TextOpsSpec extends SparkSpec {
         .as[(Long, String, String, Long)].collect().toSeq
       val dist = TextOps.bpeTrainOn(docs, nMerges, driverVocabLimit = -1L)
         .as[(Long, String, String, Long)].collect().toSeq
+      // budget 0 forbids sub-dictionary collection, forcing every
+      // round through the triple-map simulation — keeps the r18 head
+      // path under the same adversarial fuzz after r19's tail mode
+      val distHead = TextOps.bpeTrainOn(docs, nMerges,
+        driverVocabLimit = -1L, wordBudget = 0L)
+        .as[(Long, String, String, Long)].collect().toSeq
       assert(drv == naive.toSeq, s"trial $trial text='$text' merges=$nMerges")
       assert(dist == drv, s"trial $trial text='$text' merges=$nMerges")
+      assert(distHead == drv,
+        s"trial $trial (head path) text='$text' merges=$nMerges")
     }
   }
 
@@ -538,7 +601,9 @@ class TextOpsSpec extends SparkSpec {
           g.map(_._2).sum) }
       val nMerges = 4 + rnd.nextInt(8)
       val batchK = 2 + rnd.nextInt(3)
-      val got = TextOps.bpeFitRounds(dict.toDS(), nMerges, batchK)
+      // budget 0: the triple-map head path under a tiny window
+      val got = TextOps.bpeFitRounds(dict.toDS(), nMerges, batchK,
+        wordBudget = 0L)
       // anchor: the incremental classic fit over the same dictionary
       var naive = dict.map { case (s, c) => (s.toVector, c) }
       val exp = scala.collection.mutable.ArrayBuffer
@@ -573,6 +638,18 @@ class TextOpsSpec extends SparkSpec {
       }
       assert(got == exp.toSeq,
         s"trial $trial K=$batchK merges=$nMerges dict=$dict")
+      // the r19 tail path under the SAME tiny windows: tailKMax =
+      // batchK keeps the threshold window tight, exercising the
+      // nEdge guard and the bounded (collision-allowance) entries
+      val gotTail = TextOps.bpeFitRounds(dict.toDS(), nMerges, batchK,
+        wordBudget = 1L << 40, tailKMax = batchK)
+      assert(gotTail == exp.toSeq,
+        s"trial $trial (tail, tight) K=$batchK merges=$nMerges dict=$dict")
+      // and with the default wide window: full coverage, nEdge = 0 —
+      // the whole remaining fit should land in one round
+      val gotWide = TextOps.bpeFitRounds(dict.toDS(), nMerges, batchK)
+      assert(gotWide == exp.toSeq,
+        s"trial $trial (tail, wide) K=$batchK merges=$nMerges dict=$dict")
     }
   }
 
@@ -586,8 +663,15 @@ class TextOpsSpec extends SparkSpec {
     val vocab0 = text.split("\\s+").toSeq.groupBy(identity).toSeq
       .map { case (w, g) => (w.map(_.toString): Seq[String], g.size.toLong) }
       .toDS()
-    val dist = TextOps.bpeFitRounds(vocab0, 10, batchK = 2)
+    val dist = TextOps.bpeFitRounds(vocab0, 10, batchK = 2,
+      wordBudget = 0L)
     assert(dist == drv)
+    // same corpus through the r19 tail replay, tight and wide windows
+    val distTailTight = TextOps.bpeFitRounds(vocab0, 10, batchK = 2,
+      wordBudget = 1L << 40, tailKMax = 2)
+    assert(distTailTight == drv)
+    val distTailWide = TextOps.bpeFitRounds(vocab0, 10, batchK = 2)
+    assert(distTailWide == drv)
   }
 
   test("winnow near-dup: crafted local overlap fires; disjoint texts don't") {
