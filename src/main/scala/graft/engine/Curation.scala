@@ -30,15 +30,32 @@ object Curation {
 
   /** Stage 1 — URL canonicalization + same-page dedup: keep the
     * min-doc_id copy of every canonical URL ([[UrlOps.qUrlDedup]]'s
-    * keep rule). Frames without a `url` column derive the fixture's
-    * synthetic URL ([[UrlOps.syntheticUrl]] — the oracle-pinned
-    * hazard derivation); rows whose URL canonicalizes to NULL
+    * keep rule). Frames without a `url` column derive a synthetic
+    * one carrying every canonicalization hazard (mixed case,
+    * userinfo, www, ports, doubled slashes, tracking params,
+    * fragments) but with the FULL doc_id as the page path — unlike
+    * [[UrlOps.syntheticUrl]], whose mod-10 path plants same-page
+    * collisions BY DESIGN for the dedup oracles, a curation run over
+    * a corpus with no real URLs must not invent duplicates (the
+    * first cut used the oracle derivation and silently dropped 99.6%
+    * of sf0.1 at this stage). Rows whose URL canonicalizes to NULL
     * (schemeless garbage) bypass the dedup rather than collapsing
     * into one all-null group. Adds the `canonical` column — the
     * provenance key downstream rollups group on. */
   def urlStage(d: DataFrame): DataFrame = {
-    val u = if (d.columns.contains("url")) col("url")
-      else UrlOps.syntheticUrl
+    val id = col("doc_id")
+    val fallbackUrl = concat(
+      when(id % 2 === 0, lit("HTTPS")).otherwise(lit("Http")),
+      lit("://"),
+      when(id % 5 === 0, lit("u:p@")).otherwise(lit("")),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".COM"),
+      when(id % 2 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Docs//"), id.cast("string"),
+      when(id % 7 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&z=9&a=1"),
+      when(id % 9 === 0, lit("#Sec2")).otherwise(lit("")))
+    val u = if (d.columns.contains("url")) col("url") else fallbackUrl
     val canon = d.withColumn("canonical", UrlOps.canonicalizeUrl(u))
     val dedupable = canon.filter(col("canonical").isNotNull)
     val keep = dedupable.groupBy(col("canonical"))

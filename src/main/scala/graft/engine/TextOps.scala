@@ -1154,13 +1154,19 @@ object TextOps {
     * dictionary size; the bound is Σ candidate counts (every word
     * containing a candidate contributes ≥ 1 to some candidate's
     * count), checked against the count histogram before anything is
-    * collected. 2¹⁸ words ≈ tens of MB at realistic word lengths. */
-  private[graft] val bpeTailBudget = 1L << 18
+    * collected. 2²⁰ words ≈ 100–200 MB of transient per-round driver
+    * state at realistic word lengths — same envelope as the
+    * `driverVocabLimit` classic-fit structures, but freed at round
+    * end. Sizing rationale: the gate is Σ counts of the candidate
+    * window, so at a 100M-token corpus the 32k-merge tail (counts
+    * ~10³) needs ~2²⁰ before any round qualifies; a 2¹⁸ first cut
+    * never fired on exactly that fit. */
+  private[graft] val bpeTailBudget = 1L << 20
 
   /** Tail-mode candidate-row cap — bounds the (a, b, n) rows collected
     * for a threshold window (the companion bound to [[bpeTailBudget]];
-    * rows are 3 short strings, so 2¹⁸ rows ≈ 15 MB). */
-  private[graft] val bpeTailKMax = 1 << 18
+    * rows are 3 short strings, so 2²⁰ rows ≈ 60 MB transient). */
+  private[graft] val bpeTailKMax = 1 << 20
 
   /** One pool row of the driver-side sequential replay: a live pair
     * key with its tracked count. `tainted` rows hold an UPPER BOUND
@@ -1585,6 +1591,13 @@ object TextOps {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var done = false
+    // previous round's batch size — the PROBE-ON-STALL signal: once
+    // the head simulation degenerates (tie-dense counts, taint
+    // stops), rounds spend a vocab pass to measure the TRUE
+    // sub-dictionary size instead of trusting the loose Σ-counts
+    // bound (which over-counts words shared between candidates by
+    // orders of magnitude exactly where the head path stalls)
+    var lastBatch = Int.MaxValue
     while (out.size < nMerges && !done) {
       val pairs = vocab.flatMap { case (syms, c) =>
         (0 until syms.length - 1).iterator
@@ -1598,12 +1611,20 @@ object TextOps {
         val cs = pairs.orderBy(desc("n"), col("a"), col("b"))
           .limit(batchK)
           .as[(String, String, Long)].collect().toIndexedSeq
-        // tail gate: Σ top-K counts ≤ wordBudget is NECESSARY for an
-        // affordable threshold window (any qualifying window contains
-        // these rows), so head rounds never pay the histogram
+        // tail gate, two entry lanes:
+        //  - CHEAP: Σ top-K counts ≤ wordBudget proves (words
+        //    containing a candidate ≤ Σ its counts) the sub-dict is
+        //    affordable with no extra pass — head rounds never pay
+        //    the histogram;
+        //  - PROBE-ON-STALL: once the head simulation degenerates
+        //    (lastBatch < 8), the Σ bound is typically loose by the
+        //    word-overlap factor, so spend one vocab pass to COUNT
+        //    the true sub-dictionary and collect it if it fits.
+        val cheap = cs.nonEmpty &&
+          cs.iterator.map(_._3).sum <= wordBudget
         val tail: Option[(IndexedSeq[(String, String, Long)],
             Set[String], Long)] =
-          if (cs.isEmpty || cs.iterator.map(_._3).sum > wordBudget) None
+          if (cs.isEmpty || (!cheap && lastBatch >= 8)) None
           else {
             val hist = pairs.groupBy(col("n"))
               .agg(count(lit(1)).as("f"))
@@ -1613,12 +1634,17 @@ object TextOps {
             var fits = true
             while (fits && ti < hist.length) {
               val (n, f) = hist(ti)
-              // n or f alone over a cap ⇒ unaffordable (also keeps
-              // n·f inside Long)
-              if (n > wordBudget || f > tailKMax ||
-                rows + f > tailKMax || wsum + n * f > wordBudget)
+              // the row cap always binds; the Σ cap only on the
+              // cheap lane (the probe lane measures instead). n/f
+              // caps keep n·f inside Long.
+              if (f > tailKMax || rows + f > tailKMax ||
+                (cheap && (n > wordBudget || wsum + n * f > wordBudget)))
                 fits = false
-              else { rows += f; wsum += n * f; ti += 1 }
+              else {
+                rows += f
+                if (cheap) wsum += n * f
+                ti += 1
+              }
             }
             val full = ti == hist.length
             if (ti > 0 && (full || rows >= math.min(batchK.toLong,
@@ -1634,7 +1660,9 @@ object TextOps {
               val preSyms = pairs.select(col("a"))
                 .union(pairs.select(col("b")))
                 .distinct().as[String].collect().toSet
-              Some((candsT, preSyms, t - 1L))
+              // a FULL window excludes nothing — nEdge 0 lets the
+              // replay run the fit to the end
+              Some((candsT, preSyms, if (full) 0L else t - 1L))
             } else None
           }
         val concats = cs.map(c => c._1 + c._2)
@@ -1659,12 +1687,25 @@ object TextOps {
           case Some((candsT, preSyms, nEdgeT)) =>
             val candPairs = candsT.iterator.map(c => (c._1, c._2)).toSet
             val candB = spark.sparkContext.broadcast(candPairs)
-            val sub = vocab.filter { case (syms, _) =>
+            val subDs = vocab.filter { case (syms, _) =>
               (0 until syms.length - 1).exists(i =>
                 candB.value((syms(i), syms(i + 1))))
-            }.collect()
-            val res = bpeReplaySub(sub, candsT, preSyms, nEdgeT,
-              nMerges - out.size)
+            }
+            // the probe lane verified nothing yet — measure the true
+            // sub-dictionary before collecting it
+            val affordable = (cands.nonEmpty &&
+              cands.iterator.map(_._3).sum <= wordBudget) ||
+              subDs.count() <= wordBudget
+            val res =
+              if (affordable)
+                bpeReplaySub(subDs.collect(), candsT, preSyms, nEdgeT,
+                  nMerges - out.size)
+              else
+                // probe failed: emit just the global argmax (the one
+                // pick that needs no proof) — the stalled head path
+                // would emit ~1 merge here too, and the next round's
+                // smaller pair table gets another probe
+                IndexedSeq(cands.head)
             candB.destroy()
             res
           case None =>
@@ -1712,6 +1753,7 @@ object TextOps {
           }
         }
         onRound(batch.length)
+        lastBatch = batch.length
         batch.foreach { case (a, b, n) =>
           out += ((out.size + 1L, a, b, n))
         }

@@ -63,8 +63,18 @@ object JobConfig {
 
 /** Shared job scaffolding: session, source, trigger. */
 object Jobs {
+  /** Under spark-submit the master arrives as the `spark.master`
+    * system property; a bare `runMain` (dev/bench) has none, so fall
+    * back to local[SPARK_GRAFT_CPUS] with matching shuffle
+    * parallelism — the Bench/Verify convention. */
   def session(appName: String, hive: Boolean = false): SparkSession = {
-    val b = SparkSession.builder().appName(appName)
+    var b = SparkSession.builder().appName(appName)
+    if (!sys.props.contains("spark.master")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      b = b.master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+    }
     (if (hive) b.enableHiveSupport() else b).getOrCreate()
   }
 

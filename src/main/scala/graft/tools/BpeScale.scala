@@ -144,10 +144,17 @@ object BpeScale {
     // provably-independent batches amortized the fit into
     val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val cum = new java.util.concurrent.atomic.AtomicLong(0L)
     val t1 = System.nanoTime()
     val dist = TextOps.bpeTrainOn(docs, nMerges = nMerges,
         driverVocabLimit = -1L,
-        onRound = sz => { rounds.incrementAndGet(); batches.add(sz); () })
+        // live per-round trace: the batch-size CURVE is the evidence
+        // a killed run leaves behind (r18's 32k cut died silently)
+        onRound = sz => { val r = rounds.incrementAndGet()
+          batches.add(sz)
+          val c = cum.addAndGet(sz.toLong)
+          println(f"[BpeScale round $r] batch=$sz cum=$c " +
+            f"t=${(System.nanoTime() - t1) / 1e9}%.0f s") })
       .collect().map(_.toSeq).toSeq
     val distSecs = (System.nanoTime() - t1) / 1e9
     val t2 = System.nanoTime()
