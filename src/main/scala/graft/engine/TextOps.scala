@@ -1598,7 +1598,13 @@ object TextOps {
     // bound (which over-counts words shared between candidates by
     // orders of magnitude exactly where the head path stalls)
     var lastBatch = Int.MaxValue
+    // failed-probe backoff: when the measured sub-dictionary exceeds
+    // the budget, skip re-probing for a while — the pair table
+    // shifts by ~1 merge/round in that regime, so re-measuring every
+    // round pays a vocab pass for an answer that cannot have changed
+    var probeCooldown = 0
     while (out.size < nMerges && !done) {
+      if (probeCooldown > 0) probeCooldown -= 1
       val pairs = vocab.flatMap { case (syms, c) =>
         (0 until syms.length - 1).iterator
           .map(i => (syms(i), syms(i + 1), c))
@@ -1624,7 +1630,8 @@ object TextOps {
           cs.iterator.map(_._3).sum <= wordBudget
         val tail: Option[(IndexedSeq[(String, String, Long)],
             Set[String], Long)] =
-          if (cs.isEmpty || (!cheap && lastBatch >= 8)) None
+          if (cs.isEmpty ||
+            (!cheap && (lastBatch >= 8 || probeCooldown > 0))) None
           else {
             val hist = pairs.groupBy(col("n"))
               .agg(count(lit(1)).as("f"))
@@ -1700,12 +1707,13 @@ object TextOps {
               if (affordable)
                 bpeReplaySub(subDs.collect(), candsT, preSyms, nEdgeT,
                   nMerges - out.size)
-              else
+              else {
                 // probe failed: emit just the global argmax (the one
                 // pick that needs no proof) — the stalled head path
-                // would emit ~1 merge here too, and the next round's
-                // smaller pair table gets another probe
+                // would emit ~1 merge here too — and back off
+                probeCooldown = 32
                 IndexedSeq(cands.head)
+              }
             candB.destroy()
             res
           case None =>
