@@ -130,7 +130,13 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
 
-    val qs = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    // Optional subset filter (dev loops + the paired A/B harness,
+    // which reruns a shared subset under two jars): headline order is
+    // preserved so interleaving stays comparable across runs.
+    val onlyQ: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val qs = headline.filter(n => onlyQ.forall(_.contains(n)))
+      .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
 
     // A failed query is a sentinel (-1 in the per-query map, name in
@@ -228,16 +234,23 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadJson = passLoads.map(fmt).mkString("[", ",", "]")
     val loadMax = fmt(if (passLoads.isEmpty) -1.0 else passLoads.max)
-    // The stdout line carries MEDIANS ONLY — the per-sample arrays
-    // made it long enough that artifact capture truncated it mid-JSON
-    // (machine-unreadable two rounds running). The full sample matrix
-    // still matters for diagnosing contaminated passes, so it goes to
-    // a sidecar file instead, and the stdout line names it.
-    // Default sidecar name carries the run's (sf, reps) identity so
+    // The stdout line is a COMPACT SUMMARY ONLY — no per-query map.
+    // History: r13-r16 printed medians + samples (~20 KB) and the
+    // artifact capture truncated it; r17-r19 printed medians only
+    // (~8 KB) and the capture STILL kept just a ~2 KB tail (r19's
+    // BENCH artifact stores the tail of the line, so the capture
+    // window is small and tail-anchored). The only line guaranteed
+    // to survive any head- or tail-anchored capture is one short
+    // enough to fit whole — so everything per-query goes to sidecar
+    // files (named on the line) and stdout carries the fixed-size
+    // headline. `failed` is the one variable-length field; it is
+    // count-first and truncated so a mass failure cannot push the
+    // line back over the capture window.
+    // Sidecar names carry the run's (sf, reps) identity so
     // back-to-back or concurrent runs at different configs don't
-    // clobber each other's sample matrices; the failed list rides in
-    // the sidecar too, so a failed pass that overwrites a same-config
-    // file is self-flagging rather than silently replacing good data.
+    // clobber each other; the failed list rides in the sidecars too,
+    // so a failed pass that overwrites a same-config file is
+    // self-flagging rather than silently replacing good data.
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val samplesFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES",
@@ -245,8 +258,17 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(samplesFile),
       s"""{"reps":$reps,"sf":"$sfDir","failed":$failedJson,"samples":$sjson}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the full former stdout payload (per-query medians + load trace)
+    // — the file a round's bench_rN_local.json is copied from
+    val queriesFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES_FILE",
+      s"bench_queries_${sfTag}_r$reps.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(queriesFile),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","reps":$reps,"load":$loadJson,"load_max":$loadMax,"quiet_wait_sec":${waited / 1000},"queries":$qjson,"failed":$failedJson,"samples_file":"$samplesFile","sf":"$sfDir"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val failedCompact = failed.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","reps":$reps,"load":$loadJson,"load_max":$loadMax,"quiet_wait_sec":${waited / 1000},"queries":$qjson,"failed":$failedJson,"samples_file":"$samplesFile","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","reps":$reps,"nq":${qs.length},"n_failed":${failed.size},"failed":$failedCompact,"load_max":$loadMax,"quiet_wait_sec":${waited / 1000},"queries_file":"$queriesFile","samples_file":"$samplesFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

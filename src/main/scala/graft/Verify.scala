@@ -32,9 +32,18 @@ object Verify {
     // never terminates) logs loudly and the rest of the round's
     // correctness artifact still gets written.
     val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_MS", "600000").toLong
+    // Per-query outcome ledger for the final stdout summary line —
+    // the compare harness builds the real verdicts from the dumps,
+    // but a bounded machine-readable dump status gives any stdout
+    // scraper a stable small target (the r19 lesson: artifact
+    // captures hold ~2 KB, so the summary must stay fixed-size).
+    val okQ = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failQ = scala.collection.mutable.ArrayBuffer.empty[String]
+    val timeoutQ = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      @volatile var failed = false
       val t = new Thread(() => {
         // job group = the query name, so a timeout can actually CANCEL
         // running Spark jobs instead of relying on interrupt alone
@@ -43,6 +52,7 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }, s"verify-$name")
@@ -61,7 +71,8 @@ object Verify {
         // round's artifact, not that core.
         spark.sparkContext.cancelJobGroup(s"verify-$name")
         t.interrupt()
-      }
+        timeoutQ += name
+      } else if (failed) failQ += name else okQ += name
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -78,6 +89,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Bounded machine-readable summary (the SAME capture-window
+    // contract as Bench's stdout line): counts first, name lists
+    // truncated to 10 so a mass failure cannot outgrow a ~2 KB
+    // capture. "dump ok" means the parquet landed — the row/schema/
+    // hash verdicts belong to the downstream DuckDB compare.
+    def names(b: scala.collection.mutable.ArrayBuffer[String]): String =
+      b.take(10).map(q).mkString("[", ",", "]")
+    println(s"""{"verify":"dump","total":${okQ.size + failQ.size +
+      timeoutQ.size},"ok":${okQ.size},"n_failed":${failQ.size},""" +
+      s""""n_timeout":${timeoutQ.size},"failed":${names(failQ)},""" +
+      s""""timeout":${names(timeoutQ)},"out_dir":${q(outDir)}}""")
     spark.stop()
   }
 }
