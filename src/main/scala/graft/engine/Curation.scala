@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * only new surface:
   *
   *   canonicalize → same-page dedup → exact dedup → near dedup →
+  *   benchmark decontamination → substring span removal →
   *   per-source quality cut → token-budget mix → sequence packing
   *
   * Each stage is a pure DataFrame → DataFrame function over the
@@ -21,7 +22,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: every stage is the already-audited form — the URL
   * canonicalizer is a zero-shuffle projection, both dedups are
-  * key-hash shuffles (LSH-banded for near-dup), the quality cut is
+  * key-hash shuffles (LSH-banded for near-dup), decontamination is
+  * the Bloom-prefiltered semi-join, span removal one window-hash
+  * shuffle + a doc-keyed text rejoin, the quality cut is
   * [[Scale.quantileCutKeep]]'s bounded two-pass histogram, the mix
   * and the packer ride [[Scale.shardedPrefixSumBy]]. No new shuffle
   * shapes are introduced by composing them.
@@ -55,7 +58,18 @@ object Curation {
       when(id % 7 === 0, lit("/")).otherwise(lit("")),
       lit("?utm_source=feed&z=9&a=1"),
       when(id % 9 === 0, lit("#Sec2")).otherwise(lit("")))
-    val u = if (d.columns.contains("url")) col("url") else fallbackUrl
+    val hasUrl = d.columns.contains("url")
+    // Loud fallback (r19 verdict): synthesizing provenance keys is a
+    // fixture-shaped convenience — a real corpus without URLs gets
+    // hazard-synthetic canonical keys, and same-page dedup is then a
+    // guaranteed no-op. Say so where the operator runs instead of
+    // letting the caller discover it in the stage counts.
+    if (!hasUrl) System.err.println(
+      "[curation] input has no `url` column — synthesizing " +
+        "collision-free provenance URLs from doc_id (same-page dedup " +
+        "will drop nothing; provide real URLs for provenance-aware " +
+        "curation)")
+    val u = if (hasUrl) col("url") else fallbackUrl
     val canon = d.withColumn("canonical", UrlOps.canonicalizeUrl(u))
     val dedupable = canon.filter(col("canonical").isNotNull)
     val keep = dedupable.groupBy(col("canonical"))
@@ -91,7 +105,86 @@ object Curation {
     d.join(drops, Seq("doc_id"), "left_anti")
   }
 
-  /** Stage 4 — per-source quality calibration: keep docs above the
+  /** Stage 4 — benchmark decontamination: drop every document that
+    * shares ANY 3-token shingle with the evaluation-benchmark corpus
+    * ([[Dedup.qContaminationBloom]]'s exact semantics and scale
+    * shape: the benchmark shingle set is Bloom-sketched — only the
+    * ~MB bit array reaches the driver — the corpus probe is the
+    * codegen'd `might_contain` BEFORE any shuffle, and the exact
+    * semi-join on the survivors removes the sketch's false positives,
+    * so the approximation never reaches the kept set). A real
+    * training-data run decontaminates before packing — a benchmark
+    * passage memorized from the training set invalidates the eval —
+    * and it belongs between near-dup and quality: dedup first shrinks
+    * the shingling work, and the cut must see original text (the
+    * substring stage rewrites it). `tag` keys the benchmark
+    * working-set memo (sizing count + sketch build + verify join all
+    * consume it) — pass a run-unique string. */
+  def deconStage(d: DataFrame, bench: DataFrame, tag: String): DataFrame = {
+    val spark = d.sparkSession
+    val benchSh = Dedup.memoizedPersisted(spark, s"curation-bench|$tag")(
+      Dedup.shingleHashSets(bench)
+        .select(explode(col("sh")).as("shingle")).distinct())
+    val nBench = benchSh.count()
+    val bf = benchSh.stat.bloomFilter("shingle",
+      expectedNumItems = math.max(nBench, 1000L), fpp = 0.001)
+    val contaminated = Dedup.shingleHashSets(d)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .filter(Scale.bloomMightContain(bf, col("shingle")))
+      .join(benchSh, Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+    d.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 5 — exact-substring span removal
+    * ([[TextOps.substringDedup]]'s ExactSubstr semantics inside the
+    * composed pipeline): every later copy of a ≥50-token span
+    * repeated anywhere in the corpus is cut out of the document
+    * TEXT before quality scoring — Lee et al.'s memorization-fuel
+    * bar, run after whole-doc dedup because near-dups below the 0.8
+    * Jaccard bar can still share long verbatim runs. Detection is
+    * the shared [[TextOps.substringRemovals]] pass (one shuffle on
+    * the 64-bit window hash); reassembly rebuilds the kept text from
+    * the surviving tokens, so the output `text` is the tokenized
+    * form (lowercased, single-spaced) — exactly the string whose md5
+    * the standalone operator's oracle pins. Documents whose every
+    * token sits inside removed spans vanish (nothing left to train
+    * on). One corpus-text shuffle to marry cleaned text back to the
+    * metadata columns; the removal side is dup-bearing docs only,
+    * broadcast-eligible under AQE. */
+  def substringStage(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val docs = Tables.spread(d).select(col("doc_id"), col("text"))
+    val rems = TextOps.substringRemovals(docs)
+    val cleaned = docs.join(rems, Seq("doc_id"), "left")
+      .as[(Long, String, Option[Seq[Int]])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text, remOpt) =>
+          val tk = Dedup.tokensOf(text)
+          val removed = new Array[Boolean](tk.length)
+          remOpt.foreach(_.foreach { p =>
+            var j = p
+            val e = math.min(p + TextOps.substrLen, tk.length)
+            while (j < e) { removed(j) = true; j += 1 }
+          })
+          val kept = new StringBuilder
+          var j = 0
+          while (j < tk.length) {
+            if (!removed(j)) {
+              if (kept.nonEmpty) kept.append(' ')
+              kept.append(tk(j))
+            }
+            j += 1
+          }
+          if (kept.isEmpty) None else Some((id, kept.result()))
+        }
+      }.toDF("doc_id", "__ctext")
+    d.drop("text").join(cleaned, Seq("doc_id"))
+      .withColumnRenamed("__ctext", "text")
+  }
+
+  /** Stage 6 — per-source quality calibration: keep docs above the
     * bottom [[TextOps.calibratedCut]] fraction of their own source's
     * quality distribution, via the scale-safe two-pass histogram cut
     * ([[TextOps.qQualityCalibratedCut]]'s exact-threshold
@@ -102,7 +195,7 @@ object Curation {
         "source", "__q", cutNum = 1, cutDen = 5)
       .drop("__q")
 
-  /** Stage 5 — token-budget mix: per source, docs in md5 order while
+  /** Stage 7 — token-budget mix: per source, docs in md5 order while
     * the running token total stays within `budgetPerSource`
     * ([[TextOps.qTokenBudgetMix]]'s selection discipline — sharded
     * prefix sum on (source, first md5 hex char)). Keeps `__ntk` for
@@ -116,7 +209,7 @@ object Curation {
       .filter(col("__cum") <= budgetPerSource)
       .drop("__hx", "__cum")
 
-  /** Stage 6 — sequence packing: contiguous greedy assignment of the
+  /** Stage 8 — sequence packing: contiguous greedy assignment of the
     * surviving docs (doc_id order, source-local) into 512-token
     * training sequences ([[TextOps.qPackSequences]]' offset
     * arithmetic over this frame). The output is the training
@@ -137,9 +230,16 @@ object Curation {
   /** The whole pipeline composed in memory — the equality anchor for
     * the staged job (`JobsSpec`): bugs that only composition can
     * introduce show up as a row diff between this and the
-    * parquet-checkpointed run. */
-  def pipeline(d: DataFrame, tag: String,
-      budgetPerSource: Long): DataFrame =
-    packStage(mixStage(qualityStage(nearDupStage(exactStage(urlStage(d)),
-      tag)), budgetPerSource))
+    * parquet-checkpointed run. `bench` enables the decontamination
+    * stage (None skips it — not every run has an eval suite to guard
+    * against); `substrDedup` gates the span-removal stage (on by
+    * default — the Lee et al. posture for training corpora). */
+  def pipeline(d: DataFrame, tag: String, budgetPerSource: Long,
+      bench: Option[DataFrame] = None,
+      substrDedup: Boolean = true): DataFrame = {
+    val deduped = nearDupStage(exactStage(urlStage(d)), tag)
+    val deconed = bench.fold(deduped)(b => deconStage(deduped, b, tag))
+    val cleaned = if (substrDedup) substringStage(deconed) else deconed
+    packStage(mixStage(qualityStage(cleaned), budgetPerSource))
+  }
 }

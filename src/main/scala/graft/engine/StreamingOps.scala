@@ -4,6 +4,37 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** A Bloom sketch of an immutable HISTORICAL corpus's canonical
+  * fingerprints, keyed EXACTLY the way the streaming probe reads it —
+  * built over `xxhash64(fp)` longs because the codegen'd
+  * `might_contain` expression is long-typed
+  * ([[Scale.bloomMightContain]]). The constructor is package-private
+  * on purpose: the r19 probe-key migration (raw fp strings →
+  * xxhash64 longs) showed that a raw `BloomFilter` parameter lets a
+  * caller pass a sketch built under the OLD key scheme — it compiles
+  * and runs while every probe misses, silently turning history dedup
+  * into a no-op. Routing every build through [[HistorySketch.build]]
+  * makes the key derivation single-sourced and the mismatch
+  * unrepresentable. */
+final class HistorySketch private[engine] (
+    private[engine] val bf: org.apache.spark.util.sketch.BloomFilter)
+
+object HistorySketch {
+  /** Build the history sketch from a frame carrying the canonical
+    * fingerprint column (default `fp` — [[TextOps.fingerprint]]
+    * output). Distributed build: only the ~MB bit array reaches the
+    * driver. `expectedItems < 0` pays one count pass for sizing —
+    * pass the known history cardinality to skip it (a hard-coded
+    * capacity would let fpp degrade toward 1 as history grows). */
+  def build(historyFp: DataFrame, fpCol: String = "fp",
+      expectedItems: Long = -1L, fpp: Double = 0.001): HistorySketch = {
+    val n = if (expectedItems >= 0L) expectedItems else historyFp.count()
+    new HistorySketch(historyFp
+      .select(xxhash64(col(fpCol)).as("fph"))
+      .stat.bloomFilter("fph", math.max(n, 1000L), fpp))
+  }
+}
+
 /** A parsed ad-event with its derived event time (epoch millis →
   * seconds precision, F1–F3). */
 case class TimedEvent(
@@ -159,13 +190,23 @@ object StreamingOps {
     * trade of the always-on path, and the periodic batch
     * [[Dedup.qDedupIncremental]] pass over the same day's files is
     * the exact reconciliation (its anti-join absorbs false
-    * positives). */
+    * positives).
+    *
+    * The sketch parameter is the [[HistorySketch]] wrapper, NOT a raw
+    * BloomFilter: when the probe moved to the long-typed codegen'd
+    * expression (r19) the build keys silently changed from raw fp
+    * strings to xxhash64(fp) longs, and a caller still passing a
+    * string-keyed sketch would compile and run while every probe
+    * missed — history dedup degrading to a no-op with no error
+    * anywhere. The wrapper pins key derivation to ONE place
+    * ([[HistorySketch.build]]); an old-style sketch no longer
+    * typechecks (r19 ADVICE). */
   def incrementalDocPipeline(docs: DataFrame,
-      historyFp: org.apache.spark.util.sketch.BloomFilter,
+      history: HistorySketch,
       watermarkDelay: String = "10 minutes",
       minQuality: Double = 0.25): DataFrame =
     docPipeline(docs, watermarkDelay, minQuality)
-      .filter(!Scale.bloomMightContain(historyFp, xxhash64(col("fp"))))
+      .filter(!Scale.bloomMightContain(history.bf, xxhash64(col("fp"))))
 
   /** Windowed trending terms — the streaming twin of the batch
     * heavy-hitters ([[TextOps.qHeavyHitters]]): doc-stream tokens

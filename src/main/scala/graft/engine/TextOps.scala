@@ -863,13 +863,19 @@ object TextOps {
   def qSubstringDedup(spark: SparkSession, sfDir: String): DataFrame =
     substringDedup(Tables(spark, sfDir, "documents"))
 
-  /** The dataflow behind [[qSubstringDedup]], over any (doc_id, text)
-    * frame — also driven by [[graft.tools.SubstrScale]] on synthetic
-    * corpora far beyond the SF fixtures. */
-  def substringDedup(d: DataFrame, w: Int = substrLen): DataFrame = {
-    val spark = d.sparkSession
+  /** The duplicated-window removal positions behind [[substringDedup]]
+    * — per dup-bearing document, the sorted start positions of every
+    * `w`-token window whose content occurred earlier in (doc_id, pos)
+    * order. Factored out (r20) so the composed curation pipeline
+    * ([[Curation.substringStage]]) can share the detection pass and
+    * do its own reassembly (it needs the cleaned TEXT downstream, not
+    * the md5 manifest). Input must be an already-spread (doc_id,
+    * text) frame; output rows are bounded by DUPLICATED window
+    * instances, not corpus size. */
+  private[engine] def substringRemovals(docs: DataFrame,
+      w: Int = substrLen): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Tables.spread(d).select(col("doc_id"), col("text"))
     val wins = docs.as[(Long, String)].mapPartitions { it =>
       it.flatMap { case (id, text) =>
         val tk = Dedup.tokensOf(text)
@@ -879,11 +885,21 @@ object TextOps {
     }.toDF("doc_id", "pos", "h")
     val keepFirst = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
-    val rem = wins
+    wins
       .withColumn("rn", row_number().over(keepFirst))
       .filter(col("rn") > 1)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("rems"))
+  }
+
+  /** The dataflow behind [[qSubstringDedup]], over any (doc_id, text)
+    * frame — also driven by [[graft.tools.SubstrScale]] on synthetic
+    * corpora far beyond the SF fixtures. */
+  def substringDedup(d: DataFrame, w: Int = substrLen): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val docs = Tables.spread(d).select(col("doc_id"), col("text"))
+    val rem = substringRemovals(docs, w)
     docs.join(rem, Seq("doc_id"), "left")
       .as[(Long, String, Option[Seq[Int]])]
       .mapPartitions { it =>
@@ -1670,7 +1686,19 @@ object TextOps {
               // a FULL window excludes nothing — nEdge 0 lets the
               // replay run the fit to the end
               Some((candsT, preSyms, if (full) 0L else t - 1L))
-            } else None
+            } else {
+              // window never reached (e.g. one count level alone
+              // exceeds tailKMax): in the stalled-head regime this
+              // failure is as stable round-to-round as the counted-
+              // probe failure — the pair table shifts by ~1 merge per
+              // round — so back off the same way instead of re-paying
+              // the full histogram aggregation every round (r19
+              // ADVICE). Cheap-lane walks don't set it: the cheap
+              // lane ignores the cooldown and head rounds move the
+              // table by whole batches.
+              if (!cheap) probeCooldown = 32
+              None
+            }
           }
         val concats = cs.map(c => c._1 + c._2)
         // which candidate outputs already live in the pair table?

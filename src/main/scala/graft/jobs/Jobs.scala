@@ -27,7 +27,12 @@ case class JobConfig(
     autoCompaction: Boolean = false,       // Kafka2S3Hive.scala:87 (made real)
     compactRetentionMs: Long = 0L,         // grace before absorbed-file deletes
     availableNow: Boolean = false,         // bounded run (tests/backfill)
-    tokenBudget: Long = graft.engine.TextOps.tokenBudget) // CurationJob mix
+    tokenBudget: Long = graft.engine.TextOps.tokenBudget, // CurationJob mix
+    benchmarkDir: String = "",             // CurationJob decon (off if empty)
+    substringDedup: Boolean = true,        // CurationJob span removal
+    resumeFrom: String = "",               // CurationJob: reread stages ≤ this
+    budget: Long = graft.engine.TextOps.tokenBudget, // StreamCurationJob admission
+    historyDir: String = "")               // StreamCurationJob Bloom history
 
 object JobConfig {
   /** `--key value` parser over the fields above; unknown keys fail. */
@@ -53,6 +58,11 @@ object JobConfig {
           c.copy(compactRetentionMs = v.toLong)
         case "--available-now" => c.copy(availableNow = v.toBoolean)
         case "--token-budget" => c.copy(tokenBudget = v.toLong)
+        case "--benchmark-dir" => c.copy(benchmarkDir = v)
+        case "--substring-dedup" => c.copy(substringDedup = v.toBoolean)
+        case "--resume-from" => c.copy(resumeFrom = v)
+        case "--budget" => c.copy(budget = v.toLong)
+        case "--history-dir" => c.copy(historyDir = v)
         case other => throw new IllegalArgumentException(
           s"unknown option: $other")
       }
@@ -204,42 +214,92 @@ object HiveJob {
 /** The BATCH curation entry (r19) — the 4th CLI job, and the one
   * with no reference counterpart (the reference's three jobs are the
   * streaming analogs): canonicalize → same-page + exact + near dedup
-  * → per-source quality cut → token-budget mix → sequence packing,
-  * each stage an individually-oracle-proven [[graft.engine.Curation]]
-  * function, CHECKPOINTED to parquet under `--staging-dir` between
-  * stages — the restartable posture a multi-day 100 TB run needs
-  * (rerunning a failed stage rereads its predecessor's parquet
-  * instead of recomputing the chain). The final packing manifest
-  * lands at `--sink-path`. `JobsSpec` asserts the staged run
-  * row-equals the direct in-memory composition.
+  * → benchmark decontamination (`--benchmark-dir`, r20) → substring
+  * span removal (`--substring-dedup`, r20) → per-source quality cut
+  * → token-budget mix → sequence packing, each stage an
+  * individually-oracle-proven [[graft.engine.Curation]] function,
+  * CHECKPOINTED to parquet under `--staging-dir` between stages. The
+  * checkpoints make the run RESTARTABLE: `--resume-from <stage-name>`
+  * rereads every checkpoint up to and including that stage and
+  * recomputes only what follows — the posture a multi-day 100 TB run
+  * needs after a stage-6 failure (stages 1–5 cost days; their parquet
+  * is already on disk). Without the flag every stage recomputes. The
+  * final packing manifest lands at `--sink-path`. `JobsSpec` asserts
+  * the staged run row-equals the direct in-memory composition AND
+  * that a resumed run reproduces the full run without touching the
+  * input.
   *
   *   runMain graft.jobs.CurationJob --source file --input-dir <docs
   *   parquet> --staging-dir <dir> --sink-path <dir>
-  *   [--token-budget N]
+  *   [--token-budget N] [--benchmark-dir <eval parquet>]
+  *   [--substring-dedup true|false] [--resume-from <stage-name>]
   */
 object CurationJob {
   import graft.engine.Curation
+
+  /** Stage names in execution order (staging subdirectories and the
+    * `--resume-from` vocabulary). 4_decon and 5_substr only run when
+    * configured; resume validation accepts any of these. */
+  val stageNames: Seq[String] = Seq("1_url", "2_exact", "3_neardup",
+    "4_decon", "5_substr", "6_quality", "7_mix")
 
   def run(spark: SparkSession, c: JobConfig): String = {
     require(c.inputDir.nonEmpty && c.stagingDir.nonEmpty &&
       c.sinkPath.nonEmpty,
       "CurationJob needs --input-dir, --staging-dir and --sink-path")
-    val docs = spark.read.parquet(c.inputDir)
+    require(c.resumeFrom.isEmpty || stageNames.contains(c.resumeFrom),
+      s"--resume-from must be one of ${stageNames.mkString(", ")}")
+    require(c.resumeFrom != "4_decon" || c.benchmarkDir.nonEmpty,
+      "--resume-from 4_decon needs --benchmark-dir (the stage only " +
+        "runs when configured)")
+    require(c.resumeFrom != "5_substr" || c.substringDedup,
+      "--resume-from 5_substr contradicts --substring-dedup false")
+    // lazy: a resumed run rereads checkpoints and must not touch the
+    // input at all (it may be a rotated-away crawl drop by then) —
+    // the JobsSpec resume test deletes it to prove this holds
+    lazy val docs = spark.read.parquet(c.inputDir)
+    val bench = Option(c.benchmarkDir).filter(_.nonEmpty)
+      .map(spark.read.parquet(_))
+    // The working-set memo tag folds in a per-run nonce (r19 ADVICE):
+    // the staging dir is stable across runs, and a second run() in
+    // the same session with the same staging dir but DIFFERENT input
+    // must not reuse the previous run's persisted signature frame.
+    val tag = s"${c.stagingDir}|${java.util.UUID.randomUUID()}"
     // checkpoint each stage: write, then read BACK — downstream
     // stages consume the on-disk schema, so any column the write
-    // drops or retypes fails here, not silently
-    def staged(name: String, df: DataFrame): DataFrame = {
+    // drops or retypes fails here, not silently. While resuming,
+    // completed stages are REREAD from their checkpoints (`df` is
+    // by-name, so the skipped stage's plan is never even built); a
+    // missing checkpoint fails loudly rather than silently
+    // recomputing the chain the caller believed was done.
+    var resuming = c.resumeFrom.nonEmpty
+    def staged(name: String, df: => DataFrame): DataFrame = {
       val p = s"${c.stagingDir}/$name"
-      df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
+      if (resuming) {
+        if (name == c.resumeFrom) resuming = false
+        val hp = new org.apache.hadoop.fs.Path(p)
+        require(hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(hp),
+          s"--resume-from ${c.resumeFrom}: checkpoint $p does not exist")
+        spark.read.parquet(p)
+      } else {
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
     }
     val s1 = staged("1_url", Curation.urlStage(docs))
     val s2 = staged("2_exact", Curation.exactStage(s1))
-    val s3 = staged("3_neardup",
-      Curation.nearDupStage(s2, tag = c.stagingDir))
-    val s4 = staged("4_quality", Curation.qualityStage(s3))
-    val s5 = staged("5_mix", Curation.mixStage(s4, c.tokenBudget))
-    Curation.packStage(s5).write.mode("overwrite").parquet(c.sinkPath)
+    val s3 = staged("3_neardup", Curation.nearDupStage(s2, tag))
+    val s4 = bench match {
+      case Some(b) => staged("4_decon", Curation.deconStage(s3, b, tag))
+      case None => s3
+    }
+    val s5 =
+      if (c.substringDedup) staged("5_substr", Curation.substringStage(s4))
+      else s4
+    val s6 = staged("6_quality", Curation.qualityStage(s5))
+    val s7 = staged("7_mix", Curation.mixStage(s6, c.tokenBudget))
+    Curation.packStage(s7).write.mode("overwrite").parquet(c.sinkPath)
     c.sinkPath
   }
 

@@ -199,26 +199,86 @@ class JobsSpec extends SparkSpec {
   test("CurationJob: staged parquet run row-equals the in-memory composition") {
     import graft.engine.Curation
     val docsPath = s"$sf0001/documents.parquet"
+    // the benchmark suite to decontaminate against: a handful of the
+    // corpus's own documents, so the stage provably drops rows (every
+    // benchmark doc shares all its shingles with itself)
+    val benchPath = tmpDir("cur_bench")
+    spark.read.parquet(docsPath)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .write.mode("overwrite").parquet(benchPath)
     val out = tmpDir("cur_out")
     val stg = tmpDir("cur_stg")
     CurationJob.run(spark, JobConfig(inputDir = docsPath,
-      stagingDir = stg, sinkPath = out, tokenBudget = 300L))
+      stagingDir = stg, sinkPath = out, tokenBudget = 300L,
+      benchmarkDir = benchPath))
     val staged = spark.read.parquet(out).collect()
       .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
     // the anchor: the same engine stages composed directly, no
     // parquet checkpoints — a schema drift, dropped column or stage
     // reorder in the job shows up as a row diff here
     val direct = Curation.pipeline(spark.read.parquet(docsPath),
-        tag = "jobsspec-direct", budgetPerSource = 300L)
+        tag = "jobsspec-direct", budgetPerSource = 300L,
+        bench = Some(spark.read.parquet(benchPath)))
       .collect().map(_.toSeq.map(String.valueOf))
       .sortBy(_.mkString("|")).toSeq
     assert(staged.nonEmpty && staged == direct)
     // every intermediate checkpoint materialized, monotonically
     // shrinking (each stage only drops rows)
-    val counts = Seq("1_url", "2_exact", "3_neardup", "4_quality",
-      "5_mix").map(n => spark.read.parquet(s"$stg/$n").count())
+    val counts = Seq("1_url", "2_exact", "3_neardup", "4_decon",
+      "5_substr", "6_quality", "7_mix")
+      .map(n => spark.read.parquet(s"$stg/$n").count())
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       counts.toString)
+    // decontamination provably dropped the planted benchmark docs
+    assert(counts(3) < counts(2),
+      s"decon stage dropped nothing: $counts")
+
+    // RESUME (r20): recompute only past the resume point, without
+    // touching the input — rereading checkpoints must reproduce the
+    // full run bit-for-bit. The input path is deleted first, so any
+    // attempt to recompute stages 1-7 fails loudly.
+    val out2 = tmpDir("cur_out2")
+    val docsCopy = tmpDir("cur_docs_copy")
+    spark.read.parquet(docsPath).write.mode("overwrite").parquet(docsCopy)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(docsCopy))
+    CurationJob.run(spark, JobConfig(inputDir = docsCopy,
+      stagingDir = stg, sinkPath = out2, tokenBudget = 300L,
+      benchmarkDir = benchPath, resumeFrom = "7_mix"))
+    val resumed = spark.read.parquet(out2).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(resumed == staged)
+    // resume vocabulary is validated up front
+    assertThrows[IllegalArgumentException] {
+      CurationJob.run(spark, JobConfig(inputDir = docsCopy,
+        stagingDir = stg, sinkPath = out2, resumeFrom = "9_nope"))
+    }
+    assertThrows[IllegalArgumentException] {
+      CurationJob.run(spark, JobConfig(inputDir = docsCopy,
+        stagingDir = stg, sinkPath = out2, resumeFrom = "4_decon"))
+    }
+  }
+
+  test("Curation.urlStage: a real url column is used verbatim, never synthesized") {
+    import graft.engine.Curation
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val d = Seq(
+      (1L, "src0", "HTTPS://WWW.Example.com:443/a?utm_source=x&b=1#frag"),
+      (2L, "src1", "https://example.com/a?b=1"),   // same page as 1
+      (3L, "src2", "schemeless-garbage"))          // canonicalizes to NULL
+      .toDF("doc_id", "source", "url")
+      .withColumn("text", lit("hello world"))
+    val out = Curation.urlStage(d).collect()
+    // same-page dedup actually ran on the REAL urls (1 and 2 collapse)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+    // and nothing came from the synthetic derivation (its fixed shape)
+    val canon = out.flatMap(r => Option(r.getAs[String]("canonical")))
+    assert(canon.nonEmpty &&
+      canon.forall(c => !c.toLowerCase.contains("/docs/")))
+    assert(canon.contains("https://example.com/a?b=1"))
   }
 
 }

@@ -768,8 +768,8 @@ class PlanShapeSpec extends SparkSpec {
       plan(graft.engine.Dedup.qContaminationBloom(spark, sf0001)),
       plan(graft.engine.Dedup.qDedupIncremental(spark, sf0001)))
     // and the streaming probe (analyzed plan — no started query needed)
-    val bf = Seq("x").toDF("fp").select(xxhash64(col("fp")).as("fph"))
-      .stat.bloomFilter("fph", 100L, 0.01)
+    val bf = graft.engine.HistorySketch.build(Seq("x").toDF("fp"),
+      expectedItems = 100L, fpp = 0.01)
     val stream = spark.readStream.format("rate")
       .option("rowsPerSecond", "1").load()
       .select(col("value").as("doc_id"),

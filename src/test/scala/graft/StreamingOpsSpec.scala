@@ -369,12 +369,11 @@ class StreamingOpsSpec extends SparkSpec {
       row(3, fresh, T0 + 2000),     // in-stream dup → watermark dedup
       row(4, fresh2, T0 + 3000))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
-    // the history sketch, built exactly as the batch side builds it
-    // (over xxhash64(fp) — the codegen'd probe is long-typed)
-    val hist = Seq(seen).toDF("text")
-      .select(org.apache.spark.sql.functions
-        .xxhash64(TextOps.fingerprint(col("text"))).as("fph"))
-      .stat.bloomFilter("fph", 1000L, 0.001)
+    // the history sketch through the ONE sanctioned build path —
+    // HistorySketch owns the xxhash64 key derivation (r19 ADVICE)
+    val hist = graft.engine.HistorySketch.build(
+      Seq(seen).toDF("text")
+        .select(TextOps.fingerprint(col("text")).as("fp")))
     val docs = spark.readStream
       .schema("doc_id LONG, text STRING, ts LONG").json(dir)
       .withColumn("event_time", TimeOps.eventTimeFromMillis(col("ts")))
