@@ -2148,9 +2148,11 @@ object Relational {
     * the bucket from (rank, n). Output is row-identical to [[qRfm]],
     * so the SAME oracle arbitrates both. The per-customer frame is
     * session-memoized, the three axes' cuts come from ONE fused
-    * histogram derivation and the three ranks from ONE union-tagged
-    * sharded scan (r19 — the r18 per-axis form paid ~9 eager passes
-    * over the frame plus three join-backs). */
+    * histogram derivation and the three ranks from ONE posexplode-
+    * tagged sharded scan whose pivot carries the axis values back out
+    * (r20 — the r18 per-axis form paid ~9 eager passes over the frame
+    * plus three join-backs; r19 fused the cuts but still scanned the
+    * frame once per axis and joined the ranks back). */
   def qRfmSharded(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
@@ -2168,38 +2170,44 @@ object Relational {
       .agg(count(lit(1)).as("__n"))
     // ONE fused histogram derivation for all three axes' shard cuts
     // (r19, [[Scale.balancedCutsMulti]] — was three independent
-    // balancedShards at 2+ eager passes each), and ONE union-tagged
-    // sharded scan ranking all three axes in a single prefix-sum
-    // pipeline (was three shardedPrefixSumBy + three join-backs).
-    // The monetary axis rides ×10⁴ exact integral units so the
-    // three axes share one long-typed __val column — decimal(18,4)
-    // scaled by its own exponent is exact, and any monotone
-    // bijection preserves the (value, custkey) rank.
+    // balancedShards at 2+ eager passes each), and ONE posexplode-
+    // tagged sharded scan ranking all three axes in a single
+    // prefix-sum pipeline (r20 — the r19 union-tag form scanned the
+    // memoized frame once PER AXIS and joined the ranks back; the
+    // generator emits all three (axis, value) rows from one scan,
+    // and the rank pivot carries the axis values themselves so the
+    // join-back is gone too). The monetary axis rides ×10⁴ exact
+    // integral units so the three axes share one long-typed __val
+    // column — decimal(18,4) scaled by its own exponent is exact,
+    // and any monotone bijection preserves the (value, custkey) rank.
     val axisVals = Seq(col("r_s"), col("f"),
       (col("m") * 10000).cast("long"))
     val cuts = Scale.memoizedCutsMulti(spark, s"rfm3|$sfDir", 16,
       axisVals)(Scale.balancedCutsMulti(per, axisVals, 16))
-    val tagged = axisVals.zipWithIndex.map { case (v, i) =>
-      per.select(lit(i).as("__ax"), col("custkey"), col("nationkey"),
-        v.cast("long").as("__val"))
-    }.reduce(_.union(_))
+    // m (double) rides along the exploded rows and pivots back out —
+    // reconstructing it from the ×10⁴ long would be a double→long→
+    // double round-trip with no exactness guarantee past 2⁵³
+    val tagged = per.join(broadcast(nPer), "nationkey")
+      .select(col("custkey"), col("nationkey"), col("__n"), col("m"),
+        posexplode(array(axisVals.map(_.cast("long")): _*))
+          .as(Seq("__ax", "__val")))
     val shard = when(col("__ax") === 0,
         Scale.shardOfCuts(col("__val"), cuts(0)))
       .when(col("__ax") === 1, Scale.shardOfCuts(col("__val"), cuts(1)))
       .otherwise(Scale.shardOfCuts(col("__val"), cuts(2)))
-    val ranked = Scale.shardedPrefixSumBy(
-        tagged.join(broadcast(nPer), "nationkey"),
+    def axisMax(i: Int, c: Column): Column = max(when(col("__ax") === i, c))
+    Scale.shardedPrefixSumBy(tagged,
         Seq("__ax", "nationkey"), shard,
         Seq(col("__val"), col("custkey")), lit(1L), "__r")
       .groupBy(col("custkey"))
       .agg(
-        max(when(col("__ax") === 0, ntileFromRank("__r", "__n", 5)))
-          .as("r_q"),
-        max(when(col("__ax") === 1, ntileFromRank("__r", "__n", 5)))
-          .as("f_q"),
-        max(when(col("__ax") === 2, ntileFromRank("__r", "__n", 5)))
-          .as("m_q"))
-    per.join(ranked, "custkey")
+        max(col("nationkey")).as("nationkey"),
+        axisMax(0, col("__val")).as("r_s"),
+        axisMax(1, col("__val")).as("f"),
+        max(col("m")).as("m"),
+        axisMax(0, ntileFromRank("__r", "__n", 5)).as("r_q"),
+        axisMax(1, ntileFromRank("__r", "__n", 5)).as("f_q"),
+        axisMax(2, ntileFromRank("__r", "__n", 5)).as("m_q"))
       .withColumn("segment",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
       .select(col("custkey"), col("nationkey"), col("r_s"), col("f"),
