@@ -1021,18 +1021,28 @@ object StreamingOps {
       .partitionBy(col("source")).orderBy(col("event_time"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // persisted: the manifest write, the state-table partials and
+    // applyRollupBatch's several bookkeeping actions all consume this
+    // frame — without the pin EVERY action re-executes the whole
+    // micro-batch plan (source re-read, features, dedup state lookup,
+    // the admission window), which measured as a ~5 s/batch fixed tax
+    // in the composed StreamCurationJob (r20 StreamScale probe). The
+    // pinned frame is admitted (doc_id, source, ntk) rows only.
     val admitted = batch
       .withColumn("ntk", TextOps.tokenCount(col("text")).cast("long"))
       .withColumn("cum", sum(col("ntk")).over(w))
       .join(used, Seq("source"), "left")
       .filter(col("cum") + coalesce(col("used"), lit(0L)) <= budget)
       .select(col("doc_id"), col("source"), col("ntk"))
-    admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    applyRollupBatch(
-      admitted.groupBy(col("source").as("gk"))
-        .agg(count(lit(1)).as("pn"),
-          sum(col("ntk")).cast("decimal(18,4)").as("psum")),
-      stateDir, batchId, nb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      applyRollupBatch(
+        admitted.groupBy(col("source").as("gk"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("ntk")).cast("decimal(18,4)").as("psum")),
+        stateDir, batchId, nb)
+    } finally admitted.unpersist()
   }
 
   /** The streaming driver for [[admitBudgetBatch]]: docs carrying

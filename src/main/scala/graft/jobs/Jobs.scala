@@ -32,7 +32,8 @@ case class JobConfig(
     substringDedup: Boolean = true,        // CurationJob span removal
     resumeFrom: String = "",               // CurationJob: reread stages ≤ this
     budget: Long = graft.engine.TextOps.tokenBudget, // StreamCurationJob admission
-    historyDir: String = "")               // StreamCurationJob Bloom history
+    historyDir: String = "",               // StreamCurationJob Bloom history
+    maxFilesPerTrigger: Long = 0L)         // 0 = source default
 
 object JobConfig {
   /** `--key value` parser over the fields above; unknown keys fail. */
@@ -63,6 +64,8 @@ object JobConfig {
         case "--resume-from" => c.copy(resumeFrom = v)
         case "--budget" => c.copy(budget = v.toLong)
         case "--history-dir" => c.copy(historyDir = v)
+        case "--max-files-per-trigger" =>
+          c.copy(maxFilesPerTrigger = v.toLong)
         case other => throw new IllegalArgumentException(
           s"unknown option: $other")
       }
@@ -308,5 +311,80 @@ object CurationJob {
     val t0 = System.nanoTime()
     run(Jobs.session("batch curation"), c)
     println(f"CurationJob done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+}
+
+/** The ALWAYS-ON streaming curation entry (r20) — the 5th CLI job,
+  * [[CurationJob]]'s streaming analog: the three always-on stages
+  * every spec proved individually, chained into one continuously
+  * running pipeline.
+  *
+  *   doc pipeline     — stateless per-doc features (fingerprint,
+  *                      quality, token count, language — the batch
+  *                      [[graft.engine.TextOps]] expressions), quality
+  *                      floor, watermark-bounded exact dedup
+  *                      ([[graft.engine.StreamingOps.docPipeline]]);
+  *   history probe    — Bloom sketch of the immutable historical
+  *                      corpus's fingerprints (`--history-dir`, a
+  *                      parquet of `fp` built by the batch side;
+  *                      omitted = no history), applied as a stateless
+  *                      codegen'd filter
+  *                      ([[graft.engine.StreamingOps.incrementalDocPipeline]]);
+  *   budget admission — per-source token budgets across the WHOLE
+  *                      stream, tracked in the replay-safe rollup
+  *                      state table under `--staging-dir`
+  *                      ([[graft.engine.StreamingOps.admitBudgetBatch]]).
+  *
+  * Admitted manifests land at `--sink-path/batch=<id>` (overwrite-
+  * per-batch — re-delivery rewrites identical content); streaming
+  * state is the watermark-horizon dedup keys plus the budget table,
+  * never corpus-sized. The periodic batch [[CurationJob]] over the
+  * same day's files is the exact reconciliation for everything the
+  * always-on path trades away (Bloom false positives, arrival-order
+  * keep, horizon-straddling dups) — the same batch/stream pairing the
+  * reference's partition-commit jobs embody. Input parquet must carry
+  * (doc_id, source, text, event_time).
+  *
+  *   runMain graft.jobs.StreamCurationJob --input-dir <docs parquet>
+  *   --checkpoint-dir <dir> --staging-dir <dir> --sink-path <dir>
+  *   [--history-dir <fp parquet>] [--budget N] [--available-now true]
+  *   [--max-files-per-trigger N]
+  */
+object StreamCurationJob {
+  import graft.engine.{HistorySketch, StreamingOps}
+
+  def run(spark: SparkSession, c: JobConfig): StreamingQuery = {
+    require(c.inputDir.nonEmpty && c.checkpointDir.nonEmpty &&
+      c.stagingDir.nonEmpty && c.sinkPath.nonEmpty,
+      "StreamCurationJob needs --input-dir, --checkpoint-dir, " +
+        "--staging-dir and --sink-path")
+    // schema bootstrap from the static view of the drop directory —
+    // the file-stream source requires an explicit schema
+    val schema = spark.read.parquet(c.inputDir).schema
+    var reader = spark.readStream.schema(schema)
+    if (c.maxFilesPerTrigger > 0L)
+      reader = reader.option("maxFilesPerTrigger",
+        c.maxFilesPerTrigger.toString)
+    val docs = reader.parquet(c.inputDir)
+    val piped = Option(c.historyDir).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        StreamingOps.incrementalDocPipeline(docs,
+          HistorySketch.build(spark.read.parquet(dir)))
+      case None => StreamingOps.docPipeline(docs)
+    }
+    piped.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        StreamingOps.admitBudgetBatch(b,
+          s"${c.stagingDir}/budget_state", c.sinkPath, c.budget, id)
+      }
+      .option("checkpointLocation", c.checkpointDir)
+      .trigger(Jobs.trigger(c))
+      .start()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = JobConfig.parse(args)
+    val q = run(Jobs.session("streaming curation"), c)
+    q.awaitTermination()
   }
 }

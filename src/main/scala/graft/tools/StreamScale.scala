@@ -239,7 +239,62 @@ object StreamScale {
       s""","kept_up":${durs.max <= 2 * triggerMs}}""")
   }
 
+  /** COMPOSED-CURATION mode (r20) — the end-to-end
+    * [[graft.jobs.StreamCurationJob]] (doc pipeline → history Bloom
+    * probe → per-source budget admission, parquet manifests + the
+    * replay-safe budget state table) driven as ONE always-on job over
+    * a file-backed 8-micro-batch stream, so the composed entry has a
+    * measured throughput number and not just its spec. History = 10%
+    * of the corpus (every id ≡ 3 mod 10), so the probe does real
+    * dropping; the budget is sized to admit everything — admission
+    * writes and state-table merges are paid on the full surviving
+    * volume. Usage:
+    *   sbt "runMain graft.tools.StreamScale curation [nDocs]"
+    */
+  private def curation(spark: SparkSession, nDocs: Long): Unit = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("scur").toString
+    spark.range(nDocs).map { id =>
+      (id, s"s${id % 4}", textOf(id),
+        new java.sql.Timestamp(1617171780000L + id * 3))
+    }.toDF("doc_id", "source", "text", "event_time")
+      .repartitionByRange(8, col("event_time"))
+      .write.mode("overwrite").parquet(s"$root/docs")
+    spark.read.parquet(s"$root/docs")
+      .filter(col("doc_id") % 10 === 3)
+      .select(graft.engine.TextOps.fingerprint(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$root/hist")
+    val stats = measureQuery(_ => graft.jobs.StreamCurationJob.run(spark,
+      graft.jobs.JobConfig(inputDir = s"$root/docs",
+        checkpointDir = s"$root/ckpt", stagingDir = s"$root/stg",
+        sinkPath = s"$root/out", historyDir = s"$root/hist",
+        budget = nDocs * 40L, availableNow = true,
+        maxFilesPerTrigger = 1L)), nDocs)
+    val admitted = spark.read.parquet(s"$root/out/batch=*").count()
+    println(s"""{"metric":"stream_curation_rows_per_sec"""" +
+      f""","value":${stats.rows / stats.wallSec}%.0f,"unit":"rows/s"""" +
+      s""","docs":$nDocs,"admitted":$admitted""" +
+      s""",${stats.json("curation_job")}}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("curation")) {
+      val nDocs = args.lift(1).map(_.toLong).getOrElse(120000L)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val spark0 = SparkSession.builder()
+        .master(s"local[$cpus0]")
+        .appName("graft-stream-curation")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark0.sparkContext.setLogLevel("ERROR")
+      Tables.tune(spark0)
+      curation(spark0, nDocs)
+      spark0.stop()
+      return
+    }
     if (args.headOption.contains("sustained")) {
       val rate = args.lift(1).map(_.toLong).getOrElse(10000L)
       val secs = args.lift(2).map(_.toInt).getOrElse(150)

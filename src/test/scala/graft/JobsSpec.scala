@@ -261,6 +261,85 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("StreamCurationJob: 3-batch replay row-equals the batch stages") {
+    import graft.engine.TextOps
+    import graft.jobs.StreamCurationJob
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val T0 = 1617171780000L
+    def ts(s: Long) = new java.sql.Timestamp(T0 + s * 1000L)
+    // 8-token documents (budget 20 ⇒ two admits per source), one
+    // history hit, one low-quality, one in-stream cross-batch dup
+    val a1 = "the cat and the dog with one bone"
+    val a2 = "the sun and the moon with two stars"
+    val a3 = "the boy and the girl with ten books"
+    val b1 = "the red and the blue with six kites"
+    val b2 = "the old and the new with big plans"
+    val hist = "this historical document is that one with the answer"
+    val junk = "@@@@ %%%% $$$$"
+    val slices = Seq(
+      Seq((1L, "a", a1, ts(1)), (2L, "b", hist, ts(2)),
+        (3L, "b", junk, ts(3))),
+      Seq((4L, "a", a2, ts(11)), (5L, "b", a1, ts(12)),
+        (6L, "b", b1, ts(13))),
+      Seq((7L, "a", a3, ts(21)), (8L, "b", b2, ts(22))))
+    val inDir = tmpDir("scur_in")
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = tmpDir(s"scur_slice$i")
+      rows.toDF("doc_id", "source", "text", "event_time")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir, f"slice_$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      // ascending mod-times pin the file-source processing order
+      dst.setLastModified(T0 + i * 60000L)
+    }
+    val histDir = tmpDir("scur_hist")
+    Seq(hist).toDF("text")
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(histDir)
+    val out = tmpDir("scur_out")
+    val q = StreamCurationJob.run(spark, JobConfig(inputDir = inDir,
+      checkpointDir = tmpDir("scur_ckpt"), stagingDir = tmpDir("scur_stg"),
+      sinkPath = out, historyDir = histDir, budget = 20L,
+      availableNow = true, maxFilesPerTrigger = 1L))
+    q.awaitTermination()
+    // one overwrite-per-batch manifest per micro-batch, not one blob
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    // 3 data batches (AvailableNow may append a trailing empty one)
+    assert(batchDirs.length >= 3, batchDirs.mkString(","))
+    val streamed = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id", "source", "ntk")
+      .as[(Long, String, Long)].collect().toSet
+    // the batch-side anchor: same features, floor, keep-first dedup,
+    // history anti-join and per-source budget prefix over the union
+    // of the slices — time-sliced arrival makes stream admission
+    // order coincide with the global (event_time, doc_id) order
+    val all = slices.flatten.toDF("doc_id", "source", "text", "event_time")
+    val expected = all
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("ntk", TextOps.tokenCount(col("text")).cast("long"))
+      .filter(col("quality") >= 0.25)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("fp"))
+        .orderBy(col("event_time"), col("doc_id"))))
+      .filter(col("rn") === 1)
+      .join(spark.read.parquet(histDir), Seq("fp"), "left_anti")
+      .withColumn("cum", sum(col("ntk")).over(Window
+        .partitionBy(col("source"))
+        .orderBy(col("event_time"), col("doc_id"))))
+      .filter(col("cum") <= 20L)
+      .select("doc_id", "source", "ntk")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == expected, s"streamed=$streamed expected=$expected")
+    // and the fixture exercised every stage: history hit (2), quality
+    // floor (3), in-stream dup (5) and budget overflow (7) all gone
+    assert(streamed.map(_._1) == Set(1L, 4L, 6L, 8L))
+  }
+
   test("Curation.urlStage: a real url column is used verbatim, never synthesized") {
     import graft.engine.Curation
     import org.apache.spark.sql.functions.{col, lit}
