@@ -40,13 +40,21 @@ ADD_OPENS_PKGS = [
 
 def run_bench(jar, tag, idx, sfdir):
     qfile = f"/tmp/ab_queries_{tag}_{idx}.json"
+    sfile = f"/tmp/ab_samples_{tag}_{idx}.json"
+    # Remove stale sidecars from a previous invocation: existence of
+    # qfile AFTER the run is how we detect an r20-format jar, so a
+    # leftover file would be silently read as this run's data when the
+    # launched jar (r19-era) does not write it (r20 ADVICE).
+    for path in (qfile, sfile):
+        if os.path.exists(path):
+            os.remove(path)
     env = os.environ.copy()
     env.update({
         "SPARK_GRAFT_SF_DIR": sfdir,
         "SPARK_GRAFT_CPUS": env.get("SPARK_GRAFT_CPUS", "32"),
         "SPARK_GRAFT_BENCH_REPS": env.get("AB_REPS", "3"),
         "SPARK_GRAFT_QUIET_WAIT_SEC": "60",
-        "SPARK_GRAFT_BENCH_SAMPLES": f"/tmp/ab_samples_{tag}_{idx}.json",
+        "SPARK_GRAFT_BENCH_SAMPLES": sfile,
         "SPARK_GRAFT_BENCH_QUERIES_FILE": qfile,
     })
     cmd = ["java"]
@@ -81,17 +89,36 @@ def run_bench(jar, tag, idx, sfdir):
 
 def ab(old_jar, new_jar, pairs, sfdir, out_path):
     runs = []  # (tag, queries, load_max) in execution order
+    by_pair = []  # (old_queries, new_queries) regardless of order
     for i in range(pairs):
-        for tag, jar in (("old", old_jar), ("new", new_jar)):
+        # Balanced within-pair order (r20 verdict task): O N on even
+        # pairs, N O on odd — a position effect (e.g. the session that
+        # runs second inheriting a warmer page cache) then hits old and
+        # new symmetrically across pairs instead of always favoring one
+        # side.
+        order = (("old", old_jar), ("new", new_jar)) if i % 2 == 0 \
+            else (("new", new_jar), ("old", old_jar))
+        got = {}
+        for tag, jar in order:
             q, load = run_bench(jar, tag, i, sfdir)
             runs.append((tag, q, load))
+            got[tag] = q
+        by_pair.append((got["old"], got["new"]))
+        if i == 0:
+            early = set(got["old"]) & set(got["new"])
+            if not early:
+                raise SystemExit(
+                    "[ab] the two jars share no query names - aborting "
+                    "after the first pair (raw maps kept in /tmp/"
+                    "ab_queries_*.json for salvage)")
     shared = sorted(set.intersection(
         *[set(q.keys()) for _, q, _ in runs]))
+    if not shared:
+        raise SystemExit("[ab] no shared queries across all runs")
     per_query = {}
     pair_total_ratios = []
     for i in range(pairs):
-        old_q = runs[2 * i][1]
-        new_q = runs[2 * i + 1][1]
+        old_q, new_q = by_pair[i]
         t_old = sum(old_q[k] for k in shared)
         t_new = sum(new_q[k] for k in shared)
         pair_total_ratios.append(t_new / t_old)
@@ -151,7 +178,7 @@ if __name__ == "__main__":
         merge(sys.argv[2], sys.argv[3])
     else:
         old_jar, new_jar = sys.argv[1], sys.argv[2]
-        pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
         sfdir = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
         out = sys.argv[5] if len(sys.argv) > 5 else "/tmp/ab_report.json"
         ab(old_jar, new_jar, pairs, sfdir, out)

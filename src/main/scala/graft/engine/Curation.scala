@@ -95,7 +95,7 @@ object Curation {
     * run-unique string. */
   def nearDupStage(d: DataFrame, tag: String): DataFrame = {
     val spark = d.sparkSession
-    val withSh = Dedup.memoizedPersisted(spark, s"curation-sigs|$tag")(
+    val withSh = Dedup.memoizedPersisted(spark, s"curation-sigs|$tag", eager = true)(
       Dedup.shingleSigSets(d))
     val pairs = Dedup.minhashPairsOf(withSh)
       .select(col("ida"), col("idb"))
@@ -122,8 +122,15 @@ object Curation {
     * consume it) — pass a run-unique string. */
   def deconStage(d: DataFrame, bench: DataFrame, tag: String): DataFrame = {
     val spark = d.sparkSession
-    val benchSh = Dedup.memoizedPersisted(spark, s"curation-bench|$tag")(
-      Dedup.shingleHashSets(bench)
+    // A real eval-suite parquet may carry only `text` — the benchmark
+    // side's doc_id is never used (its shingles union into one set),
+    // but [[Dedup.shingleHashSets]] selects it, so synthesize one when
+    // absent rather than failing on an unresolved column (r20 ADVICE).
+    val benchIdd =
+      if (bench.columns.contains("doc_id")) bench
+      else bench.withColumn("doc_id", monotonically_increasing_id())
+    val benchSh = Dedup.memoizedPersisted(spark, s"curation-bench|$tag", eager = true)(
+      Dedup.shingleHashSets(benchIdd)
         .select(explode(col("sh")).as("shingle")).distinct())
     val nBench = benchSh.count()
     val bf = benchSh.stat.bloomFilter("shingle",

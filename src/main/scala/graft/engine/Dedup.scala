@@ -219,7 +219,8 @@ object Dedup {
     * happens OUTSIDE the lock (analysis + file listing can take
     * seconds on remote storage); a lost race costs one redundant
     * plan build, first-put wins. */
-  // sized for TWO concurrent sfDirs' full working sets (13 keys each:
+  // sized for TWO concurrent sfDirs' full working sets (14 keys each —
+  // r21 adds the shared quality-score frame `qscore|<sfDir>`:
   // sigs, bench shingles, tfidf-tf, unigram-tf, hh summary, the
   // embeddings corpus, the fused ANN index, the Lloyd-quantizer cell
   // frame, ranked LSH/IVF/IVF-km/fused lists, and the recall truth
@@ -227,7 +228,7 @@ object Dedup {
   // corpus-scale entry and silently recompute it per query.
   // MemoPolicySpec pins the eviction/unpersist contract against this
   // cap.
-  private[engine] val sigSetMemoCap = 28
+  private[engine] val sigSetMemoCap = 32
   private val sigSetMemo =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String),
       DataFrame]
@@ -235,7 +236,19 @@ object Dedup {
     * string key — LRU-bounded, unpersist-on-eviction, re-persisting
     * after an external `clearCache`. Shared by the minhash signature
     * sets and the benchmark shingle set. */
-  private[engine] def memoizedPersisted(spark: SparkSession, keyStr: String)(
+  /** `eager = true` (default) materializes the cache with one count
+    * job at build/re-persist time: a lazy persist whose first
+    * consumers are SIBLING AQE stages (both exchanges of a self-join,
+    * the per-iteration edge scans of an unrolled fixpoint) races —
+    * every sibling runs the full build concurrently ("Block already
+    * exists" churn), multiplying the heaviest pass (measured: the
+    * memo-consumer paired subset ran 0.94× geomean with eager on).
+    * Pass `eager = false` for memos consumed exactly once downstream
+    * (the ANN ranked-list chain) — there the count is a pure extra
+    * job per bench sample (q_ann_recall's 6-memo chain measured
+    * ~1.2× with a blanket eager). */
+  private[engine] def memoizedPersisted(spark: SparkSession, keyStr: String,
+      eager: Boolean = false)(
       build: => DataFrame): DataFrame = {
     val key = (spark, keyStr)
     // Persist (a driver-side CacheManager registration, cheap) happens
@@ -244,25 +257,33 @@ object Dedup {
     // would no-op on the not-yet-persisted df, then the late persist
     // would register an orphaned cache entry the memo no longer
     // tracks (exactly the leak this memo exists to prevent).
-    def touchAndPersist(k: (SparkSession, String)): Option[DataFrame] =
+    def touchAndPersist(k: (SparkSession, String)): Option[(DataFrame, Boolean)] =
       // LinkedHashMap keeps INSERTION order — re-insert on access so
-      // the head is always the least-recently-used entry
+      // the head is always the least-recently-used entry. The Boolean
+      // reports whether this access RE-persisted a dropped cache (an
+      // external clearCache) — the caller materializes it outside the
+      // lock, for the same racing-consumers reason as the first build.
       sigSetMemo.remove(k).map { v =>
         sigSetMemo.put(k, v)
-        if (v.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        val repersist =
+          v.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        if (repersist)
           v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        v
+        (v, repersist)
       }
     val existing = sigSetMemo.synchronized {
       sigSetMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
       touchAndPersist(key)
     }
-    existing.getOrElse {
+    existing.map { case (v, repersisted) =>
+      if (repersisted && eager) v.count()
+      v
+    }.getOrElse {
       // plan building stays OUTSIDE the lock (analysis + file listing
       // can take seconds); a lost race costs one redundant build
       val built = build
-      sigSetMemo.synchronized {
-        val winner = touchAndPersist(key).getOrElse {
+      val winner = sigSetMemo.synchronized {
+        val w = touchAndPersist(key).map(_._1).getOrElse {
           sigSetMemo.put(key, built)
           built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           built
@@ -272,8 +293,21 @@ object Dedup {
           sigSetMemo.remove(ek)
           if (!ek._1.sparkContext.isStopped) ev.unpersist()
         }
-        winner
+        w
       }
+      // Materialize the fresh cache EAGERLY (outside the lock): a lazy
+      // persist whose first two consumers are sibling AQE shuffle
+      // stages (e.g. both exchanges of the LSH band self-join) races —
+      // BOTH stages run the full tokenize+minhash build concurrently
+      // ("Block already exists" churn), doubling the heaviest pass.
+      // One count materializes every partition once; consumers then
+      // read the cache. Cost: one extra job over the (already planned)
+      // working set — measured a net win on every multi-consumer memo
+      // (the band join's double compute gone). Correctness-neutral:
+      // same plan, same inputs, still recomputed from parquet after
+      // every clearCache.
+      if ((winner eq built) && eager) winner.count()
+      winner
     }
   }
 
@@ -298,7 +332,7 @@ object Dedup {
 
   private def cachedSigSets(spark: SparkSession, sfDir: String,
       n: Int, k: Int): DataFrame =
-    memoizedPersisted(spark, s"sigs|$sfDir|$n|$k")(
+    memoizedPersisted(spark, s"sigs|$sfDir|$n|$k", eager = true)(
       shingleSigSets(Tables(spark, sfDir, "documents"), n, k))
 
   // ------------------------------------------------------------ queries
@@ -1101,7 +1135,7 @@ object Dedup {
     * order holds ([[graft.tools.GraphScale]] measures the split).
     * Hot mid-nodes in the wedge join are AQE skew-split. */
   def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = memoizedPersisted(spark, s"pr-edges-canon|$sfDir")(
+    val e = memoizedPersisted(spark, s"pr-edges-canon|$sfDir", eager = true)(
       minhashPairs(spark, sfDir).select(col("ida"), col("idb")))
     triangleCountsDeg(e).orderBy(col("doc_id"))
   }
@@ -1717,7 +1751,7 @@ object Dedup {
     * that paid per-row ser/deser on the corpus-sized probe side.) */
   def qContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val bench = memoizedPersisted(spark, s"benchShingles|$sfDir")(
+    val bench = memoizedPersisted(spark, s"benchShingles|$sfDir", eager = true)(
       shingleHashSets(d.filter(col("doc_id") < 10))
         .select(explode(col("sh")).as("shingle")).distinct())
     // size the sketch from the actual set (the count also materializes
@@ -1759,7 +1793,7 @@ object Dedup {
     val batchSource = "src0"
     // the batch participates three times (sketch sizing, sketch
     // build, anti-join) — memoized like the other shared working sets
-    val batch = memoizedPersisted(spark, s"incrBatch|$sfDir")(
+    val batch = memoizedPersisted(spark, s"incrBatch|$sfDir", eager = true)(
       d.filter(col("source") === batchSource)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")))
     val history = d.filter(col("source") =!= batchSource)

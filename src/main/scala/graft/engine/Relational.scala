@@ -1552,18 +1552,28 @@ object Relational {
       conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
         .cast("long")
     val m = 2305843009213693952L // 2^61
-    def row(name: String, df: DataFrame, cols: Seq[Column]): DataFrame =
-      df.select(h(cols: _*).as("h"))
+    // `raw` narrows the scan BEFORE the spread exchange; the md5 +
+    // date_format per-row work then runs AFTER it — the fixture's
+    // single-row-group files otherwise hash 600k rows in ONE task
+    // (see qMahalanobis; spread is a no-op on a multi-split lake).
+    // The hash-sum is commutative by design, so the reorder is free.
+    def row(name: String, df: DataFrame, raw: Seq[String],
+        cols: Seq[Column]): DataFrame =
+      Tables.spread(df.select(raw.map(col): _*))
+        .select(h(cols: _*).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           (sum(col("h").cast("decimal(38,0)")) % lit(m)).cast("long")
             .as("checksum"))
         .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
     row("customer", Tables(spark, sfDir, "customer"),
+        Seq("c_custkey", "c_name"),
         Seq(col("c_custkey"), col("c_name")))
       .unionByName(row("lineitem", Tables(spark, sfDir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"),
         Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           date_format(col("l_shipdate"), "yyyy-MM-dd"))))
       .unionByName(row("orders", Tables(spark, sfDir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
         Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           date_format(col("o_orderdate"), "yyyy-MM-dd"))))
       .orderBy(col("table_name"))
@@ -2722,10 +2732,17 @@ object Relational {
     * codegen'd decimal arithmetic; TakeOrdered keeps the global
     * top-20 at per-partition-heap cost. */
   def qMahalanobis(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables(spark, sfDir, "lineitem")
+    // spread BEFORE the decimal(38,0) quadratic form: the fixture ships
+    // one row group per table, so without it the whole per-row
+    // BigDecimal pipeline (both the moment agg's partial and the
+    // broadcast-joined quadratic) runs inside ONE scan task — measured
+    // single-task-bound at sf0.1. On a multi-split lake spread is a
+    // no-op (Tables.spread contract); the local exchange carries only
+    // the 4 narrow columns. Both aggs are exact decimal — order-free.
+    val li = Tables.spread(Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_quantity")).cast("long").as("x"),
-        round(col("l_extendedprice")).cast("long").as("y"))
+        round(col("l_extendedprice")).cast("long").as("y")))
     def d19(c: Column) = c.cast("decimal(19,0)")
     val m = li.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(d19(col("x"))).cast("decimal(38,0)").as("sx"),
@@ -2982,17 +2999,31 @@ object Relational {
   }
 
   def qWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables(spark, sfDir, "lineitem")
+    // spread before the (flag, v) partial agg — single-row-group
+    // fixture scans otherwise hash-aggregate all 600k rows in ONE
+    // task (see qMahalanobis; no-op on a multi-split lake). The agg
+    // is an exact long sum — order-free.
+    val li = Tables.spread(Tables(spark, sfDir, "lineitem")
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("v"),
-        round(col("l_quantity")).cast("long").as("w"))
+        round(col("l_quantity")).cast("long").as("w")))
     val g = li.groupBy(col("l_returnflag"), col("v"))
       .agg(sum(col("w")).as("vw"))
-    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wTot = Window.partitionBy(col("l_returnflag"))
-    g.withColumn("cum", sum(col("vw")).over(wCum))
-      .withColumn("tot", sum(col("vw")).over(wTot))
+    // The running weight rides the SHARDED prefix sum instead of a
+    // flat per-flag window: return flags are THREE values, so each
+    // window partition held a third of the distinct-price frame in
+    // ONE task AQE cannot split (r21 — the qRfmSharded convention;
+    // measured single-task-bound at sf0.1). The decomposition is
+    // exact (monotone value-range shards, unique v per flag after the
+    // pre-agg), so cum — and therefore the kept min v — is
+    // bit-identical to the window form and the SAME oracle
+    // arbitrates.
+    val shard = Scale.memoizedShards(spark, s"wmed|$sfDir", 16, col("v"))(
+      Scale.balancedShards(g, col("v"), 16))
+    val tot = g.groupBy(col("l_returnflag")).agg(sum(col("vw")).as("tot"))
+    Scale.shardedPrefixSumBy(g, Seq("l_returnflag"), shard,
+        Seq(col("v")), col("vw"), "cum")
+      .join(broadcast(tot), "l_returnflag")
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("v")).as("median_cents"), min(col("tot")).as("total_w"))

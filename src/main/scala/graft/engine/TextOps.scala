@@ -262,7 +262,7 @@ object TextOps {
     val docTerms = d
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(col("tk")).as("term"))
-    val tf = Dedup.memoizedPersisted(spark, s"tfidf-tf|$sfDir")(
+    val tf = Dedup.memoizedPersisted(spark, s"tfidf-tf|$sfDir", eager = true)(
       docTerms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term"))
@@ -309,7 +309,7 @@ object TextOps {
     * postings-sized work, never corpus × queries. */
   def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val tf = Dedup.memoizedPersisted(spark, s"tfidf-tf|$sfDir")(
+    val tf = Dedup.memoizedPersisted(spark, s"tfidf-tf|$sfDir", eager = true)(
       d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf")))
@@ -437,7 +437,7 @@ object TextOps {
     val w = (2L * supportDenom).toInt
     val d = Tables(spark, sfDir, "documents")
     val toks = d.select(explode(tokens(col("text"))).as("term"))
-    val merged = Dedup.memoizedPersisted(spark, s"hhsummary|$sfDir")(
+    val merged = Dedup.memoizedPersisted(spark, s"hhsummary|$sfDir", eager = true)(
       toks.as[String]
         .mapPartitions { it =>
           var np = 0L
@@ -1967,7 +1967,7 @@ object TextOps {
   def qUnigramScore(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
     val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = Dedup.memoizedPersisted(spark, s"unigram-tf|$sfDir")(
+    val tf = Dedup.memoizedPersisted(spark, s"unigram-tf|$sfDir", eager = true)(
       toks.groupBy(col("term")).agg(count(lit(1)).as("c")))
     val total = tf.agg(sum(col("c")).as("total"))
     toks.join(tf, Seq("term"))
@@ -2056,7 +2056,7 @@ object TextOps {
     // the exact side is qUnigramScore's memoized term-frequency table
     // (same key): reusing it means a Verify run tokenizes the corpus
     // once for both queries instead of re-aggregating here
-    val tf = Dedup.memoizedPersisted(spark, s"unigram-tf|$sfDir")(
+    val tf = Dedup.memoizedPersisted(spark, s"unigram-tf|$sfDir", eager = true)(
       toks.groupBy(col("term")).agg(count(lit(1)).as("c")))
     tf.select(col("term"), col("c").as("exact"))
       .orderBy(col("exact").desc, col("term")).limit(30)
@@ -2093,7 +2093,7 @@ object TextOps {
     * the two 1-row totals ride broadcast cross joins. */
   def qImportanceRatio(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val toks = Dedup.memoizedPersisted(spark, s"imp-toks|$sfDir")(
+    val toks = Dedup.memoizedPersisted(spark, s"imp-toks|$sfDir", eager = true)(
       d.select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("term")))
     val tfRaw = toks.groupBy(col("term")).agg(count(lit(1)).as("cr"))
@@ -2555,10 +2555,24 @@ object TextOps {
     * rows minus the per-row pct diagnostic (whose exact per-row rank
     * is what the flat window pays for); the oracle restates the
     * integer-threshold semantics independently. */
+  /** The shared (doc_id, source, q) quality-score working set both
+    * calibrated-quality twins consume — memoized+eager because its
+    * consumers re-evaluate it several times per query
+    * ([[Scale.quantileCutKeep]] scans it four times: bounds, histogram,
+    * straddling-bin slice, final filter; the sharded twin twice), and
+    * qualityScore's interpreted HOF tokenization is the dominant
+    * per-row cost. Spread BEFORE scoring: the fixture's single-row-
+    * group scan otherwise tokenizes the whole corpus in ONE task
+    * (no-op on a multi-split lake). */
+  private def qualityFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.memoizedPersisted(spark, s"qscore|$sfDir", eager = true)(
+      Dedup.spread(Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("q")))
+
   def qQualityCalibratedCut(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables(spark, sfDir, "documents")
-    val s = d.select(col("doc_id"), col("source"),
-      qualityScore(col("text")).as("q"))
+    val s = qualityFrame(spark, sfDir)
     Scale.quantileCutKeep(s, "source", "q",
         cutNum = 1, cutDen = 5) // = calibratedCut 0.2
       .select(col("doc_id"), col("source"), col("q"))
@@ -2584,10 +2598,8 @@ object TextOps {
     * a plain equi-join AQE can split. */
   def qQualityCalibratedSharded(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val d = Tables(spark, sfDir, "documents")
-    val s = d.select(col("doc_id"), col("source"),
-      qualityScore(col("text")).as("q"))
-    val grp = Dedup.memoizedPersisted(spark, s"qcalgrp|$sfDir")(
+    val s = qualityFrame(spark, sfDir)
+    val grp = Dedup.memoizedPersisted(spark, s"qcalgrp|$sfDir", eager = true)(
       s.groupBy(col("source"), col("q")).agg(count(lit(1)).as("__cq")))
     val nPer = grp.groupBy(col("source"))
       .agg(sum(col("__cq")).as("__n"))
@@ -2801,8 +2813,11 @@ object TextOps {
     * ([[qSubstringDedup]]); both ladders then run on collapsed
     * frames (per-doc distinct chars ≤ alphabet; per-doc totals). */
   def qCharEntropy(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
+    // spread before the char explode: the corpus-char-sized fan plus
+    // its partial agg otherwise run inside the fixture's ONE scan
+    // task (single row group per file; no-op on a multi-split lake)
+    val d = Dedup.spread(Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")))
     val counts = d
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= "")

@@ -281,9 +281,18 @@ object CurationJob {
       if (resuming) {
         if (name == c.resumeFrom) resuming = false
         val hp = new org.apache.hadoop.fs.Path(p)
-        require(hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(hp),
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(hp),
           s"--resume-from ${c.resumeFrom}: checkpoint $p does not exist")
+        // existence alone is not completion: a stage whose overwrite
+        // crashed mid-write (the exact scenario resume exists for)
+        // leaves partially committed part-files with no _SUCCESS
+        // marker — resuming from it would silently read a truncated
+        // checkpoint. Require the commit sentinel (r20 ADVICE).
+        require(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+          s"--resume-from ${c.resumeFrom}: checkpoint $p has no " +
+            "_SUCCESS marker (incomplete write) — rerun from the " +
+            "previous stage")
         spark.read.parquet(p)
       } else {
         df.write.mode("overwrite").parquet(p)
