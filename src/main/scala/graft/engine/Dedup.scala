@@ -332,8 +332,24 @@ object Dedup {
 
   private def cachedSigSets(spark: SparkSession, sfDir: String,
       n: Int, k: Int): DataFrame =
-    memoizedPersisted(spark, s"sigs|$sfDir|$n|$k", eager = true)(
-      shingleSigSets(Tables(spark, sfDir, "documents"), n, k))
+    memoizedPersisted(spark, s"sigs|$sfDir|$n|$k", eager = true) {
+      val built = shingleSigSets(Tables(spark, sfDir, "documents"), n, k)
+      // Compact the CACHED frame to a row-derived partition count (the
+      // Tables.spreadTarget sizing rule): the tokenize+minhash build
+      // wants full fan-out, but every consumer stage of the cache then
+      // scans all 32 near-empty partitions — and the LSH working set
+      // has ~5 consumer stages per query (band self-join sides, both
+      // verify hydrations, the eager count), each paying per-task
+      // setup for KBs of data. The repartition only fires when the
+      // row-derived target is BELOW the core count, i.e. exactly when
+      // the working set is small enough that the extra exchange is
+      // trivial; at corpus scale target = parallelism and this is a
+      // no-op, so the build's scan partitioning flows through.
+      val p = spark.sparkContext.defaultParallelism
+      val target = Tables.spreadTarget(p,
+        Tables.memoizedCount(spark, sfDir, "documents"), 512)
+      if (target < p) built.repartition(target) else built
+    }
 
   // ------------------------------------------------------------ queries
 

@@ -132,7 +132,17 @@ object Scale {
       (rand(seed) * buckets).cast("int"))
     val expandedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
-    saltedBig.join(expandedSmall, Seq(key, "__salt")).drop("__salt")
+    // Force the SHUFFLED HASH join the operator exists for (guide-
+    // style deliberate strategy pick): salting only moves shuffle
+    // placement, so it presupposes a shuffle join — but the planner,
+    // seeing a small-estimated dim, would broadcast the 8×-EXPANDED
+    // replica instead (measured ~0.9 s of driver-side hash-relation
+    // build per run at sf0.1, for a join that then ignores the salt's
+    // whole purpose). The hinted build side is the replicated dim —
+    // per-partition it holds 1/buckets of one replica, the bounded
+    // side by construction.
+    saltedBig.join(expandedSmall.hint("shuffle_hash"),
+      Seq(key, "__salt")).drop("__salt")
   }
 
   /** Morton (Z-order) value of two numeric columns — the multi-column

@@ -194,6 +194,15 @@ object Tables {
       c.set("spark.sql.adaptive.enabled", "true")
       c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
       c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // NOTE (r21, measured): do NOT lower
+      // spark.sql.adaptive.coalescePartitions.minPartitionSize to widen
+      // small CPU-heavy shuffles — a 128k floor fanned q_itemsets3/
+      // q_copurchase's 5-12 MB exchanges to 32 tasks and their summed
+      // task time rose 3-6× (the ~150-200 ms per-task setup cost
+      // spreadTarget documents dwarfs the sub-100 ms of real work each
+      // extra task carries) with no wall-clock gain. The 1 MB default
+      // matches this box; at cluster scale the parallelism-first
+      // target dominates and the floor is inert either way.
       // Dimension tables (region/nation/supplier/part/customer) stay
       // far below this; broadcast them instead of shuffling lineitem.
       c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

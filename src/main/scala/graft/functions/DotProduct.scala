@@ -90,6 +90,8 @@ object GraftFunctions {
     es => AdcLookupSum(es(0), es(1))
   val jwBuilder: Seq[Expression] => Expression =
     es => JaroWinkler(es(0), es(1))
+  val fixlog2Builder: Seq[Expression] => Expression =
+    es => FixLog2Expr(es(0), es(1))
 
   /** Register into an existing session's function registry (used by
     * Tables.tune so `graft_dot` / `graft_adc` / `graft_jw` are
@@ -101,6 +103,8 @@ object GraftFunctions {
       "graft_adc", adcBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jw", jwBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fixlog2", fixlog2Builder, "built-in")
   }
 }
 
@@ -122,6 +126,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jw"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jw"),
       GraftFunctions.jwBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fixlog2"),
+      new ExpressionInfo(classOf[FixLog2Expr].getName, "graft_fixlog2"),
+      GraftFunctions.fixlog2Builder))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }

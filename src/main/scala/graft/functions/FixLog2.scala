@@ -47,13 +47,37 @@ object FixLog2 {
   /** Append integer column `out` = fixed-point log2(num/den) (scaled
     * by [[Scale]]) to `df`. Both inputs must be ≥ 1 and < 2⁶²
     * (callers pass add-one-smoothed counts, so ≥ 1 holds by
-    * construction). Internal columns are `__fl_*`-prefixed and
-    * dropped; input columns with that prefix would collide. Each
-    * step binds an attribute (withColumn), so the plan stays linear
-    * in the 16 iterations instead of exponentiating the tree.
-    */
+    * construction).
+    *
+    * Since r21 this is ONE native codegen'd expression
+    * ([[FixLog2Expr]], Java-semantics twin of [[ref]]) instead of the
+    * ~50-Project Column ladder [[withFixLog2Columns]]: the ladder's
+    * value was correct, but every optimizer pass — and, with AQE, the
+    * RE-optimization after every query stage — walked its 50 chained
+    * Projects, and plans stacking several ladders (q_psi, q_benford,
+    * the entropy family) measured ~1 s of pure driver latency per
+    * execution against ~0.2 s of actual stage work. Bit-equality of
+    * the three engines (native == ladder == driver ref) is pinned by
+    * FixLog2Spec; the DuckDB oracle keeps restating the ladder as
+    * CTEs, so every consuming query's hash-check re-proves the
+    * cross-engine contract. */
   def withFixLog2(df: DataFrame, num: Column, den: Column,
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    df.withColumn(out, org.apache.spark.sql.GraftBridge.column(
+      FixLog2Expr(
+        org.apache.spark.sql.GraftBridge.expression(num.cast("long")),
+        org.apache.spark.sql.GraftBridge.expression(den.cast("long")))))
+
+  /** The original built-in-expression formulation, kept as the spec's
+    * fourth engine (FixLog2Spec asserts it stays bit-identical to the
+    * native [[FixLog2Expr]] — the same chain the DuckDB oracle CTEs
+    * restate). Internal columns are `__fl_*`-prefixed and dropped.
+    * Each step binds an attribute (withColumn), so the plan stays
+    * linear in the 16 iterations instead of exponentiating the
+    * tree — but 50 chained Projects still tax every optimizer pass,
+    * which is why query code calls [[withFixLog2]] instead. */
+  private[graft] def withFixLog2Columns(df: DataFrame, num: Column,
+      den: Column, out: String): DataFrame = {
     val P = prefix
     var d = df
       .withColumn(s"${P}_n", num.cast("long"))
@@ -80,6 +104,37 @@ object FixLog2 {
         (col(s"${P}_p") + col(s"${P}_sa") - lit(62) - col(s"${P}_s"))
           .cast("long") * lit(Scale) + col(s"${P}_r"))
       .drop(d.columns.filter(_.startsWith(P)).toIndexedSeq: _*)
+  }
+
+  /** Binary-string bit length exactly as the ladder computes it:
+    * `length(conv(v, 10, 2))` — 1 for v = 0 ("0"), 64 for negatives
+    * (two's-complement digits), 64 − nlz otherwise. */
+  @inline private def bitlen(v: Long): Int =
+    if (v == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  /** The hot-path core [[FixLog2Expr]] evaluates per row — the exact
+    * Java-semantics replay of the Column ladder (shifts mask the
+    * count to 6 bits like SQL shiftleft/shiftright; `div` on the
+    * non-negative operands here is plain Java division; bitlen via
+    * [[bitlen]]). Total for every (n, d) with d ≠ 0 — the d = 0
+    * ladder output was NULL (IntegralDivide), which [[FixLog2Expr]]
+    * reproduces by guarding before the call. */
+  def compute(n: Long, d: Long): Long = {
+    val s = math.max(0, bitlen(d) - 36)
+    val d2 = d >> s
+    val sa = bitlen(n)
+    val x = (n << (62 - sa)) / d2
+    val p = bitlen(x) - 1
+    var m = x >> (p - 24)
+    var r = 0L
+    var i = 0
+    while (i < 16) {
+      val q = (m * m) >> 24
+      if (q >= (1L << 25)) { m = q >> 1; r = r * 2 + 1 }
+      else { m = q; r = r * 2 }
+      i += 1
+    }
+    (p + sa - 62 - s).toLong * Scale + r
   }
 
   /** Driver-side reference twin of [[withFixLog2]] — the spec's
@@ -137,4 +192,50 @@ object FixLog2 {
       s"AS BIGINT) * $Scale + ${P}_r16) AS ${P}_out FROM $prev)")
     (sb.toString, s"${P}z")
   }
+}
+
+/** Native codegen'd fixed-point log2 — ONE expression node carrying
+  * the whole [[FixLog2.withFixLog2Columns]] ladder (r21). The ladder's
+  * ~50 chained Projects were correct but taxed every optimizer and
+  * AQE re-optimization pass; plans stacking several ladders measured
+  * ~1 s of driver latency per execution. Value semantics are the
+  * ladder's exactly: null-propagating on null inputs, NULL for den = 0
+  * (the ladder's IntegralDivide), [[FixLog2.compute]] — the Java
+  * replay of the same shift/multiply/floor-divide chain — everywhere
+  * else. FixLog2Spec pins native == ladder == driver ref; the DuckDB
+  * oracle restates the ladder as CTEs, so every consuming query's
+  * hash-check re-proves the cross-engine contract. */
+case class FixLog2Expr(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, LongType}
+
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fixlog2"
+
+  override def nullSafeEval(n: Any, d: Any): Any = {
+    val dv = d.asInstanceOf[Long]
+    if (dv == 0L) null
+    else FixLog2.compute(n.asInstanceOf[Long], dv)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (n, d) => {
+      s"""
+        if ($d == 0L) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.FixLog2.compute($n, $d);
+        }"""
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : FixLog2Expr = copy(left = newLeft, right = newRight)
 }

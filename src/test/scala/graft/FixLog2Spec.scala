@@ -37,6 +37,22 @@ class FixLog2Spec extends SparkSpec {
     }
   }
 
+  test("fixlog2: native expression == the Column ladder (the oracle CTEs' engine twin)") {
+    // r21 replaced the ~50-Project ladder with one native codegen'd
+    // expression in query code; the ladder stays as the engine twin of
+    // the DuckDB CTE chain, and this test pins the two bit-identical
+    // so the native path can never drift from what the oracle states.
+    val df = cases.toDF("n", "d")
+    val native = FixLog2.withFixLog2(df, col("n"), col("d"), "l")
+      .select("n", "d", "l").as[(Long, Long, Long)].collect().sorted
+    val ladder = FixLog2.withFixLog2Columns(df, col("n"), col("d"), "l")
+      .select("n", "d", "l").as[(Long, Long, Long)].collect().sorted
+    assert(native.length == ladder.length)
+    native.zip(ladder).foreach { case (nv, lv) =>
+      assert(nv == lv, s"native $nv != ladder $lv")
+    }
+  }
+
   test("fixlog2: DuckDB CTE chain is generated with matching constants") {
     // The oracle twin runs only driver-side (python duckdb); here we
     // pin the generated SQL's shape so a constant drift (scale,
