@@ -219,8 +219,9 @@ object Dedup {
     * happens OUTSIDE the lock (analysis + file listing can take
     * seconds on remote storage); a lost race costs one redundant
     * plan build, first-put wins. */
-  // sized for TWO concurrent sfDirs' full working sets (14 keys each —
-  // r21 adds the shared quality-score frame `qscore|<sfDir>`:
+  // sized for TWO concurrent sfDirs' full working sets (16 keys each —
+  // r21 adds the shared quality-score frame `qscore|<sfDir>` and the
+  // basket-pair fan `itemsets-pairs|<sfDir>`:
   // sigs, bench shingles, tfidf-tf, unigram-tf, hh summary, the
   // embeddings corpus, the fused ANN index, the Lloyd-quantizer cell
   // frame, ranked LSH/IVF/IVF-km/fused lists, and the recall truth
@@ -228,7 +229,7 @@ object Dedup {
   // corpus-scale entry and silently recompute it per query.
   // MemoPolicySpec pins the eviction/unpersist contract against this
   // cap.
-  private[engine] val sigSetMemoCap = 32
+  private[engine] val sigSetMemoCap = 36
   private val sigSetMemo =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String),
       DataFrame]
@@ -782,10 +783,14 @@ object Dedup {
     val ck = Tables.spread(clean).select(col("match_id"), col("clean_name"),
       explode(stripedChunks(col("clean_name"))).as("ck"))
     pk.join(ck, "ck")
+      // threshold form (banded DP, early exit): kept rows and their
+      // distances are identical to the full levenshtein — the 3-arg
+      // builtin returns the exact distance when <= tau and -1 above
+      // it, and the filter keeps exactly the old <= tau set
       .select(col("probe_id"), col("match_id"),
-        levenshtein(col("probe_name"), col("clean_name")).cast("long")
+        levenshtein(col("probe_name"), col("clean_name"), 2).cast("long")
           .as("dist"))
-      .filter(col("dist") <= 2)
+      .filter(col("dist").between(0, 2))
       .distinct()
   }
 
@@ -844,10 +849,11 @@ object Dedup {
     val ck = Tables.spread(clean).select(col("match_id"), col("clean_name"),
       explode(delNeighborhood(col("clean_name"))).as("dk"))
     pk.join(ck, "dk")
+      // threshold form — see fuzzyLink: identical kept rows/distances
       .select(col("probe_id"), col("match_id"),
-        levenshtein(col("probe_name"), col("clean_name")).cast("long")
+        levenshtein(col("probe_name"), col("clean_name"), 2).cast("long")
           .as("dist"))
-      .filter(col("dist") <= 2)
+      .filter(col("dist").between(0, 2))
       .distinct()
   }
 
@@ -1004,10 +1010,11 @@ object Dedup {
         .select(col("probe_id"), col("probe_name"),
           col("match_id"), col("clean_name")))
     main.unionByName(side)
+      // threshold form — see fuzzyLink: identical kept rows/distances
       .select(col("probe_id"), col("match_id"),
-        levenshtein(col("probe_name"), col("clean_name")).cast("long")
+        levenshtein(col("probe_name"), col("clean_name"), tau).cast("long")
           .as("dist"))
-      .filter(col("dist") <= tau)
+      .filter(col("dist").between(0, tau))
       .distinct()
   }
 
