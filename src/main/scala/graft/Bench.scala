@@ -122,6 +122,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf — see Tables.codegenCacheMaxEntries (the default
+      // 100-entry generated-class cache thrashes across an
+      // interleaved suite pass, re-paying Janino compiles the warmup
+      // pass already did; measured −23% on a 40-query subset)
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.engine.Tables.codegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // bounded-frame windows are audited (see KNOWN-BOUNDED sites);

@@ -19,6 +19,9 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf — see Tables.codegenCacheMaxEntries
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.engine.Tables.codegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // bounded-frame windows are audited (see KNOWN-BOUNDED sites);

@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf — see Tables.codegenCacheMaxEntries
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.engine.Tables.codegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // WindowExec's single-partition WARN: every unpartitioned window in

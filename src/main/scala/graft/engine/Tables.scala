@@ -186,6 +186,24 @@ object Tables {
     * confs, so they work regardless of how the harness built the
     * session (Verify/Bench/tests all funnel through Tables).
     */
+  /** STATIC-conf companion to [[tune]] (static confs must be set on
+    * the builder, before the session exists): the generated-class
+    * cache (`spark.sql.codegen.cache.maxEntries`) defaults to 100
+    * entries per JVM — far below one interleaved pass of the query
+    * suite (~85 headline queries × 10-20 codegen units each), so
+    * every bench sample re-paid Janino compilation for classes the
+    * warmup had already compiled and the cache had already evicted.
+    * Measured (r21, 40-query × 3-rep interleaved subset, paired
+    * same-box runs): default 47.5 / 47.3 s vs 4096-entry 36.3 s
+    * (10k-entry 34.1 / 39.6 s — no further win past 4096). This is
+    * NOT a local[32]-only win: production executors are long-lived
+    * JVMs serving hundreds of distinct codegen units across a job
+    * DAG, and each eviction re-pays a 10-100 ms compile inside task
+    * execution; 4096 × ~50 KB of class metadata bounds the metaspace
+    * cost at a few hundred MB. Every graft entry point's builder
+    * sets this (Bench/Verify/Profile/StageProbe/jobs). */
+  val codegenCacheMaxEntries: Int = 4096
+
   def tune(spark: SparkSession): Unit = synchronized {
     if (!tunedSessions.contains(spark)) {
       val c = spark.conf

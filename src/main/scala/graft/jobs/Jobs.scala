@@ -82,6 +82,11 @@ object Jobs {
     * parallelism — the Bench/Verify convention. */
   def session(appName: String, hive: Boolean = false): SparkSession = {
     var b = SparkSession.builder().appName(appName)
+      // static conf — see Tables.codegenCacheMaxEntries (long-lived
+      // job JVMs serve hundreds of distinct codegen units; the
+      // 100-entry default re-pays Janino compiles on eviction)
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.engine.Tables.codegenCacheMaxEntries.toString)
     if (!sys.props.contains("spark.master")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString)

@@ -34,6 +34,9 @@ object StageProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf — see Tables.codegenCacheMaxEntries
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.engine.Tables.codegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.logging.log4j.core.config.Configurator.setLevel(
