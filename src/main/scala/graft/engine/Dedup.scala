@@ -475,15 +475,22 @@ object Dedup {
     * is not acceptable. */
   def qJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
     val withSh = cachedSigSets(spark, sfDir, n = 3, k = 64)
-    prefixFilterPairs(spark, withSh.select(col("doc_id"), col("sh")), 0.8)
+    prefixFilterPairs(spark, withSh.select(col("doc_id"), col("sh")), 0.8,
+        memoKey = Some(s"jacprefix|$sfDir"))
       .orderBy(col("ida"), col("idb"))
   }
 
   /** The AllPairs core over (doc_id, sh: array<long>) at threshold
     * `t`, factored for spec coverage: rarest-first prefix index →
-    * candidate self-join → exact verification on the full sets. */
+    * candidate self-join → exact verification on the full sets.
+    * `memoKey` persists the PREFIX frame: both aliased sides of the
+    * candidate self-join consume it and Spark shares no exchange
+    * across aliases, so without the persist the whole index pipeline
+    * (shingle-cache scans, df agg, rank window) executed twice per
+    * run (StageProbe r21: every upstream stage appeared as a pair). */
   private[graft] def prefixFilterPairs(spark: SparkSession,
-      withSh: DataFrame, t: Double): DataFrame = {
+      withSh: DataFrame, t: Double,
+      memoKey: Option[String] = None): DataFrame = {
     // `sh` is distinct by construction, so |sh| = the set size n —
     // carried through the explode instead of a second window pass
     val idx = withSh.select(col("doc_id"), size(col("sh")).as("n"),
@@ -498,10 +505,12 @@ object Dedup {
     // collected sets are an order of magnitude smaller.)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
-    val prefix = idx.join(dfTab, Seq("shingle"))
+    val prefix0 = idx.join(dfTab, Seq("shingle"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + 1)
       .select(col("doc_id"), col("shingle"))
+    val prefix = memoKey.map(k =>
+      memoizedPersisted(spark, k, eager = true)(prefix0)).getOrElse(prefix0)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle")
@@ -1120,12 +1129,22 @@ object Dedup {
     for (_ <- 1 to pagerankIters) {
       val contrib = edeg
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst"), expr("r div deg").as("c"))
-      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodesBase.join(sums, col("node") === col("dst"), "left")
+        .select(col("dst").as("node"), expr("r div deg").as("c"),
+          lit(0L).as("r0"))
+      // teleport term rides INTO the contribution agg as a zero-
+      // contribution row per node instead of a post-agg left join
+      // back onto nodesBase (r21): one exchange per iteration instead
+      // of the agg shuffle + the join's broadcast. Exact equivalence:
+      // every contrib dst ∈ nodesBase (nodes = distinct dst of e), so
+      // the left join dropped nothing; each node appears in nodesBase
+      // exactly once, so max(r0) = r0 (contrib rows carry 0 < r0) and
+      // sum(c) = the join's coalesce(s, 0) (base rows carry c = 0).
+      val withBase = contrib.unionByName(
+        nodesBase.select(col("node"), lit(0L).as("c"), col("r0")))
+      r = withBase.groupBy(col("node"))
+        .agg(sum(col("c")).as("s"), max(col("r0")).as("r0"))
         .select(col("node"),
-          (expr("15 * r0 div 100") +
-            expr("85 * coalesce(s, 0L) div 100")).as("r"))
+          (expr("15 * r0 div 100") + expr("85 * s div 100")).as("r"))
     }
     r.select(col("node").as("doc_id"), col("r").as("pr"))
       .orderBy(col("doc_id"))
@@ -1158,8 +1177,17 @@ object Dedup {
     * order holds ([[graft.tools.GraphScale]] measures the split).
     * Hot mid-nodes in the wedge join are AQE skew-split. */
   def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = memoizedPersisted(spark, s"pr-edges-canon|$sfDir", eager = true)(
+    val e0 = memoizedPersisted(spark, s"pr-edges-canon|$sfDir", eager = true)(
       minhashPairs(spark, sfDir).select(col("ida"), col("idb")))
+    // fan-out follows edge volume (the qPagerank coalesce rule): the
+    // cached pairs frame keeps the verify join's full partitioning, so
+    // all ~8 wedge-pipeline stages scanned 32 near-empty cache
+    // partitions — ~60 ms of per-task setup each for KBs of edges
+    // (StageProbe r21: 8 × 32-task stages, 14K input, ~0.2 s wall per
+    // stage). count on the PERSISTED frame is ~ms; a corpus-scale edge
+    // set still fans to every core.
+    val e = e0.coalesce(math.max(1, Tables.spreadTarget(
+      spark.sparkContext.defaultParallelism, e0.count(), 512)))
     triangleCountsDeg(e).orderBy(col("doc_id"))
   }
 

@@ -2456,12 +2456,29 @@ object Relational {
     // the upstream basket exchange, so the collect_set + explode
     // subtree re-ran per consumer (measured in the stage table).
     val pairs = Dedup.memoizedPersisted(spark, s"itemsets-pairs|$sfDir",
-        eager = true)(
-      baskets.select(col("ok"), explode(flatten(
-          transform(col("ps"), (a, i) =>
-            transform(slice(col("ps"), i + 2, size(col("ps"))),
-              b => struct(a.as("pa"), b.as("pb")))))).as("p"))
-        .select(col("ok"), col("p.pa").as("pa"), col("p.pb").as("pb")))
+        eager = true)({
+      // imperative per-partition fan (the shingleHashSets discipline):
+      // the nested-transform HOF form is interpreted — the fan's two
+      // stages measured ~7.5 s of summed task CPU at sf0.1 building
+      // structs per candidate pair (StageProbe r21). Enumeration is
+      // identical: ps is sorted ascending, emit (ps(i), ps(j)) ∀ i<j.
+      import spark.implicits._
+      baskets.select(col("ok"), col("ps")).as[(Long, Array[Long])]
+        .mapPartitions(_.flatMap { case (ok, ps) =>
+          new Iterator[(Long, Long, Long)] {
+            private var i = 0
+            private var j = 1
+            def hasNext: Boolean = i < ps.length - 1
+            def next(): (Long, Long, Long) = {
+              val out = (ok, ps(i), ps(j))
+              j += 1
+              if (j >= ps.length) { i += 1; j = i + 1 }
+              out
+            }
+          }
+        })
+        .toDF("ok", "pa", "pb")
+    })
     val l2 = pairs.groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= itemsetMinSupport)
@@ -2473,19 +2490,36 @@ object Relational {
       .agg(sort_array(collect_list(struct(col("pa"), col("pb"))))
         .as("pe"))
       .filter(size(col("pe")) >= 3)
-    val triples = pe.select(explode(flatten(
-      transform(col("pe"), (p, i) =>
-        transform(
-          filter(slice(col("pe"), i + 2, size(col("pe"))),
-            q => q.getField("pa") === p.getField("pa")
-              && array_contains(col("pe"),
-                struct(p.getField("pb").as("pa"),
-                  q.getField("pb").as("pb")))),
-          q => struct(p.getField("pa").as("part_a"),
-            p.getField("pb").as("part_b"),
-            q.getField("pb").as("part_c")))))).as("t"))
-    triples.select(col("t.part_a").as("part_a"),
-        col("t.part_b").as("part_b"), col("t.part_c").as("part_c"))
+    // the wedge-closure fan, imperative for the same reason as the
+    // pair fan above (the HOF form re-walked pe per candidate via an
+    // interpreted array_contains): pe is sorted by (pa, pb), so for
+    // each wedge (pa,pb),(pa,qb) with pb < qb the triple closes iff
+    // (pb, qb) ∈ pe — identical enumeration, set-membership closure.
+    val triples = {
+      import spark.implicits._
+      pe.select(col("ok"), col("pe")).as[(Long, Array[(Long, Long)])]
+        .mapPartitions(_.flatMap { case (_, pe0) =>
+          val set = new scala.collection.mutable.HashSet[(Long, Long)]
+          set.sizeHint(pe0.length)
+          pe0.foreach(set += _)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long)]
+          var i = 0
+          while (i < pe0.length - 1) {
+            val (pa, pb) = pe0(i)
+            var j = i + 1
+            while (j < pe0.length && pe0(j)._1 == pa) {
+              val qb = pe0(j)._2
+              if (set.contains((pb, qb))) out += ((pa, pb, qb))
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        })
+        .toDF("part_a", "part_b", "part_c")
+    }
+    triples
       .groupBy(col("part_a"), col("part_b"), col("part_c"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= itemsetMinSupport)
@@ -3013,27 +3047,27 @@ object Relational {
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("v"),
         round(col("l_quantity")).cast("long").as("w")))
-    // NOT memoized (measured): the grouped frame is ~|distinct price|
-    // rows, and caching it (columnar encode + 4 cache scans) measured
-    // 2.0 -> 3.1 s solo vs just recomputing the cheap scan+agg per
-    // consumer — the qcalgrp memo pattern only pays when the build is
-    // expensive relative to its size
-    val g = li.groupBy(col("l_returnflag"), col("v"))
-      .agg(sum(col("w")).as("vw"))
     // The running weight rides the SHARDED prefix sum instead of a
     // flat per-flag window: return flags are THREE values, so each
-    // window partition held a third of the distinct-price frame in
-    // ONE task AQE cannot split (r21 — the qRfmSharded convention;
-    // measured single-task-bound at sf0.1). The decomposition is
-    // exact (monotone value-range shards, unique v per flag after the
-    // pre-agg), so cum — and therefore the kept min v — is
-    // bit-identical to the window form and the SAME oracle
-    // arbitrates.
+    // window partition held a third of the frame in ONE task AQE
+    // cannot split (r21 — the qRfmSharded convention; measured
+    // single-task-bound at sf0.1). No (flag, v) pre-aggregation: v
+    // (price cents) is near-unique per flag, so the grouped form's
+    // partial agg reduced ~600k rows to ~450k — 7 s of summed hash-agg
+    // CPU for no shuffle saving (StageProbe r21) — and the kept
+    // min-v is TIE-ORDER-INVARIANT without it: rows of a tie class v
+    // colocate in one shard (the shard key is a pure function of v),
+    // their running cums c_1 < … < c_k = classCum are one valid tie
+    // order, and since every c_i <= classCum, some row of the class
+    // passes cum·2 >= tot iff classCum·2 >= tot — exactly the grouped
+    // predicate, so min(v) over kept rows is unchanged and the SAME
+    // oracle arbitrates. The per-(flag, shard) carry agg DOES
+    // map-side-reduce (48 cells), unlike the dropped (flag, v) one.
     val shard = Scale.memoizedShards(spark, s"wmed|$sfDir", 16, col("v"))(
-      Scale.balancedShards(g, col("v"), 16))
-    val tot = g.groupBy(col("l_returnflag")).agg(sum(col("vw")).as("tot"))
-    Scale.shardedPrefixSumBy(g, Seq("l_returnflag"), shard,
-        Seq(col("v")), col("vw"), "cum")
+      Scale.balancedShards(li, col("v"), 16))
+    val tot = li.groupBy(col("l_returnflag")).agg(sum(col("w")).as("tot"))
+    Scale.shardedPrefixSumBy(li, Seq("l_returnflag"), shard,
+        Seq(col("v")), col("w"), "cum")
       .join(broadcast(tot), "l_returnflag")
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))

@@ -128,7 +128,23 @@ object Tables {
           n
         }
       }
-    if (parts >= p) df else df.repartition(p)
+    // Hash-partition on a DETERMINISTIC full-row key instead of
+    // round-robin repartition(p): every keyless repartition first
+    // local-sorts its input (spark.sql.execution.sortBeforeRepartition,
+    // on by default since SPARK-23207 so retried tasks reproduce the
+    // same row→partition assignment) — and spread's caller is usually
+    // a single-row-group scan task, so that sort of the WHOLE table
+    // ran inside the one real scan task this exchange exists to
+    // relieve. xxhash64 over every column is a pure function of row
+    // content, so re-run tasks re-produce the identical assignment
+    // with no sort (the guide's deterministic-synthetic-key rule);
+    // near-unique rows spread uniformly, and exact-duplicate rows
+    // merely colocate. Measured r21: the q_weighted_median /
+    // q_mahalanobis scan stages dropped their sort time (see
+    // OPTIMIZATION_r21.md).
+    if (parts >= p) df
+    else df.repartition(p,
+      org.apache.spark.sql.functions.xxhash64(df.columns.map(df(_)): _*))
   }
 
   /** Memoized row count of a fixture table — several operators size

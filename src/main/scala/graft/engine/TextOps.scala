@@ -80,6 +80,59 @@ object TextOps {
     lenTerm * 0.4 + swTerm * 0.4 + punctTerm * 0.2
   }
 
+  private[engine] val stopwordSetEn: Set[String] = stopwordsEn.toSet
+
+  /** JVM-side twin of [[qualityScore]] for imperative per-partition
+    * passes (the [[graft.engine.Dedup.shingleHashSets]] discipline) —
+    * the Column form's higher-order functions are interpreted and
+    * re-evaluate the tokenize per reference, which made the memoized
+    * quality frame's build the dominant per-row cost of both
+    * calibrated twins. Exactness, term by term, against the Column
+    * form (QualityScoreSpec pins bit-equality over both fixture
+    * corpora + crafted edge rows):
+    *  - `length(text)` counts CODE POINTS (UTF8String.numChars) →
+    *    `codePointCount`, not String.length;
+    *  - tokens ride [[graft.engine.Dedup.tokensOf]], the same
+    *    oracle-proven twin of the `tokens` Column the dedup family
+    *    uses everywhere;
+    *  - the punct class `[^A-Za-z0-9\s]` counts code points outside
+    *    ASCII alphanumerics and Java-regex `\s` (= ` \t\n\x0B\f\r` —
+    *    ASCII-only without UNICODE_CHARACTER_CLASS), one match per
+    *    code point since a negated class consumes a full code point;
+    *  - every double op replays the Column tree's shape and order
+    *    (divide coerces both sides to double; `least` → `math.min`;
+    *    final sum left-associated), so the IEEE result is
+    *    bit-identical. Non-null input contract (the documents fixture
+    *    has no null text; the Dataset encoder would surface one as an
+    *    empty-string NPE loudly, not silently). */
+  private[graft] def qualityScoreOf(text: String): Double = {
+    val n = text.codePointCount(0, text.length)
+    val lenTerm = math.min(n.toDouble / 500.0, 1.0)
+    val tk = graft.engine.Dedup.tokensOf(text)
+    var hits = 0
+    var ti = 0
+    while (ti < tk.length) {
+      if (stopwordSetEn.contains(tk(ti))) hits += 1
+      ti += 1
+    }
+    val sw = if (tk.length == 0) 0.0 else hits.toDouble / tk.length.toDouble
+    val swTerm = math.min(sw * 5.0, 1.0)
+    var punct = 0
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val isWord = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9')
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!isWord && !isWs) punct += 1
+      i += Character.charCount(cp)
+    }
+    val pr = if (n == 0) 0.0 else punct.toDouble / n.toDouble
+    val punctTerm = 1.0 - math.min(pr * 10.0, 1.0)
+    lenTerm * 0.4 + swTerm * 0.4 + punctTerm * 0.2
+  }
+
   // --- language ID ---
 
   /** Tiny per-language stopword dictionaries for the n-gram/stopword
@@ -257,14 +310,46 @@ object TextOps {
     * (A window-over-term df would also dedupe the subtree but puts
     * every instance of a stopword in ONE window task — join skew is
     * AQE-splittable, window skew is not.) */
+  /** The shared (doc_id, term, tf) working set — the inverted-index
+    * postings frame [[qTfidfTopTerms]] and [[qBm25]] both consume.
+    * Per-doc term counts are a PER-DOCUMENT value, so they compute in
+    * one imperative per-partition pass with ZERO shuffle (the
+    * [[graft.engine.Dedup.shingleHashSets]] discipline) instead of
+    * the former explode + corpus-token groupBy(doc_id, term) exchange
+    * (r21 — one full |tokens|-row shuffle and its hash agg gone; the
+    * memo's consumers re-pay this build per bench sample, so the
+    * build IS the measured cost). Tokens ride
+    * [[graft.engine.Dedup.tokensOf]], the oracle-proven twin of the
+    * `tokens` Column; counts are exact, so groupBy-equivalence is
+    * structural. */
+  private[engine] def tfFrame(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Dedup.memoizedPersisted(spark, s"tfidf-tf|$sfDir", eager = true)({
+      import spark.implicits._
+      Dedup.spread(Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, t) =>
+          val tk = graft.engine.Dedup.tokensOf(t)
+          val m = new java.util.HashMap[String, Long]()
+          var i = 0
+          while (i < tk.length) {
+            m.merge(tk(i), 1L, (a, b) => a + b); i += 1
+          }
+          val it = m.entrySet().iterator()
+          new Iterator[(Long, String, Long)] {
+            def hasNext: Boolean = it.hasNext
+            def next(): (Long, String, Long) = {
+              val e = it.next(); (id, e.getKey, e.getValue)
+            }
+          }
+        })
+        .toDF("doc_id", "term", "tf")
+    })
+
   def qTfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val docTerms = d
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), explode(col("tk")).as("term"))
-    val tf = Dedup.memoizedPersisted(spark, s"tfidf-tf|$sfDir", eager = true)(
-      docTerms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf")))
+    val tf = tfFrame(spark, sfDir)
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val n = d.select(count(lit(1)).as("n_docs"))
@@ -309,10 +394,7 @@ object TextOps {
     * postings-sized work, never corpus × queries. */
   def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
-    val tf = Dedup.memoizedPersisted(spark, s"tfidf-tf|$sfDir", eager = true)(
-      d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf")))
+    val tf = tfFrame(spark, sfDir)
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("fp"), col("term"))
     val qterms = d.filter(col("doc_id") < 8)
@@ -2565,11 +2647,19 @@ object TextOps {
     * group scan otherwise tokenizes the whole corpus in ONE task
     * (no-op on a multi-split lake). */
   private def qualityFrame(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.memoizedPersisted(spark, s"qscore|$sfDir", eager = true)(
+    Dedup.memoizedPersisted(spark, s"qscore|$sfDir", eager = true)({
+      // one imperative per-partition pass (the shingleHashSets
+      // discipline): the Column form's interpreted HOFs re-tokenized
+      // per reference — measured as the dominant build cost of this
+      // memo; qualityScoreOf is the bit-exact twin (QualityScoreSpec)
+      import spark.implicits._
       Dedup.spread(Tables(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("text")))
-        .select(col("doc_id"), col("source"),
-          qualityScore(col("text")).as("q")))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, t) =>
+          (id, src, qualityScoreOf(t)) })
+        .toDF("doc_id", "source", "q")
+    })
 
   def qQualityCalibratedCut(spark: SparkSession, sfDir: String): DataFrame = {
     val s = qualityFrame(spark, sfDir)

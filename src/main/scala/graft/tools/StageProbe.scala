@@ -117,7 +117,7 @@ object StageProbe {
             val w = math.max(0L, s.completed - s.submitted) / 1000.0
             println(f"   stage $id%4d wall=$w%7.3f task=${s.taskTime / 1000.0}%7.3f " +
               f"n=${s.tasks}%3d in=${s.input / 1024}%8dK sr=${s.shufRead / 1024}%7dK " +
-              f"sw=${s.shufWrite / 1024}%7dK ${s.where}")
+              f"sw=${s.shufWrite / 1024}%7dK [${s.name.take(40)}] ${s.where}")
           }
       }
     }
